@@ -1,0 +1,124 @@
+"""Sources: SparkSession factory + normalized table loaders.
+
+The reference has no file connectors (data enters as numpy feeds,
+`/root/reference/Henbun/param.py:676-739`); this module is the Spark-native
+scan/source surface: Parquet (primary), CSV/JSON helpers, and the
+driver-supplied TPC-H-ish test tables.
+
+Scale notes (100 TB design):
+* All reads are plain `spark.read` — predicate pushdown / column pruning /
+  partition pruning stay available to Catalyst.
+* `nanosAsLong` handles TIMESTAMP(NANOS) parquet (unsupported natively by
+  Spark); the ns->us conversion matches DuckDB's internal microsecond
+  truncation so oracle comparisons agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# columns stored as TIMESTAMP(NANOS) in parquet -> read as long, convert
+_NANO_TS_COLS = {"events": ["ts"]}
+
+
+def get_spark(
+    app_name: str = "henbun_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Opinionated local-mode session: AQE on, Arrow on, UTC, shuffle
+    partitions sized to cores (not the 200 default)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(cpus)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table with normalized schema (ns-timestamps ->
+    TimestampType via microsecond truncation, matching DuckDB)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, []):
+        if col in df.columns and not isinstance(
+            df.schema[col].dataType, T.TimestampType
+        ):
+            df = df.withColumn(
+                col, F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long"))
+            )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    out = {}
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            out[t] = load_table(spark, sf_dir, t)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (SQL surface)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """CSV scan; schema strongly preferred at scale (no inference pass)."""
+    reader = spark.read.options(header="true", **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None):
+    """Sink: parquet writer, optionally hive-partitioned (partition pruning
+    at scale)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

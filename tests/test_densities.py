@@ -1,0 +1,170 @@
+"""Density parity — mirrors `/root/reference/testing/test_densities.py`
+(scipy is unavailable here; references use math.lgamma-based closed forms,
+equivalent to the scipy constructions the reference tests against).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from henbun_spark import autodiff as ad
+from henbun_spark import densities
+
+RNG = np.random.default_rng(0)
+
+
+def ref_gaussian(x, mu, var):
+    return -0.5 * np.log(2 * np.pi * var) - 0.5 * (x - mu) ** 2 / var
+
+
+def ref_student_t(x, mean, scale, df):
+    lg = np.vectorize(math.lgamma)
+    return (
+        lg((df + 1) / 2.0)
+        - lg(df / 2.0)
+        - 0.5 * (np.log(scale**2) + np.log(df) + np.log(np.pi))
+        - 0.5 * (df + 1) * np.log(1 + (1.0 / df) * ((x - mean) / scale) ** 2)
+    )
+
+
+def test_gaussian():
+    x = RNG.normal(size=50)
+    np.testing.assert_allclose(
+        densities.gaussian(x, 0.3, 2.0), ref_gaussian(x, 0.3, 2.0), atol=1e-10
+    )
+
+
+def test_lognormal():
+    x = np.abs(RNG.normal(size=50)) + 0.1
+    expected = ref_gaussian(np.log(x), 0.1, 1.5) - np.log(x)
+    np.testing.assert_allclose(densities.lognormal(x, 0.1, 1.5), expected, atol=1e-10)
+
+
+def test_bernoulli():
+    p = RNG.uniform(0.01, 0.99, size=50)
+    y = (RNG.uniform(size=50) > 0.5).astype(np.float64)
+    expected = np.where(y == 1, np.log(p), np.log(1 - p))
+    np.testing.assert_allclose(densities.bernoulli(p, y), expected, atol=1e-12)
+
+
+def test_poisson():
+    lamb = np.abs(RNG.normal(size=50)) + 0.5
+    y = RNG.integers(0, 10, size=50).astype(np.float64)
+    lg = np.vectorize(math.lgamma)
+    expected = y * np.log(lamb) - lamb - lg(y + 1)
+    np.testing.assert_allclose(densities.poisson(lamb, y), expected, atol=1e-9)
+
+
+def test_exponential():
+    lamb = np.abs(RNG.normal(size=50)) + 0.5
+    y = np.abs(RNG.normal(size=50))
+    np.testing.assert_allclose(
+        densities.exponential(lamb, y), -y / lamb - np.log(lamb), atol=1e-12
+    )
+
+
+def test_gamma():
+    shape, scale = 2.5, 1.3
+    x = np.abs(RNG.normal(size=50)) + 0.1
+    expected = (
+        -shape * np.log(scale)
+        - math.lgamma(shape)
+        + (shape - 1) * np.log(x)
+        - x / scale
+    )
+    np.testing.assert_allclose(densities.gamma(shape, scale, x), expected, atol=1e-9)
+
+
+@pytest.mark.parametrize("df", [3.0, 10.5])
+def test_student_t(df):
+    x = RNG.normal(size=50) * 3
+    np.testing.assert_allclose(
+        densities.student_t(x, 0.5, 1.2, df), ref_student_t(x, 0.5, 1.2, df), atol=1e-9
+    )
+
+
+def test_beta():
+    a, b = 2.0, 3.5
+    y = RNG.uniform(0.01, 0.99, size=50)
+    expected = (
+        (a - 1) * np.log(y)
+        + (b - 1) * np.log(1 - y)
+        + math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+    )
+    np.testing.assert_allclose(densities.beta(a, b, y), expected, atol=1e-9)
+
+
+def test_laplace():
+    y = RNG.normal(size=50)
+    np.testing.assert_allclose(
+        densities.laplace(0.3, 1.1, y), -np.abs(0.3 - y) / 1.1 - np.log(2.2), atol=1e-12
+    )
+
+
+def test_bimixture_vs_numpy_lse():
+    """Mirrors `testing/test_densities.py:11-24`."""
+    p0 = RNG.normal(size=50) - 2
+    p1 = RNG.normal(size=50) - 1
+    f = 0.3
+    expected = np.log(f * np.exp(p0) + (1 - f) * np.exp(p1))
+    np.testing.assert_allclose(densities.bimixture(f, p0, p1), expected, atol=1e-10)
+
+
+def test_multivariate_normal():
+    n = 6
+    A = RNG.normal(size=(n, n))
+    cov = A @ A.T + n * np.eye(n)
+    L = np.linalg.cholesky(cov)
+    x = RNG.normal(size=n)
+    mu = RNG.normal(size=n)
+    d = x - mu
+    expected = (
+        -0.5 * n * np.log(2 * np.pi)
+        - 0.5 * np.log(np.linalg.det(cov))
+        - 0.5 * d @ np.linalg.inv(cov) @ d
+    )
+    np.testing.assert_allclose(
+        densities.multivariate_normal(x, mu, L), expected, atol=1e-8
+    )
+
+
+def test_tensor_mode_grads():
+    """Densities trace through autodiff with correct gradients."""
+    x = RNG.normal(size=20)
+    mu = ad.Tensor(np.array(0.4), requires_grad=True)
+    obj = ad.sum(densities.gaussian(x, mu, 2.0))
+    obj.backward()
+    expected = np.sum((x - 0.4) / 2.0)
+    np.testing.assert_allclose(mu.grad, expected, atol=1e-9)
+
+
+def test_column_parity(spark):
+    """Column expressions match numpy for every density (the engine's
+    scalar-function surface runs JVM-side)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    x = RNG.uniform(0.05, 0.95, size=200)
+    df = spark.createDataFrame(pd.DataFrame({"x": x}))
+    cases = {
+        "gaussian": (densities.gaussian(F.col("x"), 0.3, 2.0), densities.gaussian(x, 0.3, 2.0)),
+        "lognormal": (densities.lognormal(F.col("x"), 0.1, 1.5), densities.lognormal(x, 0.1, 1.5)),
+        "poisson": (densities.poisson(F.col("x") + 1.0, 3.0), densities.poisson(x + 1.0, 3.0)),
+        "student_t": (densities.student_t(F.col("x"), 0.5, 1.2, 3.0), densities.student_t(x, 0.5, 1.2, 3.0)),
+        "beta": (densities.beta(2.0, 3.5, F.col("x")), densities.beta(2.0, 3.5, x)),
+        "laplace": (densities.laplace(0.3, 1.1, F.col("x")), densities.laplace(0.3, 1.1, x)),
+        "exponential": (densities.exponential(F.col("x") + 0.5, 1.0), densities.exponential(x + 0.5, 1.0)),
+        "bimixture": (
+            densities.bimixture(0.3, F.log(F.col("x")), F.log(1 - F.col("x"))),
+            densities.bimixture(0.3, np.log(x), np.log(1 - x)),
+        ),
+    }
+    exprs = [expr.alias(k) for k, (expr, _) in cases.items()]
+    out = df.select(*exprs).toPandas()
+    for k, (_, expected) in cases.items():
+        np.testing.assert_allclose(
+            out[k].to_numpy(), expected, atol=1e-7, err_msg=k
+        )
