@@ -1,0 +1,155 @@
+"""M2 end-to-end: the distributed training lifecycle (SURVEY §3.3) —
+probabilistic linear regression via mapInPandas partial gradients +
+driver Adam, on a Spark DataFrame. Mirrors the reference's
+`Henbun_structure.ipynb` cell 23 workflow and checks Spark-vs-driver
+gradient parity.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import henbun_spark as hb
+from henbun_spark import autodiff as ad
+from henbun_spark import variationals
+from henbun_spark.model import Adam
+from henbun_spark.param import graph_key
+from henbun_spark.spark_exec import ColumnData, SparkTrainer, predict
+
+A_TRUE, B_TRUE, NOISE = 0.4, 0.5, 0.1
+
+
+def make_df(spark, n=400, parts=4):
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, n)
+    y = A_TRUE + B_TRUE * x + NOISE * rng.standard_normal(n)
+    return (
+        spark.createDataFrame(pd.DataFrame({"x": x, "y": y})).repartition(parts),
+        x,
+        y,
+    )
+
+
+class LinReg(hb.Model):
+    """logp = sum gaussian(y, a + b*x, softplus(s)^2)."""
+
+    def setUp(self):
+        self.x = ColumnData("x")
+        self.y = ColumnData("y")
+        self.coef = hb.Variable([2], mean=0.0, stddev=0.1)
+        self.s = hb.Variable([1], transform=hb.transforms.positive())
+
+    def local_objective(self):
+        pred = self.coef[0] + self.coef[1] * self.x
+        return ad.sum(hb.densities.gaussian(self.y, pred, ad.square(self.s)))
+
+    def global_objective(self):
+        # weak N(0,1) priors on the coefficients (dataset-level term)
+        return hb.priors.Normal().logp(self.coef)
+
+
+def test_distributed_linreg_converges(spark):
+    df, x, y = make_df(spark)
+    m = LinReg()
+    tr = SparkTrainer(m, df, optimizer=Adam(learning_rate=0.05))
+    first = tr.evaluate()
+    tr.fit(maxiter=45)
+    last = tr.evaluate()
+    assert last > first
+    a, b = m.coef.value
+    assert abs(a - A_TRUE) < 0.2
+    assert abs(b - B_TRUE) < 0.25
+
+
+def test_spark_gradient_matches_driver(spark):
+    """Partial-gradient aggregation across partitions == single-process
+    gradient on the same rows (linearity of the decomposition)."""
+    df, x, y = make_df(spark, n=200, parts=8)
+    m = LinReg()
+    tr = SparkTrainer(m, df)
+
+    rows = tr._job(tr.df, tr._state(), step=0, want_grad=True)
+    spark_loss = sum(r["loss"] for r in rows)
+    spark_grad = np.zeros(3)
+    for r in rows:
+        spark_grad += np.asarray(r["grad"])
+
+    # driver-side reference on identical data
+    m2 = LinReg()
+    for name, arr in tr._state().items():
+        v = {vv.long_name: vv for vv in m2.get_variables()}[name]
+        v._array = np.array(arr)
+        v._pending = None
+        v.finalize()
+    m2.x.assign(x)
+    m2.y.assign(y)
+    m2.new_eval(seed=0)
+    with m2.tf_mode():
+        obj = m2.local_objective()
+    obj.backward()
+    ref_grad = np.concatenate(
+        [m2.coef._leaf.grad.ravel(), m2.s._leaf.grad.ravel()]
+    )
+    np.testing.assert_allclose(spark_loss, float(obj.data), rtol=1e-6)
+    np.testing.assert_allclose(spark_grad, ref_grad, rtol=1e-5, atol=1e-7)
+
+
+def test_minibatch_step_runs(spark):
+    df, _, _ = make_df(spark)
+    m = LinReg()
+    tr = SparkTrainer(m, df, optimizer=Adam(learning_rate=0.05))
+    loss = tr.step(minibatch_fraction=0.25)
+    assert np.isfinite(loss)
+    assert tr.step_count == 1
+
+
+class AmortizedVI(hb.Model):
+    """Encoder -> LOCAL variational: the full global/local split
+    (README.md:14-21) running distributed."""
+
+    def setUp(self):
+        self.xy = ColumnData(["x", "y"])
+        self.enc = hb.nn.NeuralNet([2, 8, 2], neuron_types="relu", stddev=0.3)
+        self.z = variationals.Normal([1], collections=graph_key.LOCAL)
+        self.dec = hb.Variable([1], mean=0.0, stddev=0.1)
+
+    def local_objective(self):
+        self.z = self.enc(self.xy)  # feeds q_mu, q_sqrt
+        z = self.z
+        y = self.xy[:, 1]
+        lik = hb.densities.gaussian(y, z.reshape((-1,)) + self.dec, 0.1)
+        return ad.sum(lik) - self.KL(graph_key.LOCAL)
+
+
+def test_amortized_local_variational_trains(spark):
+    df, _, _ = make_df(spark, n=300)
+    m = AmortizedVI()
+    tr = SparkTrainer(m, df, optimizer=Adam(learning_rate=0.02))
+    first = tr.evaluate()
+    tr.fit(maxiter=20)
+    assert tr.evaluate() > first
+
+
+class PredModel(hb.Model):
+    def setUp(self):
+        self.x = ColumnData("x")
+        self.coef = hb.Variable([2])
+
+    def local_objective(self):
+        return ad.sum(hb.densities.gaussian(self.x, self.coef[0], 1.0))
+
+    def score(self):
+        return {"pred": (self.coef[0] + self.coef[1] * self.x).data,
+                "x2": ad.square(self.x).data}
+
+
+def test_predict_mapinpandas(spark):
+    df, x, _ = make_df(spark, n=100)
+    m = PredModel()
+    m.coef = np.array([1.0, 2.0])
+    m.initialize()
+    out = predict(m, df, "score", "pred double, x2 double").toPandas()
+    assert len(out) == 100
+    np.testing.assert_allclose(
+        np.sort(out["pred"].to_numpy()), np.sort(1.0 + 2.0 * x), atol=1e-5
+    )
