@@ -1,0 +1,258 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All the text-hash variants are built from deterministic, engine-portable
+primitives (character shingles + md5) so results are bit-comparable with a
+DuckDB oracle. Everything is expressed with built-in Column functions —
+no Python UDFs in any hot path.
+
+Scale design:
+* near-dup candidate generation is an **inverted-index / LSH-bucket join**
+  (shuffle keyed on shingle/bucket), never a cross join;
+* `max_df` drops ultra-frequent shingles — the skew guard: a shingle
+  appearing in k docs creates k^2 join pairs;
+* exact dedup is a groupBy (map-side combinable), not a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def char_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+    """Distinct character n-grams per document: (id, shingle) long table.
+
+    substring semantics are shared by Spark and DuckDB (1-based, truncating
+    at the string end), keeping oracles exact.
+    """
+    seq = F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)) - (n - 1), F.lit(1)))
+    grams = F.transform(seq, lambda i: F.col(text_col).substr(i, F.lit(n)))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative row (min id) per duplicate group.
+
+    groupBy + min is a partial-aggregatable shuffle (beats a window over
+    the text column at scale: no sort, map-side combine)."""
+    keep = df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=[*cols, id_col], how="left_semi")
+
+
+def exact_dup_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Duplicate-group summary: one row per distinct content with its
+    cardinality and representative id."""
+    return df.groupBy(*cols).agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5, bands: int = 8
+) -> DataFrame:
+    """One-hash-per-band MinHash: for band b, min over shingles of
+    md5(b || '|' || shingle). Equivalent to banding a k=bands signature
+    with rows-per-band=1 — each band is an independent min-wise sample.
+
+    Output: (id, band, mh) — 'bands' rows per doc after the unpivot.
+    """
+    sh = char_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(b)), F.lit("|"), F.col("shingle")))).alias(f"mh{b}")
+        for b in range(bands)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    pairs = ", ".join(f"{b}, mh{b}" for b in range(bands))
+    return sig.selectExpr(id_col, f"stack({bands}, {pairs}) as (band, mh)")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    bands: int = 8,
+    min_bands: int = 1,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing the min-hash in at
+    least `min_bands` bands. The join is keyed on (band, mh) — an LSH
+    bucket join whose fan-out is bounded by bucket sizes, not n^2.
+    """
+    sig = minhash_signatures(df, text_col, id_col, n, bands)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    matched = (
+        a.join(b, on=["band", "mh"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("band"),
+        )
+    )
+    return (
+        matched.groupBy("id_a", "id_b")
+        .agg(F.countDistinct("band").alias("n_bands"))
+        .where(F.col("n_bands") >= min_bands)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
+
+    Inverted-index self-join: |A ∩ B| counted by joining on shingle,
+    |A ∪ B| = |A| + |B| - |A ∩ B|. `max_df` (document frequency cap)
+    is the skew guard for 100 TB runs; leave None for oracle-exact runs.
+    """
+    sh = char_shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_cnt"))
+            .where(F.col("df_cnt") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}"))
+        .groupBy(
+            F.col(f"sa.{id_col}").alias("id_a"),
+            F.col(f"sb.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _md5_bit(col, j):
+    """Bit j (0 = MSB of first hex nibble) of md5(col), via portable
+    hex-nibble arithmetic (conv in Spark, instr-based in the oracle)."""
+    nibble = F.conv(F.substring(F.md5(col), j // 4 + 1, 1), 16, 10).cast("int")
+    return F.shiftright(nibble, 3 - (j % 4)).bitwiseAND(F.lit(1))
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint over distinct whitespace tokens.
+
+    For each bit j: sign of sum over tokens of (2*bit_j(md5(token)) - 1);
+    fingerprint = sum of set bits << j. Pure Column arithmetic -> the
+    whole computation is one explode + one groupBy (map-side combinable).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+            )
+        ).alias("tok"),
+    )
+    contribs = [
+        F.sum(_md5_bit(F.col("tok"), j) * 2 - 1).alias(f"s{j}") for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*contribs)
+    fp = None
+    for j in range(bits):
+        bit = (F.col(f"s{j}") > 0).cast("long") * F.lit(2**j).cast("long")
+        fp = bit if fp is None else fp + bit
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, candidate-generated by
+    banding the fingerprint into (max_hamming+1) blocks (pigeonhole: any
+    pair within distance k agrees on >= 1 of k+1 blocks)."""
+    fps = simhash(df, text_col, id_col, bits)
+    nblocks = max_hamming + 1
+    block_bits = bits // nblocks
+    blocks = [
+        F.shiftright(F.col("simhash"), i * block_bits)
+        .bitwiseAND(F.lit((1 << block_bits) - 1))
+        .alias(f"blk{i}")
+        for i in range(nblocks)
+    ]
+    withblk = fps.select(id_col, "simhash", *blocks)
+    cands = None
+    for i in range(nblocks):
+        a = withblk.alias("a")
+        b = withblk.alias("b")
+        c = (
+            a.join(b, F.col(f"a.blk{i}") == F.col(f"b.blk{i}"))
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("fp_a"),
+                F.col("b.simhash").alias("fp_b"),
+            )
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.distinct()
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def cosine(a, b):
+    """Cosine similarity of two array<double> Columns — sequential fold,
+    same accumulation order as the DuckDB oracle."""
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, emb_col: str, id_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force O(n^2) — correct
+    baseline; see `operators.similarity.ann_topk` for the LSH-bucketed
+    scale path)."""
+    e = df.select(
+        F.col(id_col), F.col(emb_col).cast("array<double>").alias("vec")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,125 @@
+"""Relational operators Spark lacks as single primitives: as-of join,
+range join, sessionization, top-k-per-group, grouped rollups.
+
+Each is a composition of built-in DataFrame ops chosen for its shuffle
+profile at scale (documented per function) — option (a) of the custom-
+operator ladder (built-in composition > pandas UDF > mapPartitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    right.on <= left.on (within the same `by` key).
+
+    Implementation: union the tagged streams, single window sorted by
+    (by, on) carrying `last(right value, ignorenulls)` — ONE shuffle on
+    the by-key (vs. the naive range join's quadratic explosion). This is
+    the standard streaming-friendly formulation.
+    """
+    assert direction == "backward", "forward as-of: flip the sort"
+    rcols = right_cols or [c for c in right.columns if c not in (on, by)]
+    keys = [by] if by else []
+    ltag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+    )
+    rtag = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in (on, *(keys))
+        ],
+        *([F.col(by)] if by else []),
+        F.col(on),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c) for c in rcols],
+    )
+    unioned = ltag.unionByName(rtag)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *[c for c in left.columns],
+        F.col("__is_left"),
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in rcols],
+    )
+    return filled.where(F.col("__is_left") == 1).drop("__is_left")
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the user's previous event exceeds the gap. One shuffle (by user),
+    two windows over the same partitioning (no extra exchange)."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = (
+        prev.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_minutes * 60)
+    ).cast("long")
+    return df.withColumn("session_seq", F.sum(new_sess).over(w))
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_col: str, k: int,
+    descending: bool = True, tiebreak: str | None = None,
+) -> DataFrame:
+    """Deterministic top-k per group via row_number (single shuffle; at
+    scale prefer this over sort+limit per group — the window rank is
+    partial-aggregation friendly under AQE)."""
+    order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Band/range join: left.val BETWEEN right.lo AND right.hi, bucketized
+    so the join is equi-keyed on bucket id (Catalyst gets a hash join
+    instead of a broadcast-nested-loop). Right intervals are exploded
+    into every bucket they overlap."""
+    lb = left.withColumn(
+        "__bucket", F.floor(F.col(left_val) / F.lit(bucket_width)).cast("long")
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(right_hi) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    return lb.join(rb, on="__bucket").where(
+        (F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) <= F.col(right_hi))
+    ).drop("__bucket")

@@ -1,0 +1,116 @@
+"""Text-analysis operators over the `documents` table: tokenization stats,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure Column expressions (whole-stage codegen; zero Python in the data
+path) built from engine-portable primitives so every operator has an exact
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+# marker-token vocabularies for the n-gram/lexicon language-ID heuristic
+LANG_MARKERS = {
+    "en": ["the", "a", "and", "of", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "es", "los"],
+    "zh": ["de", "shi", "zai", "le", "he"],
+}
+
+PUNCT_CHARS = ".,!?;:"
+
+
+def _tokens(text_col: str):
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count, distinct-token count, mean token length —
+    the cheap token-budget estimator for corpus sizing."""
+    toks = _tokens(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": F.size(toks),
+            "n_distinct_tokens": F.size(F.array_distinct(toks)),
+            "avg_token_len": (
+                F.length(F.regexp_replace(F.col(text_col), " ", ""))
+                / F.greatest(F.size(toks), F.lit(1))
+            ),
+        }
+    )
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sub-word-ish token estimate: words + ceil(chars/4) blend, the usual
+    LLM-budget heuristic when no tokenizer is available. Deterministic and
+    oracle-exact."""
+    toks = _tokens(text_col)
+    est = F.size(toks) + F.ceil(F.length(F.col(text_col)) / F.lit(16)).cast("int")
+    return df.withColumn("token_estimate", est)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]:
+    0.4 * length_score (chars/500 capped)
+    + 0.3 * (1 - punct_ratio)          (punct chars per char)
+    + 0.3 * stopword_score (stopword fraction of tokens, capped at 0.5, x2)
+    """
+    toks = _tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), f"[{PUNCT_CHARS}]", "")
+    )
+    sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_score = F.least(
+        n_stop / F.greatest(F.size(toks), F.lit(1)) / F.lit(0.5), F.lit(1.0)
+    )
+    return df.withColumn(
+        "quality",
+        F.lit(0.4) * length_score + F.lit(0.3) * (1 - punct_ratio) + F.lit(0.3) * stop_score,
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lexicon-vote language ID: score per language = number of marker-token
+    occurrences; predicted language = argmax (alphabetical tie-break).
+    A real corpus would use char-n-gram profiles; the plan shape (per-row
+    Column arithmetic, no shuffle) is identical."""
+    toks = _tokens(text_col)
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    out = df
+    for lang, sc in scores.items():
+        out = out.withColumn(f"score_{lang}", sc)
+    # argmax with deterministic alphabetical tie-break
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{la}") for la in langs])
+    pred = None
+    for la in langs:
+        cond = F.col(f"score_{la}") == best
+        pred = F.when(cond, F.lit(la)) if pred is None else pred.when(cond, F.lit(la))
+    return out.withColumn("pred_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Polynomial rolling hash of the full text, mod 2^31-1 (base 31):
+    fp = fold(chars, 0, acc*31 + ascii(c) mod p). A compact content
+    fingerprint for exact/near-exact dedup joins; exact DuckDB oracle via
+    list_reduce."""
+    chars = F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)), F.lit(1)))
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * 31 + F.ascii(F.col(text_col).substr(i, F.lit(1))))
+        % F.lit(2147483647),
+    )
+    return df.withColumn(out, fp)
