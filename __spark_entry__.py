@@ -1,38 +1,979 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Float determinism strategy (so Spark and DuckDB hash-match bitwise):
+
+* Sums of doubles are order-dependent; every aggregate over a double
+  expression goes through ``round(x, 6) -> decimal(38,6) -> sum -> double``
+  in BOTH engines. Decimal addition is exact and associative, so the
+  shuffle/partial-agg order cannot change the result.
+* Per-row arithmetic on identical inputs is bit-identical across engines
+  (IEEE doubles), EXCEPT transcendental functions (ln/exp/lgamma differ by
+  ~1 ulp between JVM and libm): those are rounded to 6 decimals before any
+  aggregation, and results built purely from +,-,*,/ and sqrt are left
+  exact.
+* Sequential array folds (cosine) use the same accumulation order in both
+  engines (Spark ``F.aggregate`` fold == DuckDB ``list_reduce``).
+* Timestamps never appear in outputs; they are projected to epoch
+  seconds/millis BIGINT.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+HALF_LOG_2PI = 0.5 * float(np.log(2.0 * np.pi))
+LOG_PI = float(np.log(np.pi))
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from henbun_spark import sources
+
+    return sources.load_table(spark, sf_dir, name)
+
+
+def _dsum(col, alias, scale: int = 6):
+    """Order-independent exact sum of a double expression (see module doc)."""
+    return (
+        F.sum(F.round(col, scale).cast(f"decimal(38,{scale})"))
+        .cast("double")
+        .alias(alias)
+    )
+
+
+def _sql_dsum(expr: str, alias: str, scale: int = 6) -> str:
+    return (
+        f"CAST(SUM(CAST(ROUND({expr}, {scale}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
+        f" AS {alias}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational / TPC-H-ish queries
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-aggregate, fully partial-aggregatable.
+
+    At scale: one shuffle keyed on (returnflag, linestatus) — 6 groups,
+    map-side combine does nearly all the work; filter pushed to parquet.
+    """
+    li = _load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    out = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+    return out
+
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {_sql_dsum('l_quantity', 'sum_qty')},
+  {_sql_dsum('l_extendedprice', 'sum_base_price')},
+  {_sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+  {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+  COUNT(*) AS count_order,
+  {_sql_dsum('l_quantity', '_sq')} / COUNT(*) AS avg_qty,
+  {_sql_dsum('l_extendedprice', '_sp')} / COUNT(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+# NOTE: duckdb doesn't allow reusing aliases; restate the dsum for avgs.
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {_sql_dsum('l_quantity', 'sum_qty')},
+  {_sql_dsum('l_extendedprice', 'sum_base_price')},
+  {_sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+  {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+  COUNT(*) AS count_order,
+  CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark, sf_dir):
+    """Top-10 orders by revenue: broadcast-joined dims, decimal-exact
+    revenue so the LIMIT ordering is deterministic across engines."""
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            _dsum(rev, "revenue"),
+            F.max(F.unix_timestamp("o_orderdate")).alias("o_orderdate_epoch"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+    return out
+
+
+_Q3_SQL = f"""
+SELECT o_orderkey,
+  {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+  MAX(epoch(o_orderdate))::BIGINT AS o_orderdate_epoch
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark, sf_dir):
+    """Star join: lineitem large fact, everything else broadcast; single
+    shuffle for the final 25-group aggregate."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    supp = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+    return out
+
+
+_Q5_SQL = f"""
+SELECT n_name,
+  {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+def rollup_revenue(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def top_events_per_user(spark, sf_dir):
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    return (
+        relational.top_k_per_group(
+            ev, ["user_id"], "value", 3, tiebreak="event_id"
+        )
+        .select("user_id", "event_id", "value", "rank")
+    )
+
+
+_TOPK_SQL = """
+SELECT user_id, event_id, value, rank::INT AS rank FROM (
+  SELECT user_id, event_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+  FROM events)
+WHERE rank <= 3
+"""
+
+
+def asof_last_purchase(spark, sf_dir):
+    """As-of join (clicks pick up the most recent purchase value per user):
+    one shuffle on user_id via the union+window formulation — no range
+    explosion (operators/relational.py)."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id").where(
+        F.col("event_type") == "click"
+    )
+    right = ev.select("user_id", "ts", F.col("value").alias("last_value")).where(
+        F.col("event_type") == "purchase"
+    )
+    return relational.asof_join(
+        left, right, on="ts", by="user_id", right_cols=["last_value"]
+    ).select("event_id", "last_value")
+
+
+_ASOF_SQL = """
+SELECT l.event_id, r.value AS last_value
+FROM (SELECT * FROM events WHERE event_type='click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def sessionize_events(spark, sf_dir):
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    return relational.sessionize(
+        ev, gap_minutes=30, tiebreak="event_id"
+    ).select("user_id", "event_id", "session_seq")
+
+
+_SESSION_SQL = """
+SELECT user_id, event_id,
+  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_seq
+FROM (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+"""
+
+
+def running_total_user(spark, sf_dir):
+    """Cumulative per-user revenue — decimal accumulation so every prefix
+    sum is exact (order-dependence removed)."""
+    ev = _load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)")).over(w)
+    return ev.select(
+        "event_id", run.cast("double").alias("running_value")
+    )
+
+
+_RUNNING_SQL = """
+SELECT event_id,
+  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+def hourly_event_counts(spark, sf_dir):
+    """Tumbling-window aggregate (the batch twin of the streaming
+    windowed_counts operator — same groupBy(window) plan)."""
+    ev = _load(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            (F.unix_timestamp(F.col("w.start")) * 1000).alias("hour_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_HOURLY_SQL = f"""
+SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS hour_start_ms,
+  event_type, COUNT(*) AS n,
+  {_sql_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def range_join_quantity(spark, sf_dir):
+    """Band join via bucketization: interval dim exploded to bucket ids so
+    Catalyst gets an equi-hash-join, not a nested-loop."""
+    from henbun_spark.operators import relational
+
+    li = _load(spark, sf_dir, "lineitem")
+    brackets = spark.createDataFrame(
+        [("small", 0.0, 15.0), ("mid", 15.0, 35.0), ("big", 35.0, 100.0)],
+        "bracket string, lo double, hi double",
+    )
+    joined = relational.range_join_bucketed(
+        li.select("l_quantity", "l_extendedprice"),
+        brackets,
+        left_val="l_quantity",
+        right_lo="lo",
+        right_hi="hi",
+        bucket_width=10.0,
+    )
+    return joined.groupBy("bracket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dsum(F.col("l_extendedprice"), "sum_price"),
+    )
+
+
+_RANGE_SQL = f"""
+SELECT bracket, COUNT(*) AS n_rows,
+  {_sql_dsum('l_extendedprice', 'sum_price')}
+FROM lineitem
+JOIN (VALUES ('small', 0.0, 15.0), ('mid', 15.0, 35.0), ('big', 35.0, 100.0))
+     AS b(bracket, lo, hi)
+  ON l_quantity >= lo AND l_quantity <= hi
+GROUP BY bracket
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup operators (documents table)
+# ---------------------------------------------------------------------------
+
+def dedup_exact_groups(spark, sf_dir):
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(docs, ["text"], "doc_id").select(
+        "keep_id", "n_dups"
+    )
+
+
+_EXACT_DUP_SQL = """
+SELECT min(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY text
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=8, bands=4)
+
+
+_MINHASH_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS s
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, greatest(length(text)-7, 1))) AS i
+        FROM documents)
+), sig AS (
+  SELECT doc_id, band, min(md5(band::VARCHAR || '|' || s)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)
+  GROUP BY doc_id, band
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  COUNT(DISTINCT a.band) AS n_bands
+FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh
+  AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(DISTINCT a.band) >= 1
+"""
+
+
+def dedup_jaccard(spark, sf_dir):
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.35)
+
+
+_JACCARD_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, greatest(length(text)-4, 1))) AS i
+        FROM documents)
+), sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, c::DOUBLE / (za.sz + zb.sz - c) AS jaccard
+FROM common
+JOIN sz za ON za.doc_id = id_a
+JOIN sz zb ON zb.doc_id = id_b
+WHERE c::DOUBLE / (za.sz + zb.sz - c) >= 0.35
+"""
+
+
+def _simhash_bits_sql(bits: int) -> str:
+    bit_exprs = []
+    for j in range(bits):
+        nib = f"(instr('0123456789abcdef', substr(md5(tok), {j // 4 + 1}, 1)) - 1)"
+        bit = f"(({nib} >> {3 - j % 4}) & 1)"
+        bit_exprs.append(f"CASE WHEN sum(2*{bit}-1) > 0 THEN {1 << j} ELSE 0 END")
+    return " + ".join(bit_exprs)
+
+
+def dedup_simhash(spark, sf_dir):
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "text", "doc_id", bits=16)
+
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+)
+SELECT doc_id, ({_simhash_bits_sql(16)})::BIGINT AS simhash
+FROM toks GROUP BY doc_id
+"""
+
+
+def simhash_near_pairs(spark, sf_dir):
+    """Banded (pigeonhole-exact) SimHash near-dup pairs; the oracle is the
+    brute-force quadratic check — banding must find exactly the same set."""
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "text", "doc_id", bits=16, max_hamming=3)
+
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), fp AS (
+  SELECT doc_id, ({_simhash_bits_sql(16)})::BIGINT AS simhash
+  FROM toks GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+def text_stats(spark, sf_dir):
+    from henbun_spark.operators import text
+
+    docs = _load(spark, sf_dir, "documents")
+    out = text.bpe_ish_token_count(text.fingerprint(text.token_stats(docs)))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        "token_estimate",
+        "fingerprint",
+    )
+
+
+_TEXT_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id,
+  len(toks)::INT AS n_tokens,
+  len(list_distinct(toks))::INT AS n_distinct_tokens,
+  ROUND(length(replace(text, ' ', ''))::DOUBLE / greatest(len(toks), 1), 6)
+    AS avg_token_len,
+  (len(toks) + CAST(ceil(length(text) / 16.0) AS INT))::INT AS token_estimate,
+  list_reduce(
+    list_transform(generate_series(1, greatest(length(text), 1)),
+                   i -> ascii(substr(text, i, 1))::BIGINT),
+    (acc, c) -> (acc * 31 + c) % 2147483647
+  ) AS fingerprint
+FROM t
+"""
+
+
+def text_quality(spark, sf_dir):
+    from henbun_spark.operators import text
+
+    docs = _load(spark, sf_dir, "documents")
+    return text.quality_score(docs).select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
+
+
+_TEXT_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+    length(text) AS n_chars
+  FROM documents)
+SELECT doc_id,
+  ROUND(
+    0.4 * least(n_chars / 500.0, 1.0)
+    + 0.3 * (1 - (n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / greatest(n_chars, 1))
+    + 0.3 * least(
+        len(list_filter(toks,
+          x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
+        / greatest(len(toks), 1) / 0.5, 1.0)
+  , 6) AS quality
+FROM t
+"""
+
+
+def text_langid(spark, sf_dir):
+    from henbun_spark.operators import text
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        text.lang_id(docs)
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_LANG_MARKERS_SQL = {
+    "en": "['the','a','and','of','is']",
+    "de": "['der','die','das','und','ist']",
+    "fr": "['le','la','et','est','les']",
+    "es": "['el','la','que','es','los']",
+    "zh": "['de','shi','zai','le','he']",
+}
+_LANG_SCORES = ",\n  ".join(
+    f"len(list_filter(toks, x -> list_contains({arr}, x))) AS score_{la}"
+    for la, arr in _LANG_MARKERS_SQL.items()
+)
+_LANG_CASE = " ".join(
+    f"WHEN score_{la} = best THEN '{la}'" for la in sorted(_LANG_MARKERS_SQL)
+)
+_LANGID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+  {_LANG_SCORES}
+  FROM t),
+p AS (
+  SELECT doc_id,
+    CASE {_LANG_CASE} END AS pred_lang
+  FROM (SELECT *, greatest(score_de, score_en, score_es, score_fr, score_zh)
+          AS best FROM s))
+SELECT pred_lang, COUNT(*) AS n_docs FROM p GROUP BY pred_lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
+    " (acc, v) -> acc + v)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT_SQL.format(a=a, b=b)} / "
+        f"sqrt({_DOT_SQL.format(a=a, b=a)} * {_DOT_SQL.format(a=b, b=b)})"
+    )
+
+
+def sim_cosine_topk(spark, sf_dir):
+    """Exact brute-force top-k (query side broadcast; corpus scanned once).
+    Fold order of the dot product matches the oracle bit-for-bit."""
+    from henbun_spark.operators import similarity
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries, k=3)
+
+
+_COSINE_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    {_cos_sql('qv', 'v')} AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
+def emb_near_dup(spark, sf_dir):
+    from henbun_spark.operators import dedup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.2)
+
+
+_EMB_NEAR_DUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql('a.v', 'b.v')} AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_cos_sql('a.v', 'b.v')} >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar-function surface: densities & transforms over lineitem
+# (reference: /root/reference/Henbun/densities.py, transforms.py)
+# ---------------------------------------------------------------------------
+
+def density_gaussian(spark, sf_dir):
+    from henbun_spark import densities
+
+    li = _load(spark, sf_dir, "lineitem")
+    logp = densities.gaussian(F.col("l_quantity"), 25.0, 100.0)
+    return li.groupBy("l_returnflag").agg(_dsum(logp, "sum_logp"))
+
+
+_DENS_GAUSS_SQL = f"""
+SELECT l_returnflag,
+  {_sql_dsum(f'{-HALF_LOG_2PI!r} - 0.5 * ln(100.0) - 0.5 * (25.0 - l_quantity) * (25.0 - l_quantity) / 100.0', 'sum_logp')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def density_poisson(spark, sf_dir):
+    """Exercises the lgamma pandas-UDF path (Spark SQL has no lgamma)."""
+    from henbun_spark import densities
+
+    li = _load(spark, sf_dir, "lineitem")
+    logp = densities.poisson(F.lit(25.0), F.col("l_quantity"))
+    return li.groupBy("l_returnflag").agg(_dsum(logp, "sum_logp"))
+
+
+_DENS_POISSON_SQL = f"""
+SELECT l_returnflag,
+  {_sql_dsum('l_quantity * ln(25.0) - 25.0 - lgamma(l_quantity + 1.0)', 'sum_logp')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def density_student_t(spark, sf_dir):
+    from henbun_spark import densities
+
+    li = _load(spark, sf_dir, "lineitem")
+    logp = densities.student_t(F.col("l_quantity"), 25.0, 10.0, 4.0)
+    return li.groupBy("l_returnflag").agg(_dsum(logp, "sum_logp"))
+
+
+_DENS_STUDENT_SQL = f"""
+SELECT l_returnflag,
+  {_sql_dsum(
+      f"lgamma(2.5) - lgamma(2.0) - 0.5 * (ln(100.0) + ln(4.0) + {LOG_PI!r})"
+      " - 2.5 * ln(1.0 + 0.25 * ((l_quantity - 25.0) / 10.0)"
+      " * ((l_quantity - 25.0) / 10.0))",
+      'sum_logp')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def transform_softplus(spark, sf_dir):
+    """Constraint-bijector surface (Log1pe/Logistic, transforms.py T3/T4)
+    applied as whole-stage-codegen Column math."""
+    from henbun_spark import transforms
+
+    li = _load(spark, sf_dir, "lineitem")
+    sp = transforms.Log1pe().forward(F.col("l_discount") * 10.0)
+    lg = transforms.Logistic(0.0, 2.0).forward(F.col("l_quantity") - 25.0)
+    return li.groupBy("l_returnflag").agg(
+        _dsum(sp, "sum_softplus"), _dsum(lg, "sum_logistic")
+    )
+
+
+_TRANSFORM_SQL = f"""
+SELECT l_returnflag,
+  {_sql_dsum('greatest(l_discount * 10.0, 0.0) + ln(1.0 + exp(-abs(l_discount * 10.0))) + 1e-06', 'sum_softplus')},
+  {_sql_dsum('0.0 + 2.0 / (1.0 + exp(-(l_quantity - 25.0)))', 'sum_logistic')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible: VI training, GP sampling, streaming, multimodal, ANN
+# (driver records rows-only checks for these)
+# ---------------------------------------------------------------------------
+
+def vi_linear_regression(spark, sf_dir):
+    """End-to-end distributed VI slice (SURVEY §7 M2): probabilistic linear
+    regression value ~ a + b*hour trained with broadcast-params ->
+    mapInPandas grads -> driver Adam. Returns the fitted parameters."""
+    import henbun_spark as hb
+    from henbun_spark.spark_exec import ColumnData, SparkTrainer
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    class Reg(hb.Model):
+        def setUp(self):
+            self.x = ColumnData("x")
+            self.y = ColumnData("y")
+            self.ab = hb.Variable([2])
+
+        def local_objective(self):
+            pred = self.ab[0] + self.ab[1] * self.x
+            return hb.densities.gaussian(self.y, pred, 1.0)
+
+    trainer = SparkTrainer(Reg(), ev, optimizer=hb.Adam(learning_rate=0.05))
+    trainer.fit(maxiter=12)
+    a, b = trainer.model.ab.value
+    return spark.createDataFrame(
+        [("a", float(a)), ("b", float(b)), ("loss_final", float(trainer.history[-1]))],
+        "param string, value double",
+    )
+
+
+def gp_sparse_posterior(spark, sf_dir):
+    """SparseGP posterior samples at event-value coordinates, seeded —
+    mean/std summary per grid cell (rows-only check: MC sampling has no
+    SQL oracle)."""
+    import henbun_spark as hb
+    from henbun_spark.gp import kernels
+    from henbun_spark.gp.gp import SparseGP
+
+    rng = np.random.default_rng(0)
+    x = np.linspace(-2, 2, 40).reshape(-1, 1)
+    z = np.linspace(-2, 2, 10).reshape(-1, 1)
+
+    class M(hb.Model):
+        def setUp(self):
+            self.gp = SparseGP(kernels.UnitRBF(), z)
+
+    m = M()
+    m.initialize()
+    m.new_eval(seed=7)
+    u = rng.standard_normal((30, 10))
+    with m.tf_mode():
+        s = m.gp.samples(x, u, q_shape="diagonal")
+    samples = s.data if hasattr(s, "data") else np.asarray(s)
+    rows = [
+        (int(i), float(x[i, 0]), float(samples[:, i].mean()), float(samples[:, i].std()))
+        for i in range(x.shape[0])
+    ]
+    return spark.createDataFrame(rows, "idx int, x double, mean double, std double")
+
+
+def session_window_agg(spark, sf_dir):
+    """Built-in session windows (Spark's native gap-based sessionization —
+    the same groupBy(session_window) plan runs under Structured Streaming
+    with a watermark). Oracle: lag/cumsum session reconstruction."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum(F.col("value"), "sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_WINDOW_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts, value,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+  COUNT(*) AS n_events,
+  {_sql_dsum('value', 'sum_value')}
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def streaming_windowed_counts(spark, sf_dir):
+    """Structured Streaming end-to-end: watermarked tumbling-window
+    aggregation drained with availableNow into a parquet sink (rows-only:
+    the streaming runtime itself is the thing under test; its batch twin
+    `hourly_event_counts` is the oracle-checked plan)."""
+    import tempfile
+
+    from henbun_spark import streaming
+
+    ev = _load(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        in_dir = f"{tmp}/in"
+        ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+        stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+        agg = streaming.windowed_counts(
+            stream, ts_col="ts", key_col="event_type", window="1 hour",
+            watermark="2 hours",
+        )
+        out = agg.select(
+            (F.unix_timestamp(F.col("window.start")) * 1000).alias("hour_start_ms"),
+            "event_type",
+            "n",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+        out_dir = f"{tmp}/out"
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        pdf = spark.read.parquet(out_dir).toPandas()
+    return spark.createDataFrame(pdf)
+
+
+def multimodal_features(spark, sf_dir):
+    """Binary-column multimodal plumbing: synthesize media -> mapInPandas
+    decode/featurize (deterministic fake kernel; codecs stubbed)."""
+    from henbun_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=64, kind="image", seed=0)
+    feats = multimodal.decode_and_featurize(media, dim=16)
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.size("feature").alias("dim")
+    )
+
+
+def ann_topk_lsh(spark, sf_dir):
+    """Approximate NN via sign-random-projection LSH buckets (the 100 TB
+    path; recall vs the exact oracle is asserted in tests, not here)."""
+    from henbun_spark.operators import similarity
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.ann_topk(emb, queries, k=3, n_planes=4, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / plan-shape suite
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_nation_revenue": q5_nation_revenue,
+        "rollup_revenue": rollup_revenue,
+        "top_events_per_user": top_events_per_user,
+        "asof_last_purchase": asof_last_purchase,
+        "sessionize_events": sessionize_events,
+        "session_window_agg": session_window_agg,
+        "running_total_user": running_total_user,
+        "hourly_event_counts": hourly_event_counts,
+        "range_join_quantity": range_join_quantity,
+        # dedup suite
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_jaccard": dedup_jaccard,
+        "dedup_simhash": dedup_simhash,
+        "simhash_near_pairs": simhash_near_pairs,
+        # text analysis suite
+        "text_stats": text_stats,
+        "text_quality": text_quality,
+        "text_langid": text_langid,
+        # similarity suite
+        "sim_cosine_topk": sim_cosine_topk,
+        "emb_near_dup": emb_near_dup,
+        # scalar-function surface
+        "density_gaussian": density_gaussian,
+        "density_poisson": density_poisson,
+        "density_student_t": density_student_t,
+        "transform_softplus": transform_softplus,
+        # non-SQL-expressible (rows-only checks)
+        "vi_linear_regression": vi_linear_regression,
+        "gp_sparse_posterior": gp_sparse_posterior,
+        "streaming_windowed_counts": streaming_windowed_counts,
+        "multimodal_features": multimodal_features,
+        "ann_topk_lsh": ann_topk_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_top_orders": _Q3_SQL,
+        "q5_nation_revenue": _Q5_SQL,
+        "rollup_revenue": _ROLLUP_SQL,
+        "top_events_per_user": _TOPK_SQL,
+        "asof_last_purchase": _ASOF_SQL,
+        "sessionize_events": _SESSION_SQL,
+        "session_window_agg": _SESSION_WINDOW_SQL,
+        "running_total_user": _RUNNING_SQL,
+        "hourly_event_counts": _HOURLY_SQL,
+        "range_join_quantity": _RANGE_SQL,
+        "dedup_exact_groups": _EXACT_DUP_SQL,
+        "dedup_minhash_lsh": _MINHASH_SQL,
+        "dedup_jaccard": _JACCARD_SQL,
+        "dedup_simhash": _SIMHASH_SQL,
+        "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
+        "text_stats": _TEXT_STATS_SQL,
+        "text_quality": _TEXT_QUALITY_SQL,
+        "text_langid": _LANGID_SQL,
+        "sim_cosine_topk": _COSINE_TOPK_SQL,
+        "emb_near_dup": _EMB_NEAR_DUP_SQL,
+        "density_gaussian": _DENS_GAUSS_SQL,
+        "density_poisson": _DENS_POISSON_SQL,
+        "density_student_t": _DENS_STUDENT_SQL,
+        "transform_softplus": _TRANSFORM_SQL,
+    }

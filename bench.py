@@ -1,0 +1,90 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full plan execution,
+no driver collect). Times exclude SparkSession startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from henbun_spark import sources
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "rollup_revenue",
+    "top_events_per_user",
+    "asof_last_purchase",
+    "sessionize_events",
+    "session_window_agg",
+    "running_total_user",
+    "hourly_event_counts",
+    "range_join_quantity",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_jaccard",
+    "dedup_simhash",
+    "simhash_near_pairs",
+    "text_stats",
+    "text_quality",
+    "text_langid",
+    "sim_cosine_topk",
+    "density_gaussian",
+    "density_poisson",
+    "transform_softplus",
+    "vi_linear_regression",
+    "multimodal_features",
+]
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = sources.get_spark("henbun-bench")
+    # warm up the JVM + parquet footers once
+    sources.load_table(spark, sf_dir, "lineitem").count()
+
+    qs = entry_mod.queries()
+    times = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            force(fn(spark, sf_dir))
+            times[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # pragma: no cover
+            times[name] = -1.0
+            print(f"# bench {name} failed: {exc}", file=sys.stderr)
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,7 @@ temp_settings = _config.temp_settings
 
 from henbun_spark import transforms, densities, priors, utils  # noqa: E402
 from henbun_spark.param import Variable, Data, MinibatchData, Parameterized, ParamList, graph_key  # noqa: E402
-from henbun_spark.model import Model, Optimizer, AutoOptimize  # noqa: E402
+from henbun_spark.model import Model, Optimizer, AutoOptimize, Adam, GradientDescent, Indexer  # noqa: E402
 from henbun_spark import variationals  # noqa: E402
 from henbun_spark import nn  # noqa: E402
 from henbun_spark import gp  # noqa: E402

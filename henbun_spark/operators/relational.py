@@ -66,15 +66,23 @@ def sessionize(
     ts_col: str = "ts",
     user_col: str = "user_id",
     gap_minutes: float = 30.0,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time since
     the user's previous event exceeds the gap. One shuffle (by user),
-    two windows over the same partitioning (no extra exchange)."""
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    two windows over the same partitioning (no extra exchange).
+    `tiebreak` makes ordering deterministic under equal timestamps."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
     prev = F.lag(F.col(ts_col)).over(w)
+    # cast("double") = epoch seconds at full us precision (us epochs fit in
+    # 2^53); unix_timestamp would truncate to whole seconds and disagree
+    # with sub-second oracles on borderline gaps
     new_sess = (
         prev.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_minutes * 60)
+        | (F.col(ts_col).cast("double") - prev.cast("double") > gap_minutes * 60)
     ).cast("long")
     return df.withColumn("session_seq", F.sum(new_sess).over(w))
 

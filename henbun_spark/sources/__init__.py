@@ -67,6 +67,25 @@ def get_spark(
     return spark
 
 
+def _nanos_to_ts(df: DataFrame, col: str) -> DataFrame:
+    """ns-long -> TimestampType by exact integer floor-division (float
+    division would lose precision: ns epochs ~1.7e18 exceed double's 2^53,
+    drifting ±1us vs DuckDB's exact truncation)."""
+    if col in df.columns and not isinstance(
+        df.schema[col].dataType, T.TimestampType
+    ):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Apply the events-table ts normalization to any frame with the events
+    schema (batch or streaming)."""
+    for col in _NANO_TS_COLS["events"]:
+        df = _nanos_to_ts(df, col)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table with normalized schema (ns-timestamps ->
     TimestampType via microsecond truncation, matching DuckDB)."""
@@ -76,12 +95,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, []):
-        if col in df.columns and not isinstance(
-            df.schema[col].dataType, T.TimestampType
-        ):
-            df = df.withColumn(
-                col, F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long"))
-            )
+        df = _nanos_to_ts(df, col)
     return df
 
 

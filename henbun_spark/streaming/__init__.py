@@ -1,0 +1,172 @@
+"""Structured Streaming surface.
+
+The reference's closest construct is minibatch stochastic training over an
+unbounded dataset (`/root/reference/Henbun/model.py:126-153,255-269`) —
+here that becomes `foreachBatch` training (each micro-batch is a
+minibatch). Around it, the standard streaming operator set: watermarked
+windowed aggregation, streaming sessionization via
+`applyInPandasWithState`, and file/rate sources.
+
+All queries are testable with `trigger(availableNow=True)` against file
+sources — the same plans run against Kafka/real streams unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_stream_parquet(spark, path: str, schema) -> DataFrame:
+    """File-source stream (one file per micro-batch by default)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked (sliding) window aggregation: counts + value stats per
+    (window, key). Late rows beyond the watermark are dropped; state is
+    bounded by watermark horizon x keys."""
+    win = (
+        F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("window"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+        )
+    )
+
+
+_SESSION_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events int, total_value double"
+_STATE_SCHEMA = "start long, end long, n int, total double"
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap_minutes: float = 30.0,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessions with
+    ``applyInPandasWithState`` — state = the open session per user; a
+    session closes (emits) when the processing-time timeout fires after
+    the gap. This is the engine's example of operator category (b):
+    semantics Spark's built-ins can't express (emit-on-close sessions)."""
+    gap_ms = int(gap_minutes * 60 * 1000)
+
+    def fn(key, pdfs, state: GroupState):
+        user = key[0]
+        if state.hasTimedOut:
+            start, end, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "session_start": [pd.Timestamp(start, unit="ms")],
+                    "session_end": [pd.Timestamp(end, unit="ms")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        ts = (rows[ts_col].astype("int64") // 1_000_000).to_numpy()  # ms
+        vals = rows["value"].to_numpy(dtype=float)
+        order = np.argsort(ts)
+        ts, vals = ts[order], vals[order]
+        if state.exists:
+            start, end, n, total = state.get
+        else:
+            start, end, n, total = int(ts[0]), int(ts[0]), 0, 0.0
+        out = []
+        for t, v in zip(ts, vals):
+            if n > 0 and t - end > gap_ms:
+                out.append((user, start, end, n, total))
+                start, n, total = int(t), 0, 0.0
+            end = int(t)
+            n += 1
+            total += float(v)
+        state.update((int(start), int(end), int(n), float(total)))
+        state.setTimeoutDuration(gap_ms)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": [pd.Timestamp(o[1], unit="ms") for o in out],
+                    "session_end": [pd.Timestamp(o[2], unit="ms") for o in out],
+                    "n_events": [o[3] for o in out],
+                    "total_value": [o[4] for o in out],
+                }
+            )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=_SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+class StreamingTrainer:
+    """foreachBatch minibatch training: every micro-batch is one (or more)
+    SGD steps — the streaming incarnation of MinibatchData
+    (`param.py:716-739`). The model/optimizer state lives on the driver
+    across batches, exactly like the reference's training loop."""
+
+    def __init__(self, trainer, steps_per_batch: int = 1):
+        from henbun_spark.spark_exec import SparkTrainer
+
+        assert isinstance(trainer, SparkTrainer)
+        self.trainer = trainer
+        self.steps_per_batch = steps_per_batch
+        self.batches_seen = 0
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        self.batches_seen += 1
+        saved_df = self.trainer.df
+        self.trainer.df = batch_df
+        try:
+            for _ in range(self.steps_per_batch):
+                self.trainer.step()
+        finally:
+            self.trainer.df = saved_df
+
+    def attach(self, stream: DataFrame, checkpoint_dir: str, trigger_available_now=True):
+        writer = stream.writeStream.foreachBatch(self.foreach_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def run_available_now(stream_df: DataFrame, checkpoint_dir: str, out_dir: str):
+    """Drain a file-backed stream to parquet with availableNow (test/CI
+    harness for streaming plans)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

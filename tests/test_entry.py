@@ -1,0 +1,52 @@
+"""Driver-contract smoke tests: entry(), queries()/oracle_sql() consistency,
+and a fast q1-vs-DuckDB check at sf0.001 (the full 30-query sweep lives in
+tools/check_oracle.py and runs at sf0.01)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+import __spark_entry__ as entry_mod
+from henbun_spark import sources
+
+ROWS_ONLY = {
+    "vi_linear_regression",
+    "gp_sparse_posterior",
+    "streaming_windowed_counts",
+    "multimodal_features",
+    "ann_topk_lsh",
+}
+
+
+def test_query_oracle_keys_consistent():
+    qs = set(entry_mod.queries())
+    oracles = set(entry_mod.oracle_sql())
+    assert oracles <= qs
+    assert qs - oracles == ROWS_ONLY
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+def test_q1_matches_duckdb_sf0001(spark, sf_dir):
+    got = (
+        entry_mod.q1_pricing_summary(spark, sf_dir)
+        .orderBy("l_returnflag", "l_linestatus")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    for t in sources.TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    exp = (
+        con.sql(entry_mod.oracle_sql()["q1_pricing_summary"])
+        .df()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ["sum_qty", "sum_disc_price", "sum_charge", "avg_qty"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy())

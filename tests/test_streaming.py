@@ -1,0 +1,100 @@
+"""Structured Streaming: availableNow drains over file sources built from
+the events table; batch-equivalence checks for windowed aggregation.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from henbun_spark import sources, streaming
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, sf_dir, tmp_path_factory):
+    """Events split across multiple parquet files (multiple micro-batches)."""
+    base = str(tmp_path_factory.mktemp("evstream"))
+    ev = sources.load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(base + "/in")
+    schema = ev.schema
+    return base, schema, ev
+
+
+def test_windowed_counts_stream_equals_batch(spark, event_files, tmp_path):
+    base, schema, ev = event_files
+    stream = streaming.read_stream_parquet(spark, base + "/in", schema)
+    agg = streaming.windowed_counts(stream, window="1 hour", watermark="2 hours")
+    # complete-ish comparison: drain with availableNow in update->append via
+    # parquet sink requires append mode; watermark makes windows final
+    streaming.run_available_now(
+        agg, str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    got = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .select(
+            F.col("window.start").alias("ws"), "event_type", "n", "sum_value"
+        )
+        .orderBy("ws", "event_type")
+        .toPandas()
+    )
+    exp = (
+        ev.groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value")
+        .orderBy("ws", "event_type")
+        .toPandas()
+    )
+    # append mode emits only windows closed by the watermark; every emitted
+    # window must match the batch result exactly
+    merged = got.merge(exp, on=["ws", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got) and len(got) > 0
+    np.testing.assert_array_equal(merged["n_s"].to_numpy(), merged["n_b"].to_numpy())
+    np.testing.assert_allclose(
+        merged["sum_value_s"].to_numpy(), merged["sum_value_b"].to_numpy(), rtol=1e-9
+    )
+
+
+def test_sessionize_stream_runs(spark, event_files, tmp_path):
+    base, schema, ev = event_files
+    stream = streaming.read_stream_parquet(spark, base + "/in", schema)
+    sess = streaming.sessionize_stream(stream, gap_minutes=30)
+    streaming.run_available_now(sess, str(tmp_path / "ckpt2"), str(tmp_path / "out2"))
+    out = spark.read.parquet(str(tmp_path / "out2"))
+    pdf = out.toPandas()
+    # closed sessions only (state for still-open sessions never timed out
+    # in availableNow mode) — every emitted session must be well-formed
+    if len(pdf):
+        assert (pdf["session_end"] >= pdf["session_start"]).all()
+        assert (pdf["n_events"] >= 1).all()
+
+
+def test_streaming_trainer_foreachbatch(spark, event_files, tmp_path):
+    import henbun_spark as hb
+    from henbun_spark import autodiff as ad
+    from henbun_spark.spark_exec import ColumnData, SparkTrainer
+    from henbun_spark.streaming import StreamingTrainer
+
+    base, schema, ev = event_files
+
+    class MeanModel(hb.Model):
+        def setUp(self):
+            self.v = ColumnData("value")
+            self.mu = hb.Variable([1])
+
+        def local_objective(self):
+            return ad.sum(hb.densities.gaussian(self.v, self.mu * 100.0, 100.0**2))
+
+    m = MeanModel()
+    df_batch = ev.select("value")
+    tr = SparkTrainer(m, df_batch, optimizer=hb.model.Adam(learning_rate=0.05), cache=False)
+    st = StreamingTrainer(tr, steps_per_batch=3)
+    stream = streaming.read_stream_parquet(spark, base + "/in", schema).select("value")
+    q = st.attach(stream, str(tmp_path / "ckpt3"))
+    q.awaitTermination()
+    assert st.batches_seen >= 1
+    assert tr.step_count >= 3
+    true_mean = ev.agg(F.avg("value")).collect()[0][0]
+    # a few foreachBatch steps move mu*100 toward the data mean
+    assert abs(m.mu.value[0] * 100.0 - true_mean) < abs(0.0 - true_mean)
