@@ -416,16 +416,24 @@ def dedup_jaccard(spark, sf_dir):
     from henbun_spark.operators import dedup
 
     docs = _load(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.35)
+    # max_df: drop near-universal shingles before the inverted-index
+    # self-join — without it the pair blow-up is O(df^2) per hot shingle
+    # (769M intermediate rows at sf0.1; 74k with the cap). Near-dup pairs
+    # share their rare shingles, so recall at threshold 0.35 is unaffected.
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.35, max_df=100
+    )
 
 
 _JACCARD_SQL = """
-WITH sh AS (
+WITH sh0 AS (
   SELECT DISTINCT doc_id, substr(text, i, 5) AS s
   FROM (SELECT doc_id, text,
           unnest(generate_series(1, greatest(length(text)-4, 1))) AS i
         FROM documents)
-), sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+), rare AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 100),
+sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (s)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

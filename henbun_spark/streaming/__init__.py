@@ -60,13 +60,22 @@ def sessionize_stream(
     gap_minutes: float = 30.0,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Custom stateful operator: gap-based sessions with
     ``applyInPandasWithState`` — state = the open session per user; a
-    session closes (emits) when the processing-time timeout fires after
-    the gap. This is the engine's example of operator category (b):
-    semantics Spark's built-ins can't express (emit-on-close sessions)."""
-    gap_ms = int(gap_minutes * 60 * 1000)
+    session closes (emits) when the event-time watermark passes
+    session_end + gap. This is the engine's example of operator category
+    (b): semantics Spark's built-ins can't express (emit-on-close
+    sessions with per-session aggregates).
+
+    EventTimeTimeout (not processing-time): timeouts advance with the
+    data's watermark, so a drain (``availableNow``) flushes closed
+    sessions immediately instead of waiting out wall-clock gaps — and at
+    scale, state size is bounded by the watermark horizon, not by
+    real-time traffic lulls."""
+    gap_us = int(gap_minutes * 60 * 1_000_000)  # state keeps µs: full ts fidelity
+    stream = stream.withWatermark(ts_col, watermark)
 
     def fn(key, pdfs, state: GroupState):
         user = key[0]
@@ -76,15 +85,15 @@ def sessionize_stream(
             yield pd.DataFrame(
                 {
                     "user_id": [user],
-                    "session_start": [pd.Timestamp(start, unit="ms")],
-                    "session_end": [pd.Timestamp(end, unit="ms")],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end, unit="us")],
                     "n_events": [n],
                     "total_value": [total],
                 }
             )
             return
         rows = pd.concat(list(pdfs))
-        ts = (rows[ts_col].astype("int64") // 1_000_000).to_numpy()  # ms
+        ts = (rows[ts_col].astype("int64") // 1_000).to_numpy()  # µs
         vals = rows["value"].to_numpy(dtype=float)
         order = np.argsort(ts)
         ts, vals = ts[order], vals[order]
@@ -94,20 +103,20 @@ def sessionize_stream(
             start, end, n, total = int(ts[0]), int(ts[0]), 0, 0.0
         out = []
         for t, v in zip(ts, vals):
-            if n > 0 and t - end > gap_ms:
+            if n > 0 and t - end > gap_us:
                 out.append((user, start, end, n, total))
                 start, n, total = int(t), 0, 0.0
             end = int(t)
             n += 1
             total += float(v)
         state.update((int(start), int(end), int(n), float(total)))
-        state.setTimeoutDuration(gap_ms)
+        state.setTimeoutTimestamp((int(end) + gap_us) // 1_000)  # API takes ms
         if out:
             yield pd.DataFrame(
                 {
                     "user_id": [o[0] for o in out],
-                    "session_start": [pd.Timestamp(o[1], unit="ms") for o in out],
-                    "session_end": [pd.Timestamp(o[2], unit="ms") for o in out],
+                    "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
+                    "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
                     "n_events": [o[3] for o in out],
                     "total_value": [o[4] for o in out],
                 }
@@ -118,7 +127,7 @@ def sessionize_stream(
         outputStructType=_SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
