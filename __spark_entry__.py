@@ -399,7 +399,8 @@ WITH sh AS (
           unnest(generate_series(1, greatest(length(text)-7, 1))) AS i
         FROM documents)
 ), sig AS (
-  SELECT doc_id, band, min(md5(band::VARCHAR || '|' || s)) AS mh
+  SELECT doc_id, band,
+    min(substr(md5((band // 4)::VARCHAR || '|' || s), (band % 4) * 8 + 1, 8)) AS mh
   FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)
   GROUP BY doc_id, band
 )
@@ -480,7 +481,11 @@ def simhash_near_pairs(spark, sf_dir):
     from henbun_spark.operators import dedup
 
     docs = _load(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, "text", "doc_id", bits=16, max_hamming=3)
+    # 32-bit fingerprints: with max_hamming=3 the pigeonhole blocks are
+    # 8 bits wide (256 bucket values) vs 4 bits at bits=16 (16 values) —
+    # ~16x smaller candidate buckets, so the O(bucket^2) join fan-out
+    # drops ~256x, and hamming<=3 of 32 is a far sharper near-dup test.
+    return dedup.simhash_near_pairs(docs, "text", "doc_id", bits=32, max_hamming=3)
 
 
 _SIMHASH_PAIRS_SQL = f"""
@@ -489,7 +494,7 @@ WITH toks AS (
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
   WHERE tok <> ''
 ), fp AS (
-  SELECT doc_id, ({_simhash_bits_sql(16)})::BIGINT AS simhash
+  SELECT doc_id, ({_simhash_bits_sql(32)})::BIGINT AS simhash
   FROM toks GROUP BY doc_id
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,

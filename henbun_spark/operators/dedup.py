@@ -53,18 +53,22 @@ def exact_dup_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 5, bands: int = 8
 ) -> DataFrame:
-    """One-hash-per-band MinHash: for band b, min over shingles of
-    md5(b || '|' || shingle). Equivalent to banding a k=bands signature
-    with rows-per-band=1 — each band is an independent min-wise sample.
+    """One-hash-per-band MinHash: band b takes the min over shingles of an
+    8-hex-char slice of md5(group || '|' || shingle), where group = b // 4
+    — one md5 call feeds 4 bands (32 hex chars / 8), a 4x cut in hashing
+    cost vs one md5 per band, with 32 bits of entropy per band. Each band
+    is still an independent min-wise sample. Equivalent to banding a
+    k=bands signature with rows-per-band=1.
 
     Output: (id, band, mh) — 'bands' rows per doc after the unpivot.
     """
     sh = char_shingles(df, text_col, id_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(str(b)), F.lit("|"), F.col("shingle")))).alias(f"mh{b}")
-        for b in range(bands)
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
+
+    def mh(b):
+        g = F.md5(F.concat(F.lit(str(b // 4)), F.lit("|"), F.col("shingle")))
+        return F.min(F.substring(g, (b % 4) * 8 + 1, 8)).alias(f"mh{b}")
+
+    sig = sh.groupBy(id_col).agg(*[mh(b) for b in range(bands)])
     pairs = ", ".join(f"{b}, mh{b}" for b in range(bands))
     return sig.selectExpr(id_col, f"stack({bands}, {pairs}) as (band, mh)")
 
@@ -189,7 +193,11 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, candidate-generated by
     banding the fingerprint into (max_hamming+1) blocks (pigeonhole: any
-    pair within distance k agrees on >= 1 of k+1 blocks)."""
+    pair within distance k agrees on >= 1 of k+1 blocks).
+
+    The blocks are unpivoted to (block_idx, block_val) rows and matched in
+    ONE join keyed on both — one shuffle of (k+1)*n rows instead of k+1
+    separate self-joins (same volume, 1/(k+1) the stage barriers)."""
     fps = simhash(df, text_col, id_col, bits)
     nblocks = max_hamming + 1
     block_bits = bits // nblocks
@@ -199,22 +207,22 @@ def simhash_near_pairs(
         .alias(f"blk{i}")
         for i in range(nblocks)
     ]
-    withblk = fps.select(id_col, "simhash", *blocks)
-    cands = None
-    for i in range(nblocks):
-        a = withblk.alias("a")
-        b = withblk.alias("b")
-        c = (
-            a.join(b, F.col(f"a.blk{i}") == F.col(f"b.blk{i}"))
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.simhash").alias("fp_a"),
-                F.col("b.simhash").alias("fp_b"),
-            )
+    pairs = ", ".join(f"{i}, blk{i}" for i in range(nblocks))
+    stacked = fps.select(id_col, "simhash", *blocks).selectExpr(
+        id_col, "simhash", f"stack({nblocks}, {pairs}) as (bi, blk)"
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cands = (
+        a.join(b, on=["bi", "blk"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
         )
-        cands = c if cands is None else cands.unionByName(c)
+    )
     return (
         cands.distinct()
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
