@@ -1,0 +1,109 @@
+"""Physical-plan audit over every driver-contract query.
+
+For each entry in `__spark_entry__.queries()`, builds the DataFrame at a
+small SF (planning only — nothing is executed unless the query itself
+executes eagerly, e.g. VI training) and scans `explain("formatted")`
+output for scale red flags:
+
+* ``CartesianProduct`` — unbounded cross join, never acceptable;
+* ``BatchEvalPython`` — row-at-a-time Python UDF in the plan (the slow
+  path; Arrow/pandas evals are fine);
+* parquet scans with a `Filter` above them but no pushed filters.
+
+Exit code 1 if any hard flag fires outside the whitelist. Run:
+    python tools/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from henbun_spark import sources
+
+# BroadcastNestedLoopJoin is legitimate where the broadcast side is
+# tiny/bounded, making fan-out linear in the big side:
+#  - range_join_quantity: 3-row VALUES bracket table;
+#  - sim_cosine_topk: a handful of broadcast query vectors vs all
+#    embeddings — the optimal distributed plan for brute-force top-k;
+#  - emb_near_dup: the documented exact O(n^2) baseline; its scale path
+#    is the LSH-bucketed ann_topk_lsh (hash-join, audited separately).
+# Flag it everywhere else.
+BNLJ_OK = {"range_join_quantity", "sim_cosine_topk", "emb_near_dup"}
+# These execute work at build time (training loops, streaming drains) —
+# still audited, just slower to appear.
+HARD = ("CartesianProduct", "BatchEvalPython")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(name: str, plan: str) -> list[str]:
+    flags = []
+    for bad in HARD:
+        if bad in plan:
+            flags.append(bad)
+    if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+        flags.append("BroadcastNestedLoopJoin")
+    # scan fed directly by a filter but nothing pushed down
+    for m in re.finditer(r"PushedFilters: \[\]", plan):
+        ctx = plan[max(0, m.start() - 400) : m.start()]
+        if re.search(r"\(\d+\) Filter", plan[m.start() : m.start() + 2000]):
+            # only warn — filters on computed columns can't push
+            flags.append("warn:unpushed-filter-scan")
+            break
+    return flags
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = sources.get_spark("explain-audit")
+    qs = entry_mod.queries()
+    rc = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            plan = plan_of(fn(spark, sf_dir))
+        except Exception as exc:
+            print(f"ERR  {name}: {exc}")
+            rc = 1
+            continue
+        flags = audit(name, plan)
+        hard = [f for f in flags if not f.startswith("warn:")]
+        if hard:
+            rc = 1
+        marker = "FLAG" if hard else ("warn" if flags else "ok  ")
+        joins = sorted(
+            set(re.findall(r"(\w*(?:HashJoin|MergeJoin|NestedLoopJoin))", plan))
+        )
+        pyevals = sorted(
+            set(re.findall(r"(ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas\w*|BatchEvalPython)", plan))
+        )
+        nexch = len(re.findall(r"\(\d+\) Exchange", plan))
+        parts = [f"exchanges={nexch}"]
+        if joins:
+            parts.append("joins=" + ",".join(joins))
+        if pyevals:
+            parts.append("py=" + ",".join(pyevals))
+        if flags:
+            parts.append("flags=" + ",".join(flags))
+        print(f"{marker} {name}: " + " ".join(parts))
+    spark.stop()
+    print("AUDIT", "FAIL" if rc else "PASS")
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
