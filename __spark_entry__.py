@@ -267,8 +267,8 @@ def sessionize_events(spark, sf_dir):
 
 _SESSION_SQL = """
 SELECT user_id, event_id,
-  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS UNBOUNDED PRECEDING) AS session_seq
+  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
 FROM (
   SELECT user_id, event_id, ts,
     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

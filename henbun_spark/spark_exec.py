@@ -10,10 +10,12 @@ per step:
   3. one job    = ``mapInPandas`` evaluates the user objective per Arrow
                   batch with `henbun_spark.autodiff`, emitting ONE row per
                   batch: (loss, n_rows, flattened-gradient)
-  4. aggregate  = partial gradients sum linearly; the per-partition rows
-                  (one per Arrow batch, each a few KB) collect to the
-                  driver — the same communication shape as MLlib's
-                  treeAggregate final level
+  4. aggregate  = partial gradients sum linearly and are combined
+                  IN-CLUSTER via ``RDD.treeAggregate`` (MLlib's pattern):
+                  executors reduce their batch partials, a tree of
+                  combiners folds partition results, and the driver
+                  receives exactly ONE (loss, n, |params|-vector) triple
+                  per step — never one row per batch
   5. update     = driver-side Adam on the free-space parameter vector
 
 Objective contract (why two methods): a distributed objective must
@@ -28,10 +30,10 @@ seeded with (step, partitionId, batch_index), so a re-executed task
 redraws identical noise.
 
 Scale: executors never see the whole dataset; the driver never sees rows.
-Traffic per step = |params| broadcast + (#batches x |params|) collected.
-At 1000 executors with ~1e6 parameters that is ~8 MB up / ~8 GB down per
-step worst-case — use larger Arrow batches (fewer, bigger partial rows)
-via ``spark.sql.execution.arrow.maxRecordsPerBatch`` when scaling out.
+Traffic per step = |params| broadcast down + |params| collected up (one
+tree-aggregated vector), independent of the number of partitions/batches.
+At 1000 executors with ~1e6 parameters that is ~8 MB each way per step;
+the tree depth (default 2) bounds any single combiner's fan-in.
 """
 
 from __future__ import annotations
@@ -184,7 +186,16 @@ class SparkTrainer:
         return {v.long_name: np.array(v._array) for v in self.vars}
 
     def _job(self, df, state, step, want_grad: bool):
-        """One Spark job: per-batch (loss, n, grad) partials."""
+        """One Spark job: per-batch (loss, n, grad) partials, summed
+        in-cluster; returns a single ``(loss, n, grad-or-None)`` triple.
+
+        The mapInPandas stage emits one small row per Arrow batch; a
+        ``treeAggregate`` (depth 2) folds those rows executor-side so
+        driver traffic is one |params| vector regardless of partition
+        count — the flat ``collect()`` of partials would be ~8 GB/step at
+        the 1000-executor x 1e6-param design point and trip
+        spark.driver.maxResultSize.
+        """
         model_bytes_bc = self._model_bytes_bc
         var_names = list(self.var_names)
         state_items = {k: np.array(v) for k, v in state.items()}
@@ -214,7 +225,30 @@ class SparkTrainer:
                 yield pd.DataFrame(out)
 
         schema = "loss double, n long, grad array<double>"
-        return df.mapInPandas(fn, schema=schema).collect()
+        partials = df.mapInPandas(fn, schema=schema)
+        if not want_grad:
+            row = partials.groupBy().agg(
+                F.sum("loss").alias("loss"), F.sum("n").alias("n")
+            ).collect()[0]
+            n = int(row["n"] or 0)
+            return float(row["loss"] or 0.0), n, None
+
+        n_params = int(np.sum(self.var_sizes)) if self.var_sizes else 0
+        zero = (0.0, 0, np.zeros(n_params, dtype=np.float64))
+
+        def seq(acc, row):
+            g = np.asarray(row["grad"], dtype=np.float64)
+            gacc = acc[2]
+            gacc[: g.size] += g  # zero is per-partition; in-place is safe
+            return (acc[0] + row["loss"], acc[1] + int(row["n"]), gacc)
+
+        def comb(a, b):
+            gacc = b[2]
+            gacc += a[2]
+            return (a[0] + b[0], a[1] + b[1], gacc)
+
+        loss, n, grad = partials.rdd.treeAggregate(zero, seq, comb, depth=2)
+        return float(loss), int(n), grad
 
     def _unflatten(self, flat: np.ndarray):
         out, off = [], 0
@@ -252,25 +286,21 @@ class SparkTrainer:
     def evaluate(self, minibatch_fraction=None) -> float:
         """Objective value (local sums + global terms) — `Optimizer.run`."""
         df, scale = self._minibatch(minibatch_fraction, self.step_count)
-        rows = self._job(df, self._state(), self.step_count, want_grad=False)
-        local = sum(r["loss"] for r in rows) * scale
+        local, _, _ = self._job(df, self._state(), self.step_count, want_grad=False)
         g, _ = self._global_terms(want_grad=False)
-        return float(local + g)
+        return float(local * scale + g)
 
     def step(self, minibatch_fraction=None) -> float:
         """One distributed gradient step; returns the objective value."""
         self.step_count += 1
         df, scale = self._minibatch(minibatch_fraction, self.step_count)
-        rows = self._job(df, self._state(), self.step_count, want_grad=True)
-        if not rows:
+        loss, n, total = self._job(
+            df, self._state(), self.step_count, want_grad=True
+        )
+        if n == 0:
             raise ValueError("empty minibatch: raise minibatch_fraction")
-        total = np.zeros(int(np.sum(self.var_sizes)), dtype=np.float64)
-        loss = 0.0
-        for r in rows:
-            loss += r["loss"]
-            total += np.asarray(r["grad"], dtype=np.float64)
         loss *= scale
-        total *= scale
+        total = total * scale
         gval, ggrad = self._global_terms(want_grad=True)
         loss += gval
         if ggrad is not None:

@@ -62,17 +62,18 @@ def test_distributed_linreg_converges(spark):
 
 
 def test_spark_gradient_matches_driver(spark):
-    """Partial-gradient aggregation across partitions == single-process
-    gradient on the same rows (linearity of the decomposition)."""
+    """In-cluster treeAggregate of partial gradients across partitions ==
+    single-process gradient on the same rows (linearity of the
+    decomposition). The driver receives ONE (loss, n, grad) triple."""
     df, x, y = make_df(spark, n=200, parts=8)
     m = LinReg()
     tr = SparkTrainer(m, df)
 
-    rows = tr._job(tr.df, tr._state(), step=0, want_grad=True)
-    spark_loss = sum(r["loss"] for r in rows)
-    spark_grad = np.zeros(3)
-    for r in rows:
-        spark_grad += np.asarray(r["grad"])
+    spark_loss, n, spark_grad = tr._job(
+        tr.df, tr._state(), step=0, want_grad=True
+    )
+    assert n == 200
+    assert spark_grad.shape == (3,)
 
     # driver-side reference on identical data
     m2 = LinReg()

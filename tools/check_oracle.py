@@ -49,6 +49,13 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
     got, exp = normalize(got), normalize(exp)
     for c in got.columns:
         g, e = got[c], exp[c]
+        # dtype-kind parity: the driver's value-hash is type-sensitive, so an
+        # int column on one side vs float/int128 on the other fails there even
+        # when values match numerically (how the sessionize HUGEINT bug
+        # escaped round 1). Flag it here too.
+        gk, ek = g.dtype.kind, e.dtype.kind
+        if (gk in "iu") != (ek in "iu") and {gk, ek} <= set("iuf"):
+            problems.append(f"col {c}: dtype kind {g.dtype} vs {e.dtype}")
         if g.dtype.kind == "f" or e.dtype.kind == "f":
             ga = g.to_numpy(dtype=np.float64)
             ea = e.to_numpy(dtype=np.float64)
