@@ -671,6 +671,72 @@ WHERE {_cos_sql('a.v', 'b.v')} >= 0.2
 """
 
 
+# banded sign-random-projection LSH near-dup: the 100 TB plan of record.
+# The oracle mirrors the exact bucketing (plane coefficients as e-notation
+# literals -> parsed as DOUBLE, same fold order) so candidates and the
+# cosine refine are bit-identical engine-to-engine — the same pattern that
+# makes simhash_near_pairs hash-exact.
+_EMB_LSH_BANDS, _EMB_LSH_NPLANES, _EMB_LSH_SEED, _EMB_LSH_DIM = 3, 4, 7, 64
+
+
+def emb_near_dup_lsh(spark, sf_dir):
+    from henbun_spark.operators import dedup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_lsh(
+        emb,
+        "embedding",
+        "vec_id",
+        threshold=0.2,
+        n_planes=_EMB_LSH_NPLANES,
+        bands=_EMB_LSH_BANDS,
+        seed=_EMB_LSH_SEED,
+        dim=_EMB_LSH_DIM,
+    )
+
+
+def _emb_lsh_bucket_sql(planes_band: np.ndarray) -> str:
+    terms = []
+    for j, plane in enumerate(planes_band):
+        arr = "[" + ", ".join(f"{float(x):.17e}" for x in plane) + "]"
+        dot = _DOT_SQL.format(a="v", b=arr)
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _emb_lsh_sql() -> str:
+    planes = np.random.default_rng(_EMB_LSH_SEED).standard_normal(
+        (_EMB_LSH_BANDS, _EMB_LSH_NPLANES, _EMB_LSH_DIM)
+    )
+    buckets = ",\n  ".join(
+        f"{_emb_lsh_bucket_sql(planes[bi])} AS b{bi}"
+        for bi in range(_EMB_LSH_BANDS)
+    )
+    stacked = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {bi} AS band, b{bi} AS bucket FROM bk"
+        for bi in range(_EMB_LSH_BANDS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (SELECT vec_id,
+  {buckets}
+  FROM e),
+st AS ({stacked}),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM st a JOIN st b ON a.band = b.band AND a.bucket = b.bucket
+    AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, {_cos_sql('ea.v', 'eb.v')} AS cos
+FROM cands
+JOIN e ea ON ea.vec_id = id_a
+JOIN e eb ON eb.vec_id = id_b
+WHERE {_cos_sql('ea.v', 'eb.v')} >= 0.2
+"""
+
+
+_EMB_LSH_SQL = _emb_lsh_sql()
+
+
 # ---------------------------------------------------------------------------
 # scalar-function surface: densities & transforms over lineitem
 # (reference: /root/reference/Henbun/densities.py, transforms.py)
@@ -948,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity suite
         "sim_cosine_topk": sim_cosine_topk,
         "emb_near_dup": emb_near_dup,
+        "emb_near_dup_lsh": emb_near_dup_lsh,
         # scalar-function surface
         "density_gaussian": density_gaussian,
         "density_poisson": density_poisson,
@@ -985,6 +1052,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _LANGID_SQL,
         "sim_cosine_topk": _COSINE_TOPK_SQL,
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
+        "emb_near_dup_lsh": _EMB_LSH_SQL,
         "density_gaussian": _DENS_GAUSS_SQL,
         "density_poisson": _DENS_POISSON_SQL,
         "density_student_t": _DENS_STUDENT_SQL,

@@ -244,11 +244,75 @@ def cosine(a, b):
     return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
 
 
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    bands: int = 3,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded sign-random-
+    projection LSH — the 100 TB path.
+
+    Candidate generation: `bands` independent plane-sets; each vector gets
+    one bucket id per band (pure Column math, plane coefficients folded
+    into the plan as literals). Docs sharing a bucket in ANY band become a
+    candidate pair — a single equi-join keyed on (band, bucket) over the
+    stacked (id, band, bucket) rows, never an n^2 cross join. Exact-cosine
+    refine joins the two vectors back BY ID (so the wide embedding arrays
+    never travel through the bucket shuffle) and keeps pairs >= threshold.
+
+    Recall is probabilistic (P[miss] = prod over bands of
+    (1 - (1 - theta/pi)^n_planes)); raise `bands` or lower `n_planes` to
+    trade cost for recall. The deterministic seeded planes make the whole
+    computation reproducible and oracle-checkable engine-to-engine.
+    """
+    import numpy as np
+
+    from henbun_spark.operators.similarity import lsh_bucket
+
+    e = df.select(
+        F.col(id_col), F.col(emb_col).cast("array<double>").alias("vec")
+    )
+    if dim is None:
+        dim = len(df.select(emb_col).first()[0])
+    planes = np.random.default_rng(seed).standard_normal((bands, n_planes, dim))
+    with_buckets = e
+    for bi in range(bands):
+        with_buckets = lsh_bucket(with_buckets, "vec", planes[bi], out=f"b{bi}")
+    pairs_expr = ", ".join(f"{bi}, b{bi}" for bi in range(bands))
+    stacked = with_buckets.selectExpr(
+        id_col, f"stack({bands}, {pairs_expr}) as (band, bucket)"
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cands = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ea = e.select(F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"))
+    eb = e.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        cands.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, emb_col: str, id_col: str, threshold: float = 0.95
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute force O(n^2) — correct
-    baseline; see `operators.similarity.ann_topk` for the LSH-bucketed
+    baseline; see `embedding_near_dup_lsh` for the LSH-bucketed
     scale path)."""
     e = df.select(
         F.col(id_col), F.col(emb_col).cast("array<double>").alias("vec")

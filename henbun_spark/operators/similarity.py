@@ -86,15 +86,28 @@ def ann_topk(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    probe_hamming: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates = same LSH bucket only.
+    """Approximate top-k: candidates = same LSH bucket (+ multi-probe).
 
-    Recall improves with fewer planes (bigger buckets) or multi-probe;
-    compare against `cosine_topk` to measure recall on a sample.
+    `probe_hamming` is the recall knob: each query additionally probes
+    every bucket within that Hamming distance of its own (bit-flip masks
+    are plan-time literals; the query side explodes into
+    sum_{h<=probe_hamming} C(n_planes, h) probe rows). A neighbor lives in
+    exactly one bucket, so probes never duplicate a (query, neighbor)
+    pair. probe_hamming=1 recovers most neighbors lost to a single
+    marginal hyperplane at ~(n_planes+1)x the (small) query-side join
+    fan-out — the corpus is never rescanned.
     """
+    from itertools import combinations
+
     if dim is None:
         dim = len(corpus.select(emb_col).first()[0])
     planes = _planes(dim, n_planes, seed)
+    masks = [0]
+    for h in range(1, probe_hamming + 1):
+        for flip in combinations(range(n_planes), h):
+            masks.append(sum(1 << j for j in flip))
     c = lsh_bucket(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -111,6 +124,15 @@ def ann_topk(
         "qvec",
         planes,
     )
+    if len(masks) > 1:
+        q = q.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    *[F.col("bucket").bitwiseXOR(F.lit(m).cast("long")) for m in masks]
+                )
+            ),
+        )
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))

@@ -173,6 +173,39 @@ def test_ann_topk_recall(emb):
     assert recall > 0.08, recall
 
 
+def test_ann_topk_multiprobe_improves_recall(emb):
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries, k=5).toPandas()
+    exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy()))
+
+    def recall(probe):
+        approx = similarity.ann_topk(
+            emb, queries, k=5, n_planes=4, probe_hamming=probe
+        ).toPandas()
+        got = set(map(tuple, approx[["query_id", "neighbor_id"]].to_numpy()))
+        return len(exact_set & got) / len(exact_set)
+
+    r0, r1 = recall(0), recall(1)
+    # probing the n_planes adjacent buckets is a strict candidate superset
+    assert r1 >= r0
+    assert r1 > 0.2, (r0, r1)
+
+
+def test_embedding_near_dup_lsh_subset_of_brute_force(emb):
+    sub = emb.where(F.col("vec_id") < 100)
+    brute = dedup.embedding_near_dup_pairs(sub, "embedding", "vec_id", 0.2).toPandas()
+    lsh = dedup.embedding_near_dup_lsh(
+        sub, "embedding", "vec_id", threshold=0.2, n_planes=4, bands=3, seed=7
+    ).toPandas()
+    brute_set = set(map(tuple, brute[["id_a", "id_b"]].to_numpy()))
+    lsh_set = set(map(tuple, lsh[["id_a", "id_b"]].to_numpy()))
+    # every LSH pair is a true above-threshold pair (refine is exact)...
+    assert lsh_set <= brute_set
+    # ...and banding finds a nontrivial share of them on worst-case
+    # (random) embeddings
+    assert len(lsh_set) > 0.1 * len(brute_set), (len(lsh_set), len(brute_set))
+
+
 def test_text_operators_deterministic(docs, duck):
     got = (
         text.fingerprint(text.quality_score(text.token_stats(docs)))
