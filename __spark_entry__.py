@@ -792,6 +792,169 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def density_lognormal(spark, sf_dir):
+    from henbun_spark import densities
+
+    li = _load(spark, sf_dir, "lineitem")
+    logp = densities.lognormal(F.col("l_quantity"), 3.0, 0.5)
+    return li.groupBy("l_returnflag").agg(_dsum(logp, "sum_logp"))
+
+
+_DENS_LOGNORMAL_SQL = f"""
+SELECT l_returnflag,
+  {_sql_dsum(f'{-HALF_LOG_2PI!r} - 0.5 * ln(0.5) - 0.5 * (3.0 - ln(l_quantity)) * (3.0 - ln(l_quantity)) / 0.5 - ln(l_quantity)', 'sum_logp')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def density_bernoulli(spark, sf_dir):
+    from henbun_spark import densities
+
+    li = _load(spark, sf_dir, "lineitem")
+    p = F.col("l_discount") + F.lit(0.2)
+    y = (F.col("l_quantity") > 25.0).cast("double")
+    return li.groupBy("l_returnflag").agg(_dsum(densities.bernoulli(p, y), "sum_logp"))
+
+
+_DENS_BERNOULLI_SQL = f"""
+SELECT l_returnflag,
+  {_sql_dsum('CASE WHEN (CASE WHEN l_quantity > 25.0 THEN 1.0 ELSE 0.0 END) = 1.0 THEN ln(l_discount + 0.2) ELSE ln(1.0 - (l_discount + 0.2)) END', 'sum_logp')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def density_exponential(spark, sf_dir):
+    from henbun_spark import densities
+
+    li = _load(spark, sf_dir, "lineitem")
+    logp = densities.exponential(F.lit(5.0), F.col("l_quantity"))
+    return li.groupBy("l_returnflag").agg(_dsum(logp, "sum_logp"))
+
+
+_DENS_EXPONENTIAL_SQL = f"""
+SELECT l_returnflag,
+  {_sql_dsum('-l_quantity / 5.0 - ln(5.0)', 'sum_logp')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def density_gamma(spark, sf_dir):
+    from henbun_spark import densities
+
+    li = _load(spark, sf_dir, "lineitem")
+    logp = densities.gamma(3.0, 2.0, F.col("l_quantity"))
+    return li.groupBy("l_returnflag").agg(_dsum(logp, "sum_logp"))
+
+
+_DENS_GAMMA_SQL = f"""
+SELECT l_returnflag,
+  {_sql_dsum('-3.0 * ln(2.0) - lgamma(3.0) + 2.0 * ln(l_quantity) - l_quantity / 2.0', 'sum_logp')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def density_beta(spark, sf_dir):
+    from henbun_spark import densities
+
+    li = _load(spark, sf_dir, "lineitem")
+    logp = densities.beta(2.0, 3.0, F.col("l_discount"))
+    return li.groupBy("l_returnflag").agg(_dsum(logp, "sum_logp"))
+
+
+_DENS_BETA_SQL = f"""
+SELECT l_returnflag,
+  {_sql_dsum('(2.0 - 1.0) * ln(least(greatest(l_discount, 1e-6), 1.0 - 1e-6))'
+             ' + (3.0 - 1.0) * ln(1.0 - least(greatest(l_discount, 1e-6), 1.0 - 1e-6))'
+             ' + lgamma(5.0) - lgamma(2.0) - lgamma(3.0)', 'sum_logp')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def density_laplace(spark, sf_dir):
+    from henbun_spark import densities
+
+    li = _load(spark, sf_dir, "lineitem")
+    logp = densities.laplace(25.0, 10.0, F.col("l_quantity"))
+    return li.groupBy("l_returnflag").agg(_dsum(logp, "sum_logp"))
+
+
+_DENS_LAPLACE_SQL = f"""
+SELECT l_returnflag,
+  {_sql_dsum('-abs(25.0 - l_quantity) / 10.0 - ln(2.0 * 10.0)', 'sum_logp')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def density_bimixture(spark, sf_dir):
+    """Stable log-sum-exp two-component mixture (densities.py D11)."""
+    from henbun_spark import densities
+
+    li = _load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    logp0 = densities.gaussian(x, 20.0, 25.0)
+    logp1 = densities.gaussian(x, 35.0, 100.0)
+    logp = densities.bimixture(0.3, logp0, logp1)
+    return li.groupBy("l_returnflag").agg(_dsum(logp, "sum_logp"))
+
+
+_BIMIX_P0 = f"({-HALF_LOG_2PI!r} - 0.5 * ln(25.0) - 0.5 * (20.0 - l_quantity) * (20.0 - l_quantity) / 25.0 + ln(0.3))"
+_BIMIX_P1 = f"({-HALF_LOG_2PI!r} - 0.5 * ln(100.0) - 0.5 * (35.0 - l_quantity) * (35.0 - l_quantity) / 100.0 + ln(1.0 - 0.3))"
+_DENS_BIMIX_SQL = f"""
+SELECT l_returnflag,
+  {_sql_dsum(f'greatest({_BIMIX_P0}, {_BIMIX_P1})'
+             f' + ln(exp({_BIMIX_P0} - greatest({_BIMIX_P0}, {_BIMIX_P1}))'
+             f'    + exp({_BIMIX_P1} - greatest({_BIMIX_P0}, {_BIMIX_P1})))', 'sum_logp')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def transform_exp(spark, sf_dir):
+    """Exp bijector (transforms.py T2): forward + log_jacobian surface."""
+    from henbun_spark import transforms
+
+    li = _load(spark, sf_dir, "lineitem")
+    t = transforms.Exp()
+    x = F.col("l_discount") * 10.0
+    return li.groupBy("l_returnflag").agg(
+        _dsum(t.forward(x), "sum_forward"),
+        _dsum(t.log_jacobian(x), "sum_logjac"),
+    )
+
+
+_TRANSFORM_EXP_SQL = f"""
+SELECT l_returnflag,
+  {_sql_dsum('exp(l_discount * 10.0) + 1e-06', 'sum_forward')},
+  {_sql_dsum('l_discount * 10.0', 'sum_logjac')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def priors_logp(spark, sf_dir):
+    """Column-mode prior surface (priors.py §2.5): per-row log densities of
+    Normal/Gaussian/Laplace/Uniform priors on a derived column, aggregated
+    by Spark's partial+final sum (the distributed reduce_sum)."""
+    from henbun_spark import priors
+
+    li = _load(spark, sf_dir, "lineitem")
+    x = F.col("l_discount") * 10.0 - 0.5
+    return li.groupBy("l_returnflag").agg(
+        _dsum(priors.Normal().logp(x), "sum_normal"),
+        _dsum(priors.Gaussian(1.0, 4.0).logp(x), "sum_gaussian"),
+        _dsum(priors.Laplace(0.0, 2.0).logp(x), "sum_laplace"),
+        _dsum(priors.Uniform(-1.0, 1.0).logp(x), "sum_uniform"),
+    )
+
+
+_PRIORS_SQL = f"""
+SELECT l_returnflag,
+  {_sql_dsum(f'{-HALF_LOG_2PI!r} - 0.5 * ln(1.0) - 0.5 * (0.0 - (l_discount * 10.0 - 0.5)) * (0.0 - (l_discount * 10.0 - 0.5)) / 1.0', 'sum_normal')},
+  {_sql_dsum(f'{-HALF_LOG_2PI!r} - 0.5 * ln(4.0) - 0.5 * (1.0 - (l_discount * 10.0 - 0.5)) * (1.0 - (l_discount * 10.0 - 0.5)) / 4.0', 'sum_gaussian')},
+  {_sql_dsum('-abs(0.0 - (l_discount * 10.0 - 0.5)) / 2.0 - ln(2.0 * 2.0)', 'sum_laplace')},
+  {_sql_dsum(f'{-float(np.log(2.0))!r}', 'sum_uniform')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def transform_softplus(spark, sf_dir):
     """Constraint-bijector surface (Log1pe/Logistic, transforms.py T3/T4)
     applied as whole-stage-codegen Column math."""
@@ -1019,7 +1182,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_gaussian": density_gaussian,
         "density_poisson": density_poisson,
         "density_student_t": density_student_t,
+        "density_lognormal": density_lognormal,
+        "density_bernoulli": density_bernoulli,
+        "density_exponential": density_exponential,
+        "density_gamma": density_gamma,
+        "density_beta": density_beta,
+        "density_laplace": density_laplace,
+        "density_bimixture": density_bimixture,
         "transform_softplus": transform_softplus,
+        "transform_exp": transform_exp,
+        "priors_logp": priors_logp,
         # non-SQL-expressible (rows-only checks)
         "vi_linear_regression": vi_linear_regression,
         "gp_sparse_posterior": gp_sparse_posterior,
@@ -1056,5 +1228,14 @@ def oracle_sql() -> dict[str, str]:
         "density_gaussian": _DENS_GAUSS_SQL,
         "density_poisson": _DENS_POISSON_SQL,
         "density_student_t": _DENS_STUDENT_SQL,
+        "density_lognormal": _DENS_LOGNORMAL_SQL,
+        "density_bernoulli": _DENS_BERNOULLI_SQL,
+        "density_exponential": _DENS_EXPONENTIAL_SQL,
+        "density_gamma": _DENS_GAMMA_SQL,
+        "density_beta": _DENS_BETA_SQL,
+        "density_laplace": _DENS_LAPLACE_SQL,
+        "density_bimixture": _DENS_BIMIX_SQL,
         "transform_softplus": _TRANSFORM_SQL,
+        "transform_exp": _TRANSFORM_EXP_SQL,
+        "priors_logp": _PRIORS_SQL,
     }
