@@ -209,6 +209,91 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def cube_revenue(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): 4 grouping combinations in one
+    pass — Spark expands to a union of partial aggregates, all map-side
+    combinable."""
+    li = _load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(_dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS ((returnflag), (linestatus), ()) via the SQL
+    surface — different expansion than rollup/cube."""
+    li = _load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+          {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+          COUNT(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def set_ops_customers(spark, sf_dir):
+    """INTERSECT / EXCEPT over key sets (SURVEY §2.10 set operations):
+    customers partitioned by whether they ever ordered. Both branches are
+    null-safe hash semi/anti joins after Catalyst rewrites them."""
+    cust = _load(spark, sf_dir, "customer").select("c_custkey")
+    ordered = _load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    have = cust.intersect(ordered).withColumn("tag", F.lit("has_orders"))
+    none = cust.subtract(ordered).withColumn("tag", F.lit("no_orders"))
+    return have.unionByName(none)
+
+
+_SET_OPS_SQL = """
+SELECT c_custkey, 'has_orders' AS tag
+FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS tag
+FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+"""
+
+
+def distinct_agg_suppliers(spark, sf_dir):
+    """Exact COUNT(DISTINCT) per group (the approx_count_distinct twin is
+    pytest-checked for 5% error — an approximate sketch can't hash-match an
+    oracle)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+_DISTINCT_AGG_SQL = """
+SELECT l_returnflag,
+  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+  COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def top_events_per_user(spark, sf_dir):
     from henbun_spark.operators import relational
 
@@ -1157,6 +1242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": q3_top_orders,
         "q5_nation_revenue": q5_nation_revenue,
         "rollup_revenue": rollup_revenue,
+        "cube_revenue": cube_revenue,
+        "grouping_sets_revenue": grouping_sets_revenue,
+        "set_ops_customers": set_ops_customers,
+        "distinct_agg_suppliers": distinct_agg_suppliers,
         "top_events_per_user": top_events_per_user,
         "asof_last_purchase": asof_last_purchase,
         "sessionize_events": sessionize_events,
@@ -1207,6 +1296,10 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_orders": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,
         "rollup_revenue": _ROLLUP_SQL,
+        "cube_revenue": _CUBE_SQL,
+        "grouping_sets_revenue": _GROUPING_SETS_SQL,
+        "set_ops_customers": _SET_OPS_SQL,
+        "distinct_agg_suppliers": _DISTINCT_AGG_SQL,
         "top_events_per_user": _TOPK_SQL,
         "asof_last_purchase": _ASOF_SQL,
         "sessionize_events": _SESSION_SQL,

@@ -32,6 +32,20 @@ def test_entry_smoke(spark):
     assert "sum_qty" in df.columns
 
 
+def test_approx_count_distinct_within_5pct(spark, sf_dir):
+    """approx_count_distinct (HLL++ sketch) tracks the exact distinct count
+    — sketches can't hash-match a SQL oracle, so the contract query is the
+    exact COUNT(DISTINCT) twin and this bounds the approximate path."""
+    from pyspark.sql import functions as F
+
+    li = sources.load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"], row
+
+
 def test_q1_matches_duckdb_sf0001(spark, sf_dir):
     got = (
         entry_mod.q1_pricing_summary(spark, sf_dir)
