@@ -341,6 +341,33 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r
 """
 
 
+def asof_next_purchase(spark, sf_dir):
+    """Forward as-of join (clicks pick up the NEXT purchase value per
+    user): the same one-shuffle union+window plan with the time sort
+    flipped."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id").where(
+        F.col("event_type") == "click"
+    )
+    right = ev.select("user_id", "ts", F.col("value").alias("next_value")).where(
+        F.col("event_type") == "purchase"
+    )
+    return relational.asof_join(
+        left, right, on="ts", by="user_id", right_cols=["next_value"],
+        direction="forward",
+    ).select("event_id", "next_value")
+
+
+_ASOF_FWD_SQL = """
+SELECT l.event_id, r.value AS next_value
+FROM (SELECT * FROM events WHERE event_type='click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
 def sessionize_events(spark, sf_dir):
     from henbun_spark.operators import relational
 
@@ -1248,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg_suppliers": distinct_agg_suppliers,
         "top_events_per_user": top_events_per_user,
         "asof_last_purchase": asof_last_purchase,
+        "asof_next_purchase": asof_next_purchase,
         "sessionize_events": sessionize_events,
         "session_window_agg": session_window_agg,
         "running_total_user": running_total_user,
@@ -1302,6 +1330,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_agg_suppliers": _DISTINCT_AGG_SQL,
         "top_events_per_user": _TOPK_SQL,
         "asof_last_purchase": _ASOF_SQL,
+        "asof_next_purchase": _ASOF_FWD_SQL,
         "sessionize_events": _SESSION_SQL,
         "session_window_agg": _SESSION_WINDOW_SQL,
         "running_total_user": _RUNNING_SQL,

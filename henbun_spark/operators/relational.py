@@ -20,15 +20,22 @@ def asof_join(
     right_cols: list[str] | None = None,
     direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, the most recent right row with
-    right.on <= left.on (within the same `by` key).
+    """As-of join: for each left row, the nearest right row at-or-before
+    (``direction="backward"``, the default: right.on <= left.on) or
+    at-or-after (``direction="forward"``: right.on >= left.on) within the
+    same `by` key.
 
     Implementation: union the tagged streams, single window sorted by
     (by, on) carrying `last(right value, ignorenulls)` — ONE shuffle on
     the by-key (vs. the naive range join's quadratic explosion). This is
-    the standard streaming-friendly formulation.
+    the standard streaming-friendly formulation. Forward is the same plan
+    with the time sort flipped: scanning from the latest timestamp down,
+    the last non-null right seen is the SMALLEST right.on still >=
+    left.on. Right rows sort before left rows at equal timestamps in both
+    directions, so exact-tie rows match themselves.
     """
-    assert direction == "backward", "forward as-of: flip the sort"
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     rcols = right_cols or [c for c in right.columns if c not in (on, by)]
     keys = [by] if by else []
     ltag = left.select(
@@ -48,9 +55,10 @@ def asof_join(
         *[F.col(c) for c in rcols],
     )
     unioned = ltag.unionByName(rtag)
+    on_sorted = F.col(on).desc() if direction == "forward" else F.col(on).asc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .orderBy(on_sorted, F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(

@@ -266,6 +266,37 @@ def test_asof_join_matches_duckdb(spark, duck, sf_dir):
     )
 
 
+def test_asof_join_forward_matches_duckdb(spark, duck, sf_dir):
+    ev = sources.load_table(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id").where(F.col("event_type") == "click")
+    right = ev.select(
+        "user_id", "ts", F.col("value").alias("next_value")
+    ).where(F.col("event_type") == "purchase")
+    got = (
+        relational.asof_join(
+            left, right, on="ts", by="user_id", right_cols=["next_value"],
+            direction="forward",
+        )
+        .orderBy("event_id")
+        .toPandas()
+    )
+    exp = duck.sql(
+        """
+        SELECT l.event_id, r.value AS next_value
+        FROM (SELECT * FROM events WHERE event_type='click') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r
+          ON l.user_id = r.user_id AND l.ts <= r.ts
+        ORDER BY l.event_id
+        """
+    ).df()
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(
+        got["next_value"].fillna(-1).to_numpy(),
+        exp["next_value"].fillna(-1).to_numpy(),
+        atol=1e-9,
+    )
+
+
 def test_sessionize(spark, sf_dir):
     ev = sources.load_table(spark, sf_dir, "events")
     out = relational.sessionize(ev, gap_minutes=30)
