@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from henbun_spark.config import settings
+
 
 def _unbroadcast(grad: np.ndarray, shape: tuple) -> np.ndarray:
     """Sum grad over axes that were broadcast to reach ``grad.shape``."""
@@ -38,7 +40,9 @@ class Tensor:
     __array_priority__ = 100  # so np.ndarray + Tensor defers to us
 
     def __init__(self, data, requires_grad: bool = False, _prev=(), _backward=None):
-        self.data = np.asarray(data, dtype=np.float64)
+        # compute dtype follows settings.dtypes.float_type (float64 default;
+        # float32 mode halves Arrow/broadcast bytes at reference tolerances)
+        self.data = np.asarray(data, dtype=settings.dtypes.float_type)
         self.grad = None
         self.requires_grad = requires_grad or any(p.requires_grad for p in _prev)
         self._prev = _prev
@@ -73,7 +77,7 @@ class Tensor:
         build(self)
         for t in topo:
             t.grad = np.zeros_like(t.data)
-        self.grad = np.asarray(grad, dtype=np.float64)
+        self.grad = np.asarray(grad, dtype=self.data.dtype)
         for t in reversed(topo):
             if t._backward is not None:
                 t._backward(t.grad)

@@ -130,12 +130,14 @@ class Variable(Parentable):
     def assign(self, value):
         """Queue a new (constrained-space) value; applied at initialize()."""
         if self.collections not in graph_key.not_parameters:
-            self._pending = np.asarray(self.transform.backward(value), dtype=np.float64)
+            self._pending = np.asarray(
+                self.transform.backward(value), dtype=settings.dtypes.float_type
+            )
             self._assigned = True
 
     def initialize(self):
         if self._assigned and self._pending is not None:
-            self._array = np.array(self._pending, dtype=np.float64)
+            self._array = np.array(self._pending, dtype=settings.dtypes.float_type)
         self.finalize()
 
     def finalize(self):
@@ -250,14 +252,14 @@ class Data(Variable):
 
     def tensor(self):
         if self._tensor is None:
-            self._tensor = ad.Tensor(self.data.astype(np.float64))
+            self._tensor = ad.Tensor(self.data)  # Tensor casts to float_type
         return self._tensor
 
     def reset_eval(self):
         self._tensor = None
 
     def get_feed_dict(self, minibatch_index=None):
-        self._tensor = ad.Tensor(self.data.astype(np.float64))
+        self._tensor = ad.Tensor(self.data)
         return {self: self.data}
 
     @property
@@ -273,7 +275,7 @@ class MinibatchData(Data):
             batch = self.data
         else:
             batch = self.data[minibatch_index]
-        self._tensor = ad.Tensor(batch.astype(np.float64))
+        self._tensor = ad.Tensor(batch)
         return {self: batch}
 
 
@@ -435,7 +437,7 @@ class Parameterized(Parentable):
                 suffix = key.split(".", 1)[1] if "." in key else key
                 v = by_name.get(prefix + "." + suffix)
             if v is not None:
-                v._array = np.array(data[key], dtype=np.float64)
+                v._array = np.array(data[key], dtype=settings.dtypes.float_type)
                 v._pending = None
                 v.finalize()
 
