@@ -1197,38 +1197,42 @@ def streaming_windowed_counts(spark, sf_dir):
     """Structured Streaming end-to-end: watermarked tumbling-window
     aggregation drained with availableNow into a parquet sink (rows-only:
     the streaming runtime itself is the thing under test; its batch twin
-    `hourly_event_counts` is the oracle-checked plan)."""
+    `hourly_event_counts` is the oracle-checked plan).
+
+    The sink lives in a non-self-deleting scratch dir so the result is
+    returned as a LAZY parquet scan — no toPandas()/collect round-trip
+    through the driver; every output row stays executor-side end-to-end.
+    """
     import tempfile
 
     from henbun_spark import streaming
 
     ev = _load(spark, sf_dir, "events")
-    with tempfile.TemporaryDirectory() as tmp:
-        in_dir = f"{tmp}/in"
-        ev.repartition(4).write.mode("overwrite").parquet(in_dir)
-        stream = spark.readStream.schema(ev.schema).parquet(in_dir)
-        agg = streaming.windowed_counts(
-            stream, ts_col="ts", key_col="event_type", window="1 hour",
-            watermark="2 hours",
-        )
-        out = agg.select(
-            (F.unix_timestamp(F.col("window.start")) * 1000).alias("hour_start_ms"),
-            "event_type",
-            "n",
-            F.round("sum_value", 6).alias("sum_value"),
-        )
-        out_dir = f"{tmp}/out"
-        q = (
-            out.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        pdf = spark.read.parquet(out_dir).toPandas()
-    return spark.createDataFrame(pdf)
+    base = tempfile.mkdtemp(prefix="henbun_stream_")
+    in_dir = f"{base}/in"
+    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    agg = streaming.windowed_counts(
+        stream, ts_col="ts", key_col="event_type", window="1 hour",
+        watermark="2 hours",
+    )
+    out = agg.select(
+        (F.unix_timestamp(F.col("window.start")) * 1000).alias("hour_start_ms"),
+        "event_type",
+        "n",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+    out_dir = f"{base}/out"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
 
 
 def multimodal_features(spark, sf_dir):
