@@ -1125,33 +1125,54 @@ def vi_linear_regression(spark, sf_dir):
 
 
 def gp_sparse_posterior(spark, sf_dir):
-    """SparseGP posterior samples at event-value coordinates, seeded —
-    mean/std summary per grid cell (rows-only check: MC sampling has no
-    SQL oracle)."""
+    """SparseGP posterior samples, DISTRIBUTED over the n (coordinate)
+    axis — the §2.9 G3 execution shape: the model (inducing points z +
+    kernel params + whitened u) ships to executors once via the pickled
+    broadcast inside `spark_exec.predict`; each Arrow batch computes its
+    own K(z, x_batch) columns, the m x m Cholesky solve, and per-
+    coordinate sample mean/std. Nothing n-sized ever touches the driver;
+    the plan contains MapInPandas over a real coordinate DataFrame.
+    (Rows-only check: MC sampling has no SQL oracle; distributed ==
+    driver parity is pytest-asserted in tests/test_gp.py.)"""
+    import pandas as pd
+
     import henbun_spark as hb
     from henbun_spark.gp import kernels
     from henbun_spark.gp.gp import SparseGP
+    from henbun_spark.spark_exec import ColumnData, predict
 
     rng = np.random.default_rng(0)
-    x = np.linspace(-2, 2, 40).reshape(-1, 1)
+    x = np.linspace(-2, 2, 40)
     z = np.linspace(-2, 2, 10).reshape(-1, 1)
-
-    class M(hb.Model):
-        def setUp(self):
-            self.gp = SparseGP(kernels.UnitRBF(), z)
-
-    m = M()
-    m.initialize()
-    m.new_eval(seed=7)
     u = rng.standard_normal((30, 10))
-    with m.tf_mode():
-        s = m.gp.samples(x, u, q_shape="diagonal")
-    samples = s.data if hasattr(s, "data") else np.asarray(s)
-    rows = [
-        (int(i), float(x[i, 0]), float(samples[:, i].mean()), float(samples[:, i].std()))
-        for i in range(x.shape[0])
-    ]
-    return spark.createDataFrame(rows, "idx int, x double, mean double, std double")
+
+    class GPPost(hb.Model):
+        def setUp(self):
+            self.idx = ColumnData("idx")
+            self.x = ColumnData("x")
+            self.gp = SparseGP(kernels.UnitRBF(), z)
+            self.u = hb.Data(u)
+
+        def posterior_summary(self):
+            xs = self.x
+            s = self.gp.samples(
+                xs.reshape((-1, 1)), self.u, q_shape="diagonal"
+            )
+            sd = s.data
+            return {
+                "idx": self.idx.data.astype(np.int64),
+                "x": self.x.data,
+                "mean": sd.mean(axis=0),
+                "std": sd.std(axis=0),
+            }
+
+    coords = spark.createDataFrame(
+        pd.DataFrame({"idx": np.arange(40, dtype=np.float64), "x": x})
+    ).repartition(4)
+    return predict(
+        GPPost(), coords, "posterior_summary",
+        "idx long, x double, mean double, std double",
+    )
 
 
 def session_window_agg(spark, sf_dir):

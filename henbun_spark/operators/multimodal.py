@@ -52,7 +52,12 @@ def synthesize_media(spark, n: int = 64, kind: str = "image", seed: int = 0) -> 
             None, None, 16000, 1500, "fake"
         )
         rows.append((i, kind, bytearray(payload), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # size partitions to the data: a 64-row demo table sliced into
+    # local[32]'s default 32 partitions pays 32 Python-worker handshakes
+    # for ~2 rows each in the downstream mapInPandas (real media tables
+    # read from parquet carry fat partitions already)
+    n_parts = max(1, min(8, n // 8))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(n_parts)
 
 
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:

@@ -178,3 +178,52 @@ def test_sparse_gp_approximates_dense():
     # agreement only up to the jitter (1e-5 I enters the two paths
     # differently), so the tolerance is jitter-limited
     np.testing.assert_allclose(dense.data, sparse.data, atol=1e-2)
+
+
+def test_sparse_gp_distributed_matches_driver(spark):
+    """G3 execution shape: SparseGP posterior via spark_exec.predict over a
+    coordinate DataFrame == the driver-side computation, per coordinate,
+    under the same fixed u (q_shape='neglected' so no MC noise enters)."""
+    import pandas as pd
+
+    from henbun_spark.spark_exec import ColumnData, predict
+
+    rng = np.random.default_rng(5)
+    x = np.linspace(-2, 2, 25)
+    z = np.linspace(-2, 2, 8).reshape(-1, 1)
+    u = rng.standard_normal((6, 8))
+
+    class GPPost(hb.Model):
+        def setUp(self):
+            self.idx = ColumnData("idx")
+            self.x = ColumnData("x")
+            self.gp = SparseGP(kernels.UnitRBF(), z)
+            self.u = hb.Data(u)
+
+        def posterior_summary(self):
+            s = self.gp.samples(
+                self.x.reshape((-1, 1)), self.u, q_shape="neglected"
+            )
+            return {
+                "idx": self.idx.data.astype(np.int64),
+                "mean": s.data.mean(axis=0),
+            }
+
+    coords = spark.createDataFrame(
+        pd.DataFrame({"idx": np.arange(25, dtype=np.float64), "x": x})
+    ).repartition(5)
+    got = (
+        predict(GPPost(), coords, "posterior_summary", "idx long, mean double")
+        .toPandas()
+        .sort_values("idx")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 25
+
+    m = hb.Model()
+    m.gp = SparseGP(kernels.UnitRBF(), z)
+    m.initialize()
+    with m.tf_mode():
+        s = m.gp.samples(ad.Tensor(x.reshape(-1, 1)), ad.Tensor(u), q_shape="neglected")
+    expect = s.data.mean(axis=0)
+    np.testing.assert_allclose(got["mean"].to_numpy(), expect, rtol=1e-10)
