@@ -80,12 +80,28 @@ def minhash_lsh_pairs(
     n: int = 5,
     bands: int = 8,
     min_bands: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing the min-hash in at
     least `min_bands` bands. The join is keyed on (band, mh) — an LSH
     bucket join whose fan-out is bounded by bucket sizes, not n^2.
+
+    `max_bucket` is the skew guard for 100 TB runs: a duplicate GROUP of
+    k docs puts all k in the same bucket in every band, yielding k^2
+    pairs per band. Capping drops buckets larger than `max_bucket` before
+    the self-join (exact duplicates should be removed by `exact_dedup`
+    first — the cheap groupBy — so near-dup banding never re-discovers
+    them; near-dup buckets stay small). None = exact (oracle) mode.
     """
     sig = minhash_signatures(df, text_col, id_col, n, bands)
+    if max_bucket is not None:
+        small = (
+            sig.groupBy("band", "mh")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .where(F.col("bsz") <= max_bucket)
+            .select("band", "mh")
+        )
+        sig = sig.join(small, on=["band", "mh"], how="left_semi")
     a = sig.alias("a")
     b = sig.alias("b")
     matched = (
