@@ -51,6 +51,23 @@ def windowed_counts(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first row per key within
+    the watermark horizon (`dropDuplicatesWithinWatermark`). State is one
+    entry per distinct key seen inside the horizon — bounded, unlike an
+    unwatermarked dropDuplicates which grows forever. This is the
+    streaming twin of `operators.dedup.exact_dedup` for continuous
+    ingestion pipelines."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 _SESSION_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events int, total_value double"
 _STATE_SCHEMA = "start long, end long, n int, total double"
 

@@ -107,3 +107,23 @@ def test_streaming_trainer_foreachbatch(spark, event_files, tmp_path):
     true_mean = ev.agg(F.avg("value")).collect()[0][0]
     # foreachBatch steps contract the error toward the data mean
     assert abs(m.mu.value[0] * 100.0 - true_mean) < 0.5 * abs(true_mean)
+
+
+def test_dedup_stream_bounded_state(spark, event_files, tmp_path):
+    """Streaming exact dedup: duplicated input stream -> each event_id
+    survives exactly once (state bounded by the watermark horizon)."""
+    base, schema, ev = event_files
+    dup_dir = str(tmp_path / "dup_in")
+    # write the same events twice -> every key arrives duplicated
+    ev.unionAll(ev).repartition(4).write.mode("overwrite").parquet(dup_dir)
+    stream = streaming.read_stream_parquet(spark, dup_dir, schema)
+    deduped = streaming.dedup_stream(
+        stream, keys=["event_id"], ts_col="ts", watermark="10 days"
+    )
+    streaming.run_available_now(
+        deduped, str(tmp_path / "ckpt2"), str(tmp_path / "out2")
+    )
+    got = spark.read.parquet(str(tmp_path / "out2"))
+    n_in = ev.count()
+    assert got.count() == n_in
+    assert got.select("event_id").distinct().count() == n_in
