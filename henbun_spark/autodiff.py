@@ -325,6 +325,22 @@ def matmul(a, b):
     return Tensor._wrap(a) @ b
 
 
+def transpose(x, axes=None):
+    """General axis permutation; backward permutes the gradient by the
+    inverse axes."""
+    x = Tensor._wrap(x)
+    axes_t = tuple(range(x.ndim))[::-1] if axes is None else tuple(axes)
+    inv = np.argsort(axes_t)
+    out = Tensor(np.transpose(x.data, axes_t), _prev=(x,))
+
+    def _backward(g):
+        if x.requires_grad:
+            x.grad += np.transpose(g, inv)
+
+    out._backward = _backward
+    return out
+
+
 def maximum(a, b):
     a, b = Tensor._wrap(a), Tensor._wrap(b)
     return a._binop(

@@ -166,4 +166,66 @@ class Logistic(Transform):
         return float(np.sum(np.log(self.b - self.a) - sp - spm))
 
 
+class LowerTriangular(Transform):
+    """Pack free vectors into lower-triangular matrices
+    (`transforms.py:183-269` — shipped disabled in the reference because
+    it needs a compiled custom TF op, `tf_wraps.py:52-63`; here
+    `utils.vec_to_tri` is a constant-basis matmul, so it works in both
+    numpy and autodiff modes with no custom kernel).
+
+    x: free vector of length num_matrices * n(n+1)/2 ->
+    y: [n, n, num_matrices] stack of lower-triangular matrices
+    (squeezed to [n, n] when num_matrices == 1 and squeeze=True).
+    No Column mode: the output is matrix-shaped and lives inside UDF /
+    driver compute, never in a per-row Column expression.
+    """
+
+    def __init__(self, num_matrices: int = 1, squeeze: bool = False):
+        self.num_matrices = int(num_matrices)
+        self.squeeze = bool(squeeze)
+
+    def _n(self, total_len: int) -> int:
+        from henbun_spark.utils import tri_mat_size
+
+        if total_len % self.num_matrices:
+            raise ValueError(
+                f"free length {total_len} not divisible by {self.num_matrices}"
+            )
+        return tri_mat_size(total_len // self.num_matrices)
+
+    def forward(self, x):
+        from henbun_spark.utils import vec_to_tri
+
+        if is_column(x):
+            raise TypeError("LowerTriangular has no Column mode (matrix-shaped)")
+        size = int(x.size if hasattr(x, "size") else np.size(x))
+        self._n(size)  # validate
+        if _is_ad(x):
+            tri = vec_to_tri(x.reshape((self.num_matrices, -1)))  # [D,n,n]
+            out = ad.transpose(tri, (1, 2, 0))  # [n,n,D]
+            return out.reshape(tuple(out.shape[:2])) if (
+                self.squeeze and self.num_matrices == 1
+            ) else out
+        x = np.asarray(x, dtype=np.float64)
+        tri = vec_to_tri(x.reshape(self.num_matrices, -1))
+        out = np.transpose(tri, (1, 2, 0))
+        return out[:, :, 0] if (self.squeeze and self.num_matrices == 1) else out
+
+    def backward(self, y):
+        from henbun_spark.utils import tri_to_vec
+
+        y = np.asarray(y, dtype=np.float64)
+        if y.ndim == 2:
+            y = y[:, :, None]
+        return tri_to_vec(np.transpose(y, (2, 0, 1))).ravel()
+
+    def log_jacobian(self, x):
+        # pure re-indexing (volume-preserving on the packed coordinates);
+        # the reference returns -inf to forbid density accounting through
+        # this transform — mirror that contract
+        if _is_ad(x):
+            return ad.Tensor(-np.inf)
+        return -np.inf
+
+
 positive = Log1pe  # `transforms.py:271`

@@ -53,6 +53,59 @@ def clip(x, cfg=None):
     return np.clip(x, lo, hi)
 
 
+def tri_vec_size(n: int) -> int:
+    """Free-vector length for one n x n lower-triangular matrix."""
+    return n * (n + 1) // 2
+
+
+def tri_mat_size(m: int) -> int:
+    """Matrix side length for a triangular free vector of length m;
+    raises if m is not a triangular number."""
+    n = int(((8 * m + 1) ** 0.5 - 1) / 2)
+    if tri_vec_size(n) != m:
+        raise ValueError(f"{m} is not a triangular number")
+    return n
+
+
+def _tri_basis(n: int) -> np.ndarray:
+    """[m, n*n] 0/1 scatter matrix: row k puts vec element k at the k-th
+    row-major lower-triangle position. vec_to_tri becomes a matmul with a
+    constant — differentiable through the autodiff engine with no custom
+    scatter op (the reference needs a compiled custom TF op for this,
+    `tf_wraps.py:52-63`)."""
+    rows, cols = np.tril_indices(n)
+    m = rows.size
+    basis = np.zeros((m, n * n), dtype=np.float64)
+    basis[np.arange(m), rows * n + cols] = 1.0
+    return basis
+
+
+def vec_to_tri(x):
+    """Pack free vectors into lower-triangular matrices
+    (`tf_wraps.py:52-63`): [d, m] -> [d, n, n] with m = n(n+1)/2, filled
+    row-major on the lower triangle. numpy arrays or autodiff Tensors."""
+    from henbun_spark import autodiff as ad
+
+    is_t = isinstance(x, ad.Tensor)
+    m = int(x.shape[-1])
+    n = tri_mat_size(m)
+    basis = _tri_basis(n)
+    if is_t:
+        return (x @ ad.Tensor(basis)).reshape((-1, n, n))
+    x = np.asarray(x, dtype=np.float64)
+    return (x @ basis).reshape(-1, n, n)
+
+
+def tri_to_vec(mats) -> np.ndarray:
+    """Inverse of `vec_to_tri`: [d, n, n] (or [n, n]) -> [d, m]."""
+    mats = np.asarray(mats, dtype=np.float64)
+    if mats.ndim == 2:
+        mats = mats[None]
+    n = mats.shape[-1]
+    rows, cols = np.tril_indices(n)
+    return mats[:, rows, cols]
+
+
 def log_sum_exp(x, axis=None):
     """Max-shifted, overflow-safe log-sum-exp (`tf_wraps.py:42-48`).
 

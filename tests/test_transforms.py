@@ -23,6 +23,9 @@ INSTANCES = [
 
 def test_all_subclasses_covered():
     covered = {type(t) for t in INSTANCES}
+    # LowerTriangular is matrix-shaped (vector -> [n,n,D]); it has its own
+    # dedicated round-trip/grad tests below instead of the scalar loop
+    covered |= {transforms.LowerTriangular}
     assert {c for c in transforms.Transform.__subclasses__()} == covered
 
 
@@ -83,3 +86,45 @@ def test_softplus_overflow_safe():
     y = t.forward(big)
     assert np.isfinite(y).all()
     assert y[0] == pytest.approx(1000.0, rel=1e-9)
+
+
+def test_vec_to_tri_round_trip_and_grad():
+    """W4 vec_to_tri: pack/unpack identity + gradient through the
+    constant-basis matmul (no custom scatter kernel needed)."""
+    from henbun_spark import autodiff as ad
+    from henbun_spark.utils import tri_to_vec, vec_to_tri
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 6))  # 3 matrices of size 3x3
+    tri = vec_to_tri(x)
+    assert tri.shape == (3, 3, 3)
+    assert np.allclose(np.triu(tri[0], k=1), 0.0)
+    np.testing.assert_array_equal(tri_to_vec(tri), x)
+
+    t = ad.Tensor(x, requires_grad=True)
+    out = vec_to_tri(t)
+    s = ad.sum(out)
+    s.backward()
+    np.testing.assert_array_equal(t.grad, np.ones_like(x))
+
+
+def test_lower_triangular_transform():
+    """T5 LowerTriangular: forward/backward round trip, reference output
+    layout [n, n, D], autodiff forward == numpy forward."""
+    from henbun_spark import autodiff as ad
+
+    rng = np.random.default_rng(1)
+    tr = transforms.LowerTriangular(num_matrices=2)
+    x = rng.standard_normal(2 * 10)  # two 4x4 lower triangles
+    y = tr.forward(x)
+    assert y.shape == (4, 4, 2)
+    np.testing.assert_array_equal(tr.backward(y), x)
+
+    yt = tr.forward(ad.Tensor(x, requires_grad=True))
+    np.testing.assert_array_equal(yt.data, y)
+
+    sq = transforms.LowerTriangular(num_matrices=1, squeeze=True)
+    y1 = sq.forward(rng.standard_normal(6))
+    assert y1.shape == (3, 3)
+    assert np.allclose(np.triu(y1, k=1), 0.0)
+    assert tr.log_jacobian(x) == -np.inf
