@@ -81,6 +81,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     min_bands: int = 1,
     max_bucket: int | None = None,
+    cache: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing the min-hash in at
     least `min_bands` bands. The join is keyed on (band, mh) — an LSH
@@ -92,8 +93,20 @@ def minhash_lsh_pairs(
     the self-join (exact duplicates should be removed by `exact_dedup`
     first — the cheap groupBy — so near-dup banding never re-discovers
     them; near-dup buckets stay small). None = exact (oracle) mode.
+
+    `cache` persists the signature table (MEMORY_AND_DISK) so the
+    shingle+md5+min pipeline runs once instead of once per self-join
+    side. Default OFF: measured on the documents bench it only wins when
+    the cache fits comfortably (isolated runs); under storage-memory
+    pressure from other cached tables it thrashes and loses badly. Turn
+    on for interactive reuse; caller owns eviction
+    (`spark.catalog.clearCache()`).
     """
     sig = minhash_signatures(df, text_col, id_col, n, bands)
+    if cache:
+        from pyspark import StorageLevel
+
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket is not None:
         small = (
             sig.groupBy("band", "mh")
@@ -127,13 +140,21 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     max_df: int | None = None,
+    cache: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
 
     Inverted-index self-join: |A ∩ B| counted by joining on shingle,
     |A ∪ B| = |A| + |B| - |A ∩ B|. `max_df` (document frequency cap)
     is the skew guard for 100 TB runs; leave None for oracle-exact runs.
-    """
+
+    `cache` persists the (filtered) shingle table, which this plan
+    otherwise recomputes three times (both self-join sides + the size
+    table). Default OFF — wins only when the exploded shingle table fits
+    in storage memory (isolated interactive runs); at corpus scale or
+    alongside other cached tables, recomputing the scan-side explode is
+    cheaper than spilling a multiple-of-corpus-size cache. Caller owns
+    eviction."""
     sh = char_shingles(df, text_col, id_col, n)
     if max_df is not None:
         rare = (
@@ -143,6 +164,10 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle", "left_semi")
+    if cache:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("sa")
     b = sh.alias("sb")
