@@ -25,12 +25,39 @@ try:
     from pyspark.sql.types import DoubleType
 
     @pandas_udf(DoubleType())
-    def _lgamma_udf(s: pd.Series) -> pd.Series:
+    def _lgamma_udf(s: pd.Series) -> pd.Series:  # kept for parity testing
         return pd.Series(_np_lgamma(s.to_numpy(dtype=np.float64)))
 
 except ImportError:  # pragma: no cover
     F = None
     _lgamma_udf = None
+
+
+def _lgamma_col_core(z):
+    """Lanczos series as Column arithmetic — mirrors utils._lgamma_core
+    term-for-term so JVM and numpy agree to the add/mul/div bit (log
+    differs by <= 1 ulp between Math.log and libm)."""
+    from henbun_spark.utils import _LANCZOS_COEF, _LANCZOS_G
+
+    series = F.lit(float(_LANCZOS_COEF[0]))
+    for i in range(1, len(_LANCZOS_COEF)):
+        series = series + F.lit(float(_LANCZOS_COEF[i])) / (z + F.lit(float(i)))
+    t = z + F.lit(_LANCZOS_G + 0.5)
+    half_log_2pi = 0.5 * float(np.log(2.0 * np.pi))
+    return (
+        F.lit(half_log_2pi) + (z + F.lit(0.5)) * F.log(t) - t + F.log(series)
+    )
+
+
+def _lgamma_col(x):
+    """log Gamma(x) as a pure Column expression (whole-stage codegen —
+    no Python worker in the poisson/gamma/beta/student-t hot paths).
+    Reflection formula below 0.5, Lanczos core elsewhere."""
+    core = _lgamma_col_core(x - F.lit(1.0))
+    refl = F.log(
+        F.lit(float(np.pi)) / F.abs(F.sin(F.lit(float(np.pi)) * x))
+    ) - _lgamma_col_core((F.lit(1.0) - x) - F.lit(1.0))
+    return F.when(x < F.lit(0.5), refl).otherwise(core)
 
 _HALF_LOG_2PI = 0.5 * np.log(2.0 * np.pi)
 
@@ -82,9 +109,9 @@ def _c(x):
 
 
 def lgamma(x):
-    """log Gamma(x): Column (pandas UDF), Tensor (autodiff) or numpy."""
+    """log Gamma(x): Column (codegen Lanczos), Tensor (autodiff) or numpy."""
     if is_column(x):
-        return _lgamma_udf(x)
+        return _lgamma_col(x)
     if isinstance(x, ad.Tensor):
         return ad.lgamma(x)
     return _np_lgamma(x)

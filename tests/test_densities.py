@@ -168,3 +168,28 @@ def test_column_parity(spark):
         np.testing.assert_allclose(
             out[k].to_numpy(), expected, atol=1e-7, err_msg=k
         )
+
+
+def test_lgamma_column_matches_math(spark):
+    """Pure-Column Lanczos lgamma (no Python worker) == math.lgamma to
+    1e-12 relative, across the reflection boundary and the full positive
+    range used by the densities."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from henbun_spark import densities
+
+    xs = np.concatenate(
+        [np.linspace(0.05, 0.45, 9), np.linspace(0.5, 50.0, 100)]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"x": xs}))
+    got = (
+        df.select("x", densities.lgamma(F.col("x")).alias("lg"))
+        .orderBy("x")
+        .toPandas()
+    )
+    plan = got  # materialized above; now assert no Python eval in the plan
+    expr_plan = df.select(densities.lgamma(F.col("x")))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in expr_plan
+    expect = np.vectorize(math.lgamma)(np.sort(xs))
+    np.testing.assert_allclose(got["lg"].to_numpy(), expect, rtol=1e-12, atol=1e-13)
