@@ -294,6 +294,64 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def string_date_functions(spark, sf_dir):
+    """String/date scalar-function surface (§2.10): substr/upper/concat/
+    length + year/month/day extraction — all whole-stage codegen."""
+    orders = _load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderkey"),
+            F.upper(F.substring(F.col("o_orderpriority"), 1, 4)).alias("prio4"),
+            F.length(F.concat(F.col("o_orderstatus"), F.lit("|"),
+                              F.col("o_orderpriority"))).alias("tag_len"),
+            F.concat_ws(
+                "-",
+                F.year("o_orderdate").cast("string"),
+                F.lpad(F.month("o_orderdate").cast("string"), 2, "0"),
+            ).alias("order_month"),
+            F.dayofweek("o_orderdate").alias("dow"),
+        )
+        .groupBy("prio4", "order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("tag_len").alias("sum_tag_len"),
+            F.min("dow").alias("min_dow"),
+        )
+    )
+
+
+_STRING_DATE_SQL = """
+SELECT upper(substr(o_orderpriority, 1, 4)) AS prio4,
+  concat_ws('-', CAST(year(o_orderdate) AS VARCHAR),
+            lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0')) AS order_month,
+  COUNT(*) AS n,
+  CAST(SUM(length(concat(o_orderstatus, '|', o_orderpriority))) AS BIGINT)
+    AS sum_tag_len,
+  (MIN(dayofweek(o_orderdate) + 1))::INT AS min_dow  -- duckdb: Sunday=0; spark: Sunday=1
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def percentile_quantity(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont` semantics), rounded to 6 decimals to absorb
+    interpolation-arithmetic ulps."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+    )
+
+
+_PERCENTILE_SQL = """
+SELECT l_returnflag,
+  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+  ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def top_events_per_user(spark, sf_dir):
     from henbun_spark.operators import relational
 
@@ -1298,6 +1356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": grouping_sets_revenue,
         "set_ops_customers": set_ops_customers,
         "distinct_agg_suppliers": distinct_agg_suppliers,
+        "string_date_functions": string_date_functions,
+        "percentile_quantity": percentile_quantity,
         "top_events_per_user": top_events_per_user,
         "asof_last_purchase": asof_last_purchase,
         "asof_next_purchase": asof_next_purchase,
@@ -1353,6 +1413,8 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets_revenue": _GROUPING_SETS_SQL,
         "set_ops_customers": _SET_OPS_SQL,
         "distinct_agg_suppliers": _DISTINCT_AGG_SQL,
+        "string_date_functions": _STRING_DATE_SQL,
+        "percentile_quantity": _PERCENTILE_SQL,
         "top_events_per_user": _TOPK_SQL,
         "asof_last_purchase": _ASOF_SQL,
         "asof_next_purchase": _ASOF_FWD_SQL,
