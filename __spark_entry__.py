@@ -784,6 +784,67 @@ SELECT pred_lang, COUNT(*) AS n_docs FROM p GROUP BY pred_lang
 """
 
 
+def pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end training-data prep composition — the thing this engine
+    exists for: exact dedup (keep min id per text) -> quality score ->
+    language ID -> token budget, aggregated per language over the kept
+    high-quality docs. One groupBy(text) shuffle for dedup + one final
+    tiny aggregate; every scoring step is whole-stage codegen in the same
+    stage."""
+    from henbun_spark.operators import dedup, text
+
+    docs = _load(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(docs, ["text"], "doc_id")
+    scored = text.bpe_ish_token_count(text.lang_id(text.quality_score(kept)))
+    return (
+        scored.where(F.col("quality") >= 0.5)
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("token_estimate").cast("long")).alias("sum_tokens"),
+            _dsum(F.col("quality"), "sum_quality"),
+        )
+    )
+
+
+_PIPELINE_SQL = f"""
+WITH kept AS (
+  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+), t AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+    length(text) AS n_chars
+  FROM kept
+), scored AS (
+  SELECT doc_id, toks,
+    0.4 * least(n_chars / 500.0, 1.0)
+    + 0.3 * (1 - (n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / greatest(n_chars, 1))
+    + 0.3 * least(
+        len(list_filter(toks,
+          x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
+        / greatest(len(toks), 1) / 0.5, 1.0) AS quality,
+    (len(toks) + CAST(ceil(length(text) / 16.0) AS INT)) AS token_estimate
+  FROM t
+), langed AS (
+  SELECT doc_id, quality, token_estimate,
+  {_LANG_SCORES}
+  FROM scored
+), pred AS (
+  SELECT doc_id, quality, token_estimate,
+    CASE {_LANG_CASE} END AS pred_lang
+  FROM (SELECT *, greatest(score_de, score_en, score_es, score_fr, score_zh)
+          AS best FROM langed)
+)
+SELECT pred_lang, COUNT(*) AS n_docs,
+  CAST(SUM(token_estimate) AS BIGINT) AS sum_tokens,
+  {_sql_dsum('quality', 'sum_quality')}
+FROM pred
+WHERE quality >= 0.5
+GROUP BY pred_lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings table)
 # ---------------------------------------------------------------------------
@@ -1376,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
         # similarity suite
         "sim_cosine_topk": sim_cosine_topk,
         "emb_near_dup": emb_near_dup,
@@ -1431,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _LANGID_SQL,
+        "pipeline_clean_corpus": _PIPELINE_SQL,
         "sim_cosine_topk": _COSINE_TOPK_SQL,
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
         "emb_near_dup_lsh": _EMB_LSH_SQL,
