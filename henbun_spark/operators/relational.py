@@ -112,6 +112,34 @@ def top_k_per_group(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: left rows get a random salt in [0, n_salts);
+    right rows are replicated across ALL salts; the join keys on
+    (key, salt). A hot key's rows thus spread over n_salts reducer
+    partitions instead of landing on one straggler task — the classic
+    salting pattern for when AQE's skew-join split isn't available or the
+    skew is in a single key group.
+
+    Cost: right side is replicated n_salts x — use with a moderate-size
+    right side (if right is broadcast-small, just broadcast; if both are
+    huge and skewed, pre-aggregate or split hot keys instead).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lsalted = left.withColumn(
+        "__salt", (F.rand(seed=0) * n_salts).cast("int")
+    )
+    rsalted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return lsalted.join(rsalted, on=[*keys, "__salt"], how=how).drop("__salt")
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,
