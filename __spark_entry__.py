@@ -907,7 +907,10 @@ WHERE {_cos_sql('a.v', 'b.v')} >= 0.2
 # literals -> parsed as DOUBLE, same fold order) so candidates and the
 # cosine refine are bit-identical engine-to-engine — the same pattern that
 # makes simhash_near_pairs hash-exact.
-_EMB_LSH_BANDS, _EMB_LSH_NPLANES, _EMB_LSH_SEED, _EMB_LSH_DIM = 3, 4, 7, 64
+# n_planes=5 -> 32 buckets/band: measured 2x faster than 4 planes at
+# sf0.1 (candidate volume ~ n^2 / 2^planes per band) at slightly lower
+# wide-angle recall; near-dup recall at high thresholds is unaffected.
+_EMB_LSH_BANDS, _EMB_LSH_NPLANES, _EMB_LSH_SEED, _EMB_LSH_DIM = 3, 5, 7, 64
 
 
 def emb_near_dup_lsh(spark, sf_dir):
