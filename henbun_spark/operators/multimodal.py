@@ -2,11 +2,18 @@
 columns with typed metadata.
 
 The Spark-side mechanics are real and tested — schema, partition-preserving
-mapInPandas, Arrow batch shapes, metadata propagation. The codec layer
-(PIL/ffmpeg/torchaudio) is NOT in this container, so the decode kernels are
-stubbed: `deterministic_fake_decode` produces seeded-stable features (so
-pipelines are testable end-to-end), and `strict` mode raises
-NotImplementedError exactly where a codec would plug in.
+mapInPandas, Arrow batch shapes, metadata propagation.
+
+Codec status (this container has no PIL/ffmpeg/torchaudio):
+* REAL decoders, pure numpy/struct: uncompressed 24-bit BMP (`decode_bmp`
+  -> pixel array, mean/std features, box-filter resize) and PCM WAV
+  (`decode_wav` -> waveform, RMS / zero-crossing / spectral-centroid
+  features). These exercise genuine byte-level decode inside the
+  mapInPandas kernels.
+* STUBBED: compressed formats (jpeg/png/mp4/...) fall back to
+  `_fake_features` (seeded-stable from the payload digest) so pipelines
+  stay testable end-to-end; `strict=True` raises NotImplementedError
+  exactly where the compressed-codec library would plug in.
 """
 
 from __future__ import annotations
@@ -42,15 +49,25 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def synthesize_media(spark, n: int = 64, kind: str = "image", seed: int = 0) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes) for
-    exercising the plumbing without codecs."""
+    """Deterministic media table with REAL payloads where a pure-numpy
+    codec exists: images are genuine 24-bit BMPs, audio is genuine PCM16
+    WAV (seeded content); video stays a fake payload (no container
+    format is decodable without ffmpeg)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
-        payload = rng.bytes(256)
-        meta = (64, 48, None, None, "fake") if kind == "image" else (
-            None, None, 16000, 1500, "fake"
-        )
+        if kind == "image":
+            pixels = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+            payload = encode_bmp(pixels)
+            meta = (8, 8, None, None, "bmp")
+        elif kind == "audio":
+            t = np.arange(1600) / 16000.0
+            freq = 100.0 + 10.0 * i
+            payload = encode_wav(0.5 * np.sin(2 * np.pi * freq * t), 16000)
+            meta = (None, None, 16000, 100, "wav")
+        else:
+            payload = rng.bytes(256)
+            meta = (None, None, None, 1500, "fake")
         rows.append((i, kind, bytearray(payload), meta))
     # size partitions to the data: a 64-row demo table sliced into
     # local[32]'s default 32 partitions pays 32 Python-worker handshakes
@@ -58,6 +75,128 @@ def synthesize_media(spark, n: int = 64, kind: str = "image", seed: int = 0) -> 
     # read from parquet carry fat partitions already)
     n_parts = max(1, min(8, n // 8))
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(n_parts)
+
+
+# ---------------------------------------------------------------------------
+# real codecs (pure numpy/struct — no external libraries)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (BITMAPINFOHEADER). pixels:
+    [h, w, 3] uint8 RGB."""
+    import struct
+
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        bgr = pixels[y, :, ::-1].tobytes()
+        rows.append(bgr + b"\x00" * (row_size - w * 3))
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP to [h, w, 3] uint8 RGB."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, offset=data_offset,
+                        count=row_size * h).reshape(h, row_size)
+    pix = raw[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return pix[::-1] if bottom_up else pix
+
+
+def resize_box(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Integer box-filter downsample (real pixel resample, no PIL): mean
+    over each target cell. Requires h % out_h == 0 and w % out_w == 0."""
+    h, w, c = pixels.shape
+    if h % out_h or w % out_w:
+        raise ValueError(f"({h},{w}) not divisible by ({out_h},{out_w})")
+    return (
+        pixels.reshape(out_h, h // out_h, out_w, w // out_w, c)
+        .mean(axis=(1, 3))
+        .astype(np.float32)
+    )
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal PCM16 mono WAV writer. samples: float in [-1, 1]."""
+    import struct
+
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate,
+                      sample_rate * 2, 2, 16)
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode PCM16 mono WAV -> (float64 waveform in [-1,1], sample_rate)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    sample_rate, bits, channels = None, None, None
+    while pos + 8 <= len(payload):
+        chunk, size = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if chunk == b"fmt ":
+            fmt_tag, channels, sample_rate = struct.unpack_from("<HHI", payload, pos)
+            bits = struct.unpack_from("<H", payload, pos + 14)[0]
+            if fmt_tag != 1:
+                raise ValueError("only PCM WAV supported")
+        elif chunk == b"data":
+            if bits != 16 or channels != 1:
+                raise ValueError("only 16-bit mono supported")
+            pcm = np.frombuffer(payload, dtype="<i2", offset=pos,
+                                count=size // 2)
+            return pcm.astype(np.float64) / 32767.0, int(sample_rate)
+        pos += size + (size & 1)
+    raise ValueError("no data chunk")
+
+
+def audio_features(wave: np.ndarray, sample_rate: int, dim: int) -> np.ndarray:
+    """Real waveform features: [duration, rms, zero-crossing rate,
+    spectral centroid, band energies...] padded/truncated to dim."""
+    n = len(wave)
+    rms = float(np.sqrt(np.mean(wave**2))) if n else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(wave))))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(wave)) if n else np.zeros(1)
+    freqs = np.fft.rfftfreq(max(n, 1), d=1.0 / sample_rate)
+    centroid = float((freqs * spec).sum() / spec.sum()) if spec.sum() > 0 else 0.0
+    n_bands = max(dim - 4, 1)
+    bands = np.array_split(spec, n_bands)
+    band_e = np.array([float(np.sqrt(np.mean(b**2))) if len(b) else 0.0 for b in bands])
+    feats = np.concatenate([[n / sample_rate, rms, zcr, centroid], band_e])
+    return feats[:dim].astype(np.float32)
+
+
+def image_features(pixels: np.ndarray, dim: int) -> np.ndarray:
+    """Real pixel features: per-channel mean/std + flattened 2x2 box
+    downsample, padded/truncated to dim."""
+    mean = pixels.mean(axis=(0, 1)) / 255.0
+    std = pixels.std(axis=(0, 1)) / 255.0
+    h, w, _ = pixels.shape
+    small = resize_box(pixels, 2, 2).ravel() / 255.0 if (h % 2 == 0 and w % 2 == 0) else np.zeros(12)
+    feats = np.concatenate([mean, std, small])
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, feats.size)] = feats[:dim]
+    return out
 
 
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
@@ -73,9 +212,9 @@ def decode_and_featurize(
 ) -> DataFrame:
     """mapInPandas decode -> feature pipeline.
 
-    Real pieces: Arrow batching, schema (media_id, kind, feature array,
-    n_bytes), partition preservation. Stub piece: the decode itself —
-    `strict=True` raises NotImplementedError where PIL/ffmpeg would go.
+    REAL for bmp/wav payloads (byte-level decode + numpy features);
+    compressed formats fall back to the seeded fake, or raise under
+    `strict=True` where the codec library would plug in.
     """
     out_schema = (
         "media_id long, kind string, n_bytes int, feature array<float>"
@@ -83,20 +222,28 @@ def decode_and_featurize(
 
     def fn(batches):
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "codec layer (PIL/ffmpeg) not available in this runtime; "
-                    "plug real decode here"
-                )
-            feats = [
-                _fake_features(bytes(p) if p is not None else b"", dim)
-                for p in pdf["payload"]
-            ]
+            feats, nbytes = [], []
+            for p, meta in zip(pdf["payload"], pdf["meta"]):
+                b = bytes(p) if p is not None else b""
+                fmt = (meta or {}).get("format")
+                if fmt == "bmp":
+                    feats.append(image_features(decode_bmp(b), dim))
+                elif fmt == "wav":
+                    wave, sr = decode_wav(b)
+                    feats.append(audio_features(wave, sr, dim))
+                elif strict:
+                    raise NotImplementedError(
+                        f"no pure-python codec for format {fmt!r}; plug "
+                        "PIL/ffmpeg here"
+                    )
+                else:
+                    feats.append(_fake_features(b, dim))
+                nbytes.append(len(b))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(bytes(p)) if p is not None else 0 for p in pdf["payload"]],
+                    "n_bytes": nbytes,
                     "feature": [f.tolist() for f in feats],
                 }
             )
