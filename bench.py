@@ -41,6 +41,7 @@ HEADLINE = [
     "text_stats",
     "text_quality",
     "text_langid",
+    "pipeline_clean_corpus",
     "sim_cosine_topk",
     "emb_near_dup_lsh",
     "asof_next_purchase",
