@@ -1397,7 +1397,9 @@ def ann_topk_lsh(spark, sf_dir):
 
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return similarity.ann_topk(emb, queries, k=3, n_planes=4, seed=42)
+    return similarity.ann_topk(
+        emb, queries, k=3, n_planes=4, seed=42, dim=64, probe_hamming=1
+    )
 
 
 # ---------------------------------------------------------------------------
