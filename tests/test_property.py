@@ -1,0 +1,71 @@
+"""Property-based checks (hypothesis) over the math core: transform
+bijectivity, autodiff-vs-finite-difference gradients, and triangular
+packing round-trips — the fuzzing layer on top of the example-based suite
+(SURVEY §5's scipy-parity pillar, generalized)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from henbun_spark import autodiff as ad
+from henbun_spark import transforms
+from henbun_spark.utils import lgamma as np_lgamma
+from henbun_spark.utils import tri_to_vec, vec_to_tri
+
+finite_floats = st.floats(
+    min_value=-20.0, max_value=20.0, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(finite_floats, min_size=1, max_size=16))
+def test_transform_roundtrip_property(xs):
+    x = np.asarray(xs, dtype=np.float64)
+    for t in (transforms.Exp(), transforms.Log1pe(), transforms.Logistic(-3.0, 5.0)):
+        y = t.forward(x)
+        np.testing.assert_allclose(t.backward(y), x, atol=1e-6, rtol=1e-6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(min_value=-3.0, max_value=3.0, allow_nan=False),
+                min_size=2, max_size=8))
+def test_autodiff_gradient_matches_finite_difference(xs):
+    x = np.asarray(xs, dtype=np.float64)
+
+    def f(v):
+        t = ad.Tensor(v, requires_grad=True)
+        out = ad.sum(ad.exp(-ad.square(t)) + ad.softplus(t) * ad.sigmoid(t))
+        return t, out
+
+    t, out = f(x)
+    out.backward()
+    grad = t.grad.copy()
+    eps = 1e-6
+    for i in range(len(x)):
+        xp, xm = x.copy(), x.copy()
+        xp[i] += eps
+        xm[i] -= eps
+        num = (float(f(xp)[1].data) - float(f(xm)[1].data)) / (2 * eps)
+        np.testing.assert_allclose(grad[i], num, atol=1e-5, rtol=1e-4)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=1, max_value=8), st.integers(min_value=1, max_value=4),
+       st.integers(min_value=0, max_value=2**31))
+def test_vec_to_tri_roundtrip_property(n, d, seed):
+    m = n * (n + 1) // 2
+    x = np.random.default_rng(seed).standard_normal((d, m))
+    tri = vec_to_tri(x)
+    assert tri.shape == (d, n, n)
+    # strictly upper part is zero
+    for k in range(d):
+        np.testing.assert_array_equal(np.triu(tri[k], k=1), 0.0)
+    np.testing.assert_array_equal(tri_to_vec(tri), x)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.floats(min_value=0.05, max_value=170.0, allow_nan=False))
+def test_lgamma_recurrence_property(x):
+    # Gamma(x+1) = x * Gamma(x)  =>  lgamma(x+1) - lgamma(x) = log(x)
+    lhs = np_lgamma(x + 1.0) - np_lgamma(x)
+    np.testing.assert_allclose(lhs, np.log(x), rtol=1e-9, atol=1e-9)
