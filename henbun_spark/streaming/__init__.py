@@ -51,6 +51,35 @@ def windowed_counts(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "interval 0 seconds",
+    upper: str = "interval 10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: left row matches right rows
+    with the same key whose timestamp falls in
+    [left_ts - upper... actually right_ts in [left_ts - upper, left_ts - lower]]
+    — i.e. right events that happened up to `upper` BEFORE the left event.
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so each side's buffered state is bounded by
+    watermark + interval width — the only way a stream-stream join is
+    feasible at scale (an unbounded-time join would buffer everything).
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - {upper}"))
+        & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} - {lower}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def dedup_stream(
     stream: DataFrame,
     keys: list[str],

@@ -127,3 +127,60 @@ def test_dedup_stream_bounded_state(spark, event_files, tmp_path):
     n_in = ev.count()
     assert got.count() == n_in
     assert got.select("event_id").distinct().count() == n_in
+
+
+def test_interval_join_streams_equals_batch(spark, event_files, tmp_path):
+    """Stream-stream interval join (clicks matched to purchases from the
+    preceding 10 minutes, same user) drained with availableNow == the
+    equivalent batch range join."""
+    base, schema, ev = event_files
+    clicks = streaming.read_stream_parquet(spark, base + "/in", schema).where(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts", F.col("event_id").alias("click_id"))
+    purchases = streaming.read_stream_parquet(spark, base + "/in", schema).where(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    joined = streaming.interval_join_streams(
+        clicks.withColumnRenamed("user_id", "l_user"),
+        purchases.withColumnRenamed("p_user_id", "l_user"),
+        on="l_user", left_ts="ts", right_ts="p_ts",
+        upper="interval 10 minutes", watermark="2 hours",
+    ).select("click_id", "purchase_id")
+    streaming.run_available_now(
+        joined, str(tmp_path / "ckpt_ij"), str(tmp_path / "out_ij")
+    )
+    got = (
+        spark.read.parquet(str(tmp_path / "out_ij"))
+        .orderBy("click_id", "purchase_id")
+        .toPandas()
+    )
+
+    bc = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    bp = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    exp = (
+        bc.join(
+            bp,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.expr("ts - interval 10 minutes"))
+            & (F.col("p_ts") <= F.col("ts")),
+        )
+        .select("click_id", "purchase_id")
+        .orderBy("click_id", "purchase_id")
+        .toPandas()
+    )
+    assert len(got) == len(exp) and len(got) > 0
+    np.testing.assert_array_equal(
+        got["click_id"].to_numpy(), exp["click_id"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        got["purchase_id"].to_numpy(), exp["purchase_id"].to_numpy()
+    )
