@@ -784,6 +784,65 @@ SELECT pred_lang, COUNT(*) AS n_docs FROM p GROUP BY pred_lang
 """
 
 
+def _md5_prefix_sql(expr: str, salt: str, ndigits: int = 6) -> str:
+    """First `ndigits` hex chars of md5(salt|expr) as an integer — DuckDB
+    twin of sampling._hash_bucket's conv(substring(md5, 1, n), 16, 10)."""
+    h = f"md5('{salt}' || '|' || CAST({expr} AS VARCHAR))"
+    terms = [
+        f"(instr('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) * {16 ** (ndigits - 1 - j)}"
+        for j in range(ndigits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def train_test_split_hash(spark, sf_dir):
+    """Deterministic hash split of documents (the distributed Indexer,
+    model.py:126-143): membership is a pure function of doc_id, stable
+    under repartitioning/retries — audit-grade splits at 100 TB."""
+    from henbun_spark.operators import sampling
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        sampling.hash_split(docs, "doc_id", test_pct=10)
+        .groupBy("is_test")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+_TRAIN_TEST_SQL = f"""
+SELECT ({_md5_prefix_sql('doc_id', 'split')} % 100) < 10 AS is_test,
+  COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents
+GROUP BY 1
+"""
+
+
+def sample_per_group(spark, sf_dir):
+    """Deterministic k-per-group sample of events by md5 order — every
+    run/engine picks identical rows (no RNG, one shuffle)."""
+    from henbun_spark.operators import sampling
+
+    ev = _load(spark, sf_dir, "events")
+    return sampling.deterministic_sample_per_group(
+        ev, ["event_type"], "event_id", k=5
+    ).select("event_type", "event_id")
+
+
+_SAMPLE_GROUP_SQL = """
+SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY md5('sample' || '|' || CAST(event_id AS VARCHAR)),
+                                event_id) AS rn
+  FROM events)
+WHERE rn <= 5
+"""
+
+
 def pipeline_clean_corpus(spark, sf_dir):
     """End-to-end training-data prep composition — the thing this engine
     exists for: exact dedup (keep min id per text) -> quality score ->
@@ -1443,6 +1502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_langid": text_langid,
         "pipeline_clean_corpus": pipeline_clean_corpus,
+        "train_test_split_hash": train_test_split_hash,
+        "sample_per_group": sample_per_group,
         # similarity suite
         "sim_cosine_topk": sim_cosine_topk,
         "emb_near_dup": emb_near_dup,
@@ -1499,6 +1560,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _LANGID_SQL,
         "pipeline_clean_corpus": _PIPELINE_SQL,
+        "train_test_split_hash": _TRAIN_TEST_SQL,
+        "sample_per_group": _SAMPLE_GROUP_SQL,
         "sim_cosine_topk": _COSINE_TOPK_SQL,
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
         "emb_near_dup_lsh": _EMB_LSH_SQL,

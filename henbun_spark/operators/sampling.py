@@ -1,0 +1,68 @@
+"""Sampling operators for training-data pipelines: deterministic
+hash-based train/test split, per-group deterministic sampling, and
+stratified random sampling.
+
+The hash-based variants are pure Column md5 arithmetic — reproducible
+across runs, engines, and cluster sizes (no RNG state, no partition
+dependence), which is what a 100 TB pipeline needs for an auditable
+split. This is the distributed answer to the reference's driver-side
+`Indexer` 90/10 split (`/root/reference/Henbun/model.py:126-143`): the
+reference draws random index permutations on one node; here membership
+is a pure function of the row id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_bucket(col, salt: str, buckets: int = 100):
+    """Deterministic bucket in [0, buckets): first 6 hex chars of
+    md5(salt | value) as an integer, mod buckets. Portable to any engine
+    with md5 + substring (the DuckDB oracle mirrors it with nibble
+    arithmetic)."""
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), col.cast("string")))
+    return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % buckets
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    test_pct: int = 10,
+    salt: str = "split",
+    out: str = "is_test",
+) -> DataFrame:
+    """Deterministic train/test split: a row is test iff its id's hash
+    bucket < test_pct. Stable under repartitioning, retries, and data
+    growth (new ids land in either side at the same rate)."""
+    return df.withColumn(out, _hash_bucket(F.col(id_col), salt) < test_pct)
+
+
+def deterministic_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+    salt: str = "sample",
+) -> DataFrame:
+    """Exactly k rows per group, chosen by md5 order — a deterministic
+    'reservoir': every run, engine, and cluster size picks the same rows.
+    One shuffle (the group window); no RNG."""
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 0
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (`df.sampleBy`): classic class
+    rebalancing. Random (partition-order dependent) — use the hash-based
+    variants when reproducibility across runs matters more than exact
+    randomness."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
