@@ -7,4 +7,11 @@ broadcast joins for small sides, inverted-index / LSH bucket joins instead
 of cross products, and explicit skew guards.
 """
 
-from henbun_spark.operators import dedup, multimodal, relational, similarity, text
+from henbun_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    sampling,
+    similarity,
+    text,
+)
