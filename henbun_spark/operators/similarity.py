@@ -6,6 +6,11 @@
 * `ann_topk` — sign-random-projection LSH: deterministic hyperplanes
   (seeded), bucket join, rank within bucket. The 100 TB path: candidate
   set per query is one bucket (+ optional multi-probe), never the corpus.
+* `ivf_topk` — inverted-file index: k-means coarse quantizer (trained on
+  a driver-side sample — centroids are small), corpus partitioned by
+  nearest centroid, queries probe the `nprobe` nearest cells. Candidate
+  volume ~ nprobe/k of the corpus regardless of dimensionality — the
+  standard alternative when LSH buckets split true neighbors.
 """
 
 from __future__ import annotations
@@ -135,6 +140,108 @@ def ann_topk(
         )
     scored = (
         c.join(F.broadcast(q), on="bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 10, seed: int = 0) -> np.ndarray:
+    """Tiny numpy k-means (cosine-normalized spherical variant) for the
+    IVF coarse quantizer. Runs on a driver-side SAMPLE — centroids are
+    k x dim, small regardless of corpus size."""
+    rng = np.random.default_rng(seed)
+    unit = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    centroids = unit[rng.choice(len(unit), size=k, replace=False)]
+    for _ in range(iters):
+        sims = unit @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            members = unit[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / max(np.linalg.norm(v), 1e-12)
+    return centroids
+
+
+def _nearest_centroid_col(vec_col, centroids: np.ndarray, top: int = 1):
+    """Column expr: index (or array of indices) of the nearest centroid(s)
+    by dot product on the L2-normalized vector. Centroid coefficients are
+    plan-time literals (same pattern as lsh_bucket)."""
+    vec = vec_col
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v)
+    )
+    dots = []
+    for c in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: a * b), F.lit(0.0), lambda a, v: a + v
+        )
+        dots.append(d / F.greatest(norm, F.lit(1e-12)))
+    scored = F.array(*[
+        F.struct(d.alias("dot"), F.lit(i).alias("idx")) for i, d in enumerate(dots)
+    ])
+    ranked = F.reverse(F.array_sort(scored))
+    if top == 1:
+        return ranked[0]["idx"]
+    return F.slice(F.transform(ranked, lambda s: s["idx"]), 1, top)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    train_sample: int = 2000,
+    seed: int = 0,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows keyed by nearest-centroid cell,
+    queries exploded over their `nprobe` nearest cells, equi-join on cell,
+    exact cosine + window rank within candidates.
+
+    Scale shape: the quantizer trains on a bounded driver sample (k-means
+    over <= train_sample rows); assignment is pure Column math with
+    centroid literals; the join is hash-keyed on cell id — candidates per
+    query are ~nprobe/n_cells of the corpus, never all of it.
+    """
+    sample_rows = (
+        corpus.select(F.col(emb_col).cast("array<double>").alias("v"))
+        .limit(train_sample)
+        .toPandas()["v"]
+    )
+    centroids = _kmeans_fit(
+        np.stack(sample_rows.to_numpy()), k=n_cells, seed=seed
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).cast("array<double>").alias("cvec"),
+    )
+    c = c.withColumn("cell", _nearest_centroid_col(F.col("cvec"), centroids))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).cast("array<double>").alias("qvec"),
+    )
+    q = q.withColumn(
+        "cell",
+        F.explode(_nearest_centroid_col(F.col("qvec"), centroids, top=nprobe)),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
