@@ -1461,6 +1461,20 @@ def ann_topk_lsh(spark, sf_dir):
     )
 
 
+def ann_topk_ivf(spark, sf_dir):
+    """Approximate NN via an IVF index: k-means coarse quantizer (driver
+    sample), cell-keyed equi-join, exact cosine refine within nprobe cells.
+    Rows-only check: candidate sets depend on the trained centroids, so
+    recall vs the exact oracle is asserted in tests, not here."""
+    from henbun_spark.operators import similarity
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk(
+        emb, queries, k=3, n_cells=8, nprobe=2, train_sample=2000, seed=42
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1528,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": streaming_windowed_counts,
         "multimodal_features": multimodal_features,
         "ann_topk_lsh": ann_topk_lsh,
+        "ann_topk_ivf": ann_topk_ivf,
     }
 
 
