@@ -19,13 +19,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from henbun_spark.operators._parallel import ensure_parallelism
+
 
 def char_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
     """Distinct character n-grams per document: (id, shingle) long table.
 
     substring semantics are shared by Spark and DuckDB (1-based, truncating
     at the string end), keeping oracles exact.
+
+    The explode multiplies each doc into ~|text| rows, so the input is
+    widened to cluster parallelism first (no-op on already-wide scans).
     """
+    df = ensure_parallelism(df.select(id_col, text_col))
     seq = F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)) - (n - 1), F.lit(1)))
     grams = F.transform(seq, lambda i: F.col(text_col).substr(i, F.lit(n)))
     return (
@@ -210,6 +216,7 @@ def simhash(
     fingerprint = sum of set bits << j. Pure Column arithmetic -> the
     whole computation is one explode + one groupBy (map-side combinable).
     """
+    df = ensure_parallelism(df.select(id_col, text_col))
     toks = df.select(
         F.col(id_col),
         F.explode(
@@ -315,8 +322,8 @@ def embedding_near_dup_lsh(
 
     from henbun_spark.operators.similarity import lsh_bucket
 
-    e = df.select(
-        F.col(id_col), F.col(emb_col).cast("array<double>").alias("vec")
+    e = ensure_parallelism(
+        df.select(F.col(id_col), F.col(emb_col).cast("array<double>").alias("vec"))
     )
     if dim is None:
         dim = len(df.select(emb_col).first()[0])
@@ -355,8 +362,8 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (brute force O(n^2) — correct
     baseline; see `embedding_near_dup_lsh` for the LSH-bucketed
     scale path)."""
-    e = df.select(
-        F.col(id_col), F.col(emb_col).cast("array<double>").alias("vec")
+    e = ensure_parallelism(
+        df.select(F.col(id_col), F.col(emb_col).cast("array<double>").alias("vec"))
     )
     a = e.alias("a")
     b = e.alias("b")

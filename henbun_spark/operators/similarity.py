@@ -19,6 +19,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from henbun_spark.operators._parallel import ensure_parallelism
 from henbun_spark.operators.dedup import cosine
 
 
@@ -35,9 +36,11 @@ def cosine_topk(
     -> window rank. One shuffle (by query_id for the rank), corpus scanned
     once regardless of |queries|.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(emb_col).cast("array<double>").alias("cvec"),
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(emb_col).cast("array<double>").alias("cvec"),
+        )
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -114,9 +117,11 @@ def ann_topk(
         for flip in combinations(range(n_planes), h):
             masks.append(sum(1 << j for j in flip))
     c = lsh_bucket(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(emb_col).cast("array<double>").alias("cvec"),
+        ensure_parallelism(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(emb_col).cast("array<double>").alias("cvec"),
+            )
         ),
         "cvec",
         planes,
@@ -227,9 +232,11 @@ def ivf_topk(
     centroids = _kmeans_fit(
         np.stack(sample_rows.to_numpy()), k=n_cells, seed=seed
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(emb_col).cast("array<double>").alias("cvec"),
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(emb_col).cast("array<double>").alias("cvec"),
+        )
     )
     c = c.withColumn("cell", _nearest_centroid_col(F.col("cvec"), centroids))
     q = queries.select(

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from henbun_spark.operators._parallel import ensure_parallelism
+
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 
 # marker-token vocabularies for the n-gram/lexicon language-ID heuristic
@@ -32,6 +34,7 @@ def _tokens(text_col: str):
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count, distinct-token count, mean token length —
     the cheap token-budget estimator for corpus sizing."""
+    df = ensure_parallelism(df)
     toks = _tokens(text_col)
     return df.withColumns(
         {
@@ -60,6 +63,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     + 0.3 * (1 - punct_ratio)          (punct chars per char)
     + 0.3 * stopword_score (stopword fraction of tokens, capped at 0.5, x2)
     """
+    df = ensure_parallelism(df)
     toks = _tokens(text_col)
     n_chars = F.length(F.col(text_col))
     punct = n_chars - F.length(
@@ -83,6 +87,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     occurrences; predicted language = argmax (alphabetical tie-break).
     A real corpus would use char-n-gram profiles; the plan shape (per-row
     Column arithmetic, no shuffle) is identical."""
+    df = ensure_parallelism(df)
     toks = _tokens(text_col)
     scores = {}
     for lang, markers in LANG_MARKERS.items():
@@ -106,6 +111,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint")
     fp = fold(chars, 0, acc*31 + ascii(c) mod p). A compact content
     fingerprint for exact/near-exact dedup joins; exact DuckDB oracle via
     list_reduce."""
+    df = ensure_parallelism(df)
     chars = F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)), F.lit(1)))
     fp = F.aggregate(
         chars,

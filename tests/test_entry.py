@@ -15,6 +15,7 @@ ROWS_ONLY = {
     "streaming_windowed_counts",
     "multimodal_features",
     "ann_topk_lsh",
+    "ann_topk_ivf",
 }
 
 
