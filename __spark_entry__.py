@@ -784,6 +784,70 @@ SELECT pred_lang, COUNT(*) AS n_docs FROM p GROUP BY pred_lang
 """
 
 
+def text_tfidf(spark, sf_dir):
+    """Top-3 characteristic terms per document by smoothed TF-IDF.
+    Vocabulary/doc-frequency stats + per-doc window rank — the standard
+    keyword-extraction pass of a corpus pipeline."""
+    from henbun_spark.operators import text
+
+    docs = _load(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df_t FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+    ROUND(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfreq.df_t + 1)::DOUBLE) + 1.0), 6)
+      AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)
+         AS INT) AS rank
+  FROM scored)
+SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def text_repetition(spark, sf_dir):
+    """Intra-document repetition (duplicate/top token-bigram fractions) —
+    the Gopher-style boilerplate-detection filter."""
+    from henbun_spark.operators import text
+
+    docs = _load(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, "text", "doc_id")
+
+
+_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+    unnest(list_filter(
+      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]),
+      g -> g IS NOT NULL)) AS bigram
+  FROM t),
+per AS (
+  SELECT doc_id, bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY doc_id, bigram)
+SELECT doc_id,
+  CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+  count(*)::BIGINT AS n_distinct_bigrams,
+  ROUND(1.0 - count(*)::DOUBLE / CAST(sum(cnt) AS DOUBLE), 6) AS dup_bigram_frac,
+  ROUND(max(cnt)::DOUBLE / CAST(sum(cnt) AS DOUBLE), 6) AS top_bigram_frac
+FROM per GROUP BY doc_id
+"""
+
+
 def _md5_prefix_sql(expr: str, salt: str, ndigits: int = 6) -> str:
     """First `ndigits` hex chars of md5(salt|expr) as an integer — DuckDB
     twin of sampling._hash_bucket's conv(substring(md5, 1, n), 16, 10)."""
@@ -1515,6 +1579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,
+        "text_tfidf": text_tfidf,
+        "text_repetition": text_repetition,
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "train_test_split_hash": train_test_split_hash,
         "sample_per_group": sample_per_group,
@@ -1574,6 +1640,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _LANGID_SQL,
+        "text_tfidf": _TFIDF_SQL,
+        "text_repetition": _REPETITION_SQL,
         "pipeline_clean_corpus": _PIPELINE_SQL,
         "train_test_split_hash": _TRAIN_TEST_SQL,
         "sample_per_group": _SAMPLE_GROUP_SQL,

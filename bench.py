@@ -41,6 +41,8 @@ HEADLINE = [
     "text_stats",
     "text_quality",
     "text_langid",
+    "text_tfidf",
+    "text_repetition",
     "pipeline_clean_corpus",
     "sim_cosine_topk",
     "emb_near_dup_lsh",

@@ -8,7 +8,7 @@ DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from henbun_spark.operators._parallel import ensure_parallelism
@@ -104,6 +104,86 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         cond = F.col(f"score_{la}") == best
         pred = F.when(cond, F.lit(la)) if pred is None else pred.when(cond, F.lit(la))
     return out.withColumn("pred_lang", pred)
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, sklearn's smooth_idf), deterministic
+    (score desc, term asc) tie-break.
+
+    Plan shape for 100 TB: token explode -> (doc, term) partial-agg
+    groupBy (map-side combinable) -> vocabulary-sized doc-frequency agg
+    (small; AQE broadcasts it back) -> per-doc window rank. The corpus
+    count N rides along as a broadcast 1-row cross join — no driver
+    action, the whole plan stays lazy.
+    """
+    base = ensure_parallelism(df.select(id_col, text_col))
+    toks = base.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    ndocs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition signals over token bigrams (the
+    Gopher-style boilerplate filter): per doc, the fraction of bigram
+    occurrences that are repeats (1 - distinct/total) and the share of
+    the single most frequent bigram.
+
+    Docs with fewer than 2 tokens yield no bigrams and drop out (no
+    repetition evidence). One explode + two keyed aggregations, both
+    partial-aggregatable; no joins.
+    """
+    base = ensure_parallelism(df.select(id_col, text_col))
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat(
+            F.try_element_at(toks, i), F.lit(" "), F.try_element_at(toks, i + F.lit(1))
+        ),
+    )
+    bg = base.select(
+        F.col(id_col),
+        F.explode(F.filter(grams, lambda g: g.isNotNull())).alias("bigram"),
+    )
+    per = bg.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    return per.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("cnt").cast("double"),
+            6,
+        ).alias("dup_bigram_frac"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
