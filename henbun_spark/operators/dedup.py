@@ -56,6 +56,66 @@ def exact_dup_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def intra_bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    payload_col: str | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """All ordered pairs (id_a < id_b) of rows sharing a bucket key —
+    the candidate-generation core shared by every LSH/inverted-index
+    operator here.
+
+    Built as groupBy(bucket) + collect_list + pair explode instead of a
+    bucket self-join: the (expensive) bucketed input is computed and
+    shuffled ONCE — a self-join evaluates it once per side, and no
+    exchange reuse applies when one side becomes a broadcast build.
+    Output volume (sum of k^2 over buckets) is identical to the join's;
+    `max_bucket` — the skew guard bounding that k^2 blow-up — becomes a
+    free `size(items) <= cap` filter instead of an extra aggregation +
+    semi-join pass over the input.
+
+    WHEN TO USE: high-cardinality buckets with small membership (minhash
+    values, shingles) — pair generation parallelizes across buckets.
+    For a FEW LARGE buckets (e.g. simhash's (k+1) x 2^block_bits key
+    space) this shape is wrong: each bucket materializes its whole k^2
+    pair array in one row, AQE coalesces the tiny-bytes bucket table to
+    ~1 task, and the quadratic explode runs serially — measured 2-20x
+    slower than the bucket self-join, which parallelizes across join
+    output instead. Those operators keep the self-join.
+
+    Output: bucket_cols + (id_a, id_b) [+ payload_a/payload_b]. Pairs
+    are unique per bucket; a pair sharing several buckets appears once
+    per bucket (dedup/count downstream, caller's choice).
+    """
+    if payload_col is not None:
+        item = F.struct(F.col(id_col).alias("i"), F.col(payload_col).alias("p"))
+    else:
+        item = F.struct(F.col(id_col).alias("i"))
+    g = df.groupBy(*bucket_cols).agg(F.array_sort(F.collect_list(item)).alias("items"))
+    if max_bucket is not None:
+        g = g.where(F.size("items") <= max_bucket)
+    n = F.size(F.col("items"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + F.lit(2), n),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    out = g.select(*bucket_cols, F.explode(pairs).alias("pr"))
+    cols = [F.col("pr.a.i").alias("id_a"), F.col("pr.b.i").alias("id_b")]
+    if payload_col is not None:
+        cols += [
+            F.col("pr.a.p").alias(f"{payload_col}_a"),
+            F.col("pr.b.p").alias(f"{payload_col}_b"),
+        ]
+    return out.select(*bucket_cols, *cols)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 5, bands: int = 8
 ) -> DataFrame:
@@ -87,50 +147,22 @@ def minhash_lsh_pairs(
     bands: int = 8,
     min_bands: int = 1,
     max_bucket: int | None = None,
-    cache: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing the min-hash in at
-    least `min_bands` bands. The join is keyed on (band, mh) — an LSH
-    bucket join whose fan-out is bounded by bucket sizes, not n^2.
+    least `min_bands` bands. Candidates come from `intra_bucket_pairs`
+    keyed on (band, mh) — the shingle+md5+min signature pipeline runs
+    exactly once, and fan-out is bounded by bucket sizes, not n^2.
 
     `max_bucket` is the skew guard for 100 TB runs: a duplicate GROUP of
     k docs puts all k in the same bucket in every band, yielding k^2
-    pairs per band. Capping drops buckets larger than `max_bucket` before
-    the self-join (exact duplicates should be removed by `exact_dedup`
-    first — the cheap groupBy — so near-dup banding never re-discovers
-    them; near-dup buckets stay small). None = exact (oracle) mode.
-
-    `cache` persists the signature table (MEMORY_AND_DISK) so the
-    shingle+md5+min pipeline runs once instead of once per self-join
-    side. Default OFF: measured on the documents bench it only wins when
-    the cache fits comfortably (isolated runs); under storage-memory
-    pressure from other cached tables it thrashes and loses badly. Turn
-    on for interactive reuse; caller owns eviction
-    (`spark.catalog.clearCache()`).
+    pairs per band. Capping drops buckets larger than `max_bucket`
+    (exact duplicates should be removed by `exact_dedup` first — the
+    cheap groupBy — so near-dup banding never re-discovers them;
+    near-dup buckets stay small). None = exact (oracle) mode.
     """
     sig = minhash_signatures(df, text_col, id_col, n, bands)
-    if cache:
-        from pyspark import StorageLevel
-
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    if max_bucket is not None:
-        small = (
-            sig.groupBy("band", "mh")
-            .agg(F.count(F.lit(1)).alias("bsz"))
-            .where(F.col("bsz") <= max_bucket)
-            .select("band", "mh")
-        )
-        sig = sig.join(small, on=["band", "mh"], how="left_semi")
-    a = sig.alias("a")
-    b = sig.alias("b")
-    matched = (
-        a.join(b, on=["band", "mh"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("band"),
-        )
+    matched = intra_bucket_pairs(
+        sig, ["band", "mh"], id_col, max_bucket=max_bucket
     )
     return (
         matched.groupBy("id_a", "id_b")
@@ -146,46 +178,36 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     max_df: int | None = None,
-    cache: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
 
-    Inverted-index self-join: |A ∩ B| counted by joining on shingle,
-    |A ∪ B| = |A| + |B| - |A ∩ B|. `max_df` (document frequency cap)
-    is the skew guard for 100 TB runs; leave None for oracle-exact runs.
-
-    `cache` persists the (filtered) shingle table, which this plan
-    otherwise recomputes three times (both self-join sides + the size
-    table). Default OFF — wins only when the exploded shingle table fits
-    in storage memory (isolated interactive runs); at corpus scale or
-    alongside other cached tables, recomputing the scan-side explode is
-    cheaper than spilling a multiple-of-corpus-size cache. Caller owns
-    eviction."""
+    Inverted index via `intra_bucket_pairs` keyed on shingle: |A ∩ B| =
+    number of shared shingles = count of buckets emitting the pair;
+    |A ∪ B| = |A| + |B| - |A ∩ B|. The shingle explode runs once for the
+    index and once for the per-doc set sizes (two different groupings of
+    the same rows — no third pass, no semi-join). `max_df` (document
+    frequency cap) is the skew guard for 100 TB runs, applied as a free
+    bucket-size filter; when set, per-doc sizes count only kept shingles
+    (derived from the same grouped index), matching the filtered
+    universe on both engines. None = oracle-exact mode.
+    """
     sh = char_shingles(df, text_col, id_col, n)
-    if max_df is not None:
-        rare = (
+    if max_df is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        pairs = intra_bucket_pairs(sh, ["shingle"], id_col)
+    else:
+        kept = (
             sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_cnt"))
-            .where(F.col("df_cnt") <= max_df)
-            .select("shingle")
+            .agg(F.collect_list(F.col(id_col)).alias("ids"))
+            .where(F.size("ids") <= max_df)
         )
-        sh = sh.join(rare, "shingle", "left_semi")
-    if cache:
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("sa")
-    b = sh.alias("sb")
-    common = (
-        a.join(b, on="shingle")
-        .where(F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}"))
-        .groupBy(
-            F.col(f"sa.{id_col}").alias("id_a"),
-            F.col(f"sb.{id_col}").alias("id_b"),
+        sizes = (
+            kept.select(F.explode("ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("sz"))
         )
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+        pairs = intra_bucket_pairs(sh, ["shingle"], id_col, max_bucket=max_df)
+    common = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("common"))
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -244,8 +266,10 @@ def simhash_near_pairs(
     pair within distance k agrees on >= 1 of k+1 blocks).
 
     The blocks are unpivoted to (block_idx, block_val) rows and matched in
-    ONE join keyed on both — one shuffle of (k+1)*n rows instead of k+1
-    separate self-joins (same volume, 1/(k+1) the stage barriers)."""
+    ONE self-join keyed on both — one shuffle of (k+1)*n rows instead of
+    k+1 separate self-joins. The key space is only (k+1) * 2^block_bits
+    buckets with large membership, so the self-join (parallel across join
+    output) beats `intra_bucket_pairs` here — see its docstring."""
     fps = simhash(df, text_col, id_col, bits)
     nblocks = max_hamming + 1
     block_bits = bits // nblocks
@@ -337,6 +361,8 @@ def embedding_near_dup_lsh(
     )
     a = stacked.alias("a")
     b = stacked.alias("b")
+    # bands x 2^n_planes is a small key space with large buckets -> the
+    # self-join parallelizes pair generation; see intra_bucket_pairs.
     cands = (
         a.join(b, on=["band", "bucket"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
