@@ -35,7 +35,9 @@ from henbun_spark import sources
 #  - emb_near_dup: the documented exact O(n^2) baseline; its scale path
 #    is the LSH-bucketed ann_topk_lsh (hash-join, audited separately).
 # Flag it everywhere else.
-BNLJ_OK = {"range_join_quantity", "sim_cosine_topk", "emb_near_dup"}
+#  - text_tfidf: the corpus-count N rides along as a broadcast 1-row
+#    aggregate cross join — bounded by construction.
+BNLJ_OK = {"range_join_quantity", "sim_cosine_topk", "emb_near_dup", "text_tfidf"}
 # These execute work at build time (training loops, streaming drains) —
 # still audited, just slower to appear.
 HARD = ("CartesianProduct", "BatchEvalPython")
