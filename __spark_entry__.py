@@ -1513,6 +1513,66 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+def streaming_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join, drained with availableNow
+    and ORACLE-CHECKED: with an eviction-free watermark over a finite
+    input, the inner interval join's output equals the batch join, so the
+    streaming runtime itself is held to the DuckDB oracle (ts values are
+    exactly microsecond-granular — verified — so interval arithmetic
+    agrees across engines). Production deployments use a tight watermark;
+    state stays bounded by watermark + interval width either way.
+    """
+    import tempfile
+
+    from henbun_spark import streaming
+
+    ev = _load(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="henbun_sjoin_")
+    in_dir = f"{base}/in"
+    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    joined = streaming.interval_join_streams(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="c_ts",
+        right_ts="p_ts",
+        lower="interval 0 seconds",
+        upper="interval 6 hours",
+        watermark="3650 days",
+    )
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"), "click_id", "purchase_id"
+    )
+    out_dir = f"{base}/out"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+_STREAM_IJOIN_SQL = """
+SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'purchase'
+ AND r.ts >= l.ts - INTERVAL 6 HOUR
+ AND r.ts <= l.ts
+"""
+
+
 def ann_topk_lsh(spark, sf_dir):
     """Approximate NN via sign-random-projection LSH buckets (the 100 TB
     path; recall vs the exact oracle is asserted in tests, not here)."""
@@ -1606,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vi_linear_regression": vi_linear_regression,
         "gp_sparse_posterior": gp_sparse_posterior,
         "streaming_windowed_counts": streaming_windowed_counts,
+        "streaming_interval_join": streaming_interval_join,
         "multimodal_features": multimodal_features,
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
@@ -1629,6 +1690,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_next_purchase": _ASOF_FWD_SQL,
         "sessionize_events": _SESSION_SQL,
         "session_window_agg": _SESSION_WINDOW_SQL,
+        "streaming_interval_join": _STREAM_IJOIN_SQL,
         "running_total_user": _RUNNING_SQL,
         "hourly_event_counts": _HOURLY_SQL,
         "range_join_quantity": _RANGE_SQL,
