@@ -1573,6 +1573,71 @@ FROM events l JOIN events r
 """
 
 
+def streaming_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState
+    gap-sessionization) held to the batch SQL oracle: a sentinel event
+    per user, 2 hours after that user's last real event, closes every
+    real session through the data path, so the drained streaming output
+    equals batch sessionization exactly. Only the sentinel's own open
+    session stays in state (never emitted; absent from the oracle too).
+    Hash covers the integer session structure (bounds in µs, event
+    count) — float totals are tested elsewhere (accumulation order is
+    engine-specific)."""
+    import tempfile
+
+    from henbun_spark import streaming
+
+    ev = _load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    sentinels = ev.groupBy("user_id").agg(
+        (F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts")
+    ).select("user_id", "ts", F.lit(0.0).alias("value"))
+    data = ev.unionByName(sentinels)
+    base = tempfile.mkdtemp(prefix="henbun_ssess_")
+    in_dir = f"{base}/in"
+    data.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(data.schema).parquet(in_dir)
+    sess = streaming.sessionize_stream(
+        stream, gap_minutes=30.0, watermark="3650 days"
+    )
+    out = sess.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+    out_dir = f"{base}/out"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+_STREAM_SESS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id,
+  epoch_us(min(ts)) AS session_start_us,
+  epoch_us(max(ts)) AS session_end_us,
+  count(*)::INT AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def ann_topk_lsh(spark, sf_dir):
     """Approximate NN via sign-random-projection LSH buckets (the 100 TB
     path; recall vs the exact oracle is asserted in tests, not here)."""
@@ -1667,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gp_sparse_posterior": gp_sparse_posterior,
         "streaming_windowed_counts": streaming_windowed_counts,
         "streaming_interval_join": streaming_interval_join,
+        "streaming_sessionize": streaming_sessionize,
         "multimodal_features": multimodal_features,
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
@@ -1691,6 +1757,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _SESSION_SQL,
         "session_window_agg": _SESSION_WINDOW_SQL,
         "streaming_interval_join": _STREAM_IJOIN_SQL,
+        "streaming_sessionize": _STREAM_SESS_SQL,
         "running_total_user": _RUNNING_SQL,
         "hourly_event_counts": _HOURLY_SQL,
         "range_join_quantity": _RANGE_SQL,

@@ -149,7 +149,11 @@ def sessionize_stream(
             start, end, n, total = int(ts[0]), int(ts[0]), 0, 0.0
         out = []
         for t, v in zip(ts, vals):
-            if n > 0 and t - end > gap_us:
+            # diff >= gap closes the session — the same boundary rule as
+            # Spark's native F.session_window, so batch and stateful
+            # sessionization agree event-for-event (oracle-checked by the
+            # streaming_sessionize contract query).
+            if n > 0 and t - end >= gap_us:
                 out.append((user, start, end, n, total))
                 start, n, total = int(t), 0, 0.0
             end = int(t)
