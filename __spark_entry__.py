@@ -1460,10 +1460,14 @@ FROM sess GROUP BY user_id, sid
 
 
 def streaming_windowed_counts(spark, sf_dir):
-    """Structured Streaming end-to-end: watermarked tumbling-window
-    aggregation drained with availableNow into a parquet sink (rows-only:
-    the streaming runtime itself is the thing under test; its batch twin
-    `hourly_event_counts` is the oracle-checked plan).
+    """Structured Streaming end-to-end, ORACLE-CHECKED: watermarked
+    tumbling-window aggregation drained with availableNow into a parquet
+    sink. A single sentinel row 4 hours past the last real event pushes
+    the final watermark (delay 2h) beyond every real window's end, so
+    append mode emits ALL real windows; the sentinel's own window stays
+    in state (never emitted; absent from the oracle). Hash covers
+    (window start, key, count) — the decimal-exact value sums are
+    oracle-checked on the identical batch plan (`hourly_event_counts`).
 
     The sink lives in a non-self-deleting scratch dir so the result is
     returned as a LAZY parquet scan — no toPandas()/collect round-trip
@@ -1473,11 +1477,20 @@ def streaming_windowed_counts(spark, sf_dir):
 
     from henbun_spark import streaming
 
-    ev = _load(spark, sf_dir, "events")
+    ev = _load(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value")
+    sentinel = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 4 HOURS")).alias("ts")
+    ).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        "ts",
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    data = ev.unionByName(sentinel)
     base = tempfile.mkdtemp(prefix="henbun_stream_")
     in_dir = f"{base}/in"
-    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
-    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    data.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(data.schema).parquet(in_dir)
     agg = streaming.windowed_counts(
         stream, ts_col="ts", key_col="event_type", window="1 hour",
         watermark="2 hours",
@@ -1486,7 +1499,6 @@ def streaming_windowed_counts(spark, sf_dir):
         (F.unix_timestamp(F.col("window.start")) * 1000).alias("hour_start_ms"),
         "event_type",
         "n",
-        F.round("sum_value", 6).alias("sum_value"),
     )
     out_dir = f"{base}/out"
     q = (
@@ -1499,6 +1511,14 @@ def streaming_windowed_counts(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+_STREAM_WINDOW_SQL = """
+SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS hour_start_ms,
+  event_type, COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
 
 
 def multimodal_features(spark, sf_dir):
@@ -1758,6 +1778,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window_agg": _SESSION_WINDOW_SQL,
         "streaming_interval_join": _STREAM_IJOIN_SQL,
         "streaming_sessionize": _STREAM_SESS_SQL,
+        "streaming_windowed_counts": _STREAM_WINDOW_SQL,
         "running_total_user": _RUNNING_SQL,
         "hourly_event_counts": _HOURLY_SQL,
         "range_join_quantity": _RANGE_SQL,

@@ -12,7 +12,6 @@ from henbun_spark import sources
 ROWS_ONLY = {
     "vi_linear_regression",
     "gp_sparse_posterior",
-    "streaming_windowed_counts",
     "multimodal_features",
     "ann_topk_lsh",
     "ann_topk_ivf",
