@@ -191,6 +191,130 @@ GROUP BY n_name
 """
 
 
+def q4_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join — orders
+    with at least one lineitem shipped >90 days after the order date,
+    counted per priority. The semi-join keeps orders-side columns only
+    (no fact-side fan-out) and the big side never duplicates rows."""
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate pushes
+    to the parquet scan and the single global sum is map-side partial."""
+    li = _load(spark, sf_dir, "lineitem")
+    out = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return out.agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_Q6_SQL = f"""
+SELECT {_sql_dsum('l_extendedprice * l_discount', 'revenue')},
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+  AND l_quantity < 24
+"""
+
+
+def q12_priority_by_status(spark, sf_dir):
+    """TPC-H Q12 shape: fact-to-dim join + conditional (CASE) aggregation
+    — two sums split by a predicate in one pass, no second scan."""
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus")
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional revenue ratio. Both the promo and
+    total sums are decimal-exact (order-independent), so the final ratio
+    is deterministic; one broadcast join, one global aggregate."""
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    part = _load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    joined = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    agg = joined.agg(
+        _dsum(promo, "promo_revenue"), _dsum(rev, "total_revenue")
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )
+
+
+_Q14_SQL = f"""
+WITH agg AS (
+  SELECT
+    {_sql_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 'promo_revenue')},
+    {_sql_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-07-01')
+SELECT promo_revenue, total_revenue,
+  ROUND(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+FROM agg
+"""
+
+
 def rollup_revenue(spark, sf_dir):
     li = _load(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -1699,6 +1823,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_nation_revenue": q5_nation_revenue,
+        "q4_late_shipment_priority": q4_late_shipment_priority,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q12_priority_by_status": q12_priority_by_status,
+        "q14_promo_revenue": q14_promo_revenue,
         "rollup_revenue": rollup_revenue,
         "cube_revenue": cube_revenue,
         "grouping_sets_revenue": grouping_sets_revenue,
@@ -1764,6 +1892,10 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,
+        "q4_late_shipment_priority": _Q4_SQL,
+        "q6_forecast_revenue": _Q6_SQL,
+        "q12_priority_by_status": _Q12_SQL,
+        "q14_promo_revenue": _Q14_SQL,
         "rollup_revenue": _ROLLUP_SQL,
         "cube_revenue": _CUBE_SQL,
         "grouping_sets_revenue": _GROUPING_SETS_SQL,

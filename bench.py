@@ -25,6 +25,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
+    "q4_late_shipment_priority",
+    "q6_forecast_revenue",
+    "q12_priority_by_status",
+    "q14_promo_revenue",
     "rollup_revenue",
     "top_events_per_user",
     "asof_last_purchase",
