@@ -315,6 +315,38 @@ FROM agg
 """
 
 
+def q22_inactive_customers(spark, sf_dir):
+    """TPC-H Q22 shape: NOT EXISTS decorrelated to a LEFT ANTI join —
+    customers with no recent (2001+) order, counted per nation with
+    their balance sum. The anti-join's probe side streams; the date
+    filter prunes the build side before it ships."""
+    cust = _load(spark, sf_dir, "customer")
+    recent = (
+        _load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    inactive = cust.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return inactive.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _dsum(F.col("c_acctbal"), "total_acctbal"),
+    )
+
+
+_Q22_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS n_customers,
+  {_sql_dsum('c_acctbal', 'total_acctbal')}
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_nationkey
+"""
+
+
 def rollup_revenue(spark, sf_dir):
     li = _load(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -1827,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q12_priority_by_status": q12_priority_by_status,
         "q14_promo_revenue": q14_promo_revenue,
+        "q22_inactive_customers": q22_inactive_customers,
         "rollup_revenue": rollup_revenue,
         "cube_revenue": cube_revenue,
         "grouping_sets_revenue": grouping_sets_revenue,
@@ -1896,6 +1929,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": _Q6_SQL,
         "q12_priority_by_status": _Q12_SQL,
         "q14_promo_revenue": _Q14_SQL,
+        "q22_inactive_customers": _Q22_SQL,
         "rollup_revenue": _ROLLUP_SQL,
         "cube_revenue": _CUBE_SQL,
         "grouping_sets_revenue": _GROUPING_SETS_SQL,

@@ -29,6 +29,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q12_priority_by_status",
     "q14_promo_revenue",
+    "q22_inactive_customers",
     "rollup_revenue",
     "top_events_per_user",
     "asof_last_purchase",
