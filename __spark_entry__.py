@@ -1615,6 +1615,48 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def emb_quantize(spark, sf_dir):
+    """Embedding L2-normalize + symmetric int8 quantization, reduced to
+    per-vector scalar checksums so the hash stays array-free: norm,
+    quantizer scale, sum|q| (integer — exact), reconstruction error."""
+    from henbun_spark.operators import similarity
+
+    emb = _load(spark, sf_dir, "embeddings")
+    nq = similarity.normalize_and_quantize(emb, "embedding", "vec_id")
+    return nq.select(
+        "vec_id",
+        F.round("l2_norm", 6).alias("l2_norm"),
+        F.round("scale", 9).alias("scale"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        F.round("recon_err", 6).alias("recon_err"),
+    )
+
+
+_EMB_QUANT_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec
+  FROM embeddings),
+s AS (
+  SELECT vec_id, vec,
+    sqrt(list_reduce(list_transform(vec, x -> x * x), (a, b) -> a + b))
+      AS l2_norm,
+    greatest(list_max(list_transform(vec, x -> abs(x))), 1e-12) / 127.0
+      AS scale
+  FROM v)
+SELECT vec_id,
+  ROUND(l2_norm, 6) AS l2_norm,
+  ROUND(scale, 9) AS scale,
+  CAST(list_sum(list_transform(vec, x -> abs(CAST(round(x / scale, 0) AS INT))))
+       AS BIGINT) AS q_l1,
+  ROUND(sqrt(list_sum(list_transform(vec,
+    x -> (x - CAST(round(x / scale, 0) AS INT) * scale)
+       * (x - CAST(round(x / scale, 0) AS INT) * scale)))), 6) AS recon_err
+FROM s
+"""
+
+
 def streaming_windowed_counts(spark, sf_dir):
     """Structured Streaming end-to-end, ORACLE-CHECKED: watermarked
     tumbling-window aggregation drained with availableNow into a parquet

@@ -65,6 +65,41 @@ def cosine_topk(
     )
 
 
+def normalize_and_quantize(
+    df: DataFrame, emb_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding hygiene for storage/serving: L2 norm, unit-normalized
+    vector, symmetric int8 quantization (scale = max|x| / 127), and the
+    L2 reconstruction error. Pure per-row Column arithmetic — zero
+    shuffle, codegen-friendly, linear in corpus size at any scale.
+
+    Output: id, l2_norm, unit (array<double>), scale, q (array<int>,
+    values in [-127, 127]), recon_err.
+    """
+    df = ensure_parallelism(df)
+    vec = F.col(emb_col).cast("array<double>")
+    l2 = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(vec, lambda x: x / F.greatest(l2, F.lit(1e-12)))
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = F.greatest(amax, F.lit(1e-12)) / F.lit(127.0)
+    q = F.transform(vec, lambda x: F.round(x / scale, 0).cast("int"))
+    err = F.sqrt(
+        F.aggregate(
+            F.zip_with(vec, q, lambda x, qi: (x - qi * scale) * (x - qi * scale)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        l2.alias("l2_norm"),
+        unit.alias("unit"),
+        scale.alias("scale"),
+        q.alias("q"),
+        err.alias("recon_err"),
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
