@@ -44,6 +44,26 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return sources.load_table(spark, sf_dir, name)
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Scratch dir for streaming sinks. The dir must outlive the contract
+    function (the returned DataFrame scans it lazily; the driver collects
+    later), so it can't be a self-deleting TemporaryDirectory — instead
+    all scratch dirs share one per-process root removed at interpreter
+    exit, so repeated invocations don't leak /tmp/henbun_* dirs."""
+    global _SCRATCH_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="henbun_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 def _dsum(col, alias, scale: int = 6):
     """Order-independent exact sum of a double expression (see module doc)."""
     return (
@@ -1671,7 +1691,6 @@ def streaming_windowed_counts(spark, sf_dir):
     returned as a LAZY parquet scan — no toPandas()/collect round-trip
     through the driver; every output row stays executor-side end-to-end.
     """
-    import tempfile
 
     from henbun_spark import streaming
 
@@ -1685,7 +1704,7 @@ def streaming_windowed_counts(spark, sf_dir):
         F.lit(0.0).alias("value"),
     )
     data = ev.unionByName(sentinel)
-    base = tempfile.mkdtemp(prefix="henbun_stream_")
+    base = _scratch_dir("henbun_stream_")
     in_dir = f"{base}/in"
     data.repartition(4).write.mode("overwrite").parquet(in_dir)
     stream = spark.readStream.schema(data.schema).parquet(in_dir)
@@ -1740,12 +1759,11 @@ def streaming_interval_join(spark, sf_dir):
     agrees across engines). Production deployments use a tight watermark;
     state stays bounded by watermark + interval width either way.
     """
-    import tempfile
 
     from henbun_spark import streaming
 
     ev = _load(spark, sf_dir, "events")
-    base = tempfile.mkdtemp(prefix="henbun_sjoin_")
+    base = _scratch_dir("henbun_sjoin_")
     in_dir = f"{base}/in"
     ev.repartition(4).write.mode("overwrite").parquet(in_dir)
     stream = spark.readStream.schema(ev.schema).parquet(in_dir)
@@ -1801,7 +1819,6 @@ def streaming_sessionize(spark, sf_dir):
     Hash covers the integer session structure (bounds in µs, event
     count) — float totals are tested elsewhere (accumulation order is
     engine-specific)."""
-    import tempfile
 
     from henbun_spark import streaming
 
@@ -1810,7 +1827,7 @@ def streaming_sessionize(spark, sf_dir):
         (F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts")
     ).select("user_id", "ts", F.lit(0.0).alias("value"))
     data = ev.unionByName(sentinels)
-    base = tempfile.mkdtemp(prefix="henbun_ssess_")
+    base = _scratch_dir("henbun_ssess_")
     in_dir = f"{base}/in"
     data.repartition(4).write.mode("overwrite").parquet(in_dir)
     stream = spark.readStream.schema(data.schema).parquet(in_dir)

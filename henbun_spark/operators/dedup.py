@@ -71,10 +71,14 @@ def intra_bucket_pairs(
     bucket self-join: the (expensive) bucketed input is computed and
     shuffled ONCE — a self-join evaluates it once per side, and no
     exchange reuse applies when one side becomes a broadcast build.
-    Output volume (sum of k^2 over buckets) is identical to the join's;
-    `max_bucket` — the skew guard bounding that k^2 blow-up — becomes a
-    free `size(items) <= cap` filter instead of an extra aggregation +
-    semi-join pass over the input.
+    Output volume (sum of k^2 over buckets) is identical to the join's.
+    `max_bucket` — the skew guard bounding that k^2 blow-up — is applied
+    BEFORE collect_list as a map-side-combinable count + left-semi join:
+    an ultra-frequent bucket key (e.g. a stopword shingle) is dropped
+    without ever materializing its full membership in one row, so
+    executor memory stays bounded by max_bucket, not by the hottest key.
+    Cost: one extra keyed aggregation over the input; both the count and
+    the collect_list shuffle on the same bucket_cols partitioning.
 
     WHEN TO USE: high-cardinality buckets with small membership (minhash
     values, shingles) — pair generation parallelizes across buckets.
@@ -89,13 +93,19 @@ def intra_bucket_pairs(
     are unique per bucket; a pair sharing several buckets appears once
     per bucket (dedup/count downstream, caller's choice).
     """
+    if max_bucket is not None:
+        ok = (
+            df.groupBy(*bucket_cols)
+            .count()
+            .where(F.col("count") <= max_bucket)
+            .drop("count")
+        )
+        df = df.join(ok, on=bucket_cols, how="left_semi")
     if payload_col is not None:
         item = F.struct(F.col(id_col).alias("i"), F.col(payload_col).alias("p"))
     else:
         item = F.struct(F.col(id_col).alias("i"))
     g = df.groupBy(*bucket_cols).agg(F.array_sort(F.collect_list(item)).alias("items"))
-    if max_bucket is not None:
-        g = g.where(F.size("items") <= max_bucket)
     n = F.size(F.col("items"))
     pairs = F.flatten(
         F.transform(

@@ -129,7 +129,22 @@ def salted_join(
     Cost: right side is replicated n_salts x — use with a moderate-size
     right side (if right is broadcast-small, just broadcast; if both are
     huge and skewed, pre-aggregate or split hot keys instead).
+
+    Only inner/left/semi/anti are supported: the right side is
+    replicated across all n_salts salts, so a right or full outer join
+    would emit each unmatched right row n_salts times.
     """
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "semi", "left_semi", "leftsemi",
+        "anti", "left_anti", "leftanti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}; got {how!r} "
+            "(right/full outer would duplicate unmatched right rows "
+            "n_salts times)"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     lsalted = left.withColumn(
         "__salt", (F.rand(seed=0) * n_salts).cast("int")

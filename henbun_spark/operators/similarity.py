@@ -259,13 +259,24 @@ def ivf_topk(
     centroid literals; the join is hash-keyed on cell id — candidates per
     query are ~nprobe/n_cells of the corpus, never all of it.
     """
+    # Training rows drawn by hash-of-id order, NOT .limit(): limit takes
+    # rows from the first partition(s), so on sorted/clustered data the
+    # centroids would be unrepresentative. orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition top-k, driver merge) — bounded
+    # and deterministic regardless of layout.
     sample_rows = (
-        corpus.select(F.col(emb_col).cast("array<double>").alias("v"))
+        corpus.select(
+            F.col(emb_col).cast("array<double>").alias("v"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("__h"),
+        )
+        .orderBy("__h")
         .limit(train_sample)
         .toPandas()["v"]
     )
     centroids = _kmeans_fit(
-        np.stack(sample_rows.to_numpy()), k=n_cells, seed=seed
+        np.stack(sample_rows.to_numpy()),
+        k=min(n_cells, len(sample_rows)),
+        seed=seed,
     )
     c = ensure_parallelism(
         corpus.select(

@@ -41,6 +41,7 @@ from __future__ import annotations
 import numpy as np
 
 from henbun_spark import autodiff as ad
+from henbun_spark.config import settings
 from henbun_spark.model import Adam, Model
 from henbun_spark.param import Data, graph_key
 
@@ -199,17 +200,24 @@ class SparkTrainer:
         model_bytes_bc = self._model_bytes_bc
         var_names = list(self.var_names)
         state_items = {k: np.array(v) for k, v in state.items()}
+        # executors re-import config fresh (float64 default), so the
+        # driver's float_type must travel with the job for the float32
+        # mode's Arrow/compute savings to materialize cluster-side
+        float_name = np.dtype(settings.dtypes.float_type).name
 
         def fn(iterator):
             import pickle
 
             import pandas as pd
 
+            from henbun_spark.config import settings as wsettings
+
+            wsettings.dtypes.float_type = np.dtype(float_name).type
             model = pickle.loads(model_bytes_bc.value)
             by_name = {v.long_name: v for v in model.get_variables()}
             for name, arr in state_items.items():
                 v = by_name[name]
-                v._array = np.array(arr, dtype=np.float64)
+                v._array = np.array(arr, dtype=wsettings.dtypes.float_type)
                 v._pending = None
                 v.finalize()
             pid = TaskContext.get().partitionId() if TaskContext.get() else 0

@@ -154,3 +154,30 @@ def test_predict_mapinpandas(spark):
     np.testing.assert_allclose(
         np.sort(out["pred"].to_numpy()), np.sort(1.0 + 2.0 * x), atol=1e-5
     )
+
+
+def test_float32_mode_reaches_executors(spark):
+    """The driver's float_type ships with the job (ADVICE r2): in float32
+    mode the executor-side objective is computed in float32 — the result
+    visibly diverges from the float64 run in the low bits while agreeing
+    at float32 precision."""
+    from henbun_spark.config import Settings, temp_settings
+
+    df, x, y = make_df(spark, n=100, parts=4)
+    m64 = LinReg()
+    tr64 = SparkTrainer(m64, df)
+    loss64, n64, grad64 = tr64._job(tr64.df, tr64._state(), step=0, want_grad=True)
+
+    tmp = Settings()
+    tmp.dtypes.float_type = np.float32
+    with temp_settings(tmp):
+        m32 = LinReg()
+        tr32 = SparkTrainer(m32, df)
+        # same initial state as the float64 run, cast down
+        state32 = {k: v.astype(np.float32) for k, v in tr64._state().items()}
+        loss32, n32, grad32 = tr32._job(tr32.df, state32, step=0, want_grad=True)
+
+    assert n32 == n64 == 100
+    assert np.isfinite(loss32) and np.isfinite(grad32).all()
+    np.testing.assert_allclose(loss32, loss64, rtol=1e-4)
+    assert loss32 != loss64  # float32 rounding is observable => knob is live
