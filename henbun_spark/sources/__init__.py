@@ -74,13 +74,24 @@ def get_spark(
 
 
 def _nanos_to_ts(df: DataFrame, col: str) -> DataFrame:
-    """ns-long -> TimestampType by exact integer floor-division (float
-    division would lose precision: ns epochs ~1.7e18 exceed double's 2^53,
-    drifting ±1us vs DuckDB's exact truncation)."""
-    if col in df.columns and not isinstance(
-        df.schema[col].dataType, T.TimestampType
-    ):
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    """Normalize a timestamp column to TimestampType regardless of how the
+    parquet stored it: TIMESTAMP(NANOS) read as long (ns-epoch, via
+    nanosAsLong) -> exact integer floor-division to us (float division would
+    lose precision: ns epochs ~1.7e18 exceed double's 2^53, drifting ±1us vs
+    DuckDB's exact truncation); TIMESTAMP(MICROS) read as TIMESTAMP_NTZ ->
+    plain cast (values identical under the UTC session timezone); already
+    TimestampType -> no-op."""
+    if col not in df.columns:
+        return df
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.TimestampType):
+        return df
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast(T.TimestampType()))
+    if isinstance(dt, (T.LongType, T.IntegerType)):
+        return df.withColumn(
+            col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+        )
     return df
 
 
