@@ -1900,6 +1900,545 @@ def ann_topk_ivf(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H query shapes, round 4: the remaining standard forms expressible
+# without a partsupp table (q2/q9/q11/q16/q20 need it).  Each exercises a
+# distinct plan shape: fact-fact joins (q7/q10), conditional-sum ratio
+# (q8), pre-aggregated outer join (q13), scalar-max subquery (q15),
+# correlated-subquery decorrelation (q17), groupBy-HAVING-then-enrich
+# (q18), disjunctive pushdown (q19), EXISTS/NOT-EXISTS pair (q21).
+# ---------------------------------------------------------------------------
+
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    year.
+
+    At scale: the one fact-fact join (lineitem x orders) is keyed on
+    orderkey with no broadcast hint — AQE broadcasts at bench SF,
+    sort-merge at 100 TB.  The nation-pair filter is applied to the tiny
+    broadcast sides *before* their joins, so fact rows not touching the
+    two nations never survive the supplier join (~2/25 selectivity ahead
+    of the expensive orders join).
+    """
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _load(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = nation.where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dsum(vol, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+  {_sql_dsum('volume', 'revenue')},
+  COUNT(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS INT) AS l_year,
+    l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01') t
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a regional market for one
+    part type, by order year.
+
+    The share is nation_volume / total_volume with BOTH sums
+    decimal-exact, so the two engines divide bit-identical doubles.
+    Dims are filtered before broadcast (part to one type, customers
+    semi-reduced to the region's nations); the lineitem x orders join is
+    AQE-planned.
+    """
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    orders = _load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    region_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    amer_cust = cust.join(
+        F.broadcast(region_nations), F.col("c_nationkey") == F.col("c_nk")
+    ).select("c_custkey")
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    tgt = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(amer_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(_dsum(tgt, "nation_volume"), _dsum(vol, "total_volume"))
+        .withColumn(
+            "mkt_share", F.col("nation_volume") / F.col("total_volume")
+        )
+    )
+
+
+# duckdb can't reuse SELECT aliases inside sibling expressions, so the two
+# dsums are computed once in an inner query and the ratio taken outside
+# (same trick as Q1's averages, hoisted a level for readability).
+_Q8_SQL = f"""
+SELECT o_year, nation_volume, total_volume,
+  nation_volume / total_volume AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+    {_sql_dsum(
+        "CASE WHEN n2.n_name = 'NATION_5'"
+        " THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END",
+        'nation_volume')},
+    {_sql_dsum('l_extendedprice * (1 - l_discount)', 'total_volume')}
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1) t
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    half-year window.  Both fact filters (returnflag, date window) push to
+    the parquet scans; lineitem x orders shuffles on orderkey (AQE);
+    customer/nation broadcast; the final top-k is a 20-row
+    TakeOrderedAndProject, never a full sort.
+    """
+    li = _load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    cust = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of orders-per-customer including the
+    zero bucket.
+
+    Decorrelated the scale-friendly way: orders pre-aggregate to one row
+    per customer BEFORE the outer join (instead of LEFT JOIN + per-key
+    count over the fanned-out rows), so the join's build side is already
+    |customers|-sized and the second aggregate groups ~dozens of distinct
+    counts.  Matches the classic ON-clause-filtered LEFT OUTER formulation
+    exactly (filter applied pre-join == ON predicate).
+    """
+    cust = _load(spark, sf_dir, "customer").select("c_custkey")
+    orders = _load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    ord_counts = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        cust.join(ord_counts, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            F.coalesce(F.col("n_orders"), F.lit(0).cast("bigint")).alias(
+                "c_count"
+            )
+        )
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) t
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: CTE + scalar-max subquery.  Quarterly revenue per
+    supplier, keep the supplier(s) achieving the global max.  The
+    decimal-exact revenue makes the equality comparison stable across
+    engines; the 1-row max is joined back (broadcast), never collected to
+    the driver.
+    """
+    li = _load(spark, sf_dir, "lineitem")
+    supp = _load(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_revenue",
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+    {_sql_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into a pre-aggregation + join on partkey.
+
+    The brand filter is applied FIRST (broadcast semi-reduction of
+    lineitem), then the per-part average runs over only the surviving
+    parts' rows — identical to the correlated semantics, since the
+    subquery is only ever evaluated for brand-matching parts.  The
+    0.2*avg threshold is deterministic across engines because quantities
+    are integer-valued doubles (their sum is exact).
+    """
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    filtered = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per_part = filtered.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        filtered.join(
+            F.broadcast(per_part), F.col("l_partkey") == F.col("ap_partkey")
+        )
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice"), 6).cast("decimal(38,6)")
+            ).alias("_s"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            (F.col("_s").cast("double") / 7.0).alias("avg_yearly"), "n_items"
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE)
+         / 7.0 AS avg_yearly,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: groupBy-HAVING on the bare fact, then enrich.
+
+    The heavy aggregate runs on (orderkey, sum_qty) alone — no dim
+    columns ride through the shuffle — and only qualifying orders (a few
+    hundred per million) join back to orders/customer, where AQE sees the
+    tiny filtered side and broadcasts it.  sum(l_quantity) is exact
+    (integer-valued doubles), so the HAVING cut is engine-stable.
+    """
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250.0)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+  epoch(o_orderdate)::BIGINT AS o_orderdate_epoch, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey) t
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE sum_qty > 250.0
+"""
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR of conjunctive predicate groups spanning both
+    join sides.  Catalyst extracts the common l_partkey = p_partkey
+    equi-key for the broadcast hash join and evaluates the residual
+    disjunction post-join; the per-side prunable parts of the OR
+    (quantity/size bounds) are pushed into the scans.
+    """
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    c1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.where(c1 | c2 | c3).agg(
+        _dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+_Q19_SQL = f"""
+SELECT {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: this schema has no commit/receipt dates,
+    so 'late' = shipped more than 60 days after the order date).
+    Suppliers who were the SOLE late shipper in a multi-supplier finished
+    order.
+
+    The classic EXISTS / NOT-EXISTS pair (see the oracle SQL) is
+    decorrelated into ONE per-order aggregation: distinct suppliers and
+    distinct late suppliers per order, keeping late rows of orders with
+    >= 2 suppliers where exactly one was late (necessarily the row's
+    own).  One shuffle on orderkey for the stats + one orderkey join back
+    — no correlated re-scans of the fact, which is what a naive
+    translation would do twice.
+    """
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = _load(spark, sf_dir, "supplier")
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    stats = (
+        j.withColumn("is_late", late)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).alias("n_late_supp"),
+        )
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey")
+    )
+    return (
+        j.where(late)
+        .join(stats, "l_orderkey")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
+def window_functions_suite(spark, sf_dir):
+    """Ranking/navigation window-function surface (§2.10): lag, lead,
+    ntile, percent_rank, first_value, row_number over a per-customer order
+    timeline.  All six share one window spec, so they evaluate in a single
+    pass after one shuffle keyed on o_custkey; the (o_orderdate,
+    o_orderkey) ordering is total, making every function deterministic.
+    """
+    orders = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+_WINDOW_SUITE_SQL = """
+SELECT o_custkey, o_orderkey,
+  lag(o_totalprice) OVER w AS prev_price,
+  lead(o_totalprice) OVER w AS next_price,
+  CAST(ntile(4) OVER w AS INT) AS quartile,
+  percent_rank() OVER w AS pct_rank,
+  first_value(o_totalprice) OVER w AS first_price,
+  CAST(row_number() OVER w AS INT) AS rn
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def approx_distinct_events(spark, sf_dir):
+    """Approximate aggregation (§2.10): HyperLogLog++ distinct-user
+    estimate per event type next to the exact count.  The HLL sketch
+    merges associatively, so the plan is one partial-aggregatable shuffle
+    at any scale — the exact countDistinct, by contrast, needs the full
+    (event_type, user_id) expansion; at 100 TB only the sketch survives.
+    Rows-only check (HLL estimates are engine-specific); a pytest asserts
+    <5% relative error vs the exact count.
+    """
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1919,6 +2458,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_by_status": q12_priority_by_status,
         "q14_promo_revenue": q14_promo_revenue,
         "q22_inactive_customers": q22_inactive_customers,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "window_functions_suite": window_functions_suite,
+        "approx_distinct_events": approx_distinct_events,
         "rollup_revenue": rollup_revenue,
         "cube_revenue": cube_revenue,
         "grouping_sets_revenue": grouping_sets_revenue,
@@ -1989,6 +2539,16 @@ def oracle_sql() -> dict[str, str]:
         "q12_priority_by_status": _Q12_SQL,
         "q14_promo_revenue": _Q14_SQL,
         "q22_inactive_customers": _Q22_SQL,
+        "q7_volume_shipping": _Q7_SQL,
+        "q8_market_share": _Q8_SQL,
+        "q10_returned_items": _Q10_SQL,
+        "q13_customer_distribution": _Q13_SQL,
+        "q15_top_supplier": _Q15_SQL,
+        "q17_small_quantity_revenue": _Q17_SQL,
+        "q18_large_orders": _Q18_SQL,
+        "q19_disjunctive_revenue": _Q19_SQL,
+        "q21_waiting_suppliers": _Q21_SQL,
+        "window_functions_suite": _WINDOW_SUITE_SQL,
         "rollup_revenue": _ROLLUP_SQL,
         "cube_revenue": _CUBE_SQL,
         "grouping_sets_revenue": _GROUPING_SETS_SQL,

@@ -30,6 +30,17 @@ HEADLINE = [
     "q12_priority_by_status",
     "q14_promo_revenue",
     "q22_inactive_customers",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "window_functions_suite",
+    "approx_distinct_events",
     "rollup_revenue",
     "top_events_per_user",
     "asof_last_purchase",

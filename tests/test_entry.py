@@ -15,7 +15,20 @@ ROWS_ONLY = {
     "multimodal_features",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "approx_distinct_events",
 }
+
+
+def test_approx_distinct_events_tracks_exact(spark, sf_dir):
+    """The rows-only contract query carries its own ground truth: the HLL
+    estimate must stay within the configured 2% rsd (5% slack) of the
+    exact countDistinct computed in the same row."""
+    rows = entry_mod.queries()["approx_distinct_events"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(
+            0.05 * r["exact_users"], 2
+        ), r
 
 
 def test_query_oracle_keys_consistent():
