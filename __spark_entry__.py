@@ -2438,6 +2438,32 @@ def approx_distinct_events(spark, sf_dir):
     )
 
 
+def kmeans_embeddings(spark, sf_dir):
+    """Distributed Lloyd's k-means on the embeddings table (SURVEY §2.11):
+    3 iterations, k=8, deterministic xxhash-min init.  Per iteration: one
+    mapInPandas assignment scan + treeAggregate reduction (driver sees
+    k x dim doubles only); final assignment is pure-Column codegen.
+    Rows-only check (iterative — not SQL-expressible); the pytest replays
+    the identical algorithm in single-process numpy and matches centroids
+    to 1e-8."""
+    from henbun_spark.operators import clustering
+
+    emb = _load(spark, sf_dir, "embeddings")
+    centroids, _ = clustering.kmeans_fit(
+        emb, "embedding", "vec_id", k=8, max_iter=3
+    )
+    assigned = clustering.kmeans_assign(emb, "embedding", centroids)
+    x0 = F.col("embedding").cast("array<double>")[0]
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(_dsum(x0, "_s0"), 4).alias("sum_x0"),
+        )
+        .select("cluster", "n_vecs", "sum_x0")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2526,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
+        "kmeans_embeddings": kmeans_embeddings,
     }
 
 

@@ -68,6 +68,7 @@ HEADLINE = [
     "transform_softplus",
     "vi_linear_regression",
     "multimodal_features",
+    "kmeans_embeddings",
 ]
 
 

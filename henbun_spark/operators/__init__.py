@@ -8,6 +8,7 @@ of cross products, and explicit skew guards.
 """
 
 from henbun_spark.operators import (
+    clustering,
     dedup,
     multimodal,
     relational,

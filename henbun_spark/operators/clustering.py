@@ -1,0 +1,165 @@
+"""Distributed k-means over an embedding column.
+
+MLlib's classic Lloyd's pattern re-expressed on the DataFrame/Arrow
+stack (no reference analogue — the reference is a VI library; this is
+part of the brief-mandated training-data-pipeline surface, SURVEY §2.11):
+
+* centroids live on the driver (k x dim doubles — tiny at any corpus
+  size) and are folded into each iteration's task closure;
+* one mapInPandas pass per iteration assigns every vector to its nearest
+  centroid and emits ONE partial-stats row per Arrow batch (per-cluster
+  vector sums + counts + SSE), so the wide embedding column never
+  shuffles;
+* partials reduce IN-CLUSTER via ``RDD.treeAggregate`` (depth 2) — the
+  driver receives exactly one (k x dim) matrix per iteration, never a
+  row per batch (the same scale fix applied to SparkTrainer's gradient
+  step, ``spark_exec.py``).
+
+At 100 TB: per iteration one scan + one tree reduction, no shuffle of
+the data itself; cost is iterations x scan, the textbook distributed
+k-means profile.  Assignment for serving (``kmeans_assign``) is pure
+Column math with centroid coefficients as plan-time literals — same
+pattern as ``similarity.lsh_bucket`` — so it runs inside whole-stage
+codegen with zero Python in the hot path when k is small.
+
+Determinism: init picks the k vectors with the smallest ``xxhash64(id)``
+(no dependence on partition layout or data order), and every update is a
+sum of the same values — floating-point association order differs only
+at the treeAggregate combine level, bounded by the usual ~1 ulp; the
+pytest compares against a single-process numpy replica at 1e-8 rtol.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_fit", "kmeans_assign"]
+
+
+def _init_centroids(
+    df: DataFrame, emb_col: str, id_col: str, k: int
+) -> np.ndarray:
+    """k seed vectors by smallest xxhash64(id): deterministic under any
+    partitioning/order, and a global TakeOrdered(k) — no full sort."""
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id")))
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(rows)}")
+    return np.array([r["_v"] for r in rows], dtype=np.float64)
+
+
+def _iteration(
+    df: DataFrame, emb_col: str, centroids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """One Lloyd's step: returns (per-cluster sums, counts, total SSE)."""
+    import pandas as pd
+
+    k, dim = centroids.shape
+    cent = centroids  # captured in the closure, shipped once per task
+
+    def partials(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cn = (cent * cent).sum(axis=1)
+        sums = np.zeros((k, dim))
+        cnts = np.zeros(k, dtype=np.int64)
+        sse = 0.0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cent.T) + cn[None, :]
+            assign = d2.argmin(axis=1)
+            sse += float(d2[np.arange(len(x)), assign].sum())
+            for c in np.unique(assign):
+                mask = assign == c
+                sums[c] += x[mask].sum(axis=0)
+                cnts[c] += int(mask.sum())
+        yield pd.DataFrame(
+            {
+                "sums": [sums.ravel().tolist()],
+                "cnts": [cnts.tolist()],
+                "sse": [sse],
+            }
+        )
+
+    part_df = df.select(F.col(emb_col).cast("array<double>").alias("_v")).mapInPandas(
+        partials, "sums array<double>, cnts array<long>, sse double"
+    )
+
+    zero = (np.zeros(k * dim), np.zeros(k, dtype=np.int64), 0.0)
+
+    def seq(acc, row):
+        return (
+            acc[0] + np.asarray(row["sums"]),
+            acc[1] + np.asarray(row["cnts"], dtype=np.int64),
+            acc[2] + row["sse"],
+        )
+
+    def comb(a, b):
+        return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+    sums, cnts, sse = part_df.rdd.treeAggregate(zero, seq, comb, depth=2)
+    return sums.reshape(k, dim), cnts, sse
+
+
+def kmeans_fit(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    k: int = 8,
+    max_iter: int = 5,
+    tol: float = 1e-6,
+    dim: int | None = None,
+) -> tuple[np.ndarray, list[float]]:
+    """Fit k-means on ``df[emb_col]``; returns (centroids k x dim, SSE per
+    iteration).  Empty clusters keep their previous centroid.  Stops early
+    when the relative SSE improvement falls below ``tol``."""
+    centroids = _init_centroids(df, emb_col, id_col, k)
+    data = df.select(F.col(emb_col).cast("array<double>").alias(emb_col))
+    history: list[float] = []
+    for _ in range(max_iter):
+        sums, cnts, sse = _iteration(data, emb_col, centroids)
+        nonempty = cnts > 0
+        centroids = np.where(
+            nonempty[:, None], sums / np.maximum(cnts, 1)[:, None], centroids
+        )
+        if history and history[-1] - sse <= tol * max(history[-1], 1e-12):
+            history.append(sse)
+            break
+        history.append(sse)
+    return centroids, history
+
+
+def kmeans_assign(
+    df: DataFrame,
+    emb_col: str,
+    centroids: np.ndarray,
+    out: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid (squared-euclidean) assignment as pure Column math
+    — centroid coefficients are plan-time literals, evaluated inside
+    whole-stage codegen; ties break to the lowest cluster index (the
+    array_sort on (dist, idx) structs is lexicographic)."""
+    vec = F.col(emb_col).cast("array<double>")
+    norm2 = F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v)
+    scored = []
+    for i, c in enumerate(np.asarray(centroids, dtype=np.float64)):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        d2 = norm2 - 2.0 * dot + float((c * c).sum())
+        scored.append(
+            F.struct(d2.alias("dist"), F.lit(i).alias("idx"))
+        )
+    best = F.array_sort(F.array(*scored))[0]["idx"]
+    return df.withColumn(out, best)

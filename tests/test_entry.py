@@ -16,6 +16,7 @@ ROWS_ONLY = {
     "ann_topk_lsh",
     "ann_topk_ivf",
     "approx_distinct_events",
+    "kmeans_embeddings",
 }
 
 
