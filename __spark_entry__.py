@@ -2438,6 +2438,133 @@ def approx_distinct_events(spark, sf_dir):
     )
 
 
+def mix_corpus_sources(spark, sf_dir):
+    """Weighted deterministic corpus re-mix (SURVEY §2.11): keep N% of
+    each source by md5(id) bucket — a pure-Column filter, zero shuffle,
+    stable under data growth.  Result: per-source survivor counts."""
+    from henbun_spark.operators import pipeline
+
+    docs = _load(spark, sf_dir, "documents")
+    rates = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
+    mixed = pipeline.mix_sources(
+        docs, "source", "doc_id", rates, salt="mix", default_pct=10
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+    )
+
+
+_MIX_SQL = f"""
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE ({_md5_prefix_sql('doc_id', 'mix')} % 100) <
+  CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 75
+              WHEN 'src2' THEN 50 WHEN 'src3' THEN 25 ELSE 10 END
+GROUP BY source
+"""
+
+
+def pack_sequences_docs(spark, sf_dir):
+    """Next-fit sequence packing (SURVEY §2.11): documents laid out in
+    deterministic md5 order within each source shard, binned by the
+    training-sequence index where they start (budget 512 tokens, tokens
+    estimated as floor(n_chars/4)+1).  One window shuffle keyed on the
+    shard column; integer cumsums are engine-exact."""
+    from henbun_spark.operators import pipeline
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "tok_est", (F.floor(F.col("n_chars") / 4) + 1).cast("long")
+    )
+    packed = pipeline.pack_sequences(
+        docs, "doc_id", "tok_est", budget=512, part_col="source", salt="pack"
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok_est").alias("sum_tokens"),
+        F.min("start_offset").alias("first_offset"),
+    )
+
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT source, doc_id, (n_chars // 4 + 1)::BIGINT AS tok_est
+  FROM documents),
+o AS (
+  SELECT source, doc_id, tok_est,
+    SUM(tok_est) OVER (
+      PARTITION BY source
+      ORDER BY md5('pack' || '|' || CAST(doc_id AS VARCHAR)), doc_id
+      ROWS UNBOUNDED PRECEDING) - tok_est AS start_offset
+  FROM t)
+SELECT source, CAST(start_offset // 512 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+  CAST(SUM(tok_est) AS BIGINT) AS sum_tokens,
+  CAST(MIN(start_offset) AS BIGINT) AS first_offset
+FROM o
+GROUP BY source, start_offset // 512
+"""
+
+
+def contamination_check(spark, sf_dir):
+    """Benchmark decontamination scan (SURVEY §2.11): corpus docs sharing
+    any 12-char gram with the held-out 'benchmark' slice (3% of docs by
+    md5 bucket).  Inverted-index semi-join keyed on the gram — shuffle is
+    O(matching grams), never corpus x benchmark."""
+    from henbun_spark.operators import pipeline, sampling
+
+    docs = _load(spark, sf_dir, "documents")
+    bucket = sampling._hash_bucket(F.col("doc_id"), "bench")
+    benchmark = docs.where(bucket < 3)
+    corpus = docs.where(bucket >= 3)
+    return pipeline.contamination_overlap(
+        corpus, benchmark, "text", "doc_id", n=12, min_overlap=1
+    )
+
+
+_CONTAM_SQL = f"""
+WITH bucketed AS (
+  SELECT doc_id, text, ({_md5_prefix_sql('doc_id', 'bench')} % 100) AS bk
+  FROM documents),
+bench_grams AS (
+  SELECT DISTINCT substr(text, i, 12) AS shingle
+  FROM (SELECT text, unnest(generate_series(1, greatest(length(text)-11, 1))) AS i
+        FROM bucketed WHERE bk < 3)),
+corpus_grams AS (
+  SELECT DISTINCT doc_id, substr(text, i, 12) AS shingle
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, greatest(length(text)-11, 1))) AS i
+        FROM bucketed WHERE bk >= 3))
+SELECT doc_id, COUNT(*) AS n_overlap
+FROM corpus_grams
+WHERE shingle IN (SELECT shingle FROM bench_grams)
+GROUP BY doc_id
+HAVING COUNT(*) >= 1
+"""
+
+
+def token_histogram(spark, sf_dir):
+    """Equi-width histogram of document lengths (50-char buckets, capped
+    at 12): the one-pass profiling shape every corpus build starts with —
+    pure Column bucket math + one partial-aggregatable groupBy."""
+    docs = _load(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.lit(11), F.floor(F.col("n_chars") / 50).cast("int")
+    ).alias("bucket")
+    return docs.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+    )
+
+
+_TOKEN_HIST_SQL = """
+SELECT least(11, CAST(n_chars // 50 AS INT)) AS bucket,
+  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+"""
+
+
 def kmeans_embeddings(spark, sf_dir):
     """Distributed Lloyd's k-means on the embeddings table (SURVEY §2.11):
     3 iterations, k=8, deterministic xxhash-min init.  Per iteration: one
@@ -2525,6 +2652,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "train_test_split_hash": train_test_split_hash,
         "sample_per_group": sample_per_group,
+        "mix_corpus_sources": mix_corpus_sources,
+        "pack_sequences_docs": pack_sequences_docs,
+        "contamination_check": contamination_check,
+        "token_histogram": token_histogram,
         # similarity suite
         "sim_cosine_topk": sim_cosine_topk,
         "emb_near_dup": emb_near_dup,
@@ -2607,6 +2738,10 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_clean_corpus": _PIPELINE_SQL,
         "train_test_split_hash": _TRAIN_TEST_SQL,
         "sample_per_group": _SAMPLE_GROUP_SQL,
+        "mix_corpus_sources": _MIX_SQL,
+        "pack_sequences_docs": _PACK_SQL,
+        "contamination_check": _CONTAM_SQL,
+        "token_histogram": _TOKEN_HIST_SQL,
         "sim_cosine_topk": _COSINE_TOPK_SQL,
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
         "emb_near_dup_lsh": _EMB_LSH_SQL,

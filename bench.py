@@ -60,6 +60,10 @@ HEADLINE = [
     "text_tfidf",
     "text_repetition",
     "pipeline_clean_corpus",
+    "mix_corpus_sources",
+    "pack_sequences_docs",
+    "contamination_check",
+    "token_histogram",
     "sim_cosine_topk",
     "emb_near_dup_lsh",
     "asof_next_purchase",

@@ -1,0 +1,121 @@
+"""Corpus-assembly operators: source mixing, sequence packing, benchmark
+contamination — the steps between "cleaned documents" and "training
+batches" in an LLM data pipeline (SURVEY §2.11; no reference analogue).
+
+Design rules shared by every operator here:
+
+* determinism beats RNG — sampling/ordering decisions key off
+  ``md5(salt|id)`` (see ``sampling._hash_bucket``), so results are
+  identical under repartitioning, retries, speculative execution, and
+  across engines (the DuckDB oracles mirror the same nibble arithmetic);
+* no driver-side loops — mixing is a pure-Column filter (zero shuffle),
+  packing is one window keyed on the shard column, contamination is an
+  inverted-index semi-join (shuffle keyed on the n-gram, never a cross
+  join of corpus x benchmark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from henbun_spark.operators.dedup import char_shingles
+from henbun_spark.operators.sampling import _hash_bucket
+
+__all__ = ["mix_sources", "pack_sequences", "contamination_overlap"]
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    rates_pct: dict[str, int],
+    salt: str = "mix",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Weighted re-mix of a multi-source corpus: keep ``rates_pct[source]``
+    percent of each source's rows, chosen deterministically by id hash.
+
+    A 100 TB-safe sampler: pure Column filter — no shuffle, no RNG state,
+    pushdown-friendly — and *stable*: growing a source keeps previously
+    selected ids selected (new ids are admitted at the same rate), which
+    is what incremental corpus rebuilds need.  Rates are integer percent
+    (the hash bucket is mod 100) so the cut is exact, not approximate.
+    """
+    keep = F.lit(default_pct)
+    for src, pct in sorted(rates_pct.items()):
+        keep = F.when(F.col(source_col) == src, F.lit(int(pct))).otherwise(keep)
+    return df.where(_hash_bucket(F.col(id_col), salt) < keep)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    part_col: str,
+    salt: str = "pack",
+) -> DataFrame:
+    """Next-fit sequence packing by stream offset: documents are laid out
+    in a deterministic md5 order within each ``part_col`` shard, and each
+    document's bin is the training-sequence index where its first token
+    lands (``floor(start_offset / budget)``) — the streaming formulation
+    of packing, where documents may straddle bin boundaries exactly as a
+    token stream fed to a fixed-length batcher would.
+
+    One window (shuffle keyed on the shard column) computes the running
+    offset; integer token counts make the cumsum exact in any engine.  At
+    100 TB the shard column bounds window state: packing is per-shard by
+    construction (shards = sources, dates, or hash ranges), which matches
+    how training shards are actually built — never a single global
+    ordering.  Adds ``start_offset`` and ``bin`` columns.
+    """
+    h = F.md5(
+        F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tokens = F.col(token_col).cast("long")
+    start = (F.sum(tokens).over(w) - tokens).alias("start_offset")
+    return df.withColumn("start_offset", start).withColumn(
+        "bin", F.floor(F.col("start_offset") / F.lit(int(budget)))
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 12,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination scan: corpus documents sharing at least
+    ``min_overlap`` distinct character ``n``-grams with ANY benchmark
+    document.
+
+    The benchmark side collapses to its DISTINCT n-gram set (typically
+    thousands of grams — benchmark suites are small next to the corpus),
+    and the corpus's inverted index semi-joins against it keyed on the
+    gram: shuffle traffic is O(matching grams), never corpus x benchmark.
+    Long grams (default 12 chars) make coincidental overlap rare, the
+    standard n-gram-overlap decontamination heuristic.
+
+    Returns (id, n_overlap) for flagged documents — feed to an anti-join
+    to drop them.
+    """
+    bench_grams = (
+        char_shingles(benchmark, text_col, id_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_grams = char_shingles(corpus, text_col, id_col, n=n)
+    return (
+        corpus_grams.join(bench_grams, "shingle", "left_semi")
+        .groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= int(min_overlap))
+    )
