@@ -772,8 +772,10 @@ def dedup_jaccard(spark, sf_dir):
     )
 
 
-_JACCARD_SQL = """
-WITH sh0 AS (
+# CTE block shared by the jaccard-pairs oracle and the connected-components
+# oracle (which consumes the same pair set as its edge list).
+_JACCARD_CTES = """
+sh0 AS (
   SELECT DISTINCT doc_id, substr(text, i, 5) AS s
   FROM (SELECT doc_id, text,
           unnest(generate_series(1, greatest(length(text)-4, 1))) AS i
@@ -785,12 +787,55 @@ common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, c::DOUBLE / (za.sz + zb.sz - c) AS jaccard
+  FROM common
+  JOIN sz za ON za.doc_id = id_a
+  JOIN sz zb ON zb.doc_id = id_b
+  WHERE c::DOUBLE / (za.sz + zb.sz - c) >= 0.35
+)"""
+
+_JACCARD_SQL = f"""
+WITH {_JACCARD_CTES}
+SELECT id_a, id_b, jaccard FROM jac
+"""
+
+
+def dedup_components(spark, sf_dir):
+    """Duplicate-CLUSTER labeling: n-gram-Jaccard near-dup pairs as edges,
+    transitively closed by iterative min-label propagation (one keyed
+    shuffle per round, lineage truncated per round), then every document
+    labeled with its component id + a canonical-keep flag. The oracle
+    closes the same edge set with a recursive CTE."""
+    from henbun_spark.operators import dedup, graph
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.35, max_df=100
+    )
+    return graph.dedup_clusters(docs, pairs, "doc_id")
+
+
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM jac
+  UNION
+  SELECT id_b, id_a FROM jac
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v WHERE e.v <> r.u
+),
+comp AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+  GROUP BY d.doc_id
 )
-SELECT id_a, id_b, c::DOUBLE / (za.sz + zb.sz - c) AS jaccard
-FROM common
-JOIN sz za ON za.doc_id = id_a
-JOIN sz zb ON zb.doc_id = id_b
-WHERE c::DOUBLE / (za.sz + zb.sz - c) >= 0.35
+SELECT doc_id, component, doc_id = component AS is_canonical FROM comp
 """
 
 
@@ -2643,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": dedup_jaccard,
         "dedup_simhash": dedup_simhash,
         "simhash_near_pairs": simhash_near_pairs,
+        "dedup_components": dedup_components,
         # text analysis suite
         "text_stats": text_stats,
         "text_quality": text_quality,
@@ -2730,6 +2776,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _JACCARD_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
+        "dedup_components": _COMPONENTS_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _LANGID_SQL,

@@ -1,0 +1,131 @@
+"""Distributed graph operators: connected components over an edge
+DataFrame, and duplicate-cluster labeling built on top of the near-dup
+pair generators in `operators.dedup`.
+
+The reference has no graph surface (it is a VI library); this module is
+part of the brief-mandated training-data-pipeline set: near-dup detection
+emits PAIRS, but an actual dedup pass needs CLUSTERS (one canonical doc
+kept per transitively-connected duplicate group).
+
+Algorithm: iterative min-label propagation expressed as DataFrame ops —
+    label(v) <- min(label(v), min over neighbors u of label(u))
+repeated until a fixed point. Each iteration is ONE keyed shuffle (join
+edges to labels on the neighbor id + groupBy node min) — map-side
+combinable, no windows, no driver data beyond a 1-row convergence count.
+
+Scale design (100 TB stance):
+* Convergence takes O(diameter) iterations. Near-duplicate graphs are
+  unions of near-cliques (every member of a dup group pairs with most
+  others), so the diameter is tiny (2-4) in practice; for adversarial
+  chain-shaped graphs the alternating large-star/small-star algorithm
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14) bounds rounds by O(log^2 n) — the iteration here is
+  deliberately the simple one because dup graphs are clique-like, and
+  each round is a single self-contained shuffle that AQE can size.
+* `localCheckpoint` after every iteration truncates the lineage — without
+  it the plan doubles per round and stage-graph planning dominates by
+  iteration ~10 (a classic iterative-DataFrame failure mode).
+* The symmetrized edge set is persisted once and reused every round; it
+  is unpersisted before returning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every node reachable through `edges` with the minimum node id
+    of its connected component.
+
+    Input: an edge list (undirected; each pair may appear in either or
+    both orientations). Output: (node, component) with one row per
+    distinct node appearing in the edge list; component = min node id of
+    the component (deterministic canonical labeling).
+
+    Raises RuntimeError if `max_iter` rounds pass without convergence —
+    at that point the caller's graph has diameter > max_iter and should
+    use a doubling algorithm instead of silently-wrong labels.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            # min label over neighbors: one shuffle keyed on node
+            nbr_min = (
+                sym.join(labels.withColumnRenamed("node", "v"), "v")
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            stepped = (
+                labels.join(nbr_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                    ).alias("comp"),
+                    (F.coalesce("nbr_comp", F.col("comp")) < F.col("comp"))
+                    .cast("long")
+                    .alias("chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = stepped.agg(F.sum("chg")).first()[0]
+            labels = stepped.drop("chg")
+            if not changed:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
+    finally:
+        sym.unpersist()
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Full-corpus duplicate-cluster labeling: every row of `df` gets the
+    component id of its near-dup cluster (singletons label themselves) and
+    an `is_canonical` flag (true for the minimum id of each component —
+    the one row a dedup pass keeps).
+
+    `pairs` is any near-dup pair table (MinHash-LSH, SimHash banding,
+    n-gram Jaccard, embedding LSH — all emit (id_a, id_b)). The join back
+    to `df` is a left join on the id only, so the (often wide) payload
+    never enters the iterative component computation.
+    """
+    comp = connected_components(pairs, pair_a, pair_b).withColumnRenamed(
+        "node", id_col
+    )
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("component"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("component"))
+    )
