@@ -839,6 +839,42 @@ SELECT doc_id, component, doc_id = component AS is_canonical FROM comp
 """
 
 
+def chunk_dedup_docs(spark, sf_dir):
+    """Span-level (paragraph-style) exact dedup: 16-word chunks, global
+    first-occurrence keep, per-doc reassembly. First-occurrence is a
+    partial-aggregatable min(struct) groupBy — no window over the corpus."""
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.chunk_dedup(docs, "text", "doc_id", chunk_words=16)
+
+
+_CHUNK_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(w[(i*16+1):(i*16+16)], ' ') AS chunk
+  FROM (SELECT doc_id, w,
+          unnest(generate_series(0, greatest(CAST(ceil(len(w)/16.0) AS INT)-1, 0))) AS i
+        FROM toks)
+),
+flagged AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1 AS keep
+  FROM chunks
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_chunks,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       COALESCE(array_to_string(list(chunk ORDER BY chunk_idx) FILTER (WHERE keep), ' '), '')
+         AS clean_text
+FROM flagged GROUP BY doc_id
+"""
+
+
 def _simhash_bits_sql(bits: int) -> str:
     bit_exprs = []
     for j in range(bits):
@@ -2689,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "simhash_near_pairs": simhash_near_pairs,
         "dedup_components": dedup_components,
+        "chunk_dedup_docs": chunk_dedup_docs,
         # text analysis suite
         "text_stats": text_stats,
         "text_quality": text_quality,
@@ -2777,6 +2814,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_SQL,
         "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_components": _COMPONENTS_SQL,
+        "chunk_dedup_docs": _CHUNK_DEDUP_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _LANGID_SQL,

@@ -232,6 +232,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def chunk_dedup(
+    df: DataFrame, text_col: str, id_col: str, chunk_words: int = 16
+) -> DataFrame:
+    """Span-level exact dedup (the paragraph-dedup machinery of
+    RefinedWeb/C4 applied to fixed-width word chunks, since the test
+    corpus has no paragraph breaks): split each doc into non-overlapping
+    `chunk_words`-word chunks, drop every chunk already seen earlier in
+    the corpus (global order = (doc_id, chunk_idx)), and reassemble the
+    surviving text per document.
+
+    Scale design: the first-occurrence computation is a groupBy(chunk) +
+    min(struct(id, idx)) — partial-aggregatable, so a boilerplate chunk
+    repeated in millions of docs combines map-side instead of hot-keying
+    one reducer; the flag join back on the chunk key is an equi-join AQE
+    can skew-split. Reassembly is one more keyed shuffle (groupBy doc)
+    whose per-group state is the doc's own chunks — bounded by doc size.
+
+    Output: (id, n_chunks, n_kept, clean_text).
+    """
+    df = ensure_parallelism(df.select(id_col, text_col))
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    nch = F.ceil(F.size(toks) / F.lit(float(chunk_words))).cast("int")
+    idxs = F.sequence(F.lit(0), F.greatest(nch - 1, F.lit(0)))
+    chunks = F.transform(
+        idxs,
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_words + 1, F.lit(chunk_words)), " "
+        ),
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    firsts = ex.groupBy("chunk").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("chunk_idx").alias("x"))
+        ).alias("first")
+    )
+    flagged = ex.join(firsts, "chunk").withColumn(
+        "keep",
+        (F.col("first.i") == F.col(id_col))
+        & (F.col("first.x") == F.col("chunk_idx")),
+    )
+    kept_struct = F.when(
+        F.col("keep"),
+        F.struct(F.col("chunk_idx").alias("x"), F.col("chunk").alias("c")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["c"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
 def _md5_bit(col, j):
     """Bit j (0 = MSB of first hex nibble) of md5(col), via portable
     hex-nibble arithmetic (conv in Spark, instr-based in the oracle)."""
