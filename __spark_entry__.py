@@ -1105,6 +1105,81 @@ FROM per GROUP BY doc_id
 """
 
 
+def _with_pii(docs):
+    """Deterministically inject synthetic PII into the corpus text (the
+    testdata has none) — mirrored literally in the oracle so both engines
+    scrub identical inputs."""
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call 415-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def pii_redact(spark, sf_dir):
+    """PII scan + redaction over the (synthetically PII-enriched) corpus:
+    pure-Column regexp counts and chained replacements — a map-only pass,
+    zero shuffles."""
+    from henbun_spark.operators import text as text_ops
+
+    docs = _with_pii(_load(spark, sf_dir, "documents"))
+    return text_ops.pii_scrub(docs, "text", "doc_id")
+
+
+_PII_INJECT_SQL = """
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0
+         THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+         THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+         ELSE '' END AS text
+  FROM documents
+"""
+
+_PII_SQL = f"""
+WITH enriched AS ({_PII_INJECT_SQL})
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::BIGINT AS n_email,
+  len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))::BIGINT AS n_ip,
+  len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b'))::BIGINT AS n_phone,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+      '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[IP]', 'g'),
+    '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '[PHONE]', 'g') AS redacted
+FROM enriched
+"""
+
+
 def _md5_prefix_sql(expr: str, salt: str, ndigits: int = 6) -> str:
     """First `ndigits` hex chars of md5(salt|expr) as an integer — DuckDB
     twin of sampling._hash_bucket's conv(substring(md5, 1, n), 16, 10)."""
@@ -2732,6 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid,
         "text_tfidf": text_tfidf,
         "text_repetition": text_repetition,
+        "pii_redact": pii_redact,
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "train_test_split_hash": train_test_split_hash,
         "sample_per_group": sample_per_group,
@@ -2820,6 +2896,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _LANGID_SQL,
         "text_tfidf": _TFIDF_SQL,
         "text_repetition": _REPETITION_SQL,
+        "pii_redact": _PII_SQL,
         "pipeline_clean_corpus": _PIPELINE_SQL,
         "train_test_split_hash": _TRAIN_TEST_SQL,
         "sample_per_group": _SAMPLE_GROUP_SQL,

@@ -200,3 +200,34 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint")
         % F.lit(2147483647),
     )
     return df.withColumn(out, fp)
+
+
+# (name, pattern, replacement) — patterns restricted to the regex subset
+# shared by Java (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+# Redaction applies in list order; counts are measured on the RAW text.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII detection + redaction: per-doc match counts for each pattern
+    family plus the text with every match replaced by its placeholder.
+
+    Pure Column regexp work — zero shuffles, runs inside whole-stage
+    codegen at the scan, so at 100 TB this is a map-only pass limited by
+    read bandwidth. Patterns are ordered (email before ip before phone)
+    so the redacted text is deterministic when families could overlap.
+
+    Output: (id, n_email, n_ip, n_phone, redacted).
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(F.col(id_col), *counts, red.alias("redacted"))
