@@ -1105,6 +1105,29 @@ FROM per GROUP BY doc_id
 """
 
 
+def lm_score_docs(spark, sf_dir):
+    """Unigram-LM cross-entropy per doc (CCNet-style quality signal):
+    pass 1 trains token counts, pass 2 scores via a token-keyed join —
+    two shuffles total, decimal-exact per-doc aggregation."""
+    from henbun_spark.operators import text as text_ops
+
+    docs = _load(spark, sf_dir, "documents")
+    return text_ops.unigram_lm_score(docs, "text", "doc_id")
+
+
+_LM_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents),
+cnt AS (SELECT tok, COUNT(*)::BIGINT AS c FROM toks GROUP BY tok),
+tot AS (SELECT SUM(c)::BIGINT AS n FROM cnt)
+SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+  -(CAST(SUM(CAST(ROUND(ln(c) - ln(n), 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)) AS xent
+FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 def _with_pii(docs):
     """Deterministically inject synthetic PII into the corpus text (the
     testdata has none) — mirrored literally in the oracle so both engines
@@ -2808,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": text_tfidf,
         "text_repetition": text_repetition,
         "pii_redact": pii_redact,
+        "lm_score_docs": lm_score_docs,
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "train_test_split_hash": train_test_split_hash,
         "sample_per_group": sample_per_group,
@@ -2897,6 +2921,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf": _TFIDF_SQL,
         "text_repetition": _REPETITION_SQL,
         "pii_redact": _PII_SQL,
+        "lm_score_docs": _LM_SCORE_SQL,
         "pipeline_clean_corpus": _PIPELINE_SQL,
         "train_test_split_hash": _TRAIN_TEST_SQL,
         "sample_per_group": _SAMPLE_GROUP_SQL,

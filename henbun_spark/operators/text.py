@@ -231,3 +231,47 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     for _, pat, repl in PII_PATTERNS:
         red = F.regexp_replace(red, pat, repl)
     return df.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
+def unigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document cross-entropy under a unigram LM trained on the corpus
+    itself — the CCNet/KenLM-style quality signal (low = in-distribution
+    text, high = outliers), with the LM reduced to unigrams so the whole
+    computation stays in two keyed shuffles.
+
+    Pass 1 trains the LM: token counts (map-side combinable groupBy) and
+    the corpus total via a bounded 1-row cross join. Pass 2 scores: join
+    tokens to their log-probs keyed on the token (AQE picks broadcast
+    when the vocab is small; natural-language vocabs at 100 TB are still
+    tiny next to the token stream) and aggregate per doc.
+
+    Determinism: log-probs are rounded to 6 decimals and summed as
+    decimals (order-independent) before the final double division.
+
+    Output: (id, n_tokens, xent) with xent = -mean log2-free ln-prob.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    lm = counts.crossJoin(F.broadcast(total)).select(
+        "tok", (F.log("c") - F.log("n")).alias("logp")
+    )
+    return (
+        toks.join(lm, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(F.round(F.col("logp"), 6).cast("decimal(38,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                * F.lit(-1.0)
+            ).alias("xent"),
+        )
+    )
