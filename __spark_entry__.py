@@ -1128,6 +1128,38 @@ GROUP BY doc_id
 """
 
 
+def gapfill_hourly_locf(spark, sf_dir):
+    """Hypertable-style hourly rollup with gap filling + LOCF per user:
+    per-key dense bucket axis (sequence+explode bounded by each key's
+    span), count/decimal-sum aggregation, carried-forward values via an
+    ignorenulls last() window."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    return relational.gapfill_locf(ev, "ts", "user_id", "value", 3600)
+
+
+_GAPFILL_SQL = """
+WITH b AS (
+  SELECT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
+         COUNT(*)::BIGINT AS n_obs,
+         CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS vsum
+  FROM events GROUP BY 1, 2),
+rng AS (SELECT user_id, min(bucket_epoch) AS h0, max(bucket_epoch) AS h1
+        FROM b GROUP BY 1),
+axis AS (SELECT user_id, unnest(generate_series(h0, h1, 3600)) AS bucket_epoch
+         FROM rng)
+SELECT axis.user_id, axis.bucket_epoch,
+  COALESCE(b.n_obs, 0)::BIGINT AS n_events,
+  last_value(b.vsum IGNORE NULLS) OVER (
+    PARTITION BY axis.user_id ORDER BY axis.bucket_epoch
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+  (b.n_obs IS NULL) AS filled
+FROM axis LEFT JOIN b USING (user_id, bucket_epoch)
+"""
+
+
 def _with_pii(docs):
     """Deterministically inject synthetic PII into the corpus text (the
     testdata has none) — mirrored literally in the oracle so both engines
@@ -2815,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": session_window_agg,
         "running_total_user": running_total_user,
         "hourly_event_counts": hourly_event_counts,
+        "gapfill_hourly_locf": gapfill_hourly_locf,
         "range_join_quantity": range_join_quantity,
         # dedup suite
         "dedup_exact_groups": dedup_exact_groups,
@@ -2907,6 +2940,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_windowed_counts": _STREAM_WINDOW_SQL,
         "running_total_user": _RUNNING_SQL,
         "hourly_event_counts": _HOURLY_SQL,
+        "gapfill_hourly_locf": _GAPFILL_SQL,
         "range_join_quantity": _RANGE_SQL,
         "dedup_exact_groups": _EXACT_DUP_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,

@@ -182,3 +182,70 @@ def range_join_bucketed(
     return lb.join(rb, on="__bucket").where(
         (F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) <= F.col(right_hi))
     ).drop("__bucket")
+
+
+def gapfill_locf(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    bucket_secs: int = 3600,
+) -> DataFrame:
+    """Time-bucket rollup with gap filling and last-observation-carried-
+    forward — the hypertable `time_bucket_gapfill` + `locf` pattern as
+    pure DataFrame ops.
+
+    1. Bucket + aggregate: groupBy(key, bucket) with a map-side-combinable
+       count and a decimal-exact value sum (order-independent, so results
+       are engine-reproducible).
+    2. Dense bucket axis: per key, `sequence(min, max, step)` + explode —
+       the generated rows are bounded by each key's own observed span,
+       never a global calendar cross join.
+    3. Gap semantics: missing buckets join as NULL -> count 0, and the
+       value is carried forward by `last(..., ignorenulls)` over a
+       per-key ordered window (one keyed sort shuffle; state is one row).
+
+    Output: (key, bucket_epoch BIGINT, n_events, value_locf, filled).
+    Leading buckets before a key's first observation cannot occur (the
+    axis starts at the key's min), so value_locf is never NULL.
+    """
+    b = (
+        df.groupBy(
+            F.col(key_col),
+            (
+                (F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
+                * bucket_secs
+            ).alias("bucket_epoch"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.round(F.col(value_col), 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("vsum"),
+        )
+    )
+    axis = (
+        b.groupBy(key_col)
+        .agg(F.min("bucket_epoch").alias("h0"), F.max("bucket_epoch").alias("h1"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("h0", "h1", F.lit(int(bucket_secs)))
+            ).alias("bucket_epoch"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        axis.join(b, [key_col, "bucket_epoch"], "left")
+        .select(
+            F.col(key_col),
+            F.col("bucket_epoch"),
+            F.coalesce("n_obs", F.lit(0)).alias("n_events"),
+            F.last("vsum", ignorenulls=True).over(w).alias("value_locf"),
+            F.col("n_obs").isNull().alias("filled"),
+        )
+    )
