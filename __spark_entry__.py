@@ -2802,6 +2802,25 @@ def kmeans_embeddings(spark, sf_dir):
     )
 
 
+def pca_embeddings(spark, sf_dir):
+    """Distributed PCA (SURVEY §2.11): one mapInPandas pass reduces the
+    corpus to (n, sum, Gram) sufficient statistics via treeAggregate
+    (driver sees one dim x dim matrix), driver eigendecomposes, and the
+    projection runs as pure-Column codegen with literal coefficients.
+    Rows-only check (eigendecomposition is not SQL-expressible); the
+    pytest matches a single-process numpy PCA to 1e-8."""
+    from henbun_spark.operators import decomposition
+
+    emb = _load(spark, sf_dir, "embeddings")
+    comps, _, mu = decomposition.pca_fit(emb, "embedding", k=4)
+    proj = decomposition.pca_project(
+        emb.select("vec_id", "embedding"), "embedding", comps, mu
+    )
+    return proj.select(
+        "vec_id", *[F.round(F.col(f"pc{i}"), 6).alias(f"pc{i}") for i in (1, 2, 3, 4)]
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2900,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
         "kmeans_embeddings": kmeans_embeddings,
+        "pca_embeddings": pca_embeddings,
     }
 
 

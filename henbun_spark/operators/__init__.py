@@ -9,7 +9,9 @@ of cross products, and explicit skew guards.
 
 from henbun_spark.operators import (
     clustering,
+    decomposition,
     dedup,
+    graph,
     multimodal,
     relational,
     sampling,
