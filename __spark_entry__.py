@@ -839,6 +839,65 @@ SELECT doc_id, component, doc_id = component AS is_canonical FROM comp
 """
 
 
+_REF_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def incremental_dedup_new(spark, sf_dir):
+    """Incremental-ingest dedup: treat sources src0-src4 as the existing
+    lake, the rest as the new crawl; drop new docs exactly or MinHash-
+    near-duplicating the lake. Both stages are anti-joins on narrow keys."""
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source").isin(*_REF_SOURCES))
+    new = docs.where(~F.col("source").isin(*_REF_SOURCES))
+    out = dedup.incremental_dedup(
+        new, ref, "text", "doc_id", n=8, bands=4, min_bands=3
+    )
+    return out.select("doc_id", "source")
+
+
+_INCR_DEDUP_SQL = """
+WITH ref AS (
+  SELECT * FROM documents WHERE source IN ('src0','src1','src2','src3','src4')),
+nw AS (
+  SELECT * FROM documents
+  WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+n1 AS (
+  SELECT nw.* FROM nw
+  WHERE md5(text) NOT IN (SELECT md5(text) FROM ref)),
+sh_n AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS s
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, greatest(length(text)-7, 1))) AS i
+        FROM n1)),
+sig_n AS (
+  SELECT doc_id, band,
+    min(substr(md5((band // 4)::VARCHAR || '|' || s), (band % 4) * 8 + 1, 8)) AS mh
+  FROM sh_n CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)
+  GROUP BY doc_id, band),
+sh_r AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS s
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, greatest(length(text)-7, 1))) AS i
+        FROM ref)),
+sig_r AS (
+  SELECT DISTINCT band,
+    mh
+  FROM (
+    SELECT doc_id, band,
+      min(substr(md5((band // 4)::VARCHAR || '|' || s), (band % 4) * 8 + 1, 8)) AS mh
+    FROM sh_r CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)
+    GROUP BY doc_id, band)),
+hits AS (
+  SELECT sig_n.doc_id
+  FROM sig_n JOIN sig_r ON sig_n.band = sig_r.band AND sig_n.mh = sig_r.mh
+  GROUP BY sig_n.doc_id
+  HAVING COUNT(DISTINCT sig_n.band) >= 3)
+SELECT doc_id, source FROM n1 WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
 def chunk_dedup_docs(spark, sf_dir):
     """Span-level (paragraph-style) exact dedup: 16-word chunks, global
     first-occurrence keep, per-doc reassembly. First-occurrence is a
@@ -2876,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": simhash_near_pairs,
         "dedup_components": dedup_components,
         "chunk_dedup_docs": chunk_dedup_docs,
+        "incremental_dedup_new": incremental_dedup_new,
         # text analysis suite
         "text_stats": text_stats,
         "text_quality": text_quality,
@@ -2969,6 +3029,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_components": _COMPONENTS_SQL,
         "chunk_dedup_docs": _CHUNK_DEDUP_SQL,
+        "incremental_dedup_new": _INCR_DEDUP_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _LANGID_SQL,

@@ -232,6 +232,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    bands: int = 8,
+    min_bands: int = 1,
+) -> DataFrame:
+    """Incremental-ingest dedup: drop rows of `new_df` that exactly or
+    nearly duplicate the existing reference corpus `ref_df` (the "new
+    crawl vs what's already in the lake" pass — the reference corpus is
+    NEVER re-clustered, only probed).
+
+    Stage 1 (exact): md5(text) left-anti join against the reference's
+    distinct hashes — a narrow 16-byte key join, broadcastable when the
+    reference digest table is small, shuffle-keyed otherwise.
+    Stage 2 (near): MinHash band signatures on both sides, matched on
+    (band, mh); a new doc hitting >= `min_bands` reference bands is
+    dropped. Both stages are anti-joins keyed on small columns — the
+    text payload never travels through the comparison shuffles.
+    """
+    newh = new_df.withColumn("_h", F.md5(F.col(text_col)))
+    refh = ref_df.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    survivors = newh.join(refh, "_h", "left_anti").drop("_h")
+    sig_new = minhash_signatures(survivors, text_col, id_col, n, bands)
+    sig_ref = (
+        minhash_signatures(ref_df, text_col, id_col, n, bands)
+        .select("band", "mh")
+        .distinct()
+    )
+    hits = (
+        sig_new.join(sig_ref, ["band", "mh"])
+        .groupBy(id_col)
+        .agg(F.countDistinct("band").alias("_nb"))
+        .where(F.col("_nb") >= min_bands)
+        .select(id_col)
+    )
+    return survivors.join(hits, id_col, "left_anti")
+
+
 def chunk_dedup(
     df: DataFrame, text_col: str, id_col: str, chunk_words: int = 16
 ) -> DataFrame:
