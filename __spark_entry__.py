@@ -839,6 +839,53 @@ SELECT doc_id, component, doc_id = component AS is_canonical FROM comp
 """
 
 
+def zorder_events(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, hour): pure-Column
+    bit interleaving (the data-skipping layout key `write_zordered` sorts
+    by), summarized per 16-z-bucket so the oracle can hash-compare the
+    full curve. Shows each bucket covers a compact (user, hour)
+    hyper-rectangle — the property file pruning relies on."""
+    from henbun_spark.operators import layout
+
+    ev = _load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        ((F.unix_timestamp("ts") / 3600).cast("long") % 1024).alias("hr"),
+    )
+    z = layout.zorder_value(["user_id", "hr"], bits=16)
+    return (
+        base.select(z.alias("zv"), "user_id", "hr")
+        .groupBy(F.shiftright(F.col("zv"), 12).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("hr").alias("min_hr"),
+            F.max("hr").alias("max_hr"),
+        )
+    )
+
+
+def _zorder_sql() -> str:
+    from henbun_spark.operators import layout
+
+    return f"""
+WITH base AS (
+  SELECT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 1024 AS hr
+  FROM events),
+z AS (SELECT user_id, hr, {layout.zorder_sql(["user_id", "hr"], 16)} AS zv
+      FROM base)
+SELECT zv >> 12 AS zbucket, COUNT(*)::BIGINT AS n,
+  min(user_id) AS min_user, max(user_id) AS max_user,
+  min(hr) AS min_hr, max(hr) AS max_hr
+FROM z GROUP BY 1
+"""
+
+
+_ZORDER_SQL = _zorder_sql()
+
+
 _REF_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 
 
@@ -2926,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total_user": running_total_user,
         "hourly_event_counts": hourly_event_counts,
         "gapfill_hourly_locf": gapfill_hourly_locf,
+        "zorder_events": zorder_events,
         "range_join_quantity": range_join_quantity,
         # dedup suite
         "dedup_exact_groups": dedup_exact_groups,
@@ -3021,6 +3069,7 @@ def oracle_sql() -> dict[str, str]:
         "running_total_user": _RUNNING_SQL,
         "hourly_event_counts": _HOURLY_SQL,
         "gapfill_hourly_locf": _GAPFILL_SQL,
+        "zorder_events": _ZORDER_SQL,
         "range_join_quantity": _RANGE_SQL,
         "dedup_exact_groups": _EXACT_DUP_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
