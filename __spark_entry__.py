@@ -2908,6 +2908,21 @@ def kmeans_embeddings(spark, sf_dir):
     )
 
 
+def bpe_train_encode(spark, sf_dir):
+    """Distributed BPE tokenizer training (SURVEY §2.11): one corpus pass
+    builds the word-frequency table; each merge round is pure-Column
+    pair-counting + argmax + fold-rewrite ON THE VOCAB TABLE only.
+    Returns per-doc token counts under the learned 16-merge tokenizer.
+    Rows-only check (iterative argmax is not SQL-expressible); the pytest
+    matches single-process reference BPE merges exactly."""
+    from henbun_spark.operators import bpe
+
+    docs = _load(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, "text", n_merges=16)
+    enc = bpe.bpe_encode(docs, "text", "doc_id", merges)
+    return enc.select("doc_id", "n_tokens")
+
+
 def pca_embeddings(spark, sf_dir):
     """Distributed PCA (SURVEY §2.11): one mapInPandas pass reduces the
     corpus to (n, sum, Gram) sufficient statistics via treeAggregate
@@ -3028,6 +3043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": ann_topk_ivf,
         "kmeans_embeddings": kmeans_embeddings,
         "pca_embeddings": pca_embeddings,
+        "bpe_train_encode": bpe_train_encode,
     }
 
 
