@@ -2055,6 +2055,45 @@ GROUP BY 1, 2
 """
 
 
+def streaming_dedup_keys(spark, sf_dir):
+    """Streaming exact dedup end-to-end, ORACLE-CHECKED: the events table
+    replayed as a file stream through `dropDuplicatesWithinWatermark` on
+    (user_id, event_type), drained with availableNow into a parquet sink.
+    The 31-day watermark delay exceeds the 30-day corpus span, so no row
+    is late-dropped and the surviving key set equals batch DISTINCT —
+    while state stays bounded by the horizon (the 100 TB property:
+    continuous ingestion never accumulates unbounded dedup state).
+    Only the key columns are emitted (which PAYLOAD row survives is
+    arrival-order-dependent; the key set is deterministic)."""
+    from henbun_spark import streaming
+
+    ev = _load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    base = _scratch_dir("henbun_sdedup_")
+    in_dir = f"{base}/in"
+    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    deduped = streaming.dedup_stream(
+        stream, ["user_id", "event_type"], ts_col="ts", watermark="31 days"
+    )
+    out_dir = f"{base}/out"
+    q = (
+        deduped.select("user_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def multimodal_features(spark, sf_dir):
     """Binary-column multimodal plumbing: synthesize media -> mapInPandas
     decode/featurize (deterministic fake kernel; codecs stubbed)."""
@@ -3038,6 +3077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": streaming_windowed_counts,
         "streaming_interval_join": streaming_interval_join,
         "streaming_sessionize": streaming_sessionize,
+        "streaming_dedup_keys": streaming_dedup_keys,
         "multimodal_features": multimodal_features,
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
@@ -3081,6 +3121,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window_agg": _SESSION_WINDOW_SQL,
         "streaming_interval_join": _STREAM_IJOIN_SQL,
         "streaming_sessionize": _STREAM_SESS_SQL,
+        "streaming_dedup_keys": _STREAM_DEDUP_SQL,
         "streaming_windowed_counts": _STREAM_WINDOW_SQL,
         "running_total_user": _RUNNING_SQL,
         "hourly_event_counts": _HOURLY_SQL,

@@ -73,6 +73,15 @@ HEADLINE = [
     "vi_linear_regression",
     "multimodal_features",
     "kmeans_embeddings",
+    "dedup_components",
+    "chunk_dedup_docs",
+    "incremental_dedup_new",
+    "pii_redact",
+    "lm_score_docs",
+    "gapfill_hourly_locf",
+    "zorder_events",
+    "pca_embeddings",
+    "bpe_train_encode",
 ]
 
 

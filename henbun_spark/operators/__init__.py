@@ -8,10 +8,12 @@ of cross products, and explicit skew guards.
 """
 
 from henbun_spark.operators import (
+    bpe,
     clustering,
     decomposition,
     dedup,
     graph,
+    layout,
     multimodal,
     relational,
     sampling,

@@ -17,6 +17,8 @@ ROWS_ONLY = {
     "ann_topk_ivf",
     "approx_distinct_events",
     "kmeans_embeddings",
+    "pca_embeddings",
+    "bpe_train_encode",
 }
 
 

@@ -37,7 +37,15 @@ from henbun_spark import sources
 # Flag it everywhere else.
 #  - text_tfidf: the corpus-count N rides along as a broadcast 1-row
 #    aggregate cross join — bounded by construction.
-BNLJ_OK = {"range_join_quantity", "sim_cosine_topk", "emb_near_dup", "text_tfidf"}
+#  - lm_score_docs: same bounded 1-row cross join (the corpus token
+#    total joined onto the vocab table).
+BNLJ_OK = {
+    "range_join_quantity",
+    "sim_cosine_topk",
+    "emb_near_dup",
+    "text_tfidf",
+    "lm_score_docs",
+}
 # These execute work at build time (training loops, streaming drains) —
 # still audited, just slower to appear.
 HARD = ("CartesianProduct", "BatchEvalPython")
