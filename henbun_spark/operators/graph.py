@@ -34,7 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = [
+    "connected_components",
+    "connected_components_star",
+    "dedup_clusters",
+]
 
 
 def connected_components(
@@ -98,6 +102,94 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — converges in O(log^2 n) rounds INDEPENDENT of graph
+    diameter, so it is the right choice for chain- or tree-shaped graphs
+    where min-label propagation (`connected_components`) needs
+    O(diameter) rounds.
+
+    Both star operations are expressed WITHOUT collect_list: the
+    per-node minimum neighbor is a partial-aggregatable groupBy min,
+    and the rewiring is an equi-join of the edge list against that
+    min table — two shuffles per half-round, skew-safe (a hub node's
+    min combines map-side; its edges rewire in parallel).
+
+    Output: (node, comp) for every node in the edge list, comp = the
+    component's minimum node id (same contract as
+    `connected_components`).
+    """
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u"), F.col("v"))
+            .union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _large_star(sym: DataFrame) -> DataFrame:
+        # m(u) = min(N(u) + {u}); connect strictly-larger neighbors to m
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def _small_star(sym: DataFrame) -> DataFrame:
+        # operate on edges directed large->small: m(u) = min(N<=(u)+{u});
+        # connect each small neighbor AND u itself to m
+        d = sym.where(F.col("v") <= F.col("u"))
+        m = d.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        rewired = d.join(m, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edge = m.select(F.col("u"), F.col("m").alias("v"))
+        return rewired.union(self_edge)
+
+    cur = _sym(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        stepped = _sym(_small_star(_large_star(cur))).localCheckpoint(
+            eager=True
+        )
+        sig = stepped.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        cur = stepped
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # fixpoint: every component is a star rooted at its minimum; each
+    # non-root points at the root, roots label themselves
+    labels = cur.where(F.col("v") < F.col("u")).select(
+        F.col("u").alias("node"), F.col("v").alias("comp")
+    )
+    roots = (
+        cur.select(F.explode(F.array("u", "v")).alias("node"))
+        .distinct()
+        .join(labels.select("node"), "node", "left_anti")
+        .withColumn("comp", F.col("node"))
+    )
+    return labels.union(roots)
 
 
 def dedup_clusters(
