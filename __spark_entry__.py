@@ -839,6 +839,31 @@ SELECT doc_id, component, doc_id = component AS is_canonical FROM comp
 """
 
 
+def skew_report_events(spark, sf_dir):
+    """Key-skew diagnostic over (user_id, event_type): hottest 10 keys
+    with share and uniform-ratio — map-side-combinable groupBy + a
+    TakeOrdered top-k, totals as a bounded 1-row broadcast."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    return relational.skew_report(ev, ["user_id", "event_type"], top_k=10)
+
+
+_SKEW_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT SUM(n)::BIGINT AS total, COUNT(*)::BIGINT AS n_keys FROM counts)
+SELECT row_number() OVER (ORDER BY n DESC, user_id, event_type)::INT AS rank,
+  user_id, event_type, n,
+  ROUND(n::DOUBLE / total, 6) AS share,
+  ROUND(n::DOUBLE * n_keys / total, 4) AS uniform_ratio
+FROM counts CROSS JOIN tot
+ORDER BY n DESC, user_id, event_type
+LIMIT 10
+"""
+
+
 def zorder_events(spark, sf_dir):
     """Z-order (Morton) clustering key over (user_id, hour): pure-Column
     bit interleaving (the data-skipping layout key `write_zordered` sorts
@@ -3028,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_counts": hourly_event_counts,
         "gapfill_hourly_locf": gapfill_hourly_locf,
         "zorder_events": zorder_events,
+        "skew_report_events": skew_report_events,
         "range_join_quantity": range_join_quantity,
         # dedup suite
         "dedup_exact_groups": dedup_exact_groups,
@@ -3127,6 +3153,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_event_counts": _HOURLY_SQL,
         "gapfill_hourly_locf": _GAPFILL_SQL,
         "zorder_events": _ZORDER_SQL,
+        "skew_report_events": _SKEW_SQL,
         "range_join_quantity": _RANGE_SQL,
         "dedup_exact_groups": _EXACT_DUP_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,

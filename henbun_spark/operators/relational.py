@@ -249,3 +249,41 @@ def gapfill_locf(
             F.col("n_obs").isNull().alias("filled"),
         )
     )
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top_k: int = 10
+) -> DataFrame:
+    """Join/agg-key skew diagnostic: the `top_k` hottest keys with their
+    absolute counts, share of all rows, and the ratio to a perfectly
+    uniform key (the number that predicts reducer imbalance — a ratio of
+    r means the hot key's shuffle partition gets ~r x the average work,
+    and a self-join on the key fans out r^2 x).
+
+    One map-side-combinable groupBy + a top-k over the (small) distinct-
+    key table; the totals ride along as a bounded 1-row broadcast cross
+    join. Feed the output to `salted_join` (n_salts ~ ratio) or to a
+    `max_df`/`max_bucket` cap choice in the dedup operators.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    # top-k BEFORE the window: orderBy+limit plans as TakeOrderedAndProject
+    # (per-partition heaps, no global sort); the rank window then runs
+    # over k rows only.
+    top = counts.orderBy(F.desc("n"), *key_cols).limit(top_k)
+    w = Window.orderBy(F.desc("n"), *key_cols)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            *key_cols,
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("n") * F.col("n_keys") / F.col("total"), 4
+            ).alias("uniform_ratio"),
+        )
+    )
