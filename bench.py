@@ -82,6 +82,8 @@ HEADLINE = [
     "zorder_events",
     "pca_embeddings",
     "bpe_train_encode",
+    "skew_report_events",
+    "streaming_dedup_keys",
 ]
 
 

@@ -178,3 +178,32 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~`target_file_mb` each (from the source's on-disk bytes). The
+    small-files problem is a first-order 100 TB failure mode — a
+    million 1 MB files means a million scan tasks and a crushed
+    namenode/listing path; periodic compaction keeps scans at
+    maxPartitionBytes-sized tasks.
+
+    Returns the number of output files requested. Uses coalesce (no
+    shuffle) when reducing file count — each output task reads whole
+    input files; use `write_zordered` instead when the rewrite should
+    also re-cluster rows.
+    """
+    total = 0
+    for root, _dirs, files in os.walk(in_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(in_path)
+    df.coalesce(n).write.mode("overwrite").parquet(out_path)
+    return n
