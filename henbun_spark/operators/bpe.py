@@ -91,7 +91,7 @@ def bpe_train(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    for round_no in range(n_merges):
         best = (
             syms.select("cnt", F.explode(_adjacent_pairs(F.col("sym"))).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -104,7 +104,13 @@ def bpe_train(
         merges.append((best["a"], best["b"]))
         syms = syms.select(
             "cnt", _merge_pair(F.col("sym"), best["a"], best["b"]).alias("sym")
-        ).localCheckpoint(eager=True)
+        )
+        # checkpoint every few rounds, not every round: truncating the
+        # fold-chain lineage is needed only before plan depth compounds
+        # (each un-checkpointed round adds one aggregate to the chain),
+        # and an eager checkpoint costs a full extra job per round
+        if (round_no + 1) % 4 == 0:
+            syms = syms.localCheckpoint(eager=True)
     return merges
 
 
