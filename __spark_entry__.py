@@ -864,6 +864,40 @@ LIMIT 10
 """
 
 
+def budget_select_docs(spark, sf_dir):
+    """Token-budget corpus selection: highest-n_chars docs until a 12k
+    cumulative token budget — the distributed two-pass prefix sum
+    (range partition -> per-partition totals -> driver offsets ->
+    parallel partitioned window), NEVER a single-reducer global window."""
+    from henbun_spark.operators import selection
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).cast("long").alias("n_tokens"),
+    )
+    out = selection.take_budget(
+        docs, "n_chars", "n_tokens", budget=12000, id_col="doc_id"
+    )
+    return out.select("doc_id", "n_chars", "n_tokens", "cum_weight")
+
+
+_BUDGET_SELECT_SQL = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens, cum_weight FROM (
+  SELECT doc_id, n_chars, n_tokens,
+    CAST(SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_weight
+  FROM t)
+WHERE cum_weight <= 12000
+"""
+
+
 def zorder_events(spark, sf_dir):
     """Z-order (Morton) clustering key over (user_id, hour): pure-Column
     bit interleaving (the data-skipping layout key `write_zordered` sorts
@@ -3054,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_hourly_locf": gapfill_hourly_locf,
         "zorder_events": zorder_events,
         "skew_report_events": skew_report_events,
+        "budget_select_docs": budget_select_docs,
         "range_join_quantity": range_join_quantity,
         # dedup suite
         "dedup_exact_groups": dedup_exact_groups,
@@ -3154,6 +3189,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_hourly_locf": _GAPFILL_SQL,
         "zorder_events": _ZORDER_SQL,
         "skew_report_events": _SKEW_SQL,
+        "budget_select_docs": _BUDGET_SELECT_SQL,
         "range_join_quantity": _RANGE_SQL,
         "dedup_exact_groups": _EXACT_DUP_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
