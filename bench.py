@@ -84,6 +84,7 @@ HEADLINE = [
     "bpe_train_encode",
     "skew_report_events",
     "streaming_dedup_keys",
+    "budget_select_docs",
 ]
 
 

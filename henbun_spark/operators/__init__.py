@@ -17,6 +17,7 @@ from henbun_spark.operators import (
     multimodal,
     relational,
     sampling,
+    selection,
     similarity,
     text,
 )
