@@ -250,7 +250,7 @@ def unigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Output: (id, n_tokens, xent) with xent = -mean log2-free ln-prob.
     """
-    toks = df.select(
+    toks = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(
             F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
