@@ -817,6 +817,30 @@ def dedup_components(spark, sf_dir):
     return graph.dedup_clusters(docs, pairs, "doc_id")
 
 
+def dedup_components_star(spark, sf_dir):
+    """Same duplicate-cluster labeling as `dedup_components` but closed
+    with the alternating large-star/small-star algorithm (O(log^2 n)
+    rounds independent of graph diameter — the scale path for chain-
+    shaped graphs). Must hash-match the identical recursive-CTE oracle."""
+    from henbun_spark.operators import dedup, graph
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.35, max_df=100
+    )
+    comp = graph.connected_components_star(
+        pairs, "id_a", "id_b"
+    ).withColumnRenamed("node", "doc_id")
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("comp", F.col("doc_id")).alias("component")
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("component"))
+    )
+
+
 _COMPONENTS_SQL = f"""
 WITH RECURSIVE {_JACCARD_CTES},
 edges AS (
@@ -3097,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "simhash_near_pairs": simhash_near_pairs,
         "dedup_components": dedup_components,
+        "dedup_components_star": dedup_components_star,
         "chunk_dedup_docs": chunk_dedup_docs,
         "incremental_dedup_new": incremental_dedup_new,
         # text analysis suite
@@ -3197,6 +3222,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_SQL,
         "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_components": _COMPONENTS_SQL,
+        "dedup_components_star": _COMPONENTS_SQL,
         "chunk_dedup_docs": _CHUNK_DEDUP_SQL,
         "incremental_dedup_new": _INCR_DEDUP_SQL,
         "text_stats": _TEXT_STATS_SQL,
