@@ -1945,6 +1945,56 @@ def vi_linear_regression(spark, sf_dir):
     )
 
 
+def vi_amortized_encoder(spark, sf_dir):
+    """The reference's core differentiator end-to-end, DISTRIBUTED: the
+    global/local split (README.md:14-21) — a NeuralNet encoder emits
+    per-row LOCAL variational parameters (amortized inference), globals
+    train via broadcast -> mapInPandas grads -> treeAggregate -> driver
+    Adam, and posterior summaries stream back per Arrow batch through
+    `spark_exec.predict` (no n-sized state on the driver at any point).
+    Rows-only check (stochastic training has no SQL oracle; the encoder/
+    LOCAL mechanics carry pytest parity in tests/test_spark_exec.py)."""
+    import henbun_spark as hb
+    from henbun_spark import variationals
+    from henbun_spark import autodiff as ad
+    from henbun_spark.param import graph_key
+    from henbun_spark.spark_exec import ColumnData, SparkTrainer, predict
+
+    ev = _load(spark, sf_dir, "events").select(
+        (F.hour("ts").cast("double") / 24.0).alias("x"),
+        (F.col("value") / 100.0).alias("y"),
+    )
+
+    class AmortizedVI(hb.Model):
+        def setUp(self):
+            self.xy = ColumnData(["x", "y"])
+            self.enc = hb.nn.NeuralNet([2, 8, 2], neuron_types="relu", stddev=0.3)
+            self.z = variationals.Normal([1], collections=graph_key.LOCAL)
+            self.dec = hb.Variable([1], mean=0.0, stddev=0.1)
+
+        def local_objective(self):
+            self.z = self.enc(self.xy)
+            z = self.z
+            y = self.xy[:, 1]
+            lik = hb.densities.gaussian(y, z.reshape((-1,)) + self.dec, 0.1)
+            return ad.sum(lik) - self.KL(graph_key.LOCAL)
+
+        def posterior(self):
+            # amortized posterior mean = first encoder output channel
+            # (the value fed into the LOCAL variational's q_mu)
+            out = self.enc(self.xy)
+            return {"z_mean": out[:, 0].data.reshape(-1)}
+
+    m = AmortizedVI()
+    tr = SparkTrainer(m, ev, optimizer=hb.Adam(learning_rate=0.02))
+    tr.fit(maxiter=8)
+    post = predict(tr.model, ev, "posterior", "z_mean double")
+    return post.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("z_mean"), 2).alias("z_mean_avg"),
+    )
+
+
 def gp_sparse_posterior(spark, sf_dir):
     """SparseGP posterior samples, DISTRIBUTED over the n (coordinate)
     axis — the §2.9 G3 execution shape: the model (inducing points z +
@@ -3159,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priors_logp": priors_logp,
         # non-SQL-expressible (rows-only checks)
         "vi_linear_regression": vi_linear_regression,
+        "vi_amortized_encoder": vi_amortized_encoder,
         "gp_sparse_posterior": gp_sparse_posterior,
         "streaming_windowed_counts": streaming_windowed_counts,
         "streaming_interval_join": streaming_interval_join,

@@ -19,6 +19,7 @@ ROWS_ONLY = {
     "kmeans_embeddings",
     "pca_embeddings",
     "bpe_train_encode",
+    "vi_amortized_encoder",
 }
 
 
