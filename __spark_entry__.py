@@ -1294,6 +1294,43 @@ FROM per GROUP BY doc_id
 """
 
 
+def gopher_quality_docs(spark, sf_dir):
+    """The published Gopher quality-rule subset per doc (word-count and
+    mean-word-length windows, symbol ratios, alphabetic-word fraction,
+    stopword presence) + overall pass flag — map-only Column math."""
+    from henbun_spark.operators import text as text_ops
+
+    docs = _load(spark, sf_dir, "documents")
+    return text_ops.gopher_quality(docs, "text", "doc_id")
+
+
+_GOPHER_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    ROUND(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 6) AS mean_word_len,
+    ROUND(((length(text) - length(replace(text, '#', '')))) / len(w), 6) AS hash_ratio,
+    ROUND(((length(text) - length(replace(text, '...', ''))) / 3) / len(w), 6) AS ellipsis_ratio,
+    ROUND(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w), 6) AS alpha_word_frac,
+    (list_contains(w, 'the')::INT + list_contains(w, 'be')::INT
+     + list_contains(w, 'to')::INT + list_contains(w, 'of')::INT
+     + list_contains(w, 'and')::INT + list_contains(w, 'that')::INT
+     + list_contains(w, 'have')::INT + list_contains(w, 'with')::INT) AS stop_hits
+  FROM t)
+SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+  alpha_word_frac, stop_hits,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_len >= 3 AND mean_word_len <= 10
+   AND hash_ratio < 0.1 AND ellipsis_ratio < 0.3
+   AND alpha_word_frac > 0.8 AND stop_hits >= 2) AS passes
+FROM m
+"""
+
+
 def lm_score_docs(spark, sf_dir):
     """Unigram-LM cross-entropy per doc (CCNet-style quality signal):
     pass 1 trains token counts, pass 2 scores via a token-keyed join —
@@ -3182,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "pii_redact": pii_redact,
         "lm_score_docs": lm_score_docs,
+        "gopher_quality_docs": gopher_quality_docs,
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "train_test_split_hash": train_test_split_hash,
         "sample_per_group": sample_per_group,
@@ -3283,6 +3321,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _REPETITION_SQL,
         "pii_redact": _PII_SQL,
         "lm_score_docs": _LM_SCORE_SQL,
+        "gopher_quality_docs": _GOPHER_SQL,
         "pipeline_clean_corpus": _PIPELINE_SQL,
         "train_test_split_hash": _TRAIN_TEST_SQL,
         "sample_per_group": _SAMPLE_GROUP_SQL,

@@ -275,3 +275,60 @@ def unigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ).alias("xent"),
         )
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    "Scaling Language Models: ...", Appendix A1.1) as per-rule columns +
+    an overall pass flag — the rule set most large-corpus pipelines start
+    from. Document-level subset: the line-based rules (bullet/ellipsis
+    line starts) are omitted because the corpus has no line structure;
+    the word-count window, mean-word-length window, symbol ratios,
+    alphabetic-word fraction, and stopword-presence rules are exact.
+
+    Pure Column expressions end to end — a map-only pass that runs inside
+    whole-stage codegen at the scan, shuffle-free at any scale.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    n_words = F.size(words)
+    total_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = total_chars.cast("double") / n_words
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ellipsis = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    )
+    stop_hits = None
+    for sw in GOPHER_STOPWORDS:
+        hit = F.array_contains(words, sw).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(n_hash / n_words, 6).alias("hash_ratio"),
+        F.round(n_ellipsis / n_words, 6).alias("ellipsis_ratio"),
+        F.round(alpha_words.cast("double") / n_words, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("hash_ratio") < 0.1)
+        & (F.col("ellipsis_ratio") < 0.3)
+        & (F.col("alpha_word_frac") > 0.8)
+        & (F.col("stop_hits") >= 2),
+    )
