@@ -3231,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "emb_near_dup": emb_near_dup,
         "emb_near_dup_lsh": emb_near_dup_lsh,
+        "emb_quantize": emb_quantize,
         # scalar-function surface
         "density_gaussian": density_gaussian,
         "density_poisson": density_poisson,
@@ -3332,6 +3333,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": _COSINE_TOPK_SQL,
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
         "emb_near_dup_lsh": _EMB_LSH_SQL,
+        "emb_quantize": _EMB_QUANT_SQL,
         "density_gaussian": _DENS_GAUSS_SQL,
         "density_poisson": _DENS_POISSON_SQL,
         "density_student_t": _DENS_STUDENT_SQL,
