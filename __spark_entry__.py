@@ -2276,6 +2276,41 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+def image_dedup_ahash(spark, sf_dir):
+    """Perceptual image dedup end-to-end on REAL pixels: genuine BMP
+    payloads -> decode + box resize + average-hash (Arrow-batched
+    mapInPandas, binary never leaves the scan) -> banded Hamming pair
+    join (pigeonhole blocks, no all-pairs). 8 planted noisy copies must
+    pair with their originals. Rows-only (pixel decode has no SQL
+    oracle; hash/codec parity is pytest-covered)."""
+    import numpy as np  # noqa: F811 — local alias for the closure below
+
+    from henbun_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=64, kind="image", seed=0)
+    rng = np.random.default_rng(99)
+    extras = []
+    for r in media.where(F.col("media_id") < 8).collect():
+        pix = multimodal.decode_bmp(bytes(r["payload"]))
+        noisy = np.clip(
+            pix.astype(int) + rng.integers(-5, 6, pix.shape), 0, 255
+        ).astype(np.uint8)
+        extras.append(
+            (
+                int(r["media_id"]) + 1000,
+                "image",
+                bytearray(multimodal.encode_bmp(noisy)),
+                (8, 8, None, None, "bmp"),
+            )
+        )
+    all_media = media.unionByName(
+        spark.createDataFrame(extras, multimodal.MEDIA_SCHEMA)
+    )
+    hashes = multimodal.ahash_images(all_media)
+    pairs = multimodal.ahash_near_pairs(hashes, max_hamming=8)
+    return pairs.orderBy("id_a", "id_b")
+
+
 def streaming_interval_join(spark, sf_dir):
     """Watermarked stream-stream interval join, drained with availableNow
     and ORACLE-CHECKED: with an eviction-free watermark over a finite
@@ -3255,6 +3290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": streaming_sessionize,
         "streaming_dedup_keys": streaming_dedup_keys,
         "multimodal_features": multimodal_features,
+        "image_dedup_ahash": image_dedup_ahash,
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
         "kmeans_embeddings": kmeans_embeddings,

@@ -281,3 +281,92 @@ def resize_meta(df: DataFrame, width: int, height: int) -> DataFrame:
             F.col("meta.format").alias("format"),
         ),
     )
+
+
+def ahash_images(df: DataFrame, hash_size: int = 8, strict: bool = True) -> DataFrame:
+    """Perceptual image fingerprint (average hash): decode BMP -> box-
+    resize to hash_size x hash_size -> grayscale -> threshold at the mean
+    -> 64-bit fingerprint. Near-identical images (small noise, re-
+    encodes) land within a few Hamming bits; pair them with
+    `dedup.simhash_near_pairs`-style banding on the `ahash` column.
+
+    Arrow-batched mapInPandas (decode cannot be Column math); emits only
+    (media_id, ahash) so the binary payload never leaves the scan stage.
+    Non-BMP rows raise when strict else hash the raw bytes' sha-seeded
+    fake (plumbing-only path, same contract as decode_and_featurize).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                try:
+                    pix = decode_bmp(data)
+                    h, w, _ = pix.shape
+                    if h % hash_size or w % hash_size:
+                        raise ValueError("not divisible for box resize")
+                    small = resize_box(pix, hash_size, hash_size)
+                    gray = small.astype(np.float64).mean(axis=2)
+                    bits = (gray > gray.mean()).ravel()
+                except ValueError:
+                    if strict:
+                        raise
+                    seed = hashlib.sha256(data).digest()
+                    bits = np.unpackbits(
+                        np.frombuffer(seed[: hash_size * hash_size // 8], np.uint8)
+                    ).astype(bool)
+                val = 0
+                for j, b in enumerate(bits):
+                    if b:
+                        val |= 1 << j
+                # keep within int64 (hash_size 8 -> 64 bits; clear the sign bit)
+                hashes.append(val & 0x7FFFFFFFFFFFFFFF)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "ahash": hashes})
+
+    return df.select("media_id", "payload").mapInPandas(
+        fn, "media_id long, ahash long"
+    )
+
+
+def ahash_near_pairs(
+    df: DataFrame, bits: int = 63, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate image pairs by aHash Hamming distance, banded with
+    the pigeonhole block join (any pair within distance k agrees on one
+    of k+1 blocks) — identical candidate-generation shape to
+    `dedup.simhash_near_pairs`, never an all-pairs comparison."""
+    from pyspark.sql import functions as FF
+
+    nblocks = max_hamming + 1
+    block_bits = bits // nblocks
+    blocks = [
+        FF.shiftright(FF.col("ahash"), i * block_bits)
+        .bitwiseAND(FF.lit((1 << block_bits) - 1))
+        .alias(f"blk{i}")
+        for i in range(nblocks)
+    ]
+    pairs = ", ".join(f"{i}, blk{i}" for i in range(nblocks))
+    stacked = df.select("media_id", "ahash", *blocks).selectExpr(
+        "media_id", "ahash", f"stack({nblocks}, {pairs}) as (bi, blk)"
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(b, on=["bi", "blk"])
+        .where(FF.col("a.media_id") < FF.col("b.media_id"))
+        .select(
+            FF.col("a.media_id").alias("id_a"),
+            FF.col("b.media_id").alias("id_b"),
+            FF.col("a.ahash").alias("h_a"),
+            FF.col("b.ahash").alias("h_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming", FF.bit_count(FF.col("h_a").bitwiseXOR(FF.col("h_b")))
+        )
+        .where(FF.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

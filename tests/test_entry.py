@@ -20,6 +20,7 @@ ROWS_ONLY = {
     "pca_embeddings",
     "bpe_train_encode",
     "vi_amortized_encoder",
+    "image_dedup_ahash",
 }
 
 
