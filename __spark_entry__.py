@@ -922,6 +922,88 @@ WHERE cum_weight <= 12000
 """
 
 
+def snapshot_diff_docs(spark, sf_dir):
+    """CDC snapshot diff between two deterministic corpus versions (old
+    drops doc_id%11==0, new drops doc_id%13==0 and rewrites doc_id%17==0)
+    — full-outer join on (id, md5 digest) only; payloads never shuffle."""
+    from henbun_spark.operators import relational
+
+    docs = _load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0)
+    new = docs.where(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return relational.snapshot_diff(old, new, "doc_id", ["text", "source"])
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id,
+    md5(coalesce(text, chr(0) || 'null') || chr(1)
+        || coalesce(source, chr(0) || 'null') || chr(1)) AS h
+  FROM documents WHERE doc_id % 11 <> 0),
+nw AS (
+  SELECT doc_id,
+    md5(coalesce(CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END,
+                 chr(0) || 'null') || chr(1)
+        || coalesce(source, chr(0) || 'null') || chr(1)) AS h
+  FROM documents WHERE doc_id % 13 <> 0)
+SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id,
+  CASE WHEN old.h IS NULL THEN 'added'
+       WHEN nw.h IS NULL THEN 'removed'
+       WHEN old.h <> nw.h THEN 'changed'
+       ELSE 'unchanged' END AS change_type
+FROM old FULL OUTER JOIN nw USING (doc_id)
+"""
+
+
+def profile_documents(spark, sf_dir):
+    """Single-pass table profile (rows / nulls / distinct / min / max per
+    column) — every statistic partial-aggregatable, one scan, stack()
+    unpivot."""
+    from henbun_spark import sources as src
+
+    docs = _load(spark, sf_dir, "documents")
+    return src.profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+_PROFILE_SQL = """
+WITH s AS (SELECT COUNT(*) AS n_rows FROM documents)
+SELECT col AS "column", n_rows, n_nulls, n_distinct, min_val, max_val
+FROM (
+  SELECT 'doc_id' AS col, s.n_rows,
+    (SELECT COUNT(*) - COUNT(doc_id) FROM documents)::BIGINT AS n_nulls,
+    (SELECT COUNT(DISTINCT doc_id) FROM documents)::BIGINT AS n_distinct,
+    (SELECT CAST(MIN(doc_id) AS VARCHAR) FROM documents) AS min_val,
+    (SELECT CAST(MAX(doc_id) AS VARCHAR) FROM documents) AS max_val
+  FROM s
+  UNION ALL
+  SELECT 'lang', s.n_rows,
+    (SELECT COUNT(*) - COUNT(lang) FROM documents)::BIGINT,
+    (SELECT COUNT(DISTINCT lang) FROM documents)::BIGINT,
+    (SELECT MIN(lang) FROM documents),
+    (SELECT MAX(lang) FROM documents)
+  FROM s
+  UNION ALL
+  SELECT 'source', s.n_rows,
+    (SELECT COUNT(*) - COUNT(source) FROM documents)::BIGINT,
+    (SELECT COUNT(DISTINCT source) FROM documents)::BIGINT,
+    (SELECT MIN(source) FROM documents),
+    (SELECT MAX(source) FROM documents)
+  FROM s
+  UNION ALL
+  SELECT 'n_chars', s.n_rows,
+    (SELECT COUNT(*) - COUNT(n_chars) FROM documents)::BIGINT,
+    (SELECT COUNT(DISTINCT n_chars) FROM documents)::BIGINT,
+    (SELECT CAST(MIN(n_chars) AS VARCHAR) FROM documents),
+    (SELECT CAST(MAX(n_chars) AS VARCHAR) FROM documents)
+  FROM s)
+"""
+
+
 def zorder_events(spark, sf_dir):
     """Z-order (Morton) clustering key over (user_id, hour): pure-Column
     bit interleaving (the data-skipping layout key `write_zordered` sorts
@@ -3235,6 +3317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": zorder_events,
         "skew_report_events": skew_report_events,
         "budget_select_docs": budget_select_docs,
+        "snapshot_diff_docs": snapshot_diff_docs,
+        "profile_documents": profile_documents,
         "range_join_quantity": range_join_quantity,
         # dedup suite
         "dedup_exact_groups": dedup_exact_groups,
@@ -3341,6 +3425,8 @@ def oracle_sql() -> dict[str, str]:
         "zorder_events": _ZORDER_SQL,
         "skew_report_events": _SKEW_SQL,
         "budget_select_docs": _BUDGET_SELECT_SQL,
+        "snapshot_diff_docs": _SNAPSHOT_DIFF_SQL,
+        "profile_documents": _PROFILE_SQL,
         "range_join_quantity": _RANGE_SQL,
         "dedup_exact_groups": _EXACT_DUP_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,

@@ -287,3 +287,37 @@ def skew_report(
             ).alias("uniform_ratio"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC-style snapshot diff: classify every id as added / removed /
+    changed / unchanged between two table versions.
+
+    Content equality is an md5 over the concatenated compare columns
+    (null-tagged so NULL != ''), so the full-outer join carries one
+    16-byte digest per side instead of the whole payload — at 100 TB the
+    shuffle moves (id, digest), never the row bodies.
+    """
+    def digest(df):
+        parts = []
+        for c in compare_cols:
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+            parts.append(F.lit("\x01"))
+        return df.select(F.col(id_col), F.md5(F.concat(*parts)).alias("_h"))
+
+    o = digest(old).withColumnRenamed("_h", "_h_old")
+    n = digest(new).withColumnRenamed("_h", "_h_new")
+    j = o.join(n, id_col, "full_outer")
+    return j.select(
+        id_col,
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )

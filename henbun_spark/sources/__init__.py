@@ -207,3 +207,29 @@ def compact_parquet(
     df = spark.read.parquet(in_path)
     df.coalesce(n).write.mode("overwrite").parquet(out_path)
     return n
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column-level data profile: rows, nulls, distinct count, min/max
+    (as strings, so heterogeneous column types stack into one frame).
+    One aggregation pass over the table — every statistic is partial-
+    aggregatable, so the profile costs a single scan at any scale.
+    The per-column stats are computed in ONE agg (not a loop of jobs)
+    and unpivoted with stack()."""
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(F.count(F.lit(1)).alias("__rows"), *aggs)
+    stacked = ", ".join(
+        f"'{c}', __rows - __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return row.selectExpr(
+        "__rows as n_rows",
+        f"stack({len(cols)}, {stacked}) as (column, n_nulls, n_distinct, min_val, max_val)",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
