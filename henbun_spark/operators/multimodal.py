@@ -370,3 +370,61 @@ def ahash_near_pairs(
         .where(FF.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def audio_fingerprint(df: DataFrame, n_bands: int = 32, strict: bool = True) -> DataFrame:
+    """Perceptual audio fingerprint (chromaprint-style idea reduced to
+    one frame): decode WAV -> magnitude spectrum -> `n_bands` log-spaced
+    band energies -> sign-of-derivative bits (band[i] > band[i-1]) ->
+    integer fingerprint. Pitch/level shifts that preserve the spectral
+    envelope shape keep most bits; pair with `ahash_near_pairs` (both
+    emit a plain integer hash column).
+
+    Arrow-batched mapInPandas; only (media_id, afp) leaves the stage.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                try:
+                    wave, sr = decode_wav(data)
+                    spec = np.abs(np.fft.rfft(wave))
+                    # log-spaced band edges over [1, len(spec))
+                    edges = np.unique(
+                        np.geomspace(1, len(spec) - 1, n_bands + 1).astype(int)
+                    )
+                    power = np.array(
+                        [
+                            float(np.sum(spec[a:b] ** 2)) if b > a else 0.0
+                            for a, b in zip(edges[:-1], edges[1:])
+                        ]
+                    )
+                    # bits = cumulative-energy curve vs the uniform
+                    # diagonal: robust to level shifts and additive noise
+                    # (the envelope's mass location dominates), and the
+                    # Hamming distance grows with spectral shift
+                    frac = np.cumsum(power) / max(power.sum(), 1e-30)
+                    k = len(frac)
+                    bits = [
+                        1 if frac[i] >= (i + 1.0) / k else 0 for i in range(k - 1)
+                    ]
+                except ValueError:
+                    if strict:
+                        raise
+                    seed = hashlib.sha256(data).digest()
+                    bits = [(seed[i // 8] >> (i % 8)) & 1 for i in range(n_bands - 1)]
+                val = 0
+                for j, b in enumerate(bits):
+                    if b:
+                        val |= 1 << j
+                out.append(val & 0x7FFFFFFFFFFFFFFF)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "afp": out})
+
+    return df.select("media_id", "payload").mapInPandas(
+        fn, "media_id long, afp long"
+    )
