@@ -85,6 +85,10 @@ HEADLINE = [
     "skew_report_events",
     "streaming_dedup_keys",
     "budget_select_docs",
+    "gopher_quality_docs",
+    "emb_quantize",
+    "snapshot_diff_docs",
+    "profile_documents",
 ]
 
 
