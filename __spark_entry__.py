@@ -922,6 +922,41 @@ WHERE cum_weight <= 12000
 """
 
 
+def funnel_signup_purchase(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase: strictly-after
+    subsequence matching via k-1 narrow frontier joins (no per-user
+    event collection anywhere)."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    return relational.funnel(ev, "ts", "user_id", "event_type",
+                             ["view", "click", "purchase"])
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id),
+s2 AS (
+  SELECT s1.user_id, s1.t1,
+         min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'click'
+  GROUP BY s1.user_id, s1.t1),
+s3 AS (
+  SELECT s2.user_id, s2.t1, s2.t2,
+         min(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+  FROM s2 LEFT JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+  GROUP BY s2.user_id, s2.t1, s2.t2),
+c AS (SELECT COUNT(t1)::BIGINT AS n1, COUNT(t2)::BIGINT AS n2,
+             COUNT(t3)::BIGINT AS n3 FROM s3)
+SELECT step, event_type, n_users, ROUND(n_users::DOUBLE / n1, 6) AS conversion
+FROM c, (VALUES (1, 'view'), (2, 'click'), (3, 'purchase')) AS v(step, event_type),
+LATERAL (SELECT CASE step WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END AS n_users)
+"""
+
+
 def snapshot_diff_docs(spark, sf_dir):
     """CDC snapshot diff between two deterministic corpus versions (old
     drops doc_id%11==0, new drops doc_id%13==0 and rewrites doc_id%17==0)
@@ -3317,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": zorder_events,
         "skew_report_events": skew_report_events,
         "budget_select_docs": budget_select_docs,
+        "funnel_signup_purchase": funnel_signup_purchase,
         "snapshot_diff_docs": snapshot_diff_docs,
         "profile_documents": profile_documents,
         "range_join_quantity": range_join_quantity,
@@ -3425,6 +3461,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_events": _ZORDER_SQL,
         "skew_report_events": _SKEW_SQL,
         "budget_select_docs": _BUDGET_SELECT_SQL,
+        "funnel_signup_purchase": _FUNNEL_SQL,
         "snapshot_diff_docs": _SNAPSHOT_DIFF_SQL,
         "profile_documents": _PROFILE_SQL,
         "range_join_quantity": _RANGE_SQL,

@@ -321,3 +321,62 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
         .alias("change_type"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest time each step
+    could complete given the previous step's completion time (classic
+    strictly-after subsequence matching); output is one row per step
+    with the surviving user count and conversion from step 1.
+
+    Plan shape for scale: NO per-user event collection. Step 1 is a
+    map-side-combinable min per user; each later step is one keyed
+    left join of the 1-row-per-user frontier against only that step's
+    events, with a conditional min — k-1 narrow joins for a k-step
+    funnel, each shuffling (user, ts) pairs only.
+    """
+    frontier = (
+        df.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        evs = df.where(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("_ts")
+        )
+        prev = f"t{i - 1}"
+        carried = [f"t{j}" for j in range(1, i)]
+        frontier = (
+            frontier.join(evs, user_col, "left")
+            .groupBy(user_col, *carried)
+            .agg(
+                F.min(
+                    F.when(F.col("_ts") > F.col(prev), F.col("_ts"))
+                ).alias(f"t{i}")
+            )
+        )
+    counts = frontier.agg(
+        *[
+            F.count(F.col(f"t{i}")).alias(f"n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    rows = []
+    for i, step in enumerate(steps, start=1):
+        rows.append(
+            F.struct(
+                F.lit(i).alias("step"),
+                F.lit(step).alias("event_type"),
+                F.col(f"n{i}").alias("n_users"),
+                F.round(F.col(f"n{i}") / F.col("n1"), 6).alias("conversion"),
+            )
+        )
+    return counts.select(F.explode(F.array(*rows)).alias("s")).select(
+        "s.step", "s.event_type", "s.n_users", "s.conversion"
+    )
