@@ -922,6 +922,66 @@ WHERE cum_weight <= 12000
 """
 
 
+def emb_lsh_recall(spark, sf_dir):
+    """Self-measuring recall of the banded-LSH near-dup path against the
+    exact brute-force pair set at the same threshold — the quantitative
+    answer to "what does the 100 TB plan give up?". Both sides and the
+    recall arithmetic are oracle-mirrored, so the driver hash-checks the
+    measurement itself.
+
+    Interpretation note: the synthetic corpus is i.i.d. gaussian — LSH's
+    documented worst case (pairwise cosines cluster near 0, so the 0.2-
+    threshold set is wide-angle, not near-duplicate). On planted true
+    duplicates the same operator measures ~1.0 recall
+    (tests/test_operators.py::test_embedding_near_dup_lsh_finds_planted_duplicates);
+    this query exists to keep the trade-off MEASURED, not assumed."""
+    from henbun_spark.operators import dedup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    brute = dedup.embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.2
+    ).select("id_a", "id_b")
+    lsh = dedup.embedding_near_dup_lsh(
+        emb,
+        "embedding",
+        "vec_id",
+        threshold=0.2,
+        n_planes=_EMB_LSH_NPLANES,
+        bands=_EMB_LSH_BANDS,
+        seed=_EMB_LSH_SEED,
+        dim=_EMB_LSH_DIM,
+    ).select("id_a", "id_b")
+    common = brute.intersect(lsh)
+    return (
+        brute.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
+def _emb_recall_sql() -> str:
+    return f"""
+WITH brute AS (
+  SELECT id_a, id_b FROM ({_EMB_NEAR_DUP_SQL.strip()})
+),
+lsh AS (
+  SELECT id_a, id_b FROM ({_EMB_LSH_SQL.strip()})
+),
+common AS (SELECT id_a, id_b FROM brute INTERSECT SELECT id_a, id_b FROM lsh)
+SELECT (SELECT COUNT(*)::BIGINT FROM brute) AS n_exact,
+       (SELECT COUNT(*)::BIGINT FROM lsh) AS n_lsh,
+       (SELECT COUNT(*)::BIGINT FROM common) AS n_common,
+       ROUND((SELECT COUNT(*) FROM common)::DOUBLE
+             / (SELECT COUNT(*) FROM brute), 6) AS recall
+"""
+
+
 def funnel_signup_purchase(spark, sf_dir):
     """Ordered funnel view -> click -> purchase: strictly-after
     subsequence matching via k-1 narrow frontier joins (no per-user
@@ -3387,6 +3447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": emb_near_dup,
         "emb_near_dup_lsh": emb_near_dup_lsh,
         "emb_quantize": emb_quantize,
+        "emb_lsh_recall": emb_lsh_recall,
         # scalar-function surface
         "density_gaussian": density_gaussian,
         "density_poisson": density_poisson,
@@ -3493,6 +3554,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
         "emb_near_dup_lsh": _EMB_LSH_SQL,
         "emb_quantize": _EMB_QUANT_SQL,
+        "emb_lsh_recall": _emb_recall_sql(),
         "density_gaussian": _DENS_GAUSS_SQL,
         "density_poisson": _DENS_POISSON_SQL,
         "density_student_t": _DENS_STUDENT_SQL,
