@@ -2402,6 +2402,55 @@ GROUP BY 1, 2
 """
 
 
+def streaming_enrich_static(spark, sf_dir):
+    """Stream-STATIC enrichment join, ORACLE-CHECKED: the events table
+    replayed as a file stream, joined per micro-batch to the static
+    customer dimension (stateless — no watermark, no join state; at
+    scale the static side is broadcast per batch), projected and drained
+    with availableNow into a parquet sink. Decimal-exact value sums per
+    (mktsegment, event_type) are re-aggregated from the sink scan, so
+    the hash covers the enriched rows end to end."""
+    from henbun_spark import streaming  # noqa: F401 (module parity)
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    base = _scratch_dir("henbun_senrich_")
+    in_dir = f"{base}/in"
+    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    enriched = stream.join(F.broadcast(cust), "user_id").select(
+        "event_id", "c_mktsegment", "value"
+    )
+    out_dir = f"{base}/out"
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("value"), "value_sum"),
+        )
+    )
+
+
+_STREAM_ENRICH_SQL = """
+SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+FROM events JOIN customer ON customer.c_custkey = events.user_id
+GROUP BY 1
+"""
+
+
 def streaming_dedup_keys(spark, sf_dir):
     """Streaming exact dedup end-to-end, ORACLE-CHECKED: the events table
     replayed as a file stream through `dropDuplicatesWithinWatermark` on
@@ -3470,6 +3519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": streaming_interval_join,
         "streaming_sessionize": streaming_sessionize,
         "streaming_dedup_keys": streaming_dedup_keys,
+        "streaming_enrich_static": streaming_enrich_static,
         "multimodal_features": multimodal_features,
         "image_dedup_ahash": image_dedup_ahash,
         "ann_topk_lsh": ann_topk_lsh,
@@ -3515,6 +3565,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_interval_join": _STREAM_IJOIN_SQL,
         "streaming_sessionize": _STREAM_SESS_SQL,
         "streaming_dedup_keys": _STREAM_DEDUP_SQL,
+        "streaming_enrich_static": _STREAM_ENRICH_SQL,
         "streaming_windowed_counts": _STREAM_WINDOW_SQL,
         "running_total_user": _RUNNING_SQL,
         "hourly_event_counts": _HOURLY_SQL,

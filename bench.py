@@ -89,6 +89,7 @@ HEADLINE = [
     "emb_quantize",
     "snapshot_diff_docs",
     "profile_documents",
+    "funnel_signup_purchase",
 ]
 
 
