@@ -982,6 +982,33 @@ SELECT (SELECT COUNT(*)::BIGINT FROM brute) AS n_exact,
 """
 
 
+def weighted_sample_docs(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis order statistics): 50 docs sampled by n_chars weight —
+    map-only key computation + TakeOrdered(k), oracle-mirrored md5
+    uniforms."""
+    from henbun_spark.operators import sampling
+
+    docs = _load(spark, sf_dir, "documents")
+    out = sampling.weighted_sample(docs, "n_chars", 50, "doc_id", salt="ws")
+    return out.select(
+        "doc_id", "n_chars", F.round("sample_key", 10).alias("sample_key")
+    )
+
+
+def _weighted_sample_sql() -> str:
+    # lazy: _md5_prefix_sql is defined later in the module
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+    pow(({_md5_prefix_sql('doc_id', 'ws', 12)} + 1.0) / {float(1 << 48)!r},
+        1.0 / n_chars) AS sample_key
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars, ROUND(sample_key, 10) AS sample_key
+FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50
+"""
+
+
 def funnel_signup_purchase(spark, sf_dir):
     """Ordered funnel view -> click -> purchase: strictly-after
     subsequence matching via k-1 narrow frontier joins (no per-user
@@ -3462,6 +3489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report_events": skew_report_events,
         "budget_select_docs": budget_select_docs,
         "funnel_signup_purchase": funnel_signup_purchase,
+        "weighted_sample_docs": weighted_sample_docs,
         "snapshot_diff_docs": snapshot_diff_docs,
         "profile_documents": profile_documents,
         "range_join_quantity": range_join_quantity,
@@ -3574,6 +3602,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_report_events": _SKEW_SQL,
         "budget_select_docs": _BUDGET_SELECT_SQL,
         "funnel_signup_purchase": _FUNNEL_SQL,
+        "weighted_sample_docs": _weighted_sample_sql(),
         "snapshot_diff_docs": _SNAPSHOT_DIFF_SQL,
         "profile_documents": _PROFILE_SQL,
         "range_join_quantity": _RANGE_SQL,

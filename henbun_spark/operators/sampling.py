@@ -66,3 +66,34 @@ def stratified_sample(
     variants when reproducibility across runs matters more than exact
     randomness."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via order
+    statistics (Efraimidis & Spirakis 2006): each row draws a
+    reproducible uniform u from md5(salt|id) and competes with key
+    u^(1/w) — the global top-k keys are exactly a weighted sample. The
+    plan is a map-only key computation + TakeOrdered(k): distributed,
+    one pass, no per-group state, reproducible across engines and runs.
+
+    Rows with weight <= 0 are excluded (zero chance mass). Ties are
+    impossible up to md5 collisions. Output: input columns + sample_key.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+    # 12 hex chars -> 48-bit uniform in (0, 1]; +1 avoids u=0
+    u = (F.conv(F.substring(h, 1, 12), 16, 10).cast("double") + 1.0) / F.lit(
+        float(1 << 48)
+    )
+    key = F.pow(u, 1.0 / F.col(weight_col))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.col(id_col))
+        .limit(k)
+    )
