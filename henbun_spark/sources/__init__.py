@@ -233,3 +233,29 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "__rows as n_rows",
         f"stack({len(cols)}, {stacked}) as (column, n_nulls, n_distinct, min_val, max_val)",
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read across schema versions (`mergeSchema`): files written
+    before a column existed surface it as NULL instead of failing the
+    scan. The footer merge costs one extra pass over file metadata —
+    enable it per-read here rather than globally, since at 100 TB the
+    footer listing of a million files is itself a job."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_json_tolerant(
+    spark: SparkSession, path: str, schema, corrupt_col: str = "_corrupt_record"
+) -> DataFrame:
+    """JSON scan that quarantines malformed rows into `corrupt_col`
+    (PERMISSIVE mode) instead of failing the pipeline — at ingest scale
+    some fraction of records is always broken, and dropping them
+    silently (DROPMALFORMED) loses the evidence needed to fix the
+    producer. The schema must include `corrupt_col` as a nullable
+    string."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
