@@ -1498,6 +1498,47 @@ FROM per GROUP BY doc_id
 """
 
 
+def lm_bigram_docs(spark, sf_dir):
+    """Interpolated bigram-LM cross-entropy per doc (lam=0.7 bigram +
+    0.3 unigram backoff): one bigram explode feeds both count tables,
+    three vocab-keyed joins, decimal-exact aggregation."""
+    from henbun_spark.operators import text as text_ops
+
+    docs = _load(spark, sf_dir, "documents")
+    return text_ops.bigram_lm_score(docs, "text", "doc_id", lam=0.7)
+
+
+_LM_BIGRAM_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i
+        FROM t)
+  WHERE i + 1 <= len(w)),
+c12 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+uni AS (
+  SELECT tok AS w2, COUNT(*)::BIGINT AS c2
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY 1),
+tot AS (SELECT SUM(c2)::BIGINT AS n_total FROM uni),
+scored AS (
+  SELECT bg.doc_id,
+    ROUND(ln(0.7 * c12.c12 / c1.c1 + 0.30000000000000004 * uni.c2 / tot.n_total), 6) AS lp
+  FROM bg
+  JOIN c12 USING (w1, w2)
+  JOIN c1 USING (w1)
+  JOIN uni USING (w2)
+  CROSS JOIN tot)
+SELECT doc_id, COUNT(*)::BIGINT AS n_positions,
+  -(CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)) AS xent2
+FROM scored GROUP BY doc_id
+"""
+
+
 def gopher_quality_docs(spark, sf_dir):
     """The published Gopher quality-rule subset per doc (word-count and
     mean-word-length windows, symbol ratios, alphabetic-word fraction,
@@ -3511,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "pii_redact": pii_redact,
         "lm_score_docs": lm_score_docs,
+        "lm_bigram_docs": lm_bigram_docs,
         "gopher_quality_docs": gopher_quality_docs,
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "train_test_split_hash": train_test_split_hash,
@@ -3622,6 +3664,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _REPETITION_SQL,
         "pii_redact": _PII_SQL,
         "lm_score_docs": _LM_SCORE_SQL,
+        "lm_bigram_docs": _LM_BIGRAM_SQL,
         "gopher_quality_docs": _GOPHER_SQL,
         "pipeline_clean_corpus": _PIPELINE_SQL,
         "train_test_split_hash": _TRAIN_TEST_SQL,

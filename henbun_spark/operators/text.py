@@ -332,3 +332,59 @@ def gopher_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         & (F.col("alpha_word_frac") > 0.8)
         & (F.col("stop_hits") >= 2),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str, id_col: str, lam: float = 0.7
+) -> DataFrame:
+    """Per-document cross-entropy under an interpolated bigram LM trained
+    on the corpus itself: for each adjacent pair (w1, w2),
+        p = lam * c(w1,w2)/c(w1,*) + (1-lam) * c(w2)/N
+    and xent = -mean ln p over positions 2..n. The backoff term keeps
+    every position finite, so no smoothing hyper-parameters beyond lam.
+
+    Plan shape: ONE bigram explode feeds both the bigram table and (by
+    re-grouping on w1) the context totals; the unigram table reuses the
+    token explode. Scoring is three vocabulary-keyed joins (AQE
+    broadcasts the small sides) + one per-doc aggregation —
+    decimal-exact, order-independent.
+    """
+    base = ensure_parallelism(df.select(id_col, text_col))
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.struct(
+            F.try_element_at(toks, i).alias("w1"),
+            F.try_element_at(toks, i + F.lit(1)).alias("w2"),
+        ),
+    )
+    bg = base.select(
+        F.col(id_col),
+        F.explode(F.filter(grams, lambda g: g["w2"].isNotNull())).alias("g"),
+    ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni = base.select(F.explode(toks).alias("w2")).groupBy("w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    total = uni.agg(F.sum("c2").alias("n_total"))
+    p = (
+        F.lit(lam) * F.col("c12") / F.col("c1")
+        + F.lit(1.0 - lam) * F.col("c2") / F.col("n_total")
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), F.round(F.log(p), 6).alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_positions"),
+        (
+            F.sum(F.col("lp").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+            * F.lit(-1.0)
+        ).alias("xent2"),
+    )
