@@ -82,3 +82,17 @@ def test_q1_matches_duckdb_sf0001(spark, sf_dir):
     assert len(got) == len(exp)
     for c in ["sum_qty", "sum_disc_price", "sum_charge", "avg_qty"]:
         np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy())
+
+
+def test_readme_counts_match_registry():
+    import re
+
+    readme = open("/root/repo/README.md").read()
+    m = re.search(r"exposes (\d+) queries \((\d+) hash-checked", readme)
+    assert m, "README contract sentence missing"
+    assert int(m.group(1)) == len(entry_mod.queries())
+    assert int(m.group(2)) == len(entry_mod.oracle_sql())
+    b = re.search(r"`bench\.py` times the (\d+)-query", readme)
+    import bench
+
+    assert b and int(b.group(1)) == len(bench.HEADLINE)
