@@ -37,14 +37,21 @@ from henbun_spark import sources
 # Flag it everywhere else.
 #  - text_tfidf: the corpus-count N rides along as a broadcast 1-row
 #    aggregate cross join — bounded by construction.
-#  - lm_score_docs: same bounded 1-row cross join (the corpus token
-#    total joined onto the vocab table).
+#  - lm_score_docs / lm_bigram_docs: same bounded 1-row cross join (the
+#    corpus token total joined onto the vocab table).
+#  - skew_report_events: the (total, n_keys) 1-row aggregate crossed
+#    onto the top-k rows.
+#  - emb_lsh_recall: three 1-row count aggregates crossed together to
+#    form the single metric row.
 BNLJ_OK = {
     "range_join_quantity",
     "sim_cosine_topk",
     "emb_near_dup",
     "text_tfidf",
     "lm_score_docs",
+    "lm_bigram_docs",
+    "skew_report_events",
+    "emb_lsh_recall",
 }
 # These execute work at build time (training loops, streaming drains) —
 # still audited, just slower to appear.
