@@ -1599,6 +1599,91 @@ GROUP BY doc_id
 """
 
 
+def hopping_window_counts(spark, sf_dir):
+    """Hopping (sliding) window aggregate: 2-hour windows every hour —
+    each event lands in exactly 2 windows (`F.window` with a slide
+    duration; the oracle unnests the two covering buckets). Same keyed
+    partial-agg plan as tumbling, with 2x row fan-out before the
+    combine."""
+    ev = _load(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.unix_timestamp(F.col("w.start")) * 1000).alias("win_start_ms"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+_HOPPING_SQL = """
+WITH b AS (
+  SELECT event_type,
+    epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS h,
+    unnest([0, 1]) AS back
+  FROM events)
+SELECT (h - back * 3600000)::BIGINT AS win_start_ms, event_type,
+  COUNT(*)::BIGINT AS n
+FROM b GROUP BY 1, 2
+"""
+
+
+def session_concurrency_hourly(spark, sf_dir):
+    """Interval-overlap rollup: native session_window sessions (30-min
+    gap) exploded onto every hour they overlap, then counted — the
+    hypertable "concurrent sessions per bucket" query. The explode is
+    bounded by each session's own span (like gapfill's axis), never a
+    global calendar join."""
+    ev = _load(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    h0 = (F.unix_timestamp("w.start") / 3600).cast("long")
+    # end is exclusive: a session ending exactly on the hour boundary
+    # does not overlap the next hour. cast("double") keeps sub-second
+    # precision (unix_timestamp truncates to whole seconds and would
+    # disagree with the oracle when a session ends within the first
+    # second of an hour)
+    h1 = F.ceil(F.col("w.end").cast("double") / F.lit(3600.0)).cast("long") - 1
+    hours = F.sequence(h0, F.greatest(h1, h0))
+    return (
+        sess.select(F.explode(hours).alias("hour_idx"))
+        .groupBy("hour_idx")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .select((F.col("hour_idx") * 3600000).alias("hour_start_ms"), "n_sessions")
+    )
+
+
+_CONCURRENCY_SQL = """
+WITH pts AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, sess_id, min(ts) AS t0,
+         max(ts) + INTERVAL 30 MINUTE AS t1
+  FROM (SELECT user_id, ts,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM pts)
+  GROUP BY user_id, sess_id),
+hours AS (
+  SELECT unnest(generate_series(
+    CAST(floor(epoch(t0)) AS BIGINT) // 3600,
+    greatest(CAST(ceil(epoch(t1) / 3600.0) AS BIGINT) - 1,
+             CAST(floor(epoch(t0)) AS BIGINT) // 3600)
+  )) AS hour_idx
+  FROM sess)
+SELECT (hour_idx * 3600000)::BIGINT AS hour_start_ms,
+  COUNT(*)::BIGINT AS n_sessions
+FROM hours GROUP BY 1
+"""
+
+
 def gapfill_hourly_locf(spark, sf_dir):
     """Hypertable-style hourly rollup with gap filling + LOCF per user:
     per-key dense bucket axis (sequence+explode bounded by each key's
@@ -3526,6 +3611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total_user": running_total_user,
         "hourly_event_counts": hourly_event_counts,
         "gapfill_hourly_locf": gapfill_hourly_locf,
+        "hopping_window_counts": hopping_window_counts,
+        "session_concurrency_hourly": session_concurrency_hourly,
         "zorder_events": zorder_events,
         "skew_report_events": skew_report_events,
         "budget_select_docs": budget_select_docs,
@@ -3640,6 +3727,8 @@ def oracle_sql() -> dict[str, str]:
         "running_total_user": _RUNNING_SQL,
         "hourly_event_counts": _HOURLY_SQL,
         "gapfill_hourly_locf": _GAPFILL_SQL,
+        "hopping_window_counts": _HOPPING_SQL,
+        "session_concurrency_hourly": _CONCURRENCY_SQL,
         "zorder_events": _ZORDER_SQL,
         "skew_report_events": _SKEW_SQL,
         "budget_select_docs": _BUDGET_SELECT_SQL,
