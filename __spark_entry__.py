@@ -1684,6 +1684,27 @@ FROM hours GROUP BY 1
 """
 
 
+def ewma_user_value(spark, sf_dir):
+    """Per-user EWMA of event values (alpha=0.3): the sequential-fold
+    option-(a) shape — one keyed shuffle, array_sort, codegen fold; the
+    oracle mirrors the identical recurrence with list_reduce."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    return relational.ewma_last(ev, "ts", "user_id", "value", alpha=0.3)
+
+
+_EWMA_SQL = """
+WITH g AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_obs,
+    list(value ORDER BY ts, value) AS vals
+  FROM events GROUP BY user_id)
+SELECT user_id, n_obs,
+  ROUND(list_reduce(vals, (acc, v) -> 0.3 * v + 0.7 * acc), 6) AS ewma
+FROM g
+"""
+
+
 def gapfill_hourly_locf(spark, sf_dir):
     """Hypertable-style hourly rollup with gap filling + LOCF per user:
     per-key dense bucket axis (sequence+explode bounded by each key's
@@ -3613,6 +3634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_hourly_locf": gapfill_hourly_locf,
         "hopping_window_counts": hopping_window_counts,
         "session_concurrency_hourly": session_concurrency_hourly,
+        "ewma_user_value": ewma_user_value,
         "zorder_events": zorder_events,
         "skew_report_events": skew_report_events,
         "budget_select_docs": budget_select_docs,
@@ -3729,6 +3751,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_hourly_locf": _GAPFILL_SQL,
         "hopping_window_counts": _HOPPING_SQL,
         "session_concurrency_hourly": _CONCURRENCY_SQL,
+        "ewma_user_value": _EWMA_SQL,
         "zorder_events": _ZORDER_SQL,
         "skew_report_events": _SKEW_SQL,
         "budget_select_docs": _BUDGET_SELECT_SQL,

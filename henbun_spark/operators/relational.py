@@ -380,3 +380,45 @@ def funnel(
     return counts.select(F.explode(F.array(*rows)).alias("s")).select(
         "s.step", "s.event_type", "s.n_users", "s.conversion"
     )
+
+
+def ewma_last(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average (final value after
+    folding the key's history in time order): s <- alpha*v + (1-alpha)*s,
+    seeded with the first observation.
+
+    EWMA is inherently order-sequential — no partial-aggregatable form
+    exists — so this is the documented option-(a) shape for sequential
+    state: ONE keyed shuffle collects each key's (ts, value) pairs,
+    `array_sort` orders them (struct comparison is lexicographic, ts
+    first), and a Column `aggregate` fold runs the recurrence inside
+    codegen. Per-group state is bounded by that key's own history —
+    fine for per-user streams; for million-event keys use the streaming
+    `applyInPandasWithState` path instead (incremental, no collection).
+
+    Ties on ts break by value (the struct sort) in BOTH engines, so
+    results are deterministic and oracle-exact.
+    """
+    pairs = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v"))
+        )
+    )
+    fold = F.aggregate(
+        F.slice(pairs, 2, F.greatest(F.size(pairs) - 1, F.lit(0))),
+        F.element_at(pairs, 1)["v"].cast("double"),
+        lambda acc, p: F.lit(alpha) * p["v"] + F.lit(1.0 - alpha) * acc,
+    )
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(fold, 6).alias("ewma"),
+        )
+    )
