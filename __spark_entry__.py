@@ -1684,6 +1684,37 @@ FROM hours GROUP BY 1
 """
 
 
+def equidepth_histogram(spark, sf_dir):
+    """Equi-depth (quantile-bucketed) histogram of event values per
+    type: ntile(8) over a deterministic (value, event_id) order, then
+    per-bucket min/max/count — the optimizer-statistics histogram as a
+    query. One keyed sort shuffle + one partial-agg."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("bucket", F.ntile(8).over(w))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+_EQUIDEPTH_SQL = """
+SELECT event_type, bucket, COUNT(*)::BIGINT AS n,
+  ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+FROM (
+  SELECT event_type, value,
+    ntile(8) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bucket
+  FROM events)
+GROUP BY 1, 2
+"""
+
+
 def ewma_user_value(spark, sf_dir):
     """Per-user EWMA of event values (alpha=0.3): the sequential-fold
     option-(a) shape — one keyed shuffle, array_sort, codegen fold; the
@@ -3635,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_window_counts": hopping_window_counts,
         "session_concurrency_hourly": session_concurrency_hourly,
         "ewma_user_value": ewma_user_value,
+        "equidepth_histogram": equidepth_histogram,
         "zorder_events": zorder_events,
         "skew_report_events": skew_report_events,
         "budget_select_docs": budget_select_docs,
@@ -3752,6 +3784,7 @@ def oracle_sql() -> dict[str, str]:
         "hopping_window_counts": _HOPPING_SQL,
         "session_concurrency_hourly": _CONCURRENCY_SQL,
         "ewma_user_value": _EWMA_SQL,
+        "equidepth_histogram": _EQUIDEPTH_SQL,
         "zorder_events": _ZORDER_SQL,
         "skew_report_events": _SKEW_SQL,
         "budget_select_docs": _BUDGET_SELECT_SQL,
