@@ -229,3 +229,52 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str, out_dir: str):
     )
     q.awaitTermination()
     return q
+
+
+def ewma_stream(
+    stream: DataFrame,
+    alpha: float = 0.3,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Stateful streaming EWMA — the incremental twin of
+    `operators.relational.ewma_last` for keys whose history is too long
+    to collect: state per key is ONE (ewma, n, last_ts_us) triple,
+    updated per micro-batch in event-time order; each batch emits the
+    key's current value. No watermark/timeout needed: state is O(1) per
+    key forever, the smallest possible stateful footprint.
+
+    Note (documented divergence): cross-batch late data is folded in
+    arrival order — exact parity with the batch fold holds when each
+    key's events arrive time-ordered across batches (true for replayed
+    logs and the availableNow drain used in tests).
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs))
+        ts = (rows[ts_col].astype("int64") // 1_000).to_numpy()
+        vals = rows[value_col].to_numpy(dtype=float)
+        order = np.argsort(ts, kind="stable")
+        ts, vals = ts[order], vals[order]
+        if state.exists:
+            s, n, last = state.get
+        else:
+            s, n, last = float(vals[0]), 0, int(ts[0])
+        for t, v in zip(ts, vals):
+            if n > 0:
+                s = alpha * float(v) + (1.0 - alpha) * s
+            n += 1
+            last = int(t)
+        state.update((float(s), int(n), int(last)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_obs": [n], "ewma": [round(s, 6)]}
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_obs long, ewma double",
+        stateStructType="s double, n long, last long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -184,3 +184,36 @@ def test_interval_join_streams_equals_batch(spark, event_files, tmp_path):
     np.testing.assert_array_equal(
         got["purchase_id"].to_numpy(), exp["purchase_id"].to_numpy()
     )
+
+
+def test_ewma_stream_equals_batch(spark, event_files, tmp_path):
+    from henbun_spark.operators import relational
+
+    base, schema, ev = event_files
+    stream = streaming.read_stream_parquet(spark, base + "/in", schema)
+    out = streaming.ewma_stream(stream, alpha=0.3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_stream_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_df = spark.sql(
+        "SELECT user_id, n_obs, ewma FROM ewma_stream_test"
+    )
+    # update mode: keep the last emitted row per user (final state)
+    got = {
+        r["user_id"]: r
+        for r in got_df.collect()
+    }
+    exp = {
+        r["user_id"]: r
+        for r in relational.ewma_last(ev, "ts", "user_id", "value", 0.3).collect()
+    }
+    assert set(got) == set(exp)
+    for uid, er in exp.items():
+        assert got[uid]["n_obs"] == er["n_obs"], uid
+        assert abs(got[uid]["ewma"] - er["ewma"]) < 1e-9, uid
