@@ -1684,6 +1684,43 @@ FROM hours GROUP BY 1
 """
 
 
+def feature_hashing_events(spark, sf_dir):
+    """Hashing-trick featurization of (event_type, user_id) into a
+    1024-dim sparse space — vocabulary-free, map-only, md5-portable."""
+    from henbun_spark.operators import text as text_ops
+
+    ev = _load(spark, sf_dir, "events")
+    out = text_ops.hashed_features(
+        ev, ["event_type", "user_id"], "event_id", n_features=1024
+    )
+    return out.select(
+        "event_id",
+        F.element_at("idx", 1).alias("idx_type"),
+        F.element_at("sign", 1).alias("sign_type"),
+        F.element_at("idx", 2).alias("idx_user"),
+        F.element_at("sign", 2).alias("sign_user"),
+    )
+
+
+def _feature_hash_sql() -> str:
+    def pair(col_name, expr, idx_alias, sign_alias):
+        h = f"md5('fh' || '|' || '{col_name}' || '|' || coalesce(CAST({expr} AS VARCHAR), chr(0)))"
+        nib = "instr('0123456789abcdef', substr({h}, {p}, 1)) - 1"
+        idx6 = " + ".join(
+            f"((instr('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) * {16 ** (5 - j)})"
+            for j in range(6)
+        )
+        sgn = f"(((instr('0123456789abcdef', substr({h}, 7, 1)) - 1) % 2) * 2 - 1)"
+        return (
+            f"CAST(({idx6}) % 1024 AS INT) AS {idx_alias}",
+            f"CAST({sgn} AS INT) AS {sign_alias}",
+        )
+
+    i1, s1 = pair("event_type", "event_type", "idx_type", "sign_type")
+    i2, s2 = pair("user_id", "user_id", "idx_user", "sign_user")
+    return f"SELECT event_id, {i1}, {s1}, {i2}, {s2} FROM events"
+
+
 def equidepth_histogram(spark, sf_dir):
     """Equi-depth (quantile-bucketed) histogram of event values per
     type: ntile(8) over a deterministic (value, event_id) order, then
@@ -3667,6 +3704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_concurrency_hourly": session_concurrency_hourly,
         "ewma_user_value": ewma_user_value,
         "equidepth_histogram": equidepth_histogram,
+        "feature_hashing_events": feature_hashing_events,
         "zorder_events": zorder_events,
         "skew_report_events": skew_report_events,
         "budget_select_docs": budget_select_docs,
@@ -3785,6 +3823,7 @@ def oracle_sql() -> dict[str, str]:
         "session_concurrency_hourly": _CONCURRENCY_SQL,
         "ewma_user_value": _EWMA_SQL,
         "equidepth_histogram": _EQUIDEPTH_SQL,
+        "feature_hashing_events": _feature_hash_sql(),
         "zorder_events": _ZORDER_SQL,
         "skew_report_events": _SKEW_SQL,
         "budget_select_docs": _BUDGET_SELECT_SQL,

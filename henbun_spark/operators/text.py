@@ -388,3 +388,41 @@ def bigram_lm_score(
             * F.lit(-1.0)
         ).alias("xent2"),
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    cols: list[str],
+    id_col: str,
+    n_features: int = 1024,
+    salt: str = "fh",
+) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009): each
+    (column, value) pair maps to index md5(salt|col|value) mod D with a
+    sign bit from the next hash nibble — no vocabulary pass, no fitted
+    state, so featurization is a pure map over the table at any scale
+    and new categories never break the pipeline.
+
+    Output: (id, idx array<int>, sign array<int>) — the sparse feature
+    row. Engine-portable (md5 arithmetic), exactly reproducible.
+    """
+    idxs, signs = [], []
+    for c in cols:
+        h = F.md5(
+            F.concat(
+                F.lit(salt), F.lit("|"), F.lit(c), F.lit("|"),
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00")),
+            )
+        )
+        idxs.append(
+            (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % n_features)
+            .cast("int")
+        )
+        signs.append(
+            (
+                F.conv(F.substring(h, 7, 1), 16, 10).cast("int") % 2 * 2 - 1
+            ).cast("int")
+        )
+    return df.select(
+        F.col(id_col), F.array(*idxs).alias("idx"), F.array(*signs).alias("sign")
+    )
