@@ -1232,6 +1232,47 @@ SELECT doc_id, source FROM n1 WHERE doc_id NOT IN (SELECT doc_id FROM hits)
 """
 
 
+def pagerank_dup_graph(spark, sf_dir):
+    """PageRank over the n-gram-Jaccard near-dup graph (6 power
+    iterations, decimal-exact contribution sums): the centrality-based
+    canonical-doc selector. Oracle unrolls the identical recurrence."""
+    from henbun_spark.operators import dedup, graph
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.35, max_df=100
+    )
+    pr = graph.pagerank(pairs, "id_a", "id_b", iters=6)
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _pagerank_sql(iters: int = 6) -> str:
+    body = [
+        f"""WITH {_JACCARD_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM jac WHERE id_a <> id_b
+  UNION
+  SELECT id_b, id_a FROM jac WHERE id_a <> id_b),
+deg AS (SELECT u, COUNT(*)::BIGINT AS d FROM edges GROUP BY u),
+p0 AS (SELECT u AS node, 1.0::DOUBLE AS rank FROM deg)"""
+    ]
+    for k in range(1, iters + 1):
+        body.append(
+            f""",
+p{k} AS (
+  SELECT e.v AS node,
+    0.15 + 0.85 * CAST(SUM(CAST(ROUND(p.rank / deg.d, 9) AS DECIMAL(38,9))) AS DOUBLE) AS rank
+  FROM edges e
+  JOIN p{k - 1} p ON p.node = e.u
+  JOIN deg ON deg.u = e.u
+  GROUP BY e.v)"""
+        )
+    body.append(f"\nSELECT node AS doc_id, ROUND(rank, 6) AS rank FROM p{iters}")
+    return "".join(body)
+
+
 def chunk_dedup_docs(spark, sf_dir):
     """Span-level (paragraph-style) exact dedup: 16-word chunks, global
     first-occurrence keep, per-doc reassembly. First-occurrence is a
@@ -3721,6 +3762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": simhash_near_pairs,
         "dedup_components": dedup_components,
         "dedup_components_star": dedup_components_star,
+        "pagerank_dup_graph": pagerank_dup_graph,
         "chunk_dedup_docs": chunk_dedup_docs,
         "incremental_dedup_new": incremental_dedup_new,
         # text analysis suite
@@ -3839,6 +3881,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_components": _COMPONENTS_SQL,
         "dedup_components_star": _COMPONENTS_SQL,
+        "pagerank_dup_graph": _pagerank_sql(6),
         "chunk_dedup_docs": _CHUNK_DEDUP_SQL,
         "incremental_dedup_new": _INCR_DEDUP_SQL,
         "text_stats": _TEXT_STATS_SQL,

@@ -38,6 +38,7 @@ __all__ = [
     "connected_components",
     "connected_components_star",
     "dedup_clusters",
+    "pagerank",
 ]
 
 
@@ -221,3 +222,63 @@ def dedup_clusters(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("component"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank on an undirected edge list (each edge walks both ways),
+    fixed `iters` power iterations:
+        rank(v) <- (1 - d) + d * sum over in-neighbors u of rank(u)/deg(u)
+
+    Per iteration: ONE join of the edge list to the current ranks + one
+    map-side-combinable groupBy — the canonical distributed PageRank
+    profile; `localCheckpoint` every few rounds truncates lineage.
+    High-degree hubs are safe: their incoming contributions partial-
+    aggregate map-side.
+
+    Determinism (oracle-exactness): per-edge contributions round to 9
+    decimals and sum as DECIMAL — the shuffle order cannot change the
+    result, so a fixed iteration count yields bit-identical ranks on any
+    engine (the DuckDB oracle unrolls the same recurrence).
+
+    On a near-dup similarity graph the stationary mass picks the most
+    central member of each duplicate cluster — an alternative canonical
+    selector to min-id when "keep the most representative copy" matters.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select(F.col("u").alias("node"), F.lit(1.0).alias("rank"))
+    try:
+        for it in range(iters):
+            contrib = (
+                sym.join(ranks.withColumnRenamed("node", "u"), "u")
+                .join(deg, "u")
+                .select(
+                    F.col("v").alias("node"),
+                    F.round(F.col("rank") / F.col("d"), 9)
+                    .cast("decimal(38,9)")
+                    .alias("c"),
+                )
+            )
+            ranks = contrib.groupBy("node").agg(
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.sum("c").cast("double")
+                ).alias("rank")
+            )
+            if (it + 1) % 4 == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+        return ranks
+    finally:
+        sym.unpersist()
