@@ -90,6 +90,14 @@ HEADLINE = [
     "snapshot_diff_docs",
     "profile_documents",
     "funnel_signup_purchase",
+    "hopping_window_counts",
+    "session_concurrency_hourly",
+    "ewma_user_value",
+    "equidepth_histogram",
+    "feature_hashing_events",
+    "weighted_sample_docs",
+    "lm_bigram_docs",
+    "pagerank_dup_graph",
 ]
 
 
