@@ -250,35 +250,40 @@ def pagerank(
     central member of each duplicate cluster — an alternative canonical
     selector to min-id when "keep the most representative copy" matters.
     """
+    # eager checkpoints: the (possibly expensive) edge pipeline and the
+    # degree table are computed ONCE and truncated out of every
+    # iteration's plan — without this the static plan replicates the
+    # whole upstream subtree per iteration and planning cost compounds
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    deg = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
     ranks = deg.select(F.col("u").alias("node"), F.lit(1.0).alias("rank"))
-    try:
-        for it in range(iters):
-            contrib = (
-                sym.join(ranks.withColumnRenamed("node", "u"), "u")
-                .join(deg, "u")
-                .select(
-                    F.col("v").alias("node"),
-                    F.round(F.col("rank") / F.col("d"), 9)
-                    .cast("decimal(38,9)")
-                    .alias("c"),
-                )
+    for it in range(iters):
+        contrib = (
+            sym.join(ranks.withColumnRenamed("node", "u"), "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("node"),
+                F.round(F.col("rank") / F.col("d"), 9)
+                .cast("decimal(38,9)")
+                .alias("c"),
             )
-            ranks = contrib.groupBy("node").agg(
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.sum("c").cast("double")
-                ).alias("rank")
-            )
-            if (it + 1) % 4 == 0:
-                ranks = ranks.localCheckpoint(eager=True)
-        return ranks
-    finally:
-        sym.unpersist()
+        )
+        ranks = contrib.groupBy("node").agg(
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.sum("c").cast("double")
+            ).alias("rank")
+        )
+        if (it + 1) % 4 == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
