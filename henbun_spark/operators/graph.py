@@ -60,12 +60,15 @@ def connected_components(
     at that point the caller's graph has diameter > max_iter and should
     use a doubling algorithm instead of silently-wrong labels.
     """
+    # eager checkpoint: the edge pipeline (often an expensive near-dup
+    # candidate generator) is computed once and truncated out of every
+    # iteration's plan
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("u").alias("node"))
@@ -73,36 +76,33 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    try:
-        for _ in range(max_iter):
-            # min label over neighbors: one shuffle keyed on node
-            nbr_min = (
-                sym.join(labels.withColumnRenamed("node", "v"), "v")
-                .groupBy(F.col("u").alias("node"))
-                .agg(F.min("comp").alias("nbr_comp"))
-            )
-            stepped = (
-                labels.join(nbr_min, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                    ).alias("comp"),
-                    (F.coalesce("nbr_comp", F.col("comp")) < F.col("comp"))
-                    .cast("long")
-                    .alias("chg"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            changed = stepped.agg(F.sum("chg")).first()[0]
-            labels = stepped.drop("chg")
-            if not changed:
-                return labels
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations"
+    for _ in range(max_iter):
+        # min label over neighbors: one shuffle keyed on node
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
         )
-    finally:
-        sym.unpersist()
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+                (F.coalesce("nbr_comp", F.col("comp")) < F.col("comp"))
+                .cast("long")
+                .alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.agg(F.sum("chg")).first()[0]
+        labels = stepped.drop("chg")
+        if not changed:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
 
 
 def connected_components_star(
