@@ -3696,6 +3696,269 @@ def pca_embeddings(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-4 additions: semi-structured, analytics, sketches, array HOFs
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def json_extract_props(spark, sf_dir):
+    """Semi-structured column processing: parse the events.props JSON
+    string with an explicit schema (`from_json` — JVM-side, no inference
+    pass, malformed rows surface as NULL instead of failing) and
+    aggregate the extracted field.
+
+    At scale: schema-on-read with a declared schema is a pure map —
+    the JSON parse runs inside whole-stage codegen and the groupBy
+    stays 5-group partial-aggregatable."""
+    ev = _load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n_with_k,
+  SUM(k)::BIGINT AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events)
+WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def pivot_event_types(spark, sf_dir):
+    """Pivot (crosstab): user cohort bucket x event_type -> wide counts.
+    Pivot values are DECLARED (no extra distinct pass over the data),
+    so the whole query is one partial-aggregatable groupBy; revenue per
+    bucket rides along as a decimal-exact sum."""
+    ev = _load(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("bucket", (F.col("user_id") % 10).cast("int"))
+        .groupBy("bucket")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [*_EVENT_TYPES])
+    )
+    for t in _EVENT_TYPES:
+        out = out.withColumnRenamed(t, f"n_{t}")
+    return out
+
+
+_PIVOT_SQL = f"""
+SELECT CAST(user_id % 10 AS INT) AS bucket,
+  {', '.join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY 1
+"""
+
+
+def rolling_1h_user_value(spark, sf_dir):
+    """Time-range rolling aggregate: per-user trailing-1-hour sum of
+    `value` (RANGE frame over event-time, not ROWS — simultaneous
+    events share a frame, so the result is deterministic under ties).
+
+    At scale: one keyed sort shuffle; the range frame evaluates with a
+    sliding two-pointer inside each partition. Ordering key is epoch
+    MICROSECONDS (BIGINT) because the test events have sub-second
+    timestamps and integer ordering is engine-exact."""
+    ev = _load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    roll = F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)")).over(w)
+    return ev.select(
+        "event_id", roll.cast("double").alias("rolling_1h_value")
+    )
+
+
+_ROLLING_SQL = """
+SELECT event_id,
+  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+       OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS rolling_1h_value
+FROM events
+"""
+
+
+def cohort_retention(spark, sf_dir):
+    """Cohort/retention analysis: users cohorted by first-active day;
+    for each (cohort_day, day_offset) count distinct returning users.
+
+    At scale: the per-user first-day table is |users| rows (tiny next to
+    the event log) — broadcast back onto events, then one 2-key groupBy
+    with a distinct-by-user pre-aggregation that combines map-side."""
+    ev = _load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day")
+    )
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(F.broadcast(first), "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_COHORT_SQL = """
+WITH days AS (
+  SELECT user_id, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+  FROM events),
+first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+SELECT cohort_day, day - cohort_day AS day_offset,
+  COUNT(DISTINCT days.user_id)::BIGINT AS n_users
+FROM days JOIN first ON days.user_id = first.user_id
+GROUP BY 1, 2
+"""
+
+
+def cms_frequency_users(spark, sf_dir):
+    """Count-min sketch (SURVEY §2.11 sketches): build a 4x256 counter
+    table over events.user_id, then point-query every distinct user and
+    return estimate next to exact count. The sketch state is <= 1024
+    mergeable counters regardless of input size; estimates are
+    deterministic (md5 bucket hashing), so the oracle rebuilds the
+    identical sketch in SQL."""
+    from henbun_spark.operators import sketch
+
+    ev = _load(spark, sf_dir, "events")
+    cms = sketch.cms_build(ev, "user_id", depth=4, width=256)
+    keys = ev.select("user_id").distinct()
+    est = sketch.cms_estimate(cms, keys, "user_id", depth=4, width=256)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        est.withColumnRenamed("key", "user_id")
+        .join(exact, "user_id")
+        .select("user_id", "exact_n", F.col("est").alias("cms_n"))
+    )
+
+
+def _cms_sql(depth: int = 4, width: int = 256, salt: str = "cms") -> str:
+    def bucket(d: int) -> str:
+        h = f"md5('{salt}' || '|' || '{d}' || '|' || coalesce(CAST(user_id AS VARCHAR), chr(0)))"
+        val6 = " + ".join(
+            f"((instr('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) * {16 ** (5 - j)})"
+            for j in range(6)
+        )
+        return f"CAST(({val6}) % {width} AS INT)"
+
+    probes = " UNION ALL ".join(
+        f"SELECT user_id, {d} AS d, {bucket(d)} AS bucket FROM (SELECT DISTINCT user_id FROM events)"
+        for d in range(depth)
+    )
+    counters = " UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket(d)} AS bucket FROM events" for d in range(depth)
+    )
+    return f"""
+WITH cnt AS (
+  SELECT d, bucket, COUNT(*) AS cnt FROM ({counters}) GROUP BY d, bucket),
+probes AS ({probes}),
+est AS (
+  SELECT probes.user_id, MIN(coalesce(cnt.cnt, 0)) AS cms_n
+  FROM probes LEFT JOIN cnt ON probes.d = cnt.d AND probes.bucket = cnt.bucket
+  GROUP BY probes.user_id)
+SELECT est.user_id, COUNT(*)::BIGINT AS exact_n, CAST(est.cms_n AS BIGINT) AS cms_n
+FROM events JOIN est ON events.user_id = est.user_id
+GROUP BY est.user_id, est.cms_n
+"""
+
+
+def array_functions_emb(spark, sf_dir):
+    """Array higher-order-function suite over the embedding column:
+    transform (square), aggregate (sequential fold — same accumulation
+    order as DuckDB list_reduce, so doubles are bit-identical), filter
+    (positive components), all inside whole-stage codegen. The float ->
+    double widening cast is exact in both engines."""
+    emb = _load(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    sq_sum = F.aggregate(
+        F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(arr, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))), 6
+        ).alias("max_abs"),
+    )
+
+
+_ARRAY_FN_SQL = """
+SELECT vec_id,
+  ROUND(sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                         (a, b) -> a + b)), 6) AS l2_norm,
+  CAST(length(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT) AS n_pos,
+  ROUND(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> greatest(abs(x), 0.0)),
+                    (a, b) -> greatest(a, b)), 6) AS max_abs
+FROM embeddings
+"""
+
+
+def anomaly_zscore_events(spark, sf_dir):
+    """Z-score anomaly detection per event_type: mean/std from
+    decimal-exact sums (order-independent), then a second pass flags
+    rows beyond 2 sigma. Two scans, one 5-row broadcast join — the
+    canonical two-pass distributed outlier filter (no global sort, no
+    driver round-trip)."""
+    ev = _load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        _dsum(F.col("value"), "s1"),
+        _dsum(F.col("value") * F.col("value"), "s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    stats = stats.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.greatest(
+                F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) ** 2, F.lit(0.0)
+            )
+        ).alias("std"),
+    )
+    flagged = ev.join(F.broadcast(stats), "event_type").where(
+        F.abs(F.col("value") - F.col("mean")) > 2 * F.col("std")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.max("n").alias("n_total"),
+        F.count(F.lit(1)).alias("n_anomalies"),
+        F.round(F.max("mean"), 6).alias("mean_value"),
+        F.round(F.max("std"), 6).alias("std_value"),
+    )
+
+
+_ZSCORE_SQL = f"""
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+    {_sql_dsum('value', 's1')}, {_sql_dsum('value * value', 's2')}
+  FROM events GROUP BY event_type),
+norm AS (
+  SELECT event_type, n, s1 / n AS mean,
+    sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS std
+  FROM stats)
+SELECT events.event_type, MAX(n) AS n_total, COUNT(*) AS n_anomalies,
+  ROUND(MAX(mean), 6) AS mean_value, ROUND(MAX(std), 6) AS std_value
+FROM events JOIN norm ON events.event_type = norm.event_type
+WHERE abs(value - mean) > 2 * std
+GROUP BY events.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -3754,6 +4017,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_docs": snapshot_diff_docs,
         "profile_documents": profile_documents,
         "range_join_quantity": range_join_quantity,
+        "json_extract_props": json_extract_props,
+        "pivot_event_types": pivot_event_types,
+        "rolling_1h_user_value": rolling_1h_user_value,
+        "cohort_retention": cohort_retention,
+        "cms_frequency_users": cms_frequency_users,
+        "array_functions_emb": array_functions_emb,
+        "anomaly_zscore_events": anomaly_zscore_events,
         # dedup suite
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3874,6 +4144,13 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff_docs": _SNAPSHOT_DIFF_SQL,
         "profile_documents": _PROFILE_SQL,
         "range_join_quantity": _RANGE_SQL,
+        "json_extract_props": _JSON_PROPS_SQL,
+        "pivot_event_types": _PIVOT_SQL,
+        "rolling_1h_user_value": _ROLLING_SQL,
+        "cohort_retention": _COHORT_SQL,
+        "cms_frequency_users": _cms_sql(),
+        "array_functions_emb": _ARRAY_FN_SQL,
+        "anomaly_zscore_events": _ZSCORE_SQL,
         "dedup_exact_groups": _EXACT_DUP_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_jaccard": _JACCARD_SQL,

@@ -98,6 +98,13 @@ HEADLINE = [
     "weighted_sample_docs",
     "lm_bigram_docs",
     "pagerank_dup_graph",
+    "json_extract_props",
+    "pivot_event_types",
+    "rolling_1h_user_value",
+    "cohort_retention",
+    "cms_frequency_users",
+    "array_functions_emb",
+    "anomaly_zscore_events",
 ]
 
 

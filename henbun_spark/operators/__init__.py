@@ -19,5 +19,6 @@ from henbun_spark.operators import (
     sampling,
     selection,
     similarity,
+    sketch,
     text,
 )
