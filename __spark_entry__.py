@@ -3908,6 +3908,72 @@ FROM embeddings
 """
 
 
+def hll_distinct_users(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (own implementation, not
+    approx_count_distinct): md5-deterministic registers, so the estimate
+    is bit-reproducible and ORACLE-CHECKED — the SQL rebuilds identical
+    registers and the harmonic sum is computed in exact scaled BIGINTs.
+
+    At scale: sketch state is <= 256 rows regardless of input (map-side
+    max per register); per-day register tables merge by MAX without
+    touching raw data. Exact distinct ships alongside for the error
+    story."""
+    from henbun_spark.operators import sketch
+
+    ev = _load(spark, sf_dir, "events")
+    regs = sketch.hll_registers(ev, "user_id", b=8)
+    est = sketch.hll_estimate(regs, b=8)
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+def _hll_sql(b: int = 8, salt: str = "hll") -> str:
+    m = 2 ** b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    nib = lambda expr: f"(instr('0123456789abcdef', {expr}) - 1)"  # noqa: E731
+    return f"""
+WITH hashed AS (
+  SELECT md5('{salt}' || '|' || coalesce(CAST(user_id AS VARCHAR), chr(0))) AS h
+  FROM events),
+parts AS (
+  SELECT {nib("substr(h, 1, 1)")} * 16 + {nib("substr(h, 2, 1)")} AS register,
+         substr(h, 3, 14) AS tail
+  FROM hashed),
+ranked AS (
+  SELECT register,
+    CASE WHEN length(regexp_extract(tail, '^(0*)', 1)) = 14 THEN 57
+         ELSE length(regexp_extract(tail, '^(0*)', 1)) * 4
+              + (CASE WHEN {nib("substr(tail, length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)")} >= 8 THEN 0
+                      WHEN {nib("substr(tail, length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)")} >= 4 THEN 1
+                      WHEN {nib("substr(tail, length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)")} >= 2 THEN 2
+                      ELSE 3 END) + 1
+    END AS rank
+  FROM parts),
+regs AS (
+  SELECT register, MAX(rank) AS max_rank FROM ranked GROUP BY register),
+agg AS (
+  SELECT COUNT(*) AS n_hit,
+    CAST(SUM(CAST(1 AS BIGINT) << (57 - max_rank)) AS BIGINT) AS denom_hit
+  FROM regs),
+denoms AS (
+  SELECT n_hit,
+    CAST(denom_hit AS DOUBLE) / {float(2 ** 57)!r} + CAST({m} - n_hit AS DOUBLE)
+      AS denom
+  FROM agg),
+est AS (
+  SELECT CAST(n_hit AS INT) AS n_registers_hit,
+    CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m} / denom
+              <= CAST({2.5 * m!r} AS DOUBLE) AND n_hit < {m}
+         THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - n_hit))
+         ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} / denom
+    END AS raw_est
+  FROM denoms)
+SELECT n_registers_hit, ROUND(raw_est, 6) AS hll_est,
+  (SELECT COUNT(DISTINCT user_id) FROM events)::BIGINT AS exact_distinct
+FROM est
+"""
+
+
 def anomaly_zscore_events(spark, sf_dir):
     """Z-score anomaly detection per event_type: mean/std from
     decimal-exact sums (order-independent), then a second pass flags
@@ -4022,6 +4088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_1h_user_value": rolling_1h_user_value,
         "cohort_retention": cohort_retention,
         "cms_frequency_users": cms_frequency_users,
+        "hll_distinct_users": hll_distinct_users,
         "array_functions_emb": array_functions_emb,
         "anomaly_zscore_events": anomaly_zscore_events,
         # dedup suite
@@ -4149,6 +4216,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_1h_user_value": _ROLLING_SQL,
         "cohort_retention": _COHORT_SQL,
         "cms_frequency_users": _cms_sql(),
+        "hll_distinct_users": _hll_sql(),
         "array_functions_emb": _ARRAY_FN_SQL,
         "anomaly_zscore_events": _ZSCORE_SQL,
         "dedup_exact_groups": _EXACT_DUP_SQL,

@@ -103,6 +103,7 @@ HEADLINE = [
     "rolling_1h_user_value",
     "cohort_retention",
     "cms_frequency_users",
+    "hll_distinct_users",
     "array_functions_emb",
     "anomaly_zscore_events",
 ]

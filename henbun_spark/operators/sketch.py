@@ -119,3 +119,111 @@ def cms_estimate(
         "key", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return joined.groupBy("key").agg(F.min("cnt").alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — deterministic md5 variant
+# ---------------------------------------------------------------------------
+
+_HLL_NIBBLES = 14  # 56 bits of rank material after the register nibbles
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, key_col: str, b: int = 8, salt: str = "hll") -> DataFrame:
+    """HLL register table for ``df[key_col]``: register index from the
+    first ``b/4`` md5 nibbles (m = 2^b registers, b multiple of 4), rank =
+    1 + count of leading zero BITS in the next 56 bits (capped at 57 when
+    all-zero).
+
+    Everything is string/integer arithmetic on the md5 hex digest —
+    bit-identical across engines, so a SQL oracle can rebuild the exact
+    registers. The groupBy(register).max(rank) combines map-side; state
+    is <= m rows however large the input.
+    """
+    if b % 4 != 0:
+        raise ValueError("b must be a multiple of 4 (nibble-aligned)")
+    reg_nibbles = b // 4
+    h = F.md5(
+        F.concat(F.lit(salt), F.lit("|"), F.coalesce(F.col(key_col).cast("string"), F.lit("\x00")))
+    )
+    reg = F.conv(F.substring(h, 1, reg_nibbles), 16, 10).cast("int")
+    tail = F.substring(h, reg_nibbles + 1, _HLL_NIBBLES)
+    # position (1-indexed) of the first non-zero hex char; 0 if all zeros
+    stripped = F.regexp_extract(tail, "^(0*)", 1)
+    p = F.when(F.length(stripped) == _HLL_NIBBLES, F.lit(0)).otherwise(
+        F.length(stripped) + 1
+    )
+    nib = F.conv(F.substring(tail, F.when(p > 0, p).otherwise(1), F.lit(1)), 16, 10).cast(
+        "int"
+    )
+    # leading zero bits inside the first non-zero nibble (value 1..15)
+    nib_lz = (
+        F.when(nib >= 8, 0).when(nib >= 4, 1).when(nib >= 2, 2).otherwise(3)
+    )
+    rank = F.when(p == 0, F.lit(4 * _HLL_NIBBLES + 1)).otherwise(
+        (p - 1) * 4 + nib_lz + 1
+    )
+    return (
+        df.select(reg.alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Merge HLL register tables (same b/salt) by per-register MAX."""
+    if not registers:
+        raise ValueError("need at least one register table")
+    out = registers[0]
+    for r in registers[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("register").agg(F.max("max_rank").alias("max_rank"))
+
+
+def hll_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
+    """Cardinality estimate from a register table, deterministic across
+    engines: the harmonic-mean denominator sums 2^(57-rank) as exact
+    BIGINTs (dyadic rationals scaled to integers — no float fold order),
+    then one double division/multiplication at the end. Includes the
+    standard linear-counting small-range correction.
+
+    Returns a 1-row DataFrame (n_registers_hit, hll_est double).
+    """
+    m = 2 ** b
+    alpha = _hll_alpha(m)
+    scale = 2 ** (4 * _HLL_NIBBLES + 1)  # 2^57
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {4 * _HLL_NIBBLES + 1} - CAST(max_rank AS INT))"
+            )
+        ).alias("denom_hit"),
+    )
+    # Registers never touched contribute 2^-0 = 1 each to the harmonic
+    # sum. Add that part AFTER converting the hit-sum to double: keeping
+    # it in BIGINT would overflow ((m - n_hit) * 2^57 > 2^63 whenever
+    # ~64+ registers are empty). The BIGINT -> double conversion of the
+    # same exact integer rounds identically in every IEEE engine, so
+    # determinism survives.
+    denom = (
+        F.col("denom_hit").cast("double") / F.lit(float(scale))
+        + (F.lit(m) - F.col("n_hit")).cast("double")
+    )
+    raw = F.lit(alpha * m * m) / denom
+    zeros = F.lit(m) - F.col("n_hit")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(
+        F.col("n_hit").alias("n_registers_hit"),
+        F.round(est, 6).alias("hll_est"),
+    )
