@@ -602,6 +602,36 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r
 """
 
 
+def asof_tolerance_purchase(spark, sf_dir):
+    """As-of join with a max-staleness bound: clicks match the most
+    recent purchase only when it happened within the last 2 hours —
+    older matches null out. Same single-shuffle union+window plan; the
+    tolerance is a pure post-filter Column expression."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id").where(
+        F.col("event_type") == "click"
+    )
+    right = ev.select("user_id", "ts", F.col("value").alias("last_value")).where(
+        F.col("event_type") == "purchase"
+    )
+    return relational.asof_join(
+        left, right, on="ts", by="user_id", right_cols=["last_value"],
+        tolerance=7200.0,
+    ).select("event_id", "last_value")
+
+
+_ASOF_TOL_SQL = """
+SELECT l.event_id,
+  CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 7200000000 THEN r.value END
+    AS last_value
+FROM (SELECT * FROM events WHERE event_type='click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def sessionize_events(spark, sf_dir):
     from henbun_spark.operators import relational
 
@@ -860,6 +890,41 @@ comp AS (
   GROUP BY d.doc_id
 )
 SELECT doc_id, component, doc_id = component AS is_canonical FROM comp
+"""
+
+
+def triangle_count_dupgraph(spark, sf_dir):
+    """Triangle counting (Suri & Vassilvitskii WWW'11 wedge-check) on the
+    n-gram-Jaccard near-dup graph: each triangle generated exactly once
+    at its lowest vertex via two equi-joins over the canonical edge
+    table; per-node counts via a 3-corner union + groupBy. Triangle
+    density is the standard cluster-quality signal for dedup graphs
+    (near-clique duplicate groups are triangle-rich; chains of
+    borderline matches are not)."""
+    from henbun_spark.operators import dedup, graph
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.35, max_df=100
+    )
+    return graph.triangle_count(pairs, "id_a", "id_b")
+
+
+_TRIANGLE_SQL = f"""
+WITH {_JACCARD_CTES},
+e AS (SELECT id_a AS lo, id_b AS hi FROM jac),
+tris AS (
+  SELECT w.a, w.b, w.c
+  FROM (SELECT ab.lo AS a, ab.hi AS b, ac.hi AS c
+        FROM e ab JOIN e ac ON ab.lo = ac.lo AND ab.hi < ac.hi) w
+  JOIN e cl ON cl.lo = w.b AND cl.hi = w.c
+),
+corners AS (
+  SELECT a AS node FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+)
+SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
 """
 
 
@@ -4065,6 +4130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": top_events_per_user,
         "asof_last_purchase": asof_last_purchase,
         "asof_next_purchase": asof_next_purchase,
+        "asof_tolerance_purchase": asof_tolerance_purchase,
         "sessionize_events": sessionize_events,
         "session_window_agg": session_window_agg,
         "running_total_user": running_total_user,
@@ -4100,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup_components,
         "dedup_components_star": dedup_components_star,
         "pagerank_dup_graph": pagerank_dup_graph,
+        "triangle_count_dupgraph": triangle_count_dupgraph,
         "chunk_dedup_docs": chunk_dedup_docs,
         "incremental_dedup_new": incremental_dedup_new,
         # text analysis suite
@@ -4188,6 +4255,7 @@ def oracle_sql() -> dict[str, str]:
         "top_events_per_user": _TOPK_SQL,
         "asof_last_purchase": _ASOF_SQL,
         "asof_next_purchase": _ASOF_FWD_SQL,
+        "asof_tolerance_purchase": _ASOF_TOL_SQL,
         "sessionize_events": _SESSION_SQL,
         "session_window_agg": _SESSION_WINDOW_SQL,
         "streaming_interval_join": _STREAM_IJOIN_SQL,
@@ -4227,6 +4295,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _COMPONENTS_SQL,
         "dedup_components_star": _COMPONENTS_SQL,
         "pagerank_dup_graph": _pagerank_sql(6),
+        "triangle_count_dupgraph": _TRIANGLE_SQL,
         "chunk_dedup_docs": _CHUNK_DEDUP_SQL,
         "incremental_dedup_new": _INCR_DEDUP_SQL,
         "text_stats": _TEXT_STATS_SQL,

@@ -106,6 +106,8 @@ HEADLINE = [
     "hll_distinct_users",
     "array_functions_emb",
     "anomaly_zscore_events",
+    "asof_tolerance_purchase",
+    "triangle_count_dupgraph",
 ]
 
 

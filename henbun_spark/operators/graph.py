@@ -287,3 +287,43 @@ def pagerank(
         if (it + 1) % 4 == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global + per-node triangle counting on an undirected graph.
+
+    The classic MapReduce formulation (Suri & Vassilvitskii, WWW'11
+    "Counting Triangles and the Curse of the Last Reducer"): canonicalize
+    each undirected edge to (lo, hi), then count paths lo->mid->hi whose
+    closing edge (lo, hi) exists. Ordering every wedge by node id means
+    each triangle is generated EXACTLY once (at its lowest vertex), so
+    the plan is two equi-joins over the canonical edge table — no
+    explosion factor beyond sum-of-squared-degrees for the wedge step.
+
+    At scale the wedge join is the skew risk (a degree-d hub makes d^2
+    wedges); the id-ordering already halves hub degrees on average, and
+    the production hardening is degree-ordered canonicalization (orient
+    edges low-degree -> high-degree) which bounds wedges by arboricity —
+    one extra degree-table join away if hubs appear.
+
+    Returns one row per node that participates in >= 1 triangle:
+    (node, n_triangles), each triangle counted at all three corners.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    # wedges centered at the lowest vertex: a < b, a < c, b < c
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = ab.join(ac, "a").where(F.col("b") < F.col("c"))
+    closing = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
+    corners = tris.select(F.col("a").alias("node")).unionAll(
+        tris.select(F.col("b").alias("node"))
+    ).unionAll(tris.select(F.col("c").alias("node")))
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -19,11 +19,18 @@ def asof_join(
     by: str | None = None,
     right_cols: list[str] | None = None,
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the nearest right row at-or-before
     (``direction="backward"``, the default: right.on <= left.on) or
     at-or-after (``direction="forward"``: right.on >= left.on) within the
     same `by` key.
+
+    ``tolerance`` (optional) nulls the matched columns when the matched
+    right row is further than this from the left row — in SECONDS when
+    ``on`` is a timestamp column, else in ``on``'s own units. Same plan
+    (the matched ``on`` rides along in the window fill and the bound is a
+    post-filter Column expression — no extra shuffle).
 
     Implementation: union the tagged streams, single window sorted by
     (by, on) carrying `last(right value, ignorenulls)` — ONE shuffle on
@@ -38,10 +45,12 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction}")
     rcols = right_cols or [c for c in right.columns if c not in (on, by)]
     keys = [by] if by else []
+    on_type = right.schema[on].dataType
     ltag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+        F.lit(None).cast(on_type).alias("__r_on"),
     )
     rtag = right.select(
         *[
@@ -53,6 +62,7 @@ def asof_join(
         F.col(on),
         F.lit(0).alias("__is_left"),
         *[F.col(c) for c in rcols],
+        F.col(on).alias("__r_on"),
     )
     unioned = ltag.unionByName(rtag)
     on_sorted = F.col(on).desc() if direction == "forward" else F.col(on).asc()
@@ -65,8 +75,27 @@ def asof_join(
         *[c for c in left.columns],
         F.col("__is_left"),
         *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in rcols],
+        F.last(F.col("__r_on"), ignorenulls=True).over(w).alias("__r_on"),
     )
-    return filled.where(F.col("__is_left") == 1).drop("__is_left")
+    out = filled.where(F.col("__is_left") == 1).drop("__is_left")
+    if tolerance is not None:
+        from pyspark.sql import types as T
+
+        if isinstance(on_type, (T.TimestampType, T.TimestampNTZType)):
+            gap = F.unix_micros(F.col(on)) - F.unix_micros(F.col("__r_on"))
+            bound = float(tolerance) * 1_000_000.0
+        else:
+            gap = F.col(on) - F.col("__r_on")
+            bound = float(tolerance)
+        if direction == "forward":
+            gap = -gap
+        within = F.col("__r_on").isNotNull() & (gap <= F.lit(bound))
+        out = out.select(
+            *[c for c in left.columns],
+            *[F.when(within, F.col(c)).alias(c) for c in rcols],
+            "__r_on",
+        )
+    return out.drop("__r_on")
 
 
 def sessionize(
