@@ -316,6 +316,11 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .where(F.col("lo") != F.col("hi"))
         .distinct()
+        # the canonical edge table feeds THREE plan branches (two wedge
+        # sides + the closing-edge probe); checkpoint it once so an
+        # expensive upstream pair generator (LSH/inverted-index dedup)
+        # isn't re-executed per branch
+        .localCheckpoint()
     )
     # wedges centered at the lowest vertex: a < b, a < c, b < c
     ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))

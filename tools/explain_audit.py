@@ -43,6 +43,8 @@ from henbun_spark import sources
 #    onto the top-k rows.
 #  - emb_lsh_recall: three 1-row count aggregates crossed together to
 #    form the single metric row.
+#  - hll_distinct_users: the 1-row sketch estimate crossed with the
+#    1-row exact-distinct aggregate to form the single output row.
 BNLJ_OK = {
     "range_join_quantity",
     "sim_cosine_topk",
@@ -52,6 +54,7 @@ BNLJ_OK = {
     "lm_bigram_docs",
     "skew_report_events",
     "emb_lsh_recall",
+    "hll_distinct_users",
 }
 # These execute work at build time (training loops, streaming drains) —
 # still audited, just slower to appear.
