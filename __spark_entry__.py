@@ -3973,6 +3973,99 @@ FROM embeddings
 """
 
 
+def row_ids_documents(spark, sf_dir):
+    """Global consecutive row ids WITHOUT a single-reducer global window:
+    two-pass distributed prefix count (range partition + per-partition
+    counts to driver + parallel within-partition row_number). The oracle
+    is the naive `row_number() OVER (ORDER BY ...)` — same ids, scalable
+    plan."""
+    from henbun_spark.operators import relational
+
+    docs = _load(spark, sf_dir, "documents")
+    out = relational.assign_row_ids(
+        docs.select("doc_id", F.length("text").alias("text_len")),
+        [F.desc("text_len"), F.asc("doc_id")],
+    )
+    return out.select("doc_id", "text_len", "row_id")
+
+
+_ROW_IDS_SQL = """
+SELECT doc_id, length(text)::INT AS text_len,
+  row_number() OVER (ORDER BY length(text) DESC, doc_id)::BIGINT AS row_id
+FROM documents
+"""
+
+
+def merge_upsert_docs(spark, sf_dir):
+    """CDC MERGE/upsert (`relational.apply_changes`): a deterministic
+    change log (updates for doc_id%7==0 at v2, tombstones for
+    doc_id%13==0 at v3) applied onto the documents snapshot in ONE keyed
+    shuffle — the lakehouse MERGE INTO pattern without a table format.
+    Where update and delete collide, the higher version (delete) wins."""
+    from henbun_spark.operators import relational
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    updates = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" UPDATED")).alias("text"),
+            F.lit(2).alias("version"),
+            F.lit(False).alias("is_delete"),
+        )
+    )
+    deletes = (
+        docs.where(F.col("doc_id") % 13 == 0)
+        .select(
+            "doc_id",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(3).alias("version"),
+            F.lit(True).alias("is_delete"),
+        )
+    )
+    changes = updates.unionByName(deletes)
+    snap = relational.apply_changes(docs, changes, "doc_id", "version")
+    return snap.select("doc_id", F.length("text").alias("text_len"))
+
+
+_MERGE_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0 THEN length(text) + 8 ELSE length(text) END::INT
+    AS text_len
+FROM documents
+WHERE doc_id % 13 <> 0
+"""
+
+
+def scd2_user_intervals(spark, sf_dir):
+    """SCD type-2 dimension build: each user's purchase log becomes
+    validity intervals [valid_from, valid_to) with a current-row flag —
+    one lead() window per key. Timestamps exported as epoch micros."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    log = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("price")
+    )
+    out = relational.scd2_intervals(log, "user_id", "ts", ["price"])
+    return out.select(
+        "user_id",
+        "price",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+_SCD2_SQL = """
+SELECT user_id, value AS price,
+  epoch_us(ts) AS valid_from_us,
+  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS valid_to_us,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 def hll_distinct_users(spark, sf_dir):
     """HyperLogLog distinct-count sketch (own implementation, not
     approx_count_distinct): md5-deterministic registers, so the estimate
@@ -4155,6 +4248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": cohort_retention,
         "cms_frequency_users": cms_frequency_users,
         "hll_distinct_users": hll_distinct_users,
+        "row_ids_documents": row_ids_documents,
+        "merge_upsert_docs": merge_upsert_docs,
+        "scd2_user_intervals": scd2_user_intervals,
         "array_functions_emb": array_functions_emb,
         "anomaly_zscore_events": anomaly_zscore_events,
         # dedup suite
@@ -4285,6 +4381,9 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _COHORT_SQL,
         "cms_frequency_users": _cms_sql(),
         "hll_distinct_users": _hll_sql(),
+        "row_ids_documents": _ROW_IDS_SQL,
+        "merge_upsert_docs": _MERGE_SQL,
+        "scd2_user_intervals": _SCD2_SQL,
         "array_functions_emb": _ARRAY_FN_SQL,
         "anomaly_zscore_events": _ZSCORE_SQL,
         "dedup_exact_groups": _EXACT_DUP_SQL,

@@ -108,6 +108,9 @@ HEADLINE = [
     "anomaly_zscore_events",
     "asof_tolerance_purchase",
     "triangle_count_dupgraph",
+    "row_ids_documents",
+    "merge_upsert_docs",
+    "scd2_user_intervals",
 ]
 
 

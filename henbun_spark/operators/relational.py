@@ -451,3 +451,120 @@ def ewma_last(
             F.round(fold, 6).alias("ewma"),
         )
     )
+
+
+def assign_row_ids(
+    df: DataFrame,
+    order_by: list,
+    id_name: str = "row_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Global consecutive row ids (1-based) in `order_by` order WITHOUT
+    the single-reducer global window (`row_number() OVER (ORDER BY ...)`
+    with no partition key funnels 100 TB through one task).
+
+    Two-pass distributed prefix count: range-repartition on the ordering
+    key + sort within partitions; per-partition row counts to the driver
+    (one row per partition); within-partition row_number (parallel
+    window keyed by partition id) + broadcast exclusive offset. The
+    ordering must be total (include a tiebreak column) for the ids to be
+    deterministic.
+
+    `order_by` takes Column expressions (e.g. ``[F.desc("score"),
+    F.asc("doc_id")]``) or column-name strings (ascending).
+    """
+    cols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
+    parted = df.repartitionByRange(
+        *([n_partitions] if n_partitions else []), *cols
+    ).withColumn("_pid", F.spark_partition_id())
+    totals = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    offsets, acc = {}, 0
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_n"]
+    off_df = F.broadcast(
+        parted.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        parted.join(off_df, "_pid")
+        .withColumn(id_name, F.row_number().over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    version_col: str,
+    delete_col: str = "is_delete",
+) -> DataFrame:
+    """CDC MERGE/upsert: apply a change log onto a base snapshot and
+    return the new snapshot — the lakehouse `MERGE INTO` pattern as a
+    pure DataFrame op.
+
+    Semantics: per key, the change row with the highest `version_col`
+    wins over the base row; a winning change with `delete_col` true
+    removes the key. Base rows are treated as version -infinity (any
+    change supersedes them).
+
+    Plan: union(tagged base, tagged changes) -> one keyed window taking
+    the max-(version, is_change) row -> filter tombstones. ONE shuffle
+    on the key; no driver involvement. At 100 TB the win is that the
+    base is read once and the change log is usually tiny — AQE picks a
+    broadcast for the change side automatically when the union is
+    re-expressed as a join, but the union+window form also handles
+    change-heavy compactions where both sides are large.
+    """
+    data_cols = [c for c in base.columns if c != key]
+    b = base.select(
+        F.col(key),
+        *[F.col(c) for c in data_cols],
+        F.lit(0).alias("_is_change"),
+        F.lit(None).cast(changes.schema[version_col].dataType).alias("_ver"),
+        F.lit(False).alias("_del"),
+    )
+    c = changes.select(
+        F.col(key),
+        *[F.col(c_) for c_ in data_cols],
+        F.lit(1).alias("_is_change"),
+        F.col(version_col).alias("_ver"),
+        F.coalesce(F.col(delete_col), F.lit(False)).alias("_del"),
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col("_is_change").desc(), F.col("_ver").desc_nulls_last()
+    )
+    return (
+        b.unionByName(c)
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (~F.col("_del")))
+        .select(key, *data_cols)
+    )
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change log into validity
+    intervals — one row per (key, version) with [valid_from, valid_to)
+    and a current-row flag. `valid_to` is NULL for the open interval.
+
+    One keyed window (lead over the next change's timestamp); ties on
+    `ts_col` within a key must not exist (dedupe the log first). The
+    canonical warehouse dimension-build, expressed as a single shuffle.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return changes.select(
+        F.col(key),
+        *[F.col(c) for c in attr_cols],
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
