@@ -2750,6 +2750,51 @@ GROUP BY 1, 2
 """
 
 
+def streaming_hopping_counts(spark, sf_dir):
+    """Streaming HOPPING (sliding) windows, ORACLE-CHECKED against the
+    batch hopping aggregate: 2-hour windows every hour under a 2-hour
+    watermark, drained with availableNow. The flush sentinel sits 6
+    hours past the last event so the final watermark (max+4h) passes
+    every real window's end (max+2h) and append mode emits them all;
+    the sentinel's own two windows stay in state, never emitted."""
+    from henbun_spark import streaming
+
+    ev = _load(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value")
+    sentinel = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 6 HOURS")).alias("ts")
+    ).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        "ts",
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    data = ev.unionByName(sentinel)
+    base = _scratch_dir("henbun_hop_")
+    in_dir = f"{base}/in"
+    data.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(data.schema).parquet(in_dir)
+    agg = streaming.windowed_counts(
+        stream, ts_col="ts", key_col="event_type", window="2 hours",
+        slide="1 hour", watermark="2 hours",
+    )
+    out = agg.select(
+        (F.unix_timestamp(F.col("window.start")) * 1000).alias("win_start_ms"),
+        "event_type",
+        "n",
+    )
+    out_dir = f"{base}/out"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def streaming_enrich_static(spark, sf_dir):
     """Stream-STATIC enrichment join, ORACLE-CHECKED: the events table
     replayed as a file stream, joined per micro-batch to the static
@@ -4307,6 +4352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vi_amortized_encoder": vi_amortized_encoder,
         "gp_sparse_posterior": gp_sparse_posterior,
         "streaming_windowed_counts": streaming_windowed_counts,
+        "streaming_hopping_counts": streaming_hopping_counts,
         "streaming_interval_join": streaming_interval_join,
         "streaming_sessionize": streaming_sessionize,
         "streaming_dedup_keys": streaming_dedup_keys,
@@ -4359,6 +4405,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_keys": _STREAM_DEDUP_SQL,
         "streaming_enrich_static": _STREAM_ENRICH_SQL,
         "streaming_windowed_counts": _STREAM_WINDOW_SQL,
+        "streaming_hopping_counts": _HOPPING_SQL,
         "running_total_user": _RUNNING_SQL,
         "hourly_event_counts": _HOURLY_SQL,
         "gapfill_hourly_locf": _GAPFILL_SQL,

@@ -111,6 +111,7 @@ HEADLINE = [
     "row_ids_documents",
     "merge_upsert_docs",
     "scd2_user_intervals",
+    "streaming_hopping_counts",
 ]
 
 

@@ -244,6 +244,30 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning surface as parquet (ORC is the
+    other columnar format Spark ships natively; predicate pushdown uses
+    ORC's built-in min/max/bloom indexes)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None):
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
+    """Raw text corpus scan: one row per line (`value` string), or one
+    row per FILE with ``whole_file=True`` — the ingest shape for
+    document corpora stored as flat files. Line mode splits on newlines
+    inside scan tasks (parallel at any scale); whole-file mode keeps a
+    document together at the cost of one task per file — compact small
+    files first (`compact_parquet`) or the task count explodes."""
+    return spark.read.text(path, wholetext=whole_file)
+
+
 def read_json_tolerant(
     spark: SparkSession, path: str, schema, corrupt_col: str = "_corrupt_record"
 ) -> DataFrame:
