@@ -4018,6 +4018,88 @@ FROM embeddings
 """
 
 
+def fuzzy_match_titles(spark, sf_dir):
+    """Blocked fuzzy string join (entity resolution): document 'titles'
+    (first 16 chars) within Levenshtein distance 4, candidates generated
+    only inside first-token blocks — sum(block^2), never n^2; the edit
+    distance runs JVM-side on candidates only."""
+    from henbun_spark.operators import text as text_ops
+
+    docs = _load(spark, sf_dir, "documents")
+    titled = docs.select(
+        "doc_id", F.substring("text", 1, 16).alias("title")
+    )
+    return text_ops.fuzzy_pairs(
+        titled,
+        "title",
+        "doc_id",
+        block_expr=F.split(F.col("title"), " ")[0],
+        max_distance=4,
+    )
+
+
+_FUZZY_SQL = """
+WITH t AS (
+  SELECT doc_id, substr(text, 1, 16) AS title,
+         str_split(substr(text, 1, 16), ' ')[1] AS blk
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  levenshtein(a.title, b.title)::INT AS distance
+FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 4
+"""
+
+
+def validate_constraints_events(spark, sf_dir):
+    """Declarative data-quality suite (dbt-test shape) in ONE scan: all
+    conditional-count rules fold into a single aggregation; uniqueness
+    rides along as an exact distinct count. 100 TB cost = one pass,
+    not one job per rule."""
+    from henbun_spark.operators import quality
+
+    ev = _load(spark, sf_dir, "events")
+    return quality.validate(
+        ev,
+        [
+            {"check": "not_null", "col": "event_id"},
+            {"check": "unique", "col": "event_id"},
+            {"check": "not_null", "col": "user_id"},
+            {"check": "range", "col": "value", "min": 0.0, "max": 1000.0},
+            {
+                "check": "accepted_values",
+                "col": "event_type",
+                "values": list(_EVENT_TYPES),
+            },
+            {"check": "regex", "col": "props", "pattern": r"^\{.*\}$"},
+        ],
+    )
+
+
+_VALIDATE_SQL = """
+WITH agg AS (
+  SELECT
+    SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v0,
+    COUNT(event_id) - COUNT(DISTINCT event_id) AS v1,
+    SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v2,
+    SUM(CASE WHEN value IS NULL OR value < 0.0 OR value > 1000.0 THEN 1 ELSE 0 END) AS v3,
+    SUM(CASE WHEN event_type IS NULL
+              OR event_type NOT IN ('click','error','purchase','signup','view')
+             THEN 1 ELSE 0 END) AS v4,
+    SUM(CASE WHEN props IS NULL OR NOT regexp_matches(props, '^\{.*\}$')
+             THEN 1 ELSE 0 END) AS v5
+  FROM events)
+SELECT rule, "column", n_violations::BIGINT AS n_violations,
+       n_violations = 0 AS passed
+FROM (
+  SELECT 'not_null' AS rule, 'event_id' AS "column", v0 AS n_violations FROM agg
+  UNION ALL SELECT 'unique', 'event_id', v1 FROM agg
+  UNION ALL SELECT 'not_null', 'user_id', v2 FROM agg
+  UNION ALL SELECT 'range', 'value', v3 FROM agg
+  UNION ALL SELECT 'accepted_values', 'event_type', v4 FROM agg
+  UNION ALL SELECT 'regex', 'props', v5 FROM agg)
+"""
+
+
 def row_ids_documents(spark, sf_dir):
     """Global consecutive row ids WITHOUT a single-reducer global window:
     two-pass distributed prefix count (range partition + per-partition
@@ -4294,6 +4376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_frequency_users": cms_frequency_users,
         "hll_distinct_users": hll_distinct_users,
         "row_ids_documents": row_ids_documents,
+        "fuzzy_match_titles": fuzzy_match_titles,
+        "validate_constraints_events": validate_constraints_events,
         "merge_upsert_docs": merge_upsert_docs,
         "scd2_user_intervals": scd2_user_intervals,
         "array_functions_emb": array_functions_emb,
@@ -4429,6 +4513,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_frequency_users": _cms_sql(),
         "hll_distinct_users": _hll_sql(),
         "row_ids_documents": _ROW_IDS_SQL,
+        "fuzzy_match_titles": _FUZZY_SQL,
+        "validate_constraints_events": _VALIDATE_SQL,
         "merge_upsert_docs": _MERGE_SQL,
         "scd2_user_intervals": _SCD2_SQL,
         "array_functions_emb": _ARRAY_FN_SQL,

@@ -112,6 +112,8 @@ HEADLINE = [
     "merge_upsert_docs",
     "scd2_user_intervals",
     "streaming_hopping_counts",
+    "fuzzy_match_titles",
+    "validate_constraints_events",
 ]
 
 

@@ -15,6 +15,7 @@ from henbun_spark.operators import (
     graph,
     layout,
     multimodal,
+    quality,
     relational,
     sampling,
     selection,

@@ -431,3 +431,37 @@ def hashed_features(
     return df.select(
         F.col(id_col), F.array(*idxs).alias("idx"), F.array(*signs).alias("sign")
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_expr,
+    max_distance: int = 4,
+) -> DataFrame:
+    """Blocked fuzzy self-join: candidate pairs whose `text_col` values
+    are within `max_distance` Levenshtein edits, generated ONLY inside
+    blocks (`block_expr` — e.g. the first token, a phonetic key, a
+    length band), never all-pairs.
+
+    The classic entity-resolution shape: blocking bounds candidates by
+    sum(block_size^2) instead of n^2; the exact edit-distance check runs
+    JVM-side (`F.levenshtein`, codegen) on the candidates only. Recall
+    is bounded by the blocking key (pairs differing in the key are never
+    compared) — standard multi-pass blocking stacks more keys via union.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        block_expr.alias("blk"),
+    )
+    a = keyed.select(F.col("blk"), F.col("id").alias("id_a"), F.col("t").alias("t_a"))
+    b = keyed.select(F.col("blk"), F.col("id").alias("id_b"), F.col("t").alias("t_b"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("t_a", "t_b"))
+        .where(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )
