@@ -4075,7 +4075,7 @@ def validate_constraints_events(spark, sf_dir):
     )
 
 
-_VALIDATE_SQL = """
+_VALIDATE_SQL = r"""
 WITH agg AS (
   SELECT
     SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v0,
