@@ -3771,6 +3771,24 @@ def kmeans_embeddings(spark, sf_dir):
     )
 
 
+def semantic_dedup_emb(spark, sf_dir):
+    """SemDeDup-style semantic dedup (SURVEY §2.11): k-means clusters as
+    the blocking stage, within-cluster cosine pairs >= 0.95, transitive
+    closure, one keeper per semantic group. Rows-only check (k-means is
+    iterative); the pytest plants exact + noisy duplicates and checks
+    group recovery. Returns per-cluster group/keep summary."""
+    from henbun_spark.operators import dedup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    labeled = dedup.semantic_dedup(
+        emb, "embedding", "vec_id", k=8, threshold=0.95
+    )
+    return labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+    )
+
+
 def bpe_train_encode(spark, sf_dir):
     """Distributed BPE tokenizer training (SURVEY §2.11): one corpus pass
     builds the word-frequency table; each merge round is pure-Column
@@ -4446,6 +4464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
         "kmeans_embeddings": kmeans_embeddings,
+        "semantic_dedup_emb": semantic_dedup_emb,
         "pca_embeddings": pca_embeddings,
         "bpe_train_encode": bpe_train_encode,
     }

@@ -114,6 +114,7 @@ HEADLINE = [
     "streaming_hopping_counts",
     "fuzzy_match_titles",
     "validate_constraints_events",
+    "semantic_dedup_emb",
 ]
 
 

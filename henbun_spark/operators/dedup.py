@@ -511,3 +511,53 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    k: int = 8,
+    threshold: float = 0.95,
+    max_iter: int = 3,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with distributed k-means, then
+    compare pairs ONLY within each cluster (cosine >= threshold -> near
+    duplicate), transitively close the pair graph, keep one canonical
+    doc (min id) per semantic group.
+
+    Candidate pairs are bounded by sum(cluster_size^2) instead of n^2 —
+    the clustering IS the blocking. Recall bound: a near-dup pair split
+    across cluster boundaries is never compared (the published method
+    accepts this; raise k for tighter clusters but weaker blocking).
+
+    Returns (id, component, is_kept): every input row labeled with its
+    semantic-duplicate group and a keep flag.
+    """
+    from henbun_spark.operators import clustering, graph
+
+    centroids, _sse = clustering.kmeans_fit(df, emb_col, id_col, k=k, max_iter=max_iter)
+    assigned = clustering.kmeans_assign(df, emb_col, centroids).select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).cast("array<double>").alias("v"),
+        "cluster",
+    )
+    a = assigned.select("cluster", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = assigned.select("cluster", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = graph.connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "node", "id"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("component"))
+        .withColumn("is_kept", F.col("id") == F.col("component"))
+    )
