@@ -4036,6 +4036,36 @@ FROM embeddings
 """
 
 
+def unpivot_pricing_metrics(spark, sf_dir):
+    """UNPIVOT/melt: the wide per-(flag,status) aggregate table turned
+    long — one (metric, value) row per measure via the native
+    `DataFrame.unpivot` (codegen Expand node, no shuffle beyond the
+    aggregation that built the wide table)."""
+    li = _load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity"), "sum_qty"),
+        _dsum(F.col("l_extendedprice"), "sum_base_price"),
+    )
+    return wide.unpivot(
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_base_price"],
+        "metric",
+        "value",
+    )
+
+
+_UNPIVOT_SQL = f"""
+WITH wide AS (
+  SELECT l_returnflag, l_linestatus,
+    {_sql_dsum('l_quantity', 'sum_qty')},
+    {_sql_dsum('l_extendedprice', 'sum_base_price')}
+  FROM lineitem GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, l_linestatus, 'sum_base_price', sum_base_price FROM wide
+"""
+
+
 def fuzzy_match_titles(spark, sf_dir):
     """Blocked fuzzy string join (entity resolution): document 'titles'
     (first 16 chars) within Levenshtein distance 4, candidates generated
@@ -4395,6 +4425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": hll_distinct_users,
         "row_ids_documents": row_ids_documents,
         "fuzzy_match_titles": fuzzy_match_titles,
+        "unpivot_pricing_metrics": unpivot_pricing_metrics,
         "validate_constraints_events": validate_constraints_events,
         "merge_upsert_docs": merge_upsert_docs,
         "scd2_user_intervals": scd2_user_intervals,
@@ -4533,6 +4564,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users": _hll_sql(),
         "row_ids_documents": _ROW_IDS_SQL,
         "fuzzy_match_titles": _FUZZY_SQL,
+        "unpivot_pricing_metrics": _UNPIVOT_SQL,
         "validate_constraints_events": _VALIDATE_SQL,
         "merge_upsert_docs": _MERGE_SQL,
         "scd2_user_intervals": _SCD2_SQL,

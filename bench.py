@@ -115,6 +115,7 @@ HEADLINE = [
     "fuzzy_match_titles",
     "validate_constraints_events",
     "semantic_dedup_emb",
+    "unpivot_pricing_metrics",
 ]
 
 

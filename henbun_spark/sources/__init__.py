@@ -92,6 +92,10 @@ def _nanos_to_ts(df: DataFrame, col: str) -> DataFrame:
         return df.withColumn(
             col, F.timestamp_micros(F.expr(f"{col} div 1000"))
         )
+    if isinstance(dt, T.DateType):
+        return df.withColumn(col, F.col(col).cast(T.TimestampType()))
+    if isinstance(dt, T.StringType):
+        return df.withColumn(col, F.to_timestamp(F.col(col)))
     return df
 
 
