@@ -4036,6 +4036,121 @@ FROM embeddings
 """
 
 
+def corr_lineitem_metrics(spark, sf_dir):
+    """Pearson correlation matrix entries over lineitem numerics,
+    computed from decimal-exact moment sums (NOT F.corr, whose float
+    accumulation is shuffle-order-dependent) — the same one-scan
+    sufficient-statistics pattern as the PCA operator, SQL-expressible
+    because the moments are plain sums."""
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    seen = set()
+    for x, y in pairs:
+        for c in (x, y):
+            if c not in seen:
+                seen.add(c)
+                aggs.append(_dsum(F.col(c), f"s_{c}"))
+                aggs.append(_dsum(F.col(c) * F.col(c), f"ss_{c}"))
+        aggs.append(_dsum(F.col(x) * F.col(y), f"sp_{x}_{y}"))
+    wide = li.agg(*aggs)
+
+    def corr_col(x, y):
+        n = F.col("n")
+        num = n * F.col(f"sp_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+        dx = F.sqrt(n * F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}"))
+        dy = F.sqrt(n * F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}"))
+        return F.round(num / (dx * dy), 9)
+
+    rows = [
+        wide.select(
+            F.lit(x).alias("x"), F.lit(y).alias("y"), corr_col(x, y).alias("corr")
+        )
+        for x, y in pairs
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _corr_sql() -> str:
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+    ]
+    cols = []
+    seen = set()
+    for x, y in pairs:
+        for c in (x, y):
+            if c not in seen:
+                seen.add(c)
+                cols.append(_sql_dsum(c, f"s_{c}"))
+                cols.append(_sql_dsum(f"{c} * {c}", f"ss_{c}"))
+        cols.append(_sql_dsum(f"{x} * {y}", f"sp_{x}_{y}"))
+    sel = []
+    for x, y in pairs:
+        expr = (
+            f"ROUND((n * sp_{x}_{y} - s_{x} * s_{y}) /"
+            f" (sqrt(n * ss_{x} - s_{x} * s_{x}) * sqrt(n * ss_{y} - s_{y} * s_{y})), 9)"
+        )
+        sel.append(f"SELECT '{x}' AS x, '{y}' AS y, {expr} AS corr FROM wide")
+    return (
+        "WITH wide AS (SELECT COUNT(*) AS n, "
+        + ", ".join(cols)
+        + " FROM lineitem)\n"
+        + "\nUNION ALL ".join(sel)
+    )
+
+
+def linreg_value_by_hour(spark, sf_dir):
+    """Simple OLS (the SQL REGR_SLOPE/REGR_INTERCEPT family) per
+    event_type: value regressed on hour-of-day, slope and intercept in
+    closed form from decimal-exact moments — one scan, one keyed
+    partial-agg, fully deterministic."""
+    ev = _load(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    y = F.col("value")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(x, "sx"),
+        _dsum(y, "sy"),
+        _dsum(x * x, "sxx"),
+        _dsum(x * y, "sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 9).alias(
+            "intercept"
+        ),
+    )
+
+
+_LINREG_SQL = f"""
+WITH g AS (
+  SELECT event_type, COUNT(*) AS n,
+    {_sql_dsum('CAST(hour(ts) AS DOUBLE)', 'sx')},
+    {_sql_dsum('value', 'sy')},
+    {_sql_dsum('CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE)', 'sxx')},
+    {_sql_dsum('CAST(hour(ts) AS DOUBLE) * value', 'sxy')}
+  FROM events GROUP BY event_type)
+SELECT event_type, n,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9) AS intercept
+FROM g
+"""
+
+
 def unpivot_pricing_metrics(spark, sf_dir):
     """UNPIVOT/melt: the wide per-(flag,status) aggregate table turned
     long — one (metric, value) row per measure via the native
@@ -4426,6 +4541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_ids_documents": row_ids_documents,
         "fuzzy_match_titles": fuzzy_match_titles,
         "unpivot_pricing_metrics": unpivot_pricing_metrics,
+        "corr_lineitem_metrics": corr_lineitem_metrics,
+        "linreg_value_by_hour": linreg_value_by_hour,
         "validate_constraints_events": validate_constraints_events,
         "merge_upsert_docs": merge_upsert_docs,
         "scd2_user_intervals": scd2_user_intervals,
@@ -4565,6 +4682,8 @@ def oracle_sql() -> dict[str, str]:
         "row_ids_documents": _ROW_IDS_SQL,
         "fuzzy_match_titles": _FUZZY_SQL,
         "unpivot_pricing_metrics": _UNPIVOT_SQL,
+        "corr_lineitem_metrics": _corr_sql(),
+        "linreg_value_by_hour": _LINREG_SQL,
         "validate_constraints_events": _VALIDATE_SQL,
         "merge_upsert_docs": _MERGE_SQL,
         "scd2_user_intervals": _SCD2_SQL,

@@ -116,6 +116,8 @@ HEADLINE = [
     "validate_constraints_events",
     "semantic_dedup_emb",
     "unpivot_pricing_metrics",
+    "corr_lineitem_metrics",
+    "linreg_value_by_hour",
 ]
 
 
