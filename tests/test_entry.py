@@ -21,6 +21,7 @@ ROWS_ONLY = {
     "bpe_train_encode",
     "vi_amortized_encoder",
     "image_dedup_ahash",
+    "semantic_dedup_emb",
 }
 
 
