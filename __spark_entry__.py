@@ -4066,16 +4066,16 @@ def corr_lineitem_metrics(spark, sf_dir):
         dy = F.sqrt(n * F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}"))
         return F.round(num / (dx * dy), 9)
 
-    rows = [
-        wide.select(
-            F.lit(x).alias("x"), F.lit(y).alias("y"), corr_col(x, y).alias("corr")
-        )
-        for x, y in pairs
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # stack() the single wide row into long form so the aggregation plan
+    # runs ONCE (a UNION of per-pair selects would re-aggregate the scan
+    # once per pair — 3 exchanges instead of 1)
+    named = wide.select(
+        *[corr_col(x, y).alias(f"c{i}") for i, (x, y) in enumerate(pairs)]
+    )
+    stacked = ", ".join(
+        f"'{x}', '{y}', c{i}" for i, (x, y) in enumerate(pairs)
+    )
+    return named.selectExpr(f"stack({len(pairs)}, {stacked}) as (x, y, corr)")
 
 
 def _corr_sql() -> str:
