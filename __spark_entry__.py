@@ -3780,8 +3780,12 @@ def semantic_dedup_emb(spark, sf_dir):
     from henbun_spark.operators import dedup
 
     emb = _load(spark, sf_dir, "embeddings")
+    # SemDeDup scales cluster count with corpus size (the paper uses
+    # k ~ n/160): blocking cost is sum(cluster^2) ~ n^2/k, so a fixed k
+    # degrades quadratically as the corpus grows
+    k = max(8, emb.count() // 300)
     labeled = dedup.semantic_dedup(
-        emb, "embedding", "vec_id", k=8, threshold=0.95
+        emb, "embedding", "vec_id", k=k, threshold=0.95
     )
     return labeled.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),
