@@ -2750,6 +2750,51 @@ GROUP BY 1, 2
 """
 
 
+def streaming_asof_purchase(spark, sf_dir):
+    """STREAMING as-of join, ORACLE-CHECKED against the batch ASOF JOIN:
+    clicks pick up the most recent purchase per user from a live tagged
+    stream via `streaming.asof_join_stream` (applyInPandasWithState,
+    watermark-ordered buffering — exact under any arrival order within
+    the watermark). The flush sentinel advances the final watermark past
+    every real event so the drain seals and emits all probes."""
+    from henbun_spark import streaming
+
+    ev = _load(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        (F.col("event_type") == "click").cast("int").alias("is_left"),
+        "event_id",
+        "value",
+    )
+    sentinel = ev.agg((F.max("ts") + F.expr("INTERVAL 4 HOURS")).alias("ts")).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        "ts",
+        F.lit(0).alias("is_left"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(0.0).alias("value"),
+    )
+    data = tagged.unionByName(sentinel)
+    base = _scratch_dir("henbun_sasof_")
+    in_dir = f"{base}/in"
+    data.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(data.schema).parquet(in_dir)
+    out = streaming.asof_join_stream(
+        stream, ts_col="ts", key_col="user_id", watermark="2 hours"
+    )
+    out_dir = f"{base}/out"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def streaming_hopping_counts(spark, sf_dir):
     """Streaming HOPPING (sliding) windows, ORACLE-CHECKED against the
     batch hopping aggregate: 2-hour windows every hour under a 2-hour
@@ -4607,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gp_sparse_posterior": gp_sparse_posterior,
         "streaming_windowed_counts": streaming_windowed_counts,
         "streaming_hopping_counts": streaming_hopping_counts,
+        "streaming_asof_purchase": streaming_asof_purchase,
         "streaming_interval_join": streaming_interval_join,
         "streaming_sessionize": streaming_sessionize,
         "streaming_dedup_keys": streaming_dedup_keys,
@@ -4661,6 +4707,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_enrich_static": _STREAM_ENRICH_SQL,
         "streaming_windowed_counts": _STREAM_WINDOW_SQL,
         "streaming_hopping_counts": _HOPPING_SQL,
+        "streaming_asof_purchase": _ASOF_SQL,
         "running_total_user": _RUNNING_SQL,
         "hourly_event_counts": _HOURLY_SQL,
         "gapfill_hourly_locf": _GAPFILL_SQL,

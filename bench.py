@@ -118,6 +118,7 @@ HEADLINE = [
     "unpivot_pricing_metrics",
     "corr_lineitem_metrics",
     "linreg_value_by_hour",
+    "streaming_asof_purchase",
 ]
 
 

@@ -278,3 +278,101 @@ def ewma_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_ASOF_OUT_SCHEMA = "event_id long, last_value double"
+_ASOF_STATE_SCHEMA = (
+    "ts array<long>, is_left array<int>, ids array<long>, vals array<double>, "
+    "last_r_ts long, last_r_val double, has_r int"
+)
+
+
+def asof_join_stream(
+    tagged: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful STREAMING as-of join (backward): each left row
+    picks up the most recent right row at-or-before it within the same
+    key. Spark has no streaming as-of primitive; this is operator
+    category (b) — ``applyInPandasWithState`` with watermark-ordered
+    buffering.
+
+    Input: one pre-tagged stream (union of both sides) with columns
+    (key, ts, is_left int, event_id long, value double). Right rows
+    carry the value; left rows are the probes.
+
+    Correctness under out-of-order arrival: rows BUFFER in state until
+    the event-time watermark passes them — only then is the event-time
+    order final, so matches are exact for any arrival order within the
+    watermark bound (late data beyond it is dropped by the watermark,
+    the standard contract). State per key = the buffered rows inside
+    the watermark horizon + one (ts, value) for the latest emitted
+    right row — bounded by horizon x rate, not by stream length.
+
+    Tie rule: a right row at ts == left ts matches (right sorts before
+    left at equal timestamps) — identical to the batch
+    `relational.asof_join` and DuckDB's ASOF JOIN (l.ts >= r.ts).
+    """
+    tagged = tagged.withWatermark(ts_col, watermark)
+
+    def fn(key, pdfs, state: GroupState):
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            b_ts, b_left, b_ids, b_vals, lr_ts, lr_val, has_r = state.get
+            b_ts, b_left = list(b_ts), list(b_left)
+            b_ids, b_vals = list(b_ids), list(b_vals)
+        else:
+            b_ts, b_left, b_ids, b_vals = [], [], [], []
+            lr_ts, lr_val, has_r = 0, 0.0, 0
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs))
+            b_ts += (rows[ts_col].astype("int64") // 1_000).tolist()  # µs
+            b_left += rows["is_left"].astype(int).tolist()
+            b_ids += rows["event_id"].astype("int64").tolist()
+            b_vals += rows["value"].astype(float).tolist()
+        else:
+            for _ in pdfs:  # exhaust the (empty) iterator per API contract
+                pass
+        # process every buffered row the watermark has sealed, in event
+        # time; right rows break ties ahead of left rows (is_left asc)
+        order = sorted(range(len(b_ts)), key=lambda i: (b_ts[i], b_left[i]))
+        out_ids, out_vals, keep = [], [], []
+        for i in order:
+            if b_ts[i] > wm_us:
+                keep.append(i)
+                continue
+            if b_left[i]:
+                out_ids.append(b_ids[i])
+                out_vals.append(lr_val if has_r else None)
+            else:
+                lr_ts, lr_val, has_r = b_ts[i], float(b_vals[i]), 1
+        if keep:
+            state.update(
+                (
+                    [int(b_ts[i]) for i in keep],
+                    [int(b_left[i]) for i in keep],
+                    [int(b_ids[i]) for i in keep],
+                    [float(b_vals[i]) for i in keep],
+                    int(lr_ts), float(lr_val), int(has_r),
+                )
+            )
+            # wake up when the watermark can have sealed more rows
+            state.setTimeoutTimestamp(max(min(b_ts[i] for i in keep) // 1000, wm_us // 1000 + 1))
+        elif has_r:
+            # no pending probes; keep the last-right memory for future
+            # lefts, waking only on new data
+            state.update(([], [], [], [], int(lr_ts), float(lr_val), 1))
+        else:
+            state.remove()
+        if out_ids:
+            yield pd.DataFrame({"event_id": out_ids, "last_value": out_vals})
+
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=_ASOF_OUT_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -217,3 +217,84 @@ def test_ewma_stream_equals_batch(spark, event_files, tmp_path):
     for uid, er in exp.items():
         assert got[uid]["n_obs"] == er["n_obs"], uid
         assert abs(got[uid]["ewma"] - er["ewma"]) < 1e-9, uid
+
+
+def test_streaming_asof_exact_under_out_of_order_batches(spark, tmp_path):
+    """Rows arrive across TWO micro-batches deliberately out of event
+    order (batch 1 holds the LATER half); the watermark-ordered buffer
+    must still reproduce the batch as-of join exactly."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from henbun_spark import streaming
+    from henbun_spark.operators import relational
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for m in range(0, 600, 7):  # probes (left) every 7 min
+            rows.append((u, (base + pd.Timedelta(minutes=m)).to_pydatetime(), 1, eid, 0.0)); eid += 1
+        for m in range(3, 600, 50):  # right rows every 50 min
+            rows.append((u, (base + pd.Timedelta(minutes=m)).to_pydatetime(), 0, eid, float(m))); eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id: long, ts: timestamp, is_left: int, event_id: long, value: double"
+    )
+    # sentinel pushes the final watermark past every real row
+    # sentinel must outrun the 12h watermark delay by more than the
+    # stream's 10h span so the FINAL watermark seals every real row
+    sent = [( -1, (base + pd.Timedelta(hours=23)).to_pydatetime(), 0, -1, 0.0)]
+    sdf = spark.createDataFrame(
+        sent, "user_id: long, ts: timestamp, is_left: int, event_id: long, value: double"
+    )
+    in_dir = str(tmp_path / "in")
+    # batch 1 = LATE half (ts >= 5h), batch 2 = early half + sentinel
+    df.where(F.col("ts") >= base + pd.Timedelta(hours=5)).coalesce(1).write.parquet(
+        in_dir + "/f1"
+    )
+    df.where(F.col("ts") < base + pd.Timedelta(hours=5)).unionByName(sdf).coalesce(
+        1
+    ).write.parquet(in_dir + "/f2")
+    # register both files under one dir in arrival order
+    import shutil
+
+    merged = str(tmp_path / "stream_in")
+    os_files = []
+    import os as _os
+
+    _os.makedirs(merged)
+    for i, sub in enumerate(["f1", "f2"]):
+        for j, f in enumerate(sorted(_os.listdir(in_dir + "/" + sub))):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{in_dir}/{sub}/{f}", f"{merged}/part-{i}{j}.parquet")
+                os_files.append(f)
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(merged)
+    out = streaming.asof_join_stream(stream, watermark="12 hours")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: r["last_value"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    left = df.where(F.col("is_left") == 1).select("user_id", "ts", "event_id")
+    right = df.where(F.col("is_left") == 0).select(
+        "user_id", "ts", F.col("value").alias("last_value")
+    )
+    exp = {
+        r["event_id"]: r["last_value"]
+        for r in relational.asof_join(
+            left, right, on="ts", by="user_id", right_cols=["last_value"]
+        ).collect()
+    }
+    assert got == exp
+    assert len(got) == left.count()
