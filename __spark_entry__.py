@@ -928,6 +928,65 @@ SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
 """
 
 
+def minhash_recall_docs(spark, sf_dir):
+    """Self-measuring recall of the MinHash-LSH candidate pass against
+    the exact inverted-index Jaccard truth set (threshold 0.35) — the
+    dedup twin of `emb_lsh_recall`: both pair sets, the intersection,
+    and the recall arithmetic are oracle-mirrored so the measurement
+    itself is hash-checked. Keeps the LSH trade-off measured on the text
+    path, not assumed."""
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.35, max_df=100
+    ).select("id_a", "id_b")
+    cands = dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=8, bands=4).select(
+        "id_a", "id_b"
+    )
+    common = truth.intersect(cands)
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cands.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_truth"), 6).alias("recall"),
+        )
+    )
+
+
+_MINHASH_RECALL_SQL = f"""
+WITH {_JACCARD_CTES},
+msh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS s
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, greatest(length(text)-7, 1))) AS i
+        FROM documents)
+), msig AS (
+  SELECT doc_id, band,
+    min(substr(md5((band // 4)::VARCHAR || '|' || s), (band % 4) * 8 + 1, 8)) AS mh
+  FROM msh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)
+  GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM msig a JOIN msig b ON a.band = b.band AND a.mh = b.mh
+    AND a.doc_id < b.doc_id
+),
+truth AS (SELECT id_a, id_b FROM jac),
+hit AS (SELECT id_a, id_b FROM truth INTERSECT SELECT id_a, id_b FROM cand)
+SELECT
+  (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth,
+  (SELECT COUNT(*) FROM cand)::BIGINT AS n_cand,
+  (SELECT COUNT(*) FROM hit)::BIGINT AS n_common,
+  ROUND((SELECT COUNT(*) FROM hit) / (SELECT COUNT(*) FROM truth)::DOUBLE, 6)
+    AS recall
+"""
+
+
 def skew_report_events(spark, sf_dir):
     """Key-skew diagnostic over (user_id, event_type): hottest 10 keys
     with share and uniform-ratio — map-side-combinable groupBy + a
@@ -4632,6 +4691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": emb_near_dup_lsh,
         "emb_quantize": emb_quantize,
         "emb_lsh_recall": emb_lsh_recall,
+        "minhash_recall_docs": minhash_recall_docs,
         # scalar-function surface
         "density_gaussian": density_gaussian,
         "density_poisson": density_poisson,
@@ -4772,6 +4832,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_lsh": _EMB_LSH_SQL,
         "emb_quantize": _EMB_QUANT_SQL,
         "emb_lsh_recall": _emb_recall_sql(),
+        "minhash_recall_docs": _MINHASH_RECALL_SQL,
         "density_gaussian": _DENS_GAUSS_SQL,
         "density_poisson": _DENS_POISSON_SQL,
         "density_student_t": _DENS_STUDENT_SQL,

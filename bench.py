@@ -119,6 +119,7 @@ HEADLINE = [
     "corr_lineitem_metrics",
     "linreg_value_by_hour",
     "streaming_asof_purchase",
+    "minhash_recall_docs",
 ]
 
 
