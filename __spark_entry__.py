@@ -4483,20 +4483,34 @@ def hll_distinct_users(spark, sf_dir):
     return est.crossJoin(exact)
 
 
-def _hll_sql(b: int = 8, salt: str = "hll") -> str:
+def _hll_sql(b: int = 8, salt: str = "hll", group_col: str | None = None) -> str:
     m = 2 ** b
     alpha = 0.7213 / (1.0 + 1.079 / m)
     nib = lambda expr: f"(instr('0123456789abcdef', {expr}) - 1)"  # noqa: E731
+    g = f"{group_col}, " if group_col else ""
+    gby = f"GROUP BY {group_col}" if group_col else ""
+    if group_col:
+        final = f"""
+SELECT est.{group_col}, n_registers_hit, ROUND(raw_est, 6) AS hll_est,
+  ex.exact_distinct
+FROM est JOIN (SELECT {group_col}, COUNT(DISTINCT user_id)::BIGINT AS exact_distinct
+               FROM events GROUP BY {group_col}) ex
+  ON est.{group_col} = ex.{group_col}"""
+    else:
+        final = """
+SELECT n_registers_hit, ROUND(raw_est, 6) AS hll_est,
+  (SELECT COUNT(DISTINCT user_id) FROM events)::BIGINT AS exact_distinct
+FROM est"""
     return f"""
 WITH hashed AS (
-  SELECT md5('{salt}' || '|' || coalesce(CAST(user_id AS VARCHAR), chr(0))) AS h
+  SELECT {g}md5('{salt}' || '|' || coalesce(CAST(user_id AS VARCHAR), chr(0))) AS h
   FROM events),
 parts AS (
-  SELECT {nib("substr(h, 1, 1)")} * 16 + {nib("substr(h, 2, 1)")} AS register,
+  SELECT {g}{nib("substr(h, 1, 1)")} * 16 + {nib("substr(h, 2, 1)")} AS register,
          substr(h, 3, 14) AS tail
   FROM hashed),
 ranked AS (
-  SELECT register,
+  SELECT {g}register,
     CASE WHEN length(regexp_extract(tail, '^(0*)', 1)) = 14 THEN 57
          ELSE length(regexp_extract(tail, '^(0*)', 1)) * 4
               + (CASE WHEN {nib("substr(tail, length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)")} >= 8 THEN 0
@@ -4506,28 +4520,44 @@ ranked AS (
     END AS rank
   FROM parts),
 regs AS (
-  SELECT register, MAX(rank) AS max_rank FROM ranked GROUP BY register),
+  SELECT {g}register, MAX(rank) AS max_rank FROM ranked GROUP BY {g}register),
 agg AS (
-  SELECT COUNT(*) AS n_hit,
+  SELECT {g}COUNT(*) AS n_hit,
     CAST(SUM(CAST(1 AS BIGINT) << (57 - max_rank)) AS BIGINT) AS denom_hit
-  FROM regs),
+  FROM regs {gby}),
 denoms AS (
-  SELECT n_hit,
+  SELECT {g}n_hit,
     CAST(denom_hit AS DOUBLE) / {float(2 ** 57)!r} + CAST({m} - n_hit AS DOUBLE)
       AS denom
   FROM agg),
 est AS (
-  SELECT CAST(n_hit AS INT) AS n_registers_hit,
+  SELECT {g}CAST(n_hit AS INT) AS n_registers_hit,
     CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m} / denom
               <= CAST({2.5 * m!r} AS DOUBLE) AND n_hit < {m}
          THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - n_hit))
          ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} / denom
     END AS raw_est
   FROM denoms)
-SELECT n_registers_hit, ROUND(raw_est, 6) AS hll_est,
-  (SELECT COUNT(DISTINCT user_id) FROM events)::BIGINT AS exact_distinct
-FROM est
+{final}
 """
+
+
+def hll_users_by_type(spark, sf_dir):
+    """GROUPED HyperLogLog: distinct users per event_type as one sketch
+    per group (<= 256 rows each), next to the exact count — the realistic
+    100 TB shape ("distinct per segment") where exact countDistinct must
+    expand every (segment, user) pair but the sketch stays
+    map-side-combinable. Oracle rebuilds the identical per-group
+    registers."""
+    from henbun_spark.operators import sketch
+
+    ev = _load(spark, sf_dir, "events")
+    regs = sketch.hll_registers(ev, "user_id", b=8, group_cols=["event_type"])
+    est = sketch.hll_estimate(regs, b=8, group_cols=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
 
 
 def anomaly_zscore_events(spark, sf_dir):
@@ -4646,6 +4676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": cohort_retention,
         "cms_frequency_users": cms_frequency_users,
         "hll_distinct_users": hll_distinct_users,
+        "hll_users_by_type": hll_users_by_type,
         "row_ids_documents": row_ids_documents,
         "fuzzy_match_titles": fuzzy_match_titles,
         "unpivot_pricing_metrics": unpivot_pricing_metrics,
@@ -4790,6 +4821,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _COHORT_SQL,
         "cms_frequency_users": _cms_sql(),
         "hll_distinct_users": _hll_sql(),
+        "hll_users_by_type": _hll_sql(group_col="event_type"),
         "row_ids_documents": _ROW_IDS_SQL,
         "fuzzy_match_titles": _FUZZY_SQL,
         "unpivot_pricing_metrics": _UNPIVOT_SQL,

@@ -120,6 +120,7 @@ HEADLINE = [
     "linreg_value_by_hour",
     "streaming_asof_purchase",
     "minhash_recall_docs",
+    "hll_users_by_type",
 ]
 
 

@@ -138,7 +138,13 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_registers(df: DataFrame, key_col: str, b: int = 8, salt: str = "hll") -> DataFrame:
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    b: int = 8,
+    salt: str = "hll",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """HLL register table for ``df[key_col]``: register index from the
     first ``b/4`` md5 nibbles (m = 2^b registers, b multiple of 4), rank =
     1 + count of leading zero BITS in the next 56 bits (capped at 57 when
@@ -172,9 +178,13 @@ def hll_registers(df: DataFrame, key_col: str, b: int = 8, salt: str = "hll") ->
     rank = F.when(p == 0, F.lit(4 * _HLL_NIBBLES + 1)).otherwise(
         (p - 1) * 4 + nib_lz + 1
     )
+    # optional GROUP BY: one sketch per group, <= m rows each — the
+    # realistic 100 TB usage ("distinct users per segment") where the
+    # exact countDistinct would expand every (group, user) pair
+    gcols = [F.col(c) for c in (group_cols or [])]
     return (
-        df.select(reg.alias("register"), rank.alias("rank"))
-        .groupBy("register")
+        df.select(*gcols, reg.alias("register"), rank.alias("rank"))
+        .groupBy(*[c for c in (group_cols or [])], "register")
         .agg(F.max("rank").alias("max_rank"))
     )
 
@@ -189,26 +199,33 @@ def hll_merge(*registers: DataFrame) -> DataFrame:
     return out.groupBy("register").agg(F.max("max_rank").alias("max_rank"))
 
 
-def hll_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame, b: int = 8, group_cols: list[str] | None = None
+) -> DataFrame:
     """Cardinality estimate from a register table, deterministic across
     engines: the harmonic-mean denominator sums 2^(57-rank) as exact
     BIGINTs (dyadic rationals scaled to integers — no float fold order),
     then one double division/multiplication at the end. Includes the
     standard linear-counting small-range correction.
 
-    Returns a 1-row DataFrame (n_registers_hit, hll_est double).
+    Returns (group_cols..., n_registers_hit, hll_est double) — one row
+    per group (one row total without ``group_cols``).
     """
     m = 2 ** b
     alpha = _hll_alpha(m)
     scale = 2 ** (4 * _HLL_NIBBLES + 1)  # 2^57
-    agg = registers.agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_hit"),
         F.sum(
             F.expr(
                 f"shiftleft(CAST(1 AS BIGINT), {4 * _HLL_NIBBLES + 1} - CAST(max_rank AS INT))"
             )
         ).alias("denom_hit"),
-    )
+    ]
+    if group_cols:
+        agg = registers.groupBy(*group_cols).agg(*aggs)
+    else:
+        agg = registers.agg(*aggs)
     # Registers never touched contribute 2^-0 = 1 each to the harmonic
     # sum. Add that part AFTER converting the hit-sum to double: keeping
     # it in BIGINT would overflow ((m - n_hit) * 2^57 > 2^63 whenever
@@ -224,6 +241,7 @@ def hll_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
     return agg.select(
+        *[F.col(c) for c in (group_cols or [])],
         F.col("n_hit").alias("n_registers_hit"),
         F.round(est, 6).alias("hll_est"),
     )
