@@ -938,11 +938,20 @@ def minhash_recall_docs(spark, sf_dir):
     from henbun_spark.operators import dedup
 
     docs = _load(spark, sf_dir, "documents")
-    truth = dedup.ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=5, threshold=0.35, max_df=100
-    ).select("id_a", "id_b")
-    cands = dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=8, bands=4).select(
-        "id_a", "id_b"
+    # each pair set feeds two plan branches (its own count + the
+    # intersection); checkpoint so the shingle/signature pipelines run
+    # once, not per branch
+    truth = (
+        dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=5, threshold=0.35, max_df=100
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    cands = (
+        dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=8, bands=4)
+        .select("id_a", "id_b")
+        .localCheckpoint()
     )
     common = truth.intersect(cands)
     return (

@@ -45,6 +45,8 @@ from henbun_spark import sources
 #    form the single metric row.
 #  - hll_distinct_users: the 1-row sketch estimate crossed with the
 #    1-row exact-distinct aggregate to form the single output row.
+#  - minhash_recall_docs: three 1-row count aggregates crossed together
+#    to form the single recall-metric row (same shape as emb_lsh_recall).
 BNLJ_OK = {
     "range_join_quantity",
     "sim_cosine_topk",
@@ -55,6 +57,7 @@ BNLJ_OK = {
     "skew_report_events",
     "emb_lsh_recall",
     "hll_distinct_users",
+    "minhash_recall_docs",
 }
 # These execute work at build time (training loops, streaming drains) —
 # still audited, just slower to appear.
