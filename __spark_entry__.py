@@ -1071,19 +1071,27 @@ def emb_lsh_recall(spark, sf_dir):
     from henbun_spark.operators import dedup
 
     emb = _load(spark, sf_dir, "embeddings")
-    brute = dedup.embedding_near_dup_pairs(
-        emb, "embedding", "vec_id", threshold=0.2
-    ).select("id_a", "id_b")
-    lsh = dedup.embedding_near_dup_lsh(
-        emb,
-        "embedding",
-        "vec_id",
-        threshold=0.2,
-        n_planes=_EMB_LSH_NPLANES,
-        bands=_EMB_LSH_BANDS,
-        seed=_EMB_LSH_SEED,
-        dim=_EMB_LSH_DIM,
-    ).select("id_a", "id_b")
+    # both pair sets feed two branches (own count + intersection);
+    # checkpoint so the O(n^2) brute pass and the LSH pipeline run once
+    brute = (
+        dedup.embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.2)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    lsh = (
+        dedup.embedding_near_dup_lsh(
+            emb,
+            "embedding",
+            "vec_id",
+            threshold=0.2,
+            n_planes=_EMB_LSH_NPLANES,
+            bands=_EMB_LSH_BANDS,
+            seed=_EMB_LSH_SEED,
+            dim=_EMB_LSH_DIM,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
     common = brute.intersect(lsh)
     return (
         brute.agg(F.count(F.lit(1)).alias("n_exact"))
