@@ -928,6 +928,84 @@ SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
 """
 
 
+def bloom_semi_lineitem(spark, sf_dir):
+    """Bloom-filter runtime pre-filter (the modern engine's large-join
+    optimization, as an explicit operator): build a <= m/32-row bitmap
+    from the selective side (high-value orders), broadcast it, and drop
+    lineitem probe rows BEFORE any shuffle join. Returns the
+    measurement row: exact semi-join rows, bloom-passed rows, false
+    positives, fp rate — all deterministic (md5 bitmap), so the
+    filter's quality is itself oracle-checked."""
+    from henbun_spark.operators import sketch
+
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    sel = orders.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("k")
+    )
+    bloom = sketch.bloom_build(sel, "k", m_bits=1 << 16, k=4)
+    probe = li.select(F.col("l_orderkey").alias("k"))
+    passed = sketch.bloom_filter_probe(probe, bloom, "k", m_bits=1 << 16, k=4)
+    n_bloom = passed.agg(F.count(F.lit(1)).alias("n_bloom"))
+    n_exact = probe.join(sel.distinct(), "k", "semi").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        n_exact.crossJoin(n_bloom)
+        .select(
+            "n_exact",
+            "n_bloom",
+            (F.col("n_bloom") - F.col("n_exact")).alias("n_false_pos"),
+            F.round(
+                (F.col("n_bloom") - F.col("n_exact"))
+                / F.greatest(F.lit(1), F.col("n_bloom")),
+                6,
+            ).alias("fp_share"),
+        )
+    )
+
+
+def _bloom_sql(m_bits: int = 1 << 16, k: int = 4, salt: str = "bloom") -> str:
+    def pos(expr, i):
+        h = f"md5('{salt}' || '|' || '{i}' || '|' || coalesce(CAST({expr} AS VARCHAR), chr(0)))"
+        val6 = " + ".join(
+            f"((instr('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) * {16 ** (5 - j)})"
+            for j in range(6)
+        )
+        return f"CAST(({val6}) % {m_bits} AS INT)"
+
+    build = " UNION ALL ".join(
+        f"SELECT {pos('k', i)} AS pos FROM sel" for i in range(k)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT k, {i} AS i, {pos('k', i)} AS pos FROM probekeys" for i in range(k)
+    )
+    return f"""
+WITH sel AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_totalprice > 400000),
+bitmap AS (
+  SELECT pos // 32 AS word_idx,
+         CAST(bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS BIGINT) AS bits
+  FROM ({build}) GROUP BY 1),
+probekeys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+ppos AS ({probe_pos}),
+hits AS (
+  SELECT ppos.k, COUNT(*) AS nbits
+  FROM ppos JOIN bitmap ON ppos.pos // 32 = bitmap.word_idx
+  WHERE (bits & (CAST(1 AS BIGINT) << (pos % 32))) != 0
+  GROUP BY ppos.k),
+pass AS (SELECT k FROM hits WHERE nbits = {k}),
+counts AS (
+  SELECT
+    (SELECT COUNT(*) FROM lineitem JOIN sel ON l_orderkey = sel.k) AS n_exact,
+    (SELECT COUNT(*) FROM lineitem JOIN pass ON l_orderkey = pass.k) AS n_bloom)
+SELECT n_exact::BIGINT AS n_exact, n_bloom::BIGINT AS n_bloom,
+  (n_bloom - n_exact)::BIGINT AS n_false_pos,
+  ROUND((n_bloom - n_exact) / greatest(1, n_bloom)::DOUBLE, 6) AS fp_share
+FROM counts
+"""
+
+
 def minhash_recall_docs(spark, sf_dir):
     """Self-measuring recall of the MinHash-LSH candidate pass against
     the exact inverted-index Jaccard truth set (threshold 0.35) — the
@@ -4740,6 +4818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": emb_quantize,
         "emb_lsh_recall": emb_lsh_recall,
         "minhash_recall_docs": minhash_recall_docs,
+        "bloom_semi_lineitem": bloom_semi_lineitem,
         # scalar-function surface
         "density_gaussian": density_gaussian,
         "density_poisson": density_poisson,
@@ -4882,6 +4961,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_quantize": _EMB_QUANT_SQL,
         "emb_lsh_recall": _emb_recall_sql(),
         "minhash_recall_docs": _MINHASH_RECALL_SQL,
+        "bloom_semi_lineitem": _bloom_sql(),
         "density_gaussian": _DENS_GAUSS_SQL,
         "density_poisson": _DENS_POISSON_SQL,
         "density_student_t": _DENS_STUDENT_SQL,

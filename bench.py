@@ -121,6 +121,7 @@ HEADLINE = [
     "streaming_asof_purchase",
     "minhash_recall_docs",
     "hll_users_by_type",
+    "bloom_semi_lineitem",
 ]
 
 

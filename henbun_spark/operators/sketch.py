@@ -245,3 +245,96 @@ def hll_estimate(
         F.col("n_hit").alias("n_registers_hit"),
         F.round(est, 6).alias("hll_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (runtime-filter pattern)
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORD_BITS = 32  # 32-bit words inside BIGINTs: 1 << bit stays positive
+                       # and shift semantics match across engines
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build a Bloom filter over ``df[key_col]`` as a bitmap TABLE
+    (word_idx int, bits bigint) — at most m_bits/32 rows regardless of
+    input size.
+
+    This is the runtime-filter pattern behind every modern engine's
+    large-join optimization: build a tiny bitmap from the selective
+    side, broadcast it, and drop probe rows BEFORE the shuffle join.
+    Build cost: one explode(k) + one map-side-combinable bit_or groupBy.
+    Hashes are md5-nibble arithmetic, so an SQL oracle reproduces the
+    bitmap bit-for-bit.
+    """
+    key = F.col(key_col)
+    # materialize each hash position once (word and bit both derive from
+    # it) so the md5 evaluates k times per row, not 2k
+    sel = df.select(
+        *[_bucket(key, i, m_bits, salt).alias(f"p{i}") for i in range(k)]
+    )
+    stacked = sel.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col(f"p{i}") / _BLOOM_WORD_BITS).cast("int").alias("word_idx"),
+                        F.expr(
+                            f"shiftleft(CAST(1 AS BIGINT), CAST(p{i} % {_BLOOM_WORD_BITS} AS INT))"
+                        ).alias("bit"),
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("e")
+    )
+    return (
+        stacked.select(F.col("e.word_idx").alias("word_idx"), F.col("e.bit").alias("bit"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_filter_probe(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Keep probe rows whose key MIGHT be in the Bloom filter (all k
+    bits set) — no false negatives, false-positive rate ~ (1-e^{-kn/m})^k.
+
+    The bitmap table (<= m_bits/32 rows) broadcasts; each probe row
+    joins its k words and passes iff every bit is present. The passing
+    subset then feeds the real (shuffle) join — at 100 TB the bloom
+    drops the non-matching majority before any exchange.
+    """
+    key = F.col(key_col)
+    with_pos = probe.select(
+        "*", *[_bucket(key, i, m_bits, salt).alias(f"__p{i}") for i in range(k)]
+    )
+    out = with_pos
+    for i in range(k):
+        b = bloom.select(
+            F.col("word_idx").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
+        )
+        out = out.join(
+            F.broadcast(b),
+            (F.col(f"__p{i}") / _BLOOM_WORD_BITS).cast("int") == F.col(f"__w{i}"),
+            "left",
+        ).where(
+            F.expr(
+                f"coalesce(__b{i}, CAST(0 AS BIGINT)) & "
+                f"shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % {_BLOOM_WORD_BITS} AS INT)) != 0"
+            )
+        )
+    drop = [c for c in out.columns if c.startswith("__")]
+    return out.drop(*drop)

@@ -47,6 +47,8 @@ from henbun_spark import sources
 #    1-row exact-distinct aggregate to form the single output row.
 #  - minhash_recall_docs: three 1-row count aggregates crossed together
 #    to form the single recall-metric row (same shape as emb_lsh_recall).
+#  - bloom_semi_lineitem: two 1-row count aggregates crossed to form the
+#    single fp-measurement row.
 BNLJ_OK = {
     "range_join_quantity",
     "sim_cosine_topk",
@@ -58,6 +60,7 @@ BNLJ_OK = {
     "emb_lsh_recall",
     "hll_distinct_users",
     "minhash_recall_docs",
+    "bloom_semi_lineitem",
 }
 # These execute work at build time (training loops, streaming drains) —
 # still audited, just slower to appear.
