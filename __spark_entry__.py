@@ -928,6 +928,38 @@ SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
 """
 
 
+def chunk_docs_overlap(spark, sf_dir):
+    """Overlapping fixed-size chunking (RAG/context-window prep): 200-char
+    windows stepping 150 (50 overlap) with per-chunk lineage — pure
+    codegen fan-out, zero shuffle. Chunk text exported as its md5 digest
+    to keep the compare row narrow."""
+    from henbun_spark.operators import text as text_ops
+
+    docs = _load(spark, sf_dir, "documents")
+    ch = text_ops.chunk_with_overlap(
+        docs, "text", "doc_id", chunk_chars=200, overlap=50
+    )
+    return ch.select(
+        "doc_id", "chunk_idx", "char_start", "chunk_len",
+        F.md5("chunk").alias("digest"),
+    )
+
+
+_CHUNK_OVERLAP_SQL = """
+WITH n AS (
+  SELECT doc_id, text,
+    greatest(CAST(ceil((length(text) - 50) / 150.0) AS INT), 1) AS n_chunks
+  FROM documents),
+ex AS (
+  SELECT doc_id, text, CAST(i AS INT) AS chunk_idx
+  FROM n, LATERAL unnest(generate_series(0, n_chunks - 1)) AS t(i))
+SELECT doc_id, chunk_idx, chunk_idx * 150 AS char_start,
+  length(substr(text, chunk_idx * 150 + 1, 200))::INT AS chunk_len,
+  md5(substr(text, chunk_idx * 150 + 1, 200)) AS digest
+FROM ex
+"""
+
+
 def bloom_semi_lineitem(spark, sf_dir):
     """Bloom-filter runtime pre-filter (the modern engine's large-join
     optimization, as an explicit operator): build a <= m/32-row bitmap
@@ -4819,6 +4851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_recall": emb_lsh_recall,
         "minhash_recall_docs": minhash_recall_docs,
         "bloom_semi_lineitem": bloom_semi_lineitem,
+        "chunk_docs_overlap": chunk_docs_overlap,
         # scalar-function surface
         "density_gaussian": density_gaussian,
         "density_poisson": density_poisson,
@@ -4962,6 +4995,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_recall": _emb_recall_sql(),
         "minhash_recall_docs": _MINHASH_RECALL_SQL,
         "bloom_semi_lineitem": _bloom_sql(),
+        "chunk_docs_overlap": _CHUNK_OVERLAP_SQL,
         "density_gaussian": _DENS_GAUSS_SQL,
         "density_poisson": _DENS_POISSON_SQL,
         "density_student_t": _DENS_STUDENT_SQL,

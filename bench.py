@@ -122,6 +122,7 @@ HEADLINE = [
     "minhash_recall_docs",
     "hll_users_by_type",
     "bloom_semi_lineitem",
+    "chunk_docs_overlap",
 ]
 
 

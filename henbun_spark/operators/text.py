@@ -433,6 +433,49 @@ def hashed_features(
     )
 
 
+def chunk_with_overlap(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_chars: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Fixed-size overlapping text chunking (the RAG / context-window
+    prep step): split each document into `chunk_chars`-character windows
+    stepping by `chunk_chars - overlap`, preserving (doc, chunk_idx,
+    char offset) lineage.
+
+    Pure Column math — sequence + transform + posexplode inside codegen,
+    zero shuffle: a 100 TB corpus chunks at full scan speed, and the
+    fan-out multiplies rows inside the scan stage where AQE sizes
+    downstream partitions by actual output bytes.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    n = F.greatest(
+        F.ceil((F.length(F.col(text_col)) - F.lit(overlap)) / F.lit(float(step))),
+        F.lit(1),
+    ).cast("int")
+    starts = F.sequence(F.lit(0), n - 1)
+    chunks = F.transform(
+        starts,
+        lambda i: F.substring(
+            F.col(text_col), (i * step + 1).cast("int"), F.lit(chunk_chars)
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        (F.col("chunk_idx") * step).alias("char_start"),
+        "chunk",
+        F.length("chunk").alias("chunk_len"),
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     text_col: str,
