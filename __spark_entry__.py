@@ -928,6 +928,53 @@ SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
 """
 
 
+def quantile_sketch_value(spark, sf_dir):
+    """Histogram quantile sketch vs exact percentile: p50/p95 of
+    events.value estimated from a 256-bin mergeable equi-width histogram
+    (declared [0,1000) domain), with the exact interpolated percentile
+    and absolute error alongside. Error bound = one bin width (3.9);
+    the measurement itself is oracle-checked."""
+    from henbun_spark.operators import sketch
+
+    ev = _load(spark, sf_dir, "events")
+    hist = sketch.histogram_build(ev, "value", lo=0.0, hi=1000.0, n_bins=256)
+    est = sketch.histogram_quantile(hist, [0.5, 0.95], lo=0.0, hi=1000.0, n_bins=256)
+    exact = ev.agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("e50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("e95"),
+    ).selectExpr("stack(2, 0.5D, e50, 0.95D, e95) as (q, exact)")
+    return (
+        est.join(exact, "q")
+        .select("q", "est", "exact", F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"))
+    )
+
+
+_QUANTILE_SKETCH_SQL = """
+WITH hist AS (
+  SELECT least(greatest(CAST(floor((value - 0.0) / 3.90625) AS INT), 0), 255) AS bin,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1),
+cum AS (
+  SELECT bin, cnt,
+    SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(cnt) OVER () AS total
+  FROM hist),
+est AS (
+  SELECT CAST(0.5 AS DOUBLE) AS q, ROUND(0.0 + (bin + (CAST(ceil(0.5 * total) AS BIGINT) - (cum - cnt)) / CAST(cnt AS DOUBLE)) * 3.90625, 6) AS est
+  FROM cum WHERE cum >= ceil(0.5 * total) ORDER BY bin LIMIT 1),
+est2 AS (
+  SELECT CAST(0.95 AS DOUBLE) AS q, ROUND(0.0 + (bin + (CAST(ceil(0.95 * total) AS BIGINT) - (cum - cnt)) / CAST(cnt AS DOUBLE)) * 3.90625, 6) AS est
+  FROM cum WHERE cum >= ceil(0.95 * total) ORDER BY bin LIMIT 1),
+ests AS (SELECT * FROM est UNION ALL SELECT * FROM est2),
+ex AS (
+  SELECT CAST(0.5 AS DOUBLE) AS q, ROUND(quantile_cont(value, 0.5), 6) AS exact FROM events
+  UNION ALL
+  SELECT CAST(0.95 AS DOUBLE), ROUND(quantile_cont(value, 0.95), 6) FROM events)
+SELECT ests.q, est, exact, ROUND(abs(est - exact), 6) AS abs_err
+FROM ests JOIN ex ON ests.q = ex.q
+"""
+
+
 def chunk_docs_overlap(spark, sf_dir):
     """Overlapping fixed-size chunking (RAG/context-window prep): 200-char
     windows stepping 150 (50 overlap) with per-chunk lineage — pure
@@ -4852,6 +4899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall_docs": minhash_recall_docs,
         "bloom_semi_lineitem": bloom_semi_lineitem,
         "chunk_docs_overlap": chunk_docs_overlap,
+        "quantile_sketch_value": quantile_sketch_value,
         # scalar-function surface
         "density_gaussian": density_gaussian,
         "density_poisson": density_poisson,
@@ -4996,6 +5044,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_recall_docs": _MINHASH_RECALL_SQL,
         "bloom_semi_lineitem": _bloom_sql(),
         "chunk_docs_overlap": _CHUNK_OVERLAP_SQL,
+        "quantile_sketch_value": _QUANTILE_SKETCH_SQL,
         "density_gaussian": _DENS_GAUSS_SQL,
         "density_poisson": _DENS_POISSON_SQL,
         "density_student_t": _DENS_STUDENT_SQL,

@@ -123,6 +123,7 @@ HEADLINE = [
     "hll_users_by_type",
     "bloom_semi_lineitem",
     "chunk_docs_overlap",
+    "quantile_sketch_value",
 ]
 
 

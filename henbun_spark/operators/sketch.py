@@ -338,3 +338,69 @@ def bloom_filter_probe(
         )
     drop = [c for c in out.columns if c.startswith("__")]
     return out.drop(*drop)
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def histogram_build(
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int = 256
+) -> DataFrame:
+    """Mergeable quantile sketch: an equi-width histogram over a DECLARED
+    [lo, hi) domain — (bin int, cnt bigint), <= n_bins rows. Values
+    outside the domain clamp into the edge bins. Merge = counter
+    addition (same shape as `cms_merge`).
+
+    Against KLL/t-digest this trades adaptivity for DETERMINISM: the
+    bitmap is pure integer math, so estimates are bit-reproducible
+    across engines and the quantile error is bounded by one bin width
+    (known in advance from the declared domain)."""
+    w = (hi - lo) / n_bins
+    b = F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("int")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+    return df.select(b.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame, qs: list[float], lo: float, hi: float, n_bins: int = 256
+) -> DataFrame:
+    """Quantile estimates from the histogram: for each q, locate the bin
+    where the cumulative count crosses ceil(q*N) and linearly
+    interpolate inside it. One window over <= n_bins rows (a broadcast-
+    scale table — the heavy lifting happened in the build's map-side
+    combine).
+
+    Returns one row per q: (q double, est double)."""
+    from pyspark.sql import Window
+
+    w = (hi - lo) / n_bins
+    win = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(win)).withColumn(
+        "total", F.sum("cnt").over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    )
+    outs = []
+    for q in qs:
+        target = F.ceil(F.lit(float(q)) * F.col("total"))
+        hit = (
+            cum.where(F.col("cum") >= target)
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(float(q)).alias("q"),
+                F.round(
+                    F.lit(lo)
+                    + (F.col("bin") + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt"))
+                    * F.lit(w),
+                    6,
+                ).alias("est"),
+            )
+        )
+        outs.append(hit)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
