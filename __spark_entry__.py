@@ -3028,6 +3028,35 @@ def streaming_asof_purchase(spark, sf_dir):
     return spark.read.parquet(out_dir)
 
 
+def streaming_hll_users(spark, sf_dir):
+    """Incremental sketch maintenance on a stream, ORACLE-CHECKED: each
+    micro-batch (4-file source, one file per trigger) MAX-merges its HLL
+    register table into a persistent parquet sketch via foreachBatch.
+    Register merge is associative + commutative, so the drained state is
+    bit-identical to the batch sketch — the oracle is the SAME SQL as
+    the batch `hll_distinct_users`."""
+    from henbun_spark import streaming
+    from henbun_spark.operators import sketch
+
+    ev = _load(spark, sf_dir, "events").select("user_id", "ts")
+    base = _scratch_dir("henbun_shll_")
+    in_dir = f"{base}/in"
+    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.hll_stream_maintenance(
+        stream, "user_id", f"{base}/state", f"{base}/ckpt", b=8
+    )
+    q.awaitTermination()
+    regs = spark.read.parquet(f"{base}/state")
+    est = sketch.hll_estimate(regs, b=8)
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
 def streaming_hopping_counts(spark, sf_dir):
     """Streaming HOPPING (sliding) windows, ORACLE-CHECKED against the
     batch hopping aggregate: 2-hour windows every hour under a 2-hour
@@ -4921,6 +4950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": streaming_windowed_counts,
         "streaming_hopping_counts": streaming_hopping_counts,
         "streaming_asof_purchase": streaming_asof_purchase,
+        "streaming_hll_users": streaming_hll_users,
         "streaming_interval_join": streaming_interval_join,
         "streaming_sessionize": streaming_sessionize,
         "streaming_dedup_keys": streaming_dedup_keys,
@@ -4976,6 +5006,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_windowed_counts": _STREAM_WINDOW_SQL,
         "streaming_hopping_counts": _HOPPING_SQL,
         "streaming_asof_purchase": _ASOF_SQL,
+        "streaming_hll_users": _hll_sql(),
         "running_total_user": _RUNNING_SQL,
         "hourly_event_counts": _HOURLY_SQL,
         "gapfill_hourly_locf": _GAPFILL_SQL,

@@ -124,6 +124,9 @@ HEADLINE = [
     "bloom_semi_lineitem",
     "chunk_docs_overlap",
     "quantile_sketch_value",
+    # NOT timed: streaming_hll_users — 4 foreachBatch commits dominate
+    # (~30s of fixed micro-batch machinery at any SF); it stays on the
+    # CORRECTNESS board where the per-batch cost is irrelevant.
 ]
 
 

@@ -376,3 +376,52 @@ def asof_join_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def hll_stream_maintenance(
+    stream: DataFrame,
+    key_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    b: int = 8,
+):
+    """Incremental distinct-count sketch over a stream: every micro-batch
+    builds its own HLL register table (a batch DataFrame op on the
+    micro-batch) and MAX-merges it into a persistent <= 2^b-row parquet
+    state — the streaming version of the nightly sketch rollup.
+
+    Because register MAX-merge is associative and commutative, the
+    drained state is bit-identical to the batch sketch over the full
+    data regardless of how rows split into micro-batches — which is what
+    lets the oracle check the streaming path against the batch SQL.
+
+    The tiny state (<= 256 rows at b=8) pivots through the driver per
+    batch; that is bounded by construction (sketch size, not data size),
+    which is the entire point of a sketch. Returns the StreamingQuery.
+    """
+    import os
+    import shutil
+
+    from henbun_spark.operators import sketch
+
+    def merge_batch(bdf: DataFrame, batch_id: int):
+        spark = bdf.sparkSession
+        regs = sketch.hll_registers(bdf, key_col, b=b)
+        if os.path.exists(state_dir):
+            prev = spark.read.parquet(state_dir)
+            regs = sketch.hll_merge(prev, regs)
+        rows = regs.collect()  # <= 2^b rows: bounded sketch state
+        tmp = state_dir + "__tmp"
+        spark.createDataFrame(rows, "register int, max_rank int").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
