@@ -4814,6 +4814,258 @@ GROUP BY events.event_type
 
 
 # ---------------------------------------------------------------------------
+# round-4 additions: heavy hitters, interpolated gapfill, normalized dedup,
+# temperature mixing, rolling median, incremental MV maintenance, PQ ANN
+# ---------------------------------------------------------------------------
+
+def heavy_hitters_users(spark, sf_dir):
+    """Misra-Gries heavy hitters: users with > N/128 of all events, found
+    with O(k) state per scan task (candidate pass) + one candidate-only
+    counting pass — never a full groupBy over the key space. The MG
+    guarantee (no false negatives above N/k) plus exact verification
+    makes the output EXACTLY the true heavy-hitter set, so the oracle is
+    plain HAVING COUNT(*)*k > N."""
+    from henbun_spark.operators import sketch
+
+    ev = _load(spark, sf_dir, "events")
+    return sketch.heavy_hitters(ev, "user_id", k=128)
+
+
+_HEAVY_HITTERS_SQL = """
+WITH tot AS (SELECT COUNT(*) AS N FROM events)
+SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*)::BIGINT AS n
+FROM events, tot
+GROUP BY user_id, tot.N
+HAVING COUNT(*) * 128 > tot.N
+"""
+
+
+def gapfill_hourly_interp(spark, sf_dir):
+    """Hourly rollup with LINEAR-interpolation gap filling per user (the
+    `interpolate` sibling of gapfill_hourly_locf): missing buckets take
+    the straight line between nearest observed neighbors; trailing gaps
+    carry forward."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    return relational.gapfill_interpolate(ev, "ts", "user_id", "value", 3600)
+
+
+_GAPFILL_INTERP_SQL = """
+WITH b AS (
+  SELECT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
+         COUNT(*)::BIGINT AS n_obs,
+         CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS vsum
+  FROM events GROUP BY 1, 2),
+rng AS (SELECT user_id, min(bucket_epoch) AS h0, max(bucket_epoch) AS h1
+        FROM b GROUP BY 1),
+axis AS (SELECT user_id, unnest(generate_series(h0, h1, 3600)) AS bucket_epoch
+         FROM rng),
+seg AS (
+  SELECT axis.user_id, axis.bucket_epoch, b.n_obs, b.vsum,
+    last_value(b.vsum IGNORE NULLS) OVER wb AS prev_v,
+    last_value(CASE WHEN b.vsum IS NOT NULL THEN axis.bucket_epoch END IGNORE NULLS)
+      OVER wb AS prev_t,
+    first_value(b.vsum IGNORE NULLS) OVER wf AS next_v,
+    first_value(CASE WHEN b.vsum IS NOT NULL THEN axis.bucket_epoch END IGNORE NULLS)
+      OVER wf AS next_t
+  FROM axis LEFT JOIN b USING (user_id, bucket_epoch)
+  WINDOW
+    wb AS (PARTITION BY axis.user_id ORDER BY axis.bucket_epoch
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY axis.user_id ORDER BY axis.bucket_epoch
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, bucket_epoch,
+  COALESCE(n_obs, 0)::BIGINT AS n_events,
+  floor((CASE WHEN vsum IS NOT NULL THEN vsum
+              WHEN next_t IS NOT NULL THEN
+                prev_v + (next_v - prev_v)
+                * (CAST(bucket_epoch - prev_t AS DOUBLE)
+                   / CAST(next_t - prev_t AS DOUBLE))
+              ELSE prev_v END) * 1e6 + 0.5) / 1e6 AS value_interp,
+  (n_obs IS NULL) AS filled
+FROM seg
+"""
+
+
+def dedup_normalized(spark, sf_dir):
+    """Exact dedup over canonicalized text (lowercase, non-alphanumeric
+    runs -> single space, trim): catches trivial reformat duplicates at
+    hash-groupBy cost. One row per doc with its group size and keep
+    flag."""
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.normalized_dup_groups(docs, "text", "doc_id")
+
+
+_DEDUP_NORM_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash
+  FROM documents),
+g AS (SELECT norm_hash, COUNT(*)::BIGINT AS group_size, MIN(doc_id) AS keep_id
+      FROM h GROUP BY 1)
+SELECT h.doc_id, h.norm_hash, g.group_size, (h.doc_id = g.keep_id) AS keep
+FROM h JOIN g USING (norm_hash)
+"""
+
+
+def mix_temperature_sources(spark, sf_dir):
+    """Temperature-based (T=0.5) source re-balancing by character mass:
+    per-source keep rates ~ sqrt(mass)/mass, quantized to ppm, applied
+    as a deterministic md5 hash filter. Output is the per-source audit:
+    mass, computed keep rate, and rows actually kept."""
+    from henbun_spark.operators import pipeline
+
+    docs = _load(spark, sf_dir, "documents")
+    kept = pipeline.mix_temperature(
+        docs, "source", "doc_id", "n_chars", target_frac=0.5, salt="mixT"
+    )
+    return kept.groupBy("source").agg(
+        F.max("src_mass").alias("src_mass"),
+        F.max("keep_ppm").alias("keep_ppm"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+def _ppm_sql(id_expr: str, salt: str) -> str:
+    h = f"md5('{salt}' || '|' || CAST({id_expr} AS VARCHAR))"
+    val6 = " + ".join(
+        f"((instr('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) * {16 ** (5 - j)})"
+        for j in range(6)
+    )
+    return f"CAST(({val6}) % 1000000 AS INT)"
+
+
+_MIX_TEMP_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS src_mass
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT CAST(SUM(CAST(ROUND(sqrt(CAST(src_mass AS DOUBLE)), 9) AS DECIMAL(38,9)))
+              AS DECIMAL(38,9)) AS W,
+         SUM(src_mass) AS N
+  FROM per_src),
+rates AS (
+  SELECT source, src_mass,
+    CAST(ROUND(least(1.0,
+      0.5 * CAST(N AS DOUBLE)
+      * (CAST(CAST(ROUND(sqrt(CAST(src_mass AS DOUBLE)), 9) AS DECIMAL(38,9)) AS DOUBLE)
+         / CAST(W AS DOUBLE))
+      / CAST(src_mass AS DOUBLE)) * 1e6) AS INT) AS keep_ppm
+  FROM per_src, tot)
+SELECT d.source, MAX(r.src_mass) AS src_mass, MAX(r.keep_ppm) AS keep_ppm,
+       COUNT(*)::BIGINT AS n_kept
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {_ppm_sql('d.doc_id', 'mixT')} < r.keep_ppm
+GROUP BY d.source
+"""
+
+
+def rolling_median_user(spark, sf_dir):
+    """Exact rolling median of `value` over the trailing 7 events per
+    user (ROWS frame, ts+event_id tie-broken ordering): one keyed window
+    collecting the bounded frame, array_sort, middle element (odd) or
+    mean of the two middles (even) — Spark has no native windowed
+    median; state is capped by the frame width, so the sort stays
+    codegen-side at any scale."""
+    ev = _load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    vals = F.array_sort(F.collect_list(F.col("value")).over(w))
+    n = F.size(vals)
+    odd = F.element_at(vals, F.floor((n + F.lit(1)) / 2).cast("int"))
+    lo = F.element_at(vals, F.floor(n / 2).cast("int"))
+    hi = F.element_at(vals, (F.floor(n / 2) + 1).cast("int"))
+    med = F.when(n % 2 == 1, odd).otherwise((lo + hi) / F.lit(2.0))
+    return ev.select(
+        "event_id", "user_id", F.round(med, 6).alias("rolling_median")
+    )
+
+
+_ROLLING_MEDIAN_SQL = """
+WITH lw AS (
+  SELECT event_id, user_id,
+    list_sort(list(value) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS vals
+  FROM events)
+SELECT event_id, user_id,
+  ROUND(CASE WHEN len(vals) % 2 = 1
+             THEN vals[CAST(floor((len(vals) + 1) / 2) AS INT)]
+             ELSE (vals[CAST(floor(len(vals) / 2) AS INT)]
+                   + vals[CAST(floor(len(vals) / 2) AS INT) + 1]) / 2.0
+        END, 6) AS rolling_median
+FROM lw
+"""
+
+
+def mv_incremental_daily(spark, sf_dir):
+    """Incremental materialized-view maintenance: the daily
+    (day x event_type) aggregate MV is built from events before
+    2024-01-24, then a late-arriving final week folds in via
+    `merge_agg_states` — union + re-aggregation of mergeable partials
+    (counts + decimal-exact sums), never a rescan of the base. The
+    oracle recomputes from scratch; matching proves the merge is exact."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    cutoff = F.lit("2024-01-24").cast("date")
+
+    def partials(d):
+        return d.groupBy(day, "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)")).alias(
+                "value_state"
+            ),
+        )
+
+    mv = partials(ev.where(F.to_date("ts") < cutoff))
+    delta = partials(ev.where(F.to_date("ts") >= cutoff))
+    merged = relational.merge_agg_states(mv, delta, ["day", "event_type"])
+    return merged.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("value_state").cast("double").alias("value_sum"),
+        F.round(
+            F.col("value_state").cast("double") / F.col("n_events"), 6
+        ).alias("value_avg"),
+    )
+
+
+_MV_INCREMENTAL_SQL = f"""
+SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*)::BIGINT AS n_events,
+  {_sql_dsum('value', 'value_sum')},
+  ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+    AS value_avg
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def ann_topk_pq(spark, sf_dir):
+    """Approximate NN via product quantization: 8x16 codebooks (driver
+    sample), one-byte-per-subspace codes, ADC lookup-table scoring, then
+    exact cosine re-rank of the top candidates. Rows-only check:
+    candidate order depends on the trained codebooks, so recall vs the
+    exact oracle is asserted in tests, not here."""
+    from henbun_spark.operators import similarity
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.pq_topk(
+        emb, queries, k=3, m_sub=8, n_codes=16, refine=32, seed=42
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -4943,7 +5195,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_softplus": transform_softplus,
         "transform_exp": transform_exp,
         "priors_logp": priors_logp,
+        # round-4 additions
+        "heavy_hitters_users": heavy_hitters_users,
+        "gapfill_hourly_interp": gapfill_hourly_interp,
+        "dedup_normalized": dedup_normalized,
+        "mix_temperature_sources": mix_temperature_sources,
+        "rolling_median_user": rolling_median_user,
+        "mv_incremental_daily": mv_incremental_daily,
         # non-SQL-expressible (rows-only checks)
+        "ann_topk_pq": ann_topk_pq,
         "vi_linear_regression": vi_linear_regression,
         "vi_amortized_encoder": vi_amortized_encoder,
         "gp_sparse_posterior": gp_sparse_posterior,
@@ -5089,4 +5349,10 @@ def oracle_sql() -> dict[str, str]:
         "transform_softplus": _TRANSFORM_SQL,
         "transform_exp": _TRANSFORM_EXP_SQL,
         "priors_logp": _PRIORS_SQL,
+        "heavy_hitters_users": _HEAVY_HITTERS_SQL,
+        "gapfill_hourly_interp": _GAPFILL_INTERP_SQL,
+        "dedup_normalized": _DEDUP_NORM_SQL,
+        "mix_temperature_sources": _MIX_TEMP_SQL,
+        "rolling_median_user": _ROLLING_MEDIAN_SQL,
+        "mv_incremental_daily": _MV_INCREMENTAL_SQL,
     }

@@ -124,6 +124,13 @@ HEADLINE = [
     "bloom_semi_lineitem",
     "chunk_docs_overlap",
     "quantile_sketch_value",
+    "heavy_hitters_users",
+    "gapfill_hourly_interp",
+    "dedup_normalized",
+    "mix_temperature_sources",
+    "rolling_median_user",
+    "mv_incremental_daily",
+    "ann_topk_pq",
     # NOT timed: streaming_hll_users — 4 foreachBatch commits dominate
     # (~30s of fixed micro-batch machinery at any SF); it stays on the
     # CORRECTNESS board where the per-batch cost is irrelevant.

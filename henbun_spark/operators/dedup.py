@@ -573,3 +573,41 @@ def semantic_dedup(
         .select("id", F.coalesce("comp", F.col("id")).alias("component"))
         .withColumn("is_kept", F.col("id") == F.col("component"))
     )
+
+
+def text_normalize(col):
+    """Canonical text form for normalized exact dedup (the Dolma/CCNet
+    recipe): lowercase, strip every non-alphanumeric run to a single
+    space, trim. Pure Column string ops (codegen; the regex mirrors in
+    any POSIX engine so oracles replicate it verbatim)."""
+    return F.trim(
+        F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")
+    )
+
+
+def normalized_dup_groups(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact dedup over NORMALIZED text: documents differing only in
+    case, punctuation, or whitespace collapse into one group. Catches
+    the near-duplicate band below MinHash's radar (trivial reformats)
+    at exact-dedup cost: md5 the canonical form, one partial-
+    aggregatable groupBy over the 32-char digest — the text column
+    itself never shuffles.
+
+    Output: one row per document — (id, norm_hash, group_size, keep)
+    with keep = is-the-minimum-id of its group.
+    """
+    h = df.select(
+        F.col(id_col),
+        F.md5(text_normalize(F.col(text_col))).alias("norm_hash"),
+    )
+    g = h.groupBy("norm_hash").agg(
+        F.count(F.lit(1)).alias("group_size"), F.min(id_col).alias("keep_id")
+    )
+    return h.join(g, "norm_hash").select(
+        F.col(id_col),
+        "norm_hash",
+        "group_size",
+        (F.col(id_col) == F.col("keep_id")).alias("keep"),
+    )

@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 from henbun_spark.operators.dedup import char_shingles
 from henbun_spark.operators.sampling import _hash_bucket
 
-__all__ = ["mix_sources", "pack_sequences", "contamination_overlap"]
+__all__ = [
+    "mix_sources",
+    "mix_temperature",
+    "pack_sequences",
+    "contamination_overlap",
+]
 
 
 def mix_sources(
@@ -118,4 +123,81 @@ def contamination_overlap(
         .groupBy(F.col(id_col))
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .where(F.col("n_overlap") >= int(min_overlap))
+    )
+
+
+def _hash_ppm(col, salt: str):
+    """Parts-per-million hash bucket: first 6 md5 nibbles of ``salt|id``
+    mod 1e6 — the fine-grained sibling of ``sampling._hash_bucket`` for
+    keep-rates that are not integer percents."""
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), col.cast("string")))
+    return (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 1000000).cast(
+        "int"
+    )
+
+
+def mix_temperature(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weight_col: str,
+    target_frac: float = 0.5,
+    salt: str = "mixT",
+) -> DataFrame:
+    """Temperature-based source re-balancing (T = 0.5): sample sources
+    proportionally to sqrt of their size instead of their size, so small
+    sources are up-weighted relative to large ones — the multinomial
+    mixing rule used for multilingual/multi-domain training corpora,
+    with the temperature fixed at 1/2 because sqrt is IEEE-exact in
+    every engine (an arbitrary pow(n, T) differs in the last ulp across
+    libms and would make keep decisions non-portable).
+
+    Two-phase, zero wide state: (1) one map-side-combinable groupBy
+    computes per-source weight mass n_s (sum of ``weight_col``, e.g.
+    token counts); p_s = sqrt(n_s)/W gives each source's share of the
+    target budget M = target_frac * N, hence a per-source keep rate
+    r_s = min(1, M*p_s/n_s), quantized to ppm; (2) the keep decision is
+    a deterministic per-row hash compare against r_s broadcast back onto
+    the corpus — a stable sampler (growing a source keeps prior picks).
+    sqrt values are rounded to 9 dp and summed as decimals so W is
+    order-independent; everything downstream is fixed-order double
+    arithmetic, reproducible bit-for-bit by an oracle.
+
+    Returns the kept rows plus (src_mass, keep_ppm) audit columns.
+    """
+    per_src = df.groupBy(source_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("src_mass")
+    )
+    wsqrt = F.round(F.sqrt(F.col("src_mass").cast("double")), 9).cast(
+        "decimal(38,9)"
+    )
+    rates = (
+        per_src.withColumn("wsq", wsqrt)
+        .crossJoin(
+            F.broadcast(
+                per_src.agg(
+                    F.sum(wsqrt).alias("wsq_total"),
+                    F.sum(F.col("src_mass")).alias("mass_total"),
+                )
+            )
+        )
+        .select(
+            source_col,
+            "src_mass",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_frac))
+                * F.col("mass_total").cast("double")
+                * (F.col("wsq").cast("double") / F.col("wsq_total").cast("double"))
+                / F.col("src_mass").cast("double"),
+            ).alias("rate"),
+        )
+        .select(
+            source_col,
+            "src_mass",
+            F.round(F.col("rate") * 1e6).cast("int").alias("keep_ppm"),
+        )
+    )
+    return df.join(F.broadcast(rates), source_col).where(
+        _hash_ppm(F.col(id_col), salt) < F.col("keep_ppm")
     )

@@ -568,3 +568,120 @@ def scd2_intervals(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    bucket_secs: int = 3600,
+) -> DataFrame:
+    """Time-bucket rollup with LINEAR-interpolation gap filling — the
+    hypertable `time_bucket_gapfill` + `interpolate` sibling of
+    `gapfill_locf`, same shuffle profile (one keyed agg + one keyed
+    window sort), different gap semantics: a missing bucket takes the
+    straight line between its nearest observed neighbors instead of
+    repeating the previous value.
+
+    Per key: bucket + decimal-exact value sum, dense bucket axis via
+    `sequence` (bounded by the key's own span), then two frames over ONE
+    keyed sort — last-non-null behind (value + bucket) and
+    first-non-null ahead — give the segment endpoints; the interpolated
+    value is prev + (next - prev) * (t - t_prev) / (t_next - t_prev).
+    Trailing gaps (no next observation) carry the last value forward.
+    All arithmetic is fixed-order IEEE double over exact inputs, so an
+    oracle reproduces it bit-for-bit.
+
+    Output: (key, bucket_epoch, n_events, value_interp, filled).
+    """
+    b = (
+        df.groupBy(
+            F.col(key_col),
+            (
+                (F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
+                * bucket_secs
+            ).alias("bucket_epoch"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.round(F.col(value_col), 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("vsum"),
+        )
+    )
+    axis = (
+        b.groupBy(key_col)
+        .agg(F.min("bucket_epoch").alias("h0"), F.max("bucket_epoch").alias("h1"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("h0", "h1", F.lit(int(bucket_secs)))
+            ).alias("bucket_epoch"),
+        )
+    )
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_epoch")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    joined = axis.join(b, [key_col, "bucket_epoch"], "left")
+    prev_v = F.last("vsum", ignorenulls=True).over(wb)
+    prev_t = F.last(
+        F.when(F.col("vsum").isNotNull(), F.col("bucket_epoch")), ignorenulls=True
+    ).over(wb)
+    next_v = F.first("vsum", ignorenulls=True).over(wf)
+    next_t = F.first(
+        F.when(F.col("vsum").isNotNull(), F.col("bucket_epoch")), ignorenulls=True
+    ).over(wf)
+    interp = F.when(F.col("vsum").isNotNull(), F.col("vsum")).otherwise(
+        F.when(
+            next_t.isNotNull(),
+            prev_v
+            + (next_v - prev_v)
+            * ((F.col("bucket_epoch") - prev_t).cast("double")
+               / (next_t - prev_t).cast("double")),
+        ).otherwise(prev_v)
+    )
+    # portable 6-dp quantization: floor(x*1e6 + 0.5)/1e6 is the same IEEE
+    # op sequence in every engine, unlike round(x, 6) (Spark rounds the
+    # exact BigDecimal of the double, C engines round the scaled double —
+    # they disagree on ties, and interpolated values land on ties)
+    quant = F.floor(interp * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return joined.select(
+        F.col(key_col),
+        F.col("bucket_epoch"),
+        F.coalesce("n_obs", F.lit(0)).alias("n_events"),
+        quant.alias("value_interp"),
+        F.col("n_obs").isNull().alias("filled"),
+    )
+
+
+def merge_agg_states(
+    mv: DataFrame, delta_partials: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Incremental materialized-view maintenance: merge a stored
+    aggregate table with freshly aggregated delta partials by summing
+    the mergeable state columns (every non-key column must be a
+    decomposable partial — counts and exact sums, from which avg/ratio
+    derive at read time).
+
+    The refresh cost is O(|delta| + |mv|) with one map-side-combinable
+    re-aggregation — never a rescan of the base table, which is the
+    point of keeping an MV at 100 TB: a late-arriving partition folds
+    in by union + groupBy, and the same merge runs under foreachBatch
+    for the streaming variant.
+    """
+    val_cols = [c for c in mv.columns if c not in key_cols]
+    if [c for c in delta_partials.columns if c not in key_cols] != val_cols:
+        raise ValueError("mv and delta must share the same state columns")
+    return (
+        mv.unionByName(delta_partials)
+        .groupBy(*key_cols)
+        .agg(*[F.sum(c).alias(c) for c in val_cols])
+    )

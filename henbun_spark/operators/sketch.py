@@ -404,3 +404,70 @@ def histogram_quantile(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (Misra & Gries 1982) — candidates + exact verify
+# ---------------------------------------------------------------------------
+
+
+def mg_candidates(df: DataFrame, key_col: str, k: int = 128) -> DataFrame:
+    """Per-partition Misra-Gries frequent-items summaries, unioned.
+
+    Each partition keeps at most ``k - 1`` counters: a new key either
+    takes a free slot or triggers a decrement round that subtracts the
+    current minimum from ALL counters (dropping zeros). Every decrement
+    round removes >= k units of mass, so a key undercounts by at most
+    n_p / k within its partition — hence any key with partition
+    frequency > n_p / k survives, and by pigeonhole any key with GLOBAL
+    frequency > N / k is frequent in at least one partition and appears
+    in the union. The summary is the no-false-negative candidate set for
+    `heavy_hitters`; the guarantee needs no coordination, so the scan is
+    one mapInPandas pass with O(k) state per task and <= tasks * (k-1)
+    output rows.
+    """
+    import pandas as pd
+
+    def mg(batches):
+        d: dict = {}
+        for pdf in batches:
+            for key, c in pdf["key"].value_counts().items():
+                d[key] = d.get(key, 0) + int(c)
+                while len(d) > k - 1:
+                    m = min(d.values())
+                    d = {kk: v - m for kk, v in d.items() if v > m}
+        yield pd.DataFrame({"key": list(d.keys())}, dtype="object")
+
+    keys = df.select(F.col(key_col).cast("string").alias("key"))
+    return keys.mapInPandas(mg, "key string").distinct()
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int = 128) -> DataFrame:
+    """Exact counts of every key with frequency strictly > N/k, found
+    WITHOUT a full groupBy over the key space.
+
+    Pass 1 (`mg_candidates`): bounded-state scan -> candidate table
+    (<= tasks * (k-1) rows, broadcastable by construction). Pass 2: one
+    scan counting ONLY candidate keys (non-candidates collapse into a
+    single NULL group), so shuffle volume is O(tasks * k) partials —
+    independent of the true key cardinality, which is what a 100 TB
+    group-by-user_id cannot say. The MG guarantee makes pass 2's
+    candidate set a superset of the answer; the exact counts then drop
+    false positives, so the output is exactly the true heavy hitters
+    with exact counts.
+
+    Output: (key string, n bigint), n * k > N.
+    """
+    cands = mg_candidates(df, key_col, k).withColumn("is_c", F.lit(True))
+    keys = df.select(F.col(key_col).cast("string").alias("key"))
+    flagged = keys.join(F.broadcast(cands), "key", "left")
+    counts = flagged.groupBy(
+        F.when(F.col("is_c"), F.col("key")).alias("key")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("n_total"))
+    return (
+        counts.where(F.col("key").isNotNull())
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n") * k > F.col("n_total"))
+        .select("key", "n")
+    )

@@ -49,7 +49,13 @@ from henbun_spark import sources
 #    to form the single recall-metric row (same shape as emb_lsh_recall).
 #  - bloom_semi_lineitem: two 1-row count aggregates crossed to form the
 #    single fp-measurement row.
+#  - heavy_hitters_users: the 1-row total-count aggregate crossed onto
+#    the (<= k-per-task) candidate counts for the n*k > N filter.
+#  - mix_temperature_sources: the 1-row (W, N) normalization aggregate
+#    crossed onto the per-source rate table (|sources| rows).
 BNLJ_OK = {
+    "heavy_hitters_users",
+    "mix_temperature_sources",
     "range_join_quantity",
     "sim_cosine_topk",
     "emb_near_dup",
