@@ -5050,6 +5050,35 @@ GROUP BY 1, 2
 """
 
 
+def streaming_heavy_hitters(spark, sf_dir):
+    """Incremental heavy-hitter maintenance on a stream, ORACLE-CHECKED
+    with the SAME SQL as the batch `heavy_hitters_users`: each
+    micro-batch's Misra-Gries summaries fold into a persistent
+    <= (k-1)-row state via foreachBatch; MG-summary folding preserves
+    the total-undercount <= N/k bound across batches, so the drained
+    candidate set still covers every key above N/k over the whole
+    stream. One exact verification pass then yields exactly the true
+    heavy hitters."""
+    from henbun_spark import streaming
+    from henbun_spark.operators import sketch
+
+    ev = _load(spark, sf_dir, "events").select("user_id", "ts")
+    base = _scratch_dir("henbun_smg_")
+    in_dir = f"{base}/in"
+    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.mg_stream_maintenance(
+        stream, "user_id", f"{base}/state", f"{base}/ckpt", k=128
+    )
+    q.awaitTermination()
+    cands = spark.read.parquet(f"{base}/state")
+    return sketch.heavy_hitters_verify(ev, "user_id", cands, k=128)
+
+
 def ann_topk_pq(spark, sf_dir):
     """Approximate NN via product quantization: 8x16 codebooks (driver
     sample), one-byte-per-subspace codes, ADC lookup-table scoring, then
@@ -5202,6 +5231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temperature_sources": mix_temperature_sources,
         "rolling_median_user": rolling_median_user,
         "mv_incremental_daily": mv_incremental_daily,
+        "streaming_heavy_hitters": streaming_heavy_hitters,
         # non-SQL-expressible (rows-only checks)
         "ann_topk_pq": ann_topk_pq,
         "vi_linear_regression": vi_linear_regression,
@@ -5355,4 +5385,5 @@ def oracle_sql() -> dict[str, str]:
         "mix_temperature_sources": _MIX_TEMP_SQL,
         "rolling_median_user": _ROLLING_MEDIAN_SQL,
         "mv_incremental_daily": _MV_INCREMENTAL_SQL,
+        "streaming_heavy_hitters": _HEAVY_HITTERS_SQL,
     }

@@ -411,35 +411,57 @@ def histogram_quantile(
 # ---------------------------------------------------------------------------
 
 
-def mg_candidates(df: DataFrame, key_col: str, k: int = 128) -> DataFrame:
-    """Per-partition Misra-Gries frequent-items summaries, unioned.
+def mg_fold(d: dict, items, k: int) -> dict:
+    """Fold weighted (key, count) items into a Misra-Gries summary of at
+    most ``k - 1`` counters, in place: a new key either takes a free
+    slot or triggers a decrement round subtracting the current minimum
+    from ALL counters (dropping zeros). Every decrement round removes
+    >= k units of mass, so total undercount per key <= mass/k. Folding
+    one summary's counters into another IS the MG merge, so the same
+    routine serves partition scans and cross-batch streaming state."""
+    for key, c in items:
+        d[key] = d.get(key, 0) + int(c)
+        while len(d) > k - 1:
+            # mutate IN PLACE — callers hold a reference to d across folds
+            m = min(d.values())
+            for kk in [kk for kk, v in d.items() if v <= m]:
+                del d[kk]
+            for kk in d:
+                d[kk] -= m
+    return d
 
-    Each partition keeps at most ``k - 1`` counters: a new key either
-    takes a free slot or triggers a decrement round that subtracts the
-    current minimum from ALL counters (dropping zeros). Every decrement
-    round removes >= k units of mass, so a key undercounts by at most
-    n_p / k within its partition — hence any key with partition
-    frequency > n_p / k survives, and by pigeonhole any key with GLOBAL
-    frequency > N / k is frequent in at least one partition and appears
-    in the union. The summary is the no-false-negative candidate set for
-    `heavy_hitters`; the guarantee needs no coordination, so the scan is
-    one mapInPandas pass with O(k) state per task and <= tasks * (k-1)
-    output rows.
+
+def mg_summary(df: DataFrame, key_col: str, k: int = 128) -> DataFrame:
+    """Per-partition Misra-Gries summaries with residual weights,
+    unioned: (key string, wt bigint), <= (k-1) rows per scan task.
+
+    A key with partition frequency > n_p / k survives its partition's
+    summary, so by pigeonhole any key with GLOBAL frequency > N / k
+    appears in the union — the no-false-negative candidate property.
+    The residual weights are what make summaries MERGEABLE (fold one
+    summary's counters into another via `mg_fold`), which the streaming
+    maintenance path relies on. One mapInPandas pass, O(k) state per
+    task, no shuffle.
     """
     import pandas as pd
 
     def mg(batches):
         d: dict = {}
         for pdf in batches:
-            for key, c in pdf["key"].value_counts().items():
-                d[key] = d.get(key, 0) + int(c)
-                while len(d) > k - 1:
-                    m = min(d.values())
-                    d = {kk: v - m for kk, v in d.items() if v > m}
-        yield pd.DataFrame({"key": list(d.keys())}, dtype="object")
+            mg_fold(d, pdf["key"].value_counts().items(), k)
+        yield pd.DataFrame(
+            {"key": pd.array(list(d.keys()), dtype="string"),
+             "wt": list(d.values())}
+        )
 
     keys = df.select(F.col(key_col).cast("string").alias("key"))
-    return keys.mapInPandas(mg, "key string").distinct()
+    return keys.mapInPandas(mg, "key string, wt bigint")
+
+
+def mg_candidates(df: DataFrame, key_col: str, k: int = 128) -> DataFrame:
+    """Distinct union of the per-partition MG summaries — the candidate
+    superset of every key with global frequency > N/k."""
+    return mg_summary(df, key_col, k).select("key").distinct()
 
 
 def heavy_hitters(df: DataFrame, key_col: str, k: int = 128) -> DataFrame:
@@ -458,7 +480,19 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 128) -> DataFrame:
 
     Output: (key string, n bigint), n * k > N.
     """
-    cands = mg_candidates(df, key_col, k).withColumn("is_c", F.lit(True))
+    return heavy_hitters_verify(df, key_col, mg_candidates(df, key_col, k), k)
+
+
+def heavy_hitters_verify(
+    df: DataFrame, key_col: str, candidates: DataFrame, k: int
+) -> DataFrame:
+    """Exact-verification pass shared by the batch and streaming heavy-
+    hitter paths: count ONLY candidate keys (non-candidates collapse
+    into one NULL group, so shuffle partials are O(tasks * k)), derive
+    the total N from the same aggregation, keep keys with n * k > N.
+    ``candidates`` must carry a string `key` column and be a superset of
+    the true heavy hitters (the MG guarantee)."""
+    cands = candidates.select("key").withColumn("is_c", F.lit(True))
     keys = df.select(F.col(key_col).cast("string").alias("key"))
     flagged = keys.join(F.broadcast(cands), "key", "left")
     counts = flagged.groupBy(

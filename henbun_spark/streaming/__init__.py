@@ -425,3 +425,54 @@ def hll_stream_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def mg_stream_maintenance(
+    stream: DataFrame,
+    key_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = 128,
+):
+    """Incremental heavy-hitter candidates over a stream: every
+    micro-batch computes its per-partition Misra-Gries summaries
+    (bounded mapInPandas scan, <= (k-1) rows per task), and foreachBatch
+    folds them into a persistent <= (k-1)-row parquet state with the
+    same `mg_fold` decrement rule.
+
+    Folding summaries is the standard MG merge, so after draining the
+    total undercount of any key is <= N_total / k — every key above the
+    N/k threshold over the WHOLE stream survives in the state, no
+    matter how rows split into micro-batches. The state that pivots
+    through the driver per batch is bounded by k, not by data or key
+    cardinality. Pair the drained candidate set with one exact
+    verification pass (`sketch.heavy_hitters` shape) for exact final
+    counts. Returns the StreamingQuery.
+    """
+    import os
+    import shutil
+
+    from henbun_spark.operators import sketch
+
+    def merge_batch(bdf: DataFrame, batch_id: int):
+        spark = bdf.sparkSession
+        summ = sketch.mg_summary(bdf, key_col, k=k).collect()
+        d: dict = {}
+        if os.path.exists(state_dir):
+            for row in spark.read.parquet(state_dir).collect():
+                d[row["key"]] = int(row["wt"])
+        sketch.mg_fold(d, ((r["key"], r["wt"]) for r in summ), k)
+        tmp = state_dir + "__tmp"
+        spark.createDataFrame(
+            [(kk, int(v)) for kk, v in d.items()], "key string, wt bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -298,3 +298,38 @@ def test_streaming_asof_exact_under_out_of_order_batches(spark, tmp_path):
     }
     assert got == exp
     assert len(got) == left.count()
+
+
+def test_mg_stream_maintenance_covers_hot_keys(spark, tmp_path):
+    """MG state folded across micro-batches still covers every key above
+    N/k of the WHOLE stream, with the hot key's rows scattered across
+    batches (the per-batch share alone would not always qualify)."""
+    import numpy as np
+    import pandas as pd
+
+    from henbun_spark import streaming
+    from henbun_spark.operators import sketch
+
+    rng = np.random.default_rng(11)
+    keys = np.concatenate([rng.integers(0, 1000, 6000), np.full(500, 424242)])
+    rng.shuffle(keys)
+    pdf = pd.DataFrame({"k": keys})
+    df = spark.createDataFrame(pdf)
+    in_dir = str(tmp_path / "in")
+    df.repartition(5).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.mg_stream_maintenance(
+        stream, "k", str(tmp_path / "state"), str(tmp_path / "ckpt"), k=50
+    )
+    q.awaitTermination()
+    state = spark.read.parquet(str(tmp_path / "state"))
+    assert state.count() <= 49
+    got = sketch.heavy_hitters_verify(df, "k", state, k=50).toPandas()
+    vc = pd.Series(keys).value_counts()
+    truth = vc[vc * 50 > len(keys)]
+    assert set(got["key"]) == {str(k) for k in truth.index}
+    assert "424242" in set(got["key"])
