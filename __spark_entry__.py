@@ -5050,6 +5050,91 @@ GROUP BY 1, 2
 """
 
 
+def boilerplate_chunks_docs(spark, sf_dir):
+    """Frequency-based boilerplate removal: 16-word chunks appearing in
+    more than 2 distinct documents are template text and are stripped
+    from EVERY document (vs `chunk_dedup_docs`, which keeps first
+    occurrences). Output per doc: chunk counts and the reassembled
+    clean text."""
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.boilerplate_chunk_removal(
+        docs, "text", "doc_id", chunk_words=16, max_docs=2
+    )
+
+
+_BOILERPLATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(w[(i*16+1):(i*16+16)], ' ') AS chunk
+  FROM (SELECT doc_id, w,
+          unnest(generate_series(0, greatest(CAST(ceil(len(w)/16.0) AS INT)-1, 0))) AS i
+        FROM toks)
+),
+freq AS (
+  SELECT chunk, COUNT(DISTINCT doc_id) AS doc_freq FROM chunks GROUP BY chunk
+),
+flagged AS (
+  SELECT c.doc_id, c.chunk_idx, c.chunk, f.doc_freq <= 2 AS keep
+  FROM chunks c JOIN freq f USING (chunk)
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_chunks,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       COALESCE(array_to_string(list(chunk ORDER BY chunk_idx) FILTER (WHERE keep), ' '), '')
+         AS clean_text
+FROM flagged GROUP BY doc_id
+"""
+
+
+def streaming_mv_daily(spark, sf_dir):
+    """Streaming materialized-view maintenance, ORACLE-CHECKED with the
+    SAME full-recompute SQL as `mv_incremental_daily`: each micro-batch
+    aggregates to (day x event_type) partials and merges into the
+    persistent MV via union + re-aggregation of mergeable states.
+    Count/decimal-sum merging is associative + commutative, so the
+    drained MV is exact regardless of how rows split into batches."""
+    from henbun_spark import streaming
+
+    ev = _load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    base = _scratch_dir("henbun_smv_")
+    in_dir = f"{base}/in"
+    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def partials(d):
+        return d.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)")).alias(
+                "value_state"
+            ),
+        )
+
+    q = streaming.mv_stream_maintenance(
+        stream, partials, ["day", "event_type"], f"{base}/state", f"{base}/ckpt"
+    )
+    q.awaitTermination()
+    mv = spark.read.parquet(f"{base}/state")
+    return mv.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("value_state").cast("double").alias("value_sum"),
+        F.round(
+            F.col("value_state").cast("double") / F.col("n_events"), 6
+        ).alias("value_avg"),
+    )
+
+
 def streaming_heavy_hitters(spark, sf_dir):
     """Incremental heavy-hitter maintenance on a stream, ORACLE-CHECKED
     with the SAME SQL as the batch `heavy_hitters_users`: each
@@ -5231,6 +5316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temperature_sources": mix_temperature_sources,
         "rolling_median_user": rolling_median_user,
         "mv_incremental_daily": mv_incremental_daily,
+        "boilerplate_chunks_docs": boilerplate_chunks_docs,
+        "streaming_mv_daily": streaming_mv_daily,
         "streaming_heavy_hitters": streaming_heavy_hitters,
         # non-SQL-expressible (rows-only checks)
         "ann_topk_pq": ann_topk_pq,
@@ -5385,5 +5472,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_temperature_sources": _MIX_TEMP_SQL,
         "rolling_median_user": _ROLLING_MEDIAN_SQL,
         "mv_incremental_daily": _MV_INCREMENTAL_SQL,
+        "boilerplate_chunks_docs": _BOILERPLATE_SQL,
+        "streaming_mv_daily": _MV_INCREMENTAL_SQL,
         "streaming_heavy_hitters": _HEAVY_HITTERS_SQL,
     }

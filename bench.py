@@ -131,6 +131,10 @@ HEADLINE = [
     "rolling_median_user",
     "mv_incremental_daily",
     "ann_topk_pq",
+    "boilerplate_chunks_docs",
+    # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
+    # streaming_hll_users, fixed micro-batch commit machinery dominates
+    # at any SF; they stay on the CORRECTNESS board.
     # NOT timed: streaming_hll_users — 4 foreachBatch commits dominate
     # (~30s of fixed micro-batch machinery at any SF); it stays on the
     # CORRECTNESS board where the per-batch cost is irrelevant.

@@ -611,3 +611,61 @@ def normalized_dup_groups(
         "group_size",
         (F.col(id_col) == F.col("keep_id")).alias("keep"),
     )
+
+
+def boilerplate_chunk_removal(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 16,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Frequency-based common-span removal (the CCNet/C4 boilerplate
+    rule): a chunk appearing in MORE than ``max_docs`` distinct
+    documents is boilerplate (headers, license blocks, nav text) and is
+    removed from EVERY document — unlike `chunk_dedup`, which keeps the
+    first occurrence and targets copy duplication rather than template
+    text.
+
+    Same scale shape as chunk_dedup: chunking is map-only array ops; the
+    document-frequency table is groupBy(chunk) + countDistinct(id) —
+    the distinct expands (chunk, id) pairs, but each doc contributes a
+    chunk once so the expansion is bounded by corpus chunk count; the
+    verdict joins back on the chunk key (AQE-skew-splittable) and
+    reassembly is one keyed shuffle with per-doc bounded state.
+
+    Output: (id, n_chunks, n_kept, clean_text).
+    """
+    df = ensure_parallelism(df.select(id_col, text_col))
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    nch = F.ceil(F.size(toks) / F.lit(float(chunk_words))).cast("int")
+    idxs = F.sequence(F.lit(0), F.greatest(nch - 1, F.lit(0)))
+    chunks = F.transform(
+        idxs,
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_words + 1, F.lit(chunk_words)), " "
+        ),
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    freq = ex.groupBy("chunk").agg(
+        F.countDistinct(F.col(id_col)).alias("doc_freq")
+    )
+    flagged = ex.join(freq, "chunk").withColumn(
+        "keep", F.col("doc_freq") <= max_docs
+    )
+    kept_struct = F.when(
+        F.col("keep"),
+        F.struct(F.col("chunk_idx").alias("x"), F.col("chunk").alias("c")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["c"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -476,3 +476,52 @@ def mg_stream_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def mv_stream_maintenance(
+    stream: DataFrame,
+    partials_fn,
+    key_cols: list[str],
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Incremental materialized-view maintenance on a stream: every
+    micro-batch aggregates itself with ``partials_fn`` (must emit only
+    mergeable states — counts and exact sums over ``key_cols``) and
+    folds into the persistent MV via `relational.merge_agg_states`
+    (union + re-aggregation), the streaming twin of the batch
+    `mv_incremental_daily` refresh.
+
+    The per-batch cost is O(|batch| + |MV|): the base data is never
+    rescanned. This drains and rewrites the whole MV snapshot each
+    batch — right while the MV is group-cardinality-sized (days x
+    segments); for huge MVs partition the state by a key prefix and
+    rewrite only the partitions the batch touches (dynamic partition
+    overwrite), same merge math. Returns the StreamingQuery.
+    """
+    import os
+    import shutil
+
+    from henbun_spark.operators import relational
+
+    def merge_batch(bdf: DataFrame, batch_id: int):
+        spark = bdf.sparkSession
+        partials = partials_fn(bdf)
+        if os.path.exists(state_dir):
+            prev = spark.read.parquet(state_dir)
+            partials = relational.merge_agg_states(prev, partials, key_cols)
+        rows = partials.collect()
+        tmp = state_dir + "__tmp"
+        spark.createDataFrame(rows, partials.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

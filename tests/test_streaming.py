@@ -333,3 +333,43 @@ def test_mg_stream_maintenance_covers_hot_keys(spark, tmp_path):
     truth = vc[vc * 50 > len(keys)]
     assert set(got["key"]) == {str(k) for k in truth.index}
     assert "424242" in set(got["key"])
+
+
+def test_mv_stream_maintenance_exact_merge(spark, tmp_path):
+    """Drained streaming MV == batch aggregation (count + decimal sum
+    merge is exact across arbitrary micro-batch splits)."""
+    import pandas as pd
+
+    from henbun_spark import streaming
+
+    rows = pd.DataFrame(
+        {
+            "k": ["a", "b", "a", "b", "a", "c"] * 50,
+            "v": [1.25, 2.5, 3.75, 0.5, 1.0, 9.0] * 50,
+        }
+    )
+    df = spark.createDataFrame(rows)
+    in_dir = str(tmp_path / "in")
+    df.repartition(6).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def partials(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,6)")).alias("s"),
+        )
+
+    q = streaming.mv_stream_maintenance(
+        stream, partials, ["k"], str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {
+        r["k"]: (r["n"], float(r["s"]))
+        for r in spark.read.parquet(str(tmp_path / "state")).collect()
+    }
+    exp = {r["k"]: (r["n"], float(r["s"])) for r in partials(df).collect()}
+    assert got == exp
