@@ -5050,6 +5050,45 @@ GROUP BY 1, 2
 """
 
 
+def asof_nearest_purchase(spark, sf_dir):
+    """Nearest-direction as-of join (clicks pick up the temporally
+    CLOSEST purchase per user, either side; ties go backward): both
+    window fills share one user-keyed shuffle. Completes the
+    backward/forward/nearest as-of family. Oracle: DuckDB has no
+    nearest ASOF, so the oracle composes its backward and forward ASOF
+    joins and picks the closer match — an independent formulation of
+    the same semantics."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id").where(
+        F.col("event_type") == "click"
+    )
+    right = ev.select("user_id", "ts", F.col("value").alias("near_value")).where(
+        F.col("event_type") == "purchase"
+    )
+    return relational.asof_nearest(
+        left, right, on="ts", by="user_id", right_cols=["near_value"]
+    ).select("event_id", "near_value")
+
+
+_ASOF_NEAREST_SQL = """
+WITH l AS (SELECT * FROM events WHERE event_type='click'),
+p AS (SELECT * FROM events WHERE event_type='purchase'),
+b AS (
+  SELECT l.event_id, l.ts AS lts, r.ts AS bts, r.value AS bval
+  FROM l ASOF LEFT JOIN p r ON l.user_id = r.user_id AND l.ts >= r.ts),
+f AS (
+  SELECT l.event_id, r.ts AS fts, r.value AS fval
+  FROM l ASOF LEFT JOIN p r ON l.user_id = r.user_id AND l.ts <= r.ts)
+SELECT b.event_id,
+  CASE WHEN bts IS NOT NULL AND (fts IS NULL
+            OR (epoch_us(lts) - epoch_us(bts)) <= (epoch_us(fts) - epoch_us(lts)))
+       THEN bval ELSE fval END AS near_value
+FROM b JOIN f USING (event_id)
+"""
+
+
 def boilerplate_chunks_docs(spark, sf_dir):
     """Frequency-based boilerplate removal: 16-word chunks appearing in
     more than 2 distinct documents are template text and are stripped
@@ -5316,6 +5355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temperature_sources": mix_temperature_sources,
         "rolling_median_user": rolling_median_user,
         "mv_incremental_daily": mv_incremental_daily,
+        "asof_nearest_purchase": asof_nearest_purchase,
         "boilerplate_chunks_docs": boilerplate_chunks_docs,
         "streaming_mv_daily": streaming_mv_daily,
         "streaming_heavy_hitters": streaming_heavy_hitters,
@@ -5472,6 +5512,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_temperature_sources": _MIX_TEMP_SQL,
         "rolling_median_user": _ROLLING_MEDIAN_SQL,
         "mv_incremental_daily": _MV_INCREMENTAL_SQL,
+        "asof_nearest_purchase": _ASOF_NEAREST_SQL,
         "boilerplate_chunks_docs": _BOILERPLATE_SQL,
         "streaming_mv_daily": _MV_INCREMENTAL_SQL,
         "streaming_heavy_hitters": _HEAVY_HITTERS_SQL,

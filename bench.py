@@ -132,6 +132,7 @@ HEADLINE = [
     "mv_incremental_daily",
     "ann_topk_pq",
     "boilerplate_chunks_docs",
+    "asof_nearest_purchase",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
     # at any SF; they stay on the CORRECTNESS board.

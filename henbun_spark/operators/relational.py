@@ -685,3 +685,88 @@ def merge_agg_states(
         .groupBy(*key_cols)
         .agg(*[F.sum(c).alias(c) for c in val_cols])
     )
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | None = None,
+    right_cols: list[str] | None = None,
+    tolerance: float | None = None,
+) -> DataFrame:
+    """As-of join, ``direction="nearest"``: for each left row, the right
+    row minimizing |right.on - left.on| within the `by` key (ties go
+    backward). Completes the backward/forward/nearest family.
+
+    Same union-tagged single-shuffle plan as `asof_join`, with BOTH
+    fills computed over one exchange: the backward window (time
+    ascending) carries the latest right at-or-before, the forward
+    window (time descending) the earliest right at-or-after — two sorts,
+    one shuffle, still no range explosion. A Column comparison of the
+    two gaps picks the winner per row. ``tolerance`` (seconds for
+    timestamps, else `on` units) nulls matches further than the bound.
+    """
+    from pyspark.sql import types as T
+
+    rcols = right_cols or [c for c in right.columns if c not in (on, by)]
+    keys = [by] if by else []
+    on_type = right.schema[on].dataType
+    ltag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+        F.lit(None).cast(on_type).alias("__r_on"),
+    )
+    rtag = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in (on, *(keys))
+        ],
+        *([F.col(by)] if by else []),
+        F.col(on),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c) for c in rcols],
+        F.col(on).alias("__r_on"),
+    )
+    unioned = ltag.unionByName(rtag)
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(on).desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *[c for c in left.columns],
+        F.col("__is_left"),
+        *[F.last(F.col(c), ignorenulls=True).over(wb).alias(f"__b_{c}") for c in rcols],
+        F.last(F.col("__r_on"), ignorenulls=True).over(wb).alias("__b_on"),
+        *[F.last(F.col(c), ignorenulls=True).over(wf).alias(f"__f_{c}") for c in rcols],
+        F.last(F.col("__r_on"), ignorenulls=True).over(wf).alias("__f_on"),
+    ).where(F.col("__is_left") == 1)
+    if isinstance(on_type, (T.TimestampType, T.TimestampNTZType)):
+        t = lambda c: F.unix_micros(c)  # noqa: E731
+        bound = None if tolerance is None else float(tolerance) * 1_000_000.0
+    else:
+        t = lambda c: c  # noqa: E731
+        bound = None if tolerance is None else float(tolerance)
+    gap_b = t(F.col(on)) - t(F.col("__b_on"))
+    gap_f = t(F.col("__f_on")) - t(F.col(on))
+    choose_b = F.col("__b_on").isNotNull() & (
+        F.col("__f_on").isNull() | (gap_b <= gap_f)
+    )
+    gap = F.when(choose_b, gap_b).otherwise(gap_f)
+    within = (
+        F.lit(True)
+        if bound is None
+        else (gap.isNotNull() & (gap <= F.lit(bound)))
+    )
+    pick = lambda c: F.when(  # noqa: E731
+        within, F.when(choose_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}"))
+    ).alias(c)
+    return filled.select(*[c for c in left.columns], *[pick(c) for c in rcols])
