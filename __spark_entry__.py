@@ -2453,12 +2453,16 @@ st AS ({stacked}),
 cands AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM st a JOIN st b ON a.band = b.band AND a.bucket = b.bucket
-    AND a.vec_id < b.vec_id)
-SELECT id_a, id_b, {_cos_sql('ea.v', 'eb.v')} AS cos
+    AND a.vec_id < b.vec_id),
+units AS (
+  SELECT vec_id,
+    list_transform(v, x -> x / sqrt({_DOT_SQL.format(a='v', b='v')})) AS u
+  FROM e)
+SELECT id_a, id_b, {_DOT_SQL.format(a='ea.u', b='eb.u')} AS cos
 FROM cands
-JOIN e ea ON ea.vec_id = id_a
-JOIN e eb ON eb.vec_id = id_b
-WHERE {_cos_sql('ea.v', 'eb.v')} >= 0.2
+JOIN units ea ON ea.vec_id = id_a
+JOIN units eb ON eb.vec_id = id_b
+WHERE {_DOT_SQL.format(a='ea.u', b='eb.u')} >= 0.2
 """
 
 

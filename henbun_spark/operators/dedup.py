@@ -481,12 +481,32 @@ def embedding_near_dup_lsh(
         )
         .distinct()
     )
-    ea = e.select(F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"))
-    eb = e.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"))
+    # L2-normalize ONCE per row so the pair stage is a single dot fold
+    # instead of cosine's three (dot + both self-norms): candidate pairs
+    # outnumber rows ~100x, so this cuts the refine's codegen work ~3x.
+    # The oracle mirrors the same normalize-then-dot op order exactly.
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("vec"), F.col("vec"), lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    eu = e.withColumn("nrm", nrm).select(
+        F.col(id_col),
+        F.transform(F.col("vec"), lambda x: x / F.col("nrm")).alias("unit"),
+    )
+    ea = eu.select(F.col(id_col).alias("id_a"), F.col("unit").alias("unit_a"))
+    eb = eu.select(F.col(id_col).alias("id_b"), F.col("unit").alias("unit_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("unit_a"), F.col("unit_b"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
         cands.join(ea, "id_a")
         .join(eb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos"))
+        .select("id_a", "id_b", dot.alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 
