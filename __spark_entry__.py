@@ -5054,6 +5054,121 @@ GROUP BY 1, 2
 """
 
 
+def assemble_training_corpus(spark, sf_dir):
+    """End-to-end training-data assembly flagship — the composition the
+    individual operators exist for, each stage oracle-mirrored so the
+    WHOLE pipeline is hash-checked: (1) normalized exact dedup keeps one
+    doc per canonical text; (2) Gopher quality rules drop low-quality
+    docs; (3) temperature (T=0.5) source re-balancing by character mass
+    over the survivors; (4) next-fit packing into 512-token training
+    sequences per source shard. Output: per-source audit (docs, tokens,
+    sequence bins). Every stage is map-only or keyed-shuffle — the
+    composition inherits each operator's 100 TB shape."""
+    from henbun_spark.operators import dedup, pipeline
+    from henbun_spark.operators import text as text_ops
+
+    docs = _load(spark, sf_dir, "documents")
+    groups = dedup.normalized_dup_groups(docs, "text", "doc_id")
+    d1 = docs.join(
+        groups.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    # corpus-appropriate Gopher subset: the stopword-presence rule is
+    # dropped (the synthetic corpus contains no English stopwords, so it
+    # rejects every document); the length / word-shape / symbol rules
+    # discriminate and stay
+    g = text_ops.gopher_quality(d1, "text", "doc_id")
+    passed = g.where(
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("hash_ratio") < 0.1)
+        & (F.col("ellipsis_ratio") < 0.3)
+        & (F.col("alpha_word_frac") > 0.8)
+    ).select("doc_id")
+    d2 = d1.join(passed, "doc_id", "left_semi")
+    d3 = pipeline.mix_temperature(
+        d2, "source", "doc_id", "n_chars", target_frac=0.5, salt="corpus"
+    )
+    tk = d3.withColumn(
+        "tok_est", (F.floor(F.col("n_chars") / 4) + 1).cast("long")
+    )
+    packed = pipeline.pack_sequences(
+        tk, "doc_id", "tok_est", budget=512, part_col="source", salt="pack"
+    )
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok_est").alias("sum_tokens"),
+        F.countDistinct("bin").alias("n_bins"),
+    )
+
+
+def _assemble_sql() -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash
+  FROM documents),
+keepers AS (
+  SELECT h.doc_id FROM h
+  JOIN (SELECT norm_hash, MIN(doc_id) AS keep_id FROM h GROUP BY 1) g
+    USING (norm_hash)
+  WHERE h.doc_id = g.keep_id),
+d1 AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM d1),
+m AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    ROUND(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 6) AS mean_word_len,
+    ROUND(((length(text) - length(replace(text, '#', '')))) / len(w), 6) AS hash_ratio,
+    ROUND(((length(text) - length(replace(text, '...', ''))) / 3) / len(w), 6) AS ellipsis_ratio,
+    ROUND(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w), 6) AS alpha_word_frac
+  FROM t),
+passed AS (
+  SELECT doc_id FROM m
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND mean_word_len >= 3 AND mean_word_len <= 10
+    AND hash_ratio < 0.1 AND ellipsis_ratio < 0.3
+    AND alpha_word_frac > 0.8),
+d2 AS (SELECT d1.* FROM d1 JOIN passed USING (doc_id)),
+per_src AS (
+  SELECT source, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS src_mass
+  FROM d2 GROUP BY source),
+tot AS (
+  SELECT CAST(SUM(CAST(ROUND(sqrt(CAST(src_mass AS DOUBLE)), 9) AS DECIMAL(38,9)))
+              AS DECIMAL(38,9)) AS W,
+         SUM(src_mass) AS N
+  FROM per_src),
+rates AS (
+  SELECT source,
+    CAST(ROUND(least(1.0,
+      0.5 * CAST(N AS DOUBLE)
+      * (CAST(CAST(ROUND(sqrt(CAST(src_mass AS DOUBLE)), 9) AS DECIMAL(38,9)) AS DOUBLE)
+         / CAST(W AS DOUBLE))
+      / CAST(src_mass AS DOUBLE)) * 1e6) AS INT) AS keep_ppm
+  FROM per_src, tot),
+d3 AS (
+  SELECT d2.* FROM d2 JOIN rates USING (source)
+  WHERE {_ppm_sql('doc_id', 'corpus')} < keep_ppm),
+tk AS (
+  SELECT source, doc_id, (n_chars // 4 + 1)::BIGINT AS tok_est FROM d3),
+o AS (
+  SELECT source, doc_id, tok_est,
+    SUM(tok_est) OVER (
+      PARTITION BY source
+      ORDER BY md5('pack' || '|' || CAST(doc_id AS VARCHAR)), doc_id
+      ROWS UNBOUNDED PRECEDING) - tok_est AS start_offset
+  FROM tk)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+  CAST(SUM(tok_est) AS BIGINT) AS sum_tokens,
+  COUNT(DISTINCT start_offset // 512)::BIGINT AS n_bins
+FROM o GROUP BY source
+"""
+
+
 def asof_nearest_purchase(spark, sf_dir):
     """Nearest-direction as-of join (clicks pick up the temporally
     CLOSEST purchase per user, either side; ties go backward): both
@@ -5360,6 +5475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median_user": rolling_median_user,
         "mv_incremental_daily": mv_incremental_daily,
         "asof_nearest_purchase": asof_nearest_purchase,
+        "assemble_training_corpus": assemble_training_corpus,
         "boilerplate_chunks_docs": boilerplate_chunks_docs,
         "streaming_mv_daily": streaming_mv_daily,
         "streaming_heavy_hitters": streaming_heavy_hitters,
@@ -5517,6 +5633,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_median_user": _ROLLING_MEDIAN_SQL,
         "mv_incremental_daily": _MV_INCREMENTAL_SQL,
         "asof_nearest_purchase": _ASOF_NEAREST_SQL,
+        "assemble_training_corpus": _assemble_sql(),
         "boilerplate_chunks_docs": _BOILERPLATE_SQL,
         "streaming_mv_daily": _MV_INCREMENTAL_SQL,
         "streaming_heavy_hitters": _HEAVY_HITTERS_SQL,

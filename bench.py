@@ -133,6 +133,7 @@ HEADLINE = [
     "ann_topk_pq",
     "boilerplate_chunks_docs",
     "asof_nearest_purchase",
+    "assemble_training_corpus",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
     # at any SF; they stay on the CORRECTNESS board.

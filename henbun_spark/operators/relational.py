@@ -585,13 +585,18 @@ def gapfill_interpolate(
     repeating the previous value.
 
     Per key: bucket + decimal-exact value sum, dense bucket axis via
-    `sequence` (bounded by the key's own span), then two frames over ONE
-    keyed sort — last-non-null behind (value + bucket) and
-    first-non-null ahead — give the segment endpoints; the interpolated
-    value is prev + (next - prev) * (t - t_prev) / (t_next - t_prev).
-    Trailing gaps (no next observation) carry the last value forward.
-    All arithmetic is fixed-order IEEE double over exact inputs, so an
-    oracle reproduces it bit-for-bit.
+    `sequence` (bounded by the key's own span). The segment endpoints
+    come from a RUNNING observation count + two equi-joins against the
+    numbered observation table (obs i = prev, obs i+1 = next) — NOT a
+    first-non-null-ahead window: Spark executes an UnboundedFollowing
+    frame by recomputing the aggregate from scratch per row, O(rows^2)
+    per key (measured 6x slower than LOCF at bench SF before this
+    shape). The running count is an O(n) frame and the joins are keyed
+    hash joins, so the whole fill is O(n log n) at any scale. The
+    interpolated value is prev + (next - prev) * (t - t_prev) /
+    (t_next - t_prev); trailing gaps (no next observation) carry the
+    last value forward. All arithmetic is fixed-order IEEE double over
+    exact inputs, so an oracle reproduces it bit-for-bit.
 
     Output: (key, bucket_epoch, n_events, value_interp, filled).
     """
@@ -625,20 +630,35 @@ def gapfill_interpolate(
         .orderBy("bucket_epoch")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wf = (
-        Window.partitionBy(key_col)
-        .orderBy("bucket_epoch")
-        .rowsBetween(0, Window.unboundedFollowing)
+    # number the observations per key once (small table: observed
+    # buckets only), then give every axis row its segment index via a
+    # running count — O(n) frame, unlike any following-direction fill
+    numbered = b.withColumn(
+        "__seg",
+        F.row_number().over(
+            Window.partitionBy(key_col).orderBy("bucket_epoch")
+        ),
     )
-    joined = axis.join(b, [key_col, "bucket_epoch"], "left")
-    prev_v = F.last("vsum", ignorenulls=True).over(wb)
-    prev_t = F.last(
-        F.when(F.col("vsum").isNotNull(), F.col("bucket_epoch")), ignorenulls=True
-    ).over(wb)
-    next_v = F.first("vsum", ignorenulls=True).over(wf)
-    next_t = F.first(
-        F.when(F.col("vsum").isNotNull(), F.col("bucket_epoch")), ignorenulls=True
-    ).over(wf)
+    joined = axis.join(b, [key_col, "bucket_epoch"], "left").withColumn(
+        "__seg", F.count("vsum").over(wb)
+    )
+    prev = numbered.select(
+        F.col(key_col),
+        F.col("__seg"),
+        F.col("vsum").alias("__prev_v"),
+        F.col("bucket_epoch").alias("__prev_t"),
+    )
+    nxt = numbered.select(
+        F.col(key_col),
+        (F.col("__seg") - 1).alias("__seg"),
+        F.col("vsum").alias("__next_v"),
+        F.col("bucket_epoch").alias("__next_t"),
+    )
+    joined = joined.join(prev, [key_col, "__seg"], "left").join(
+        nxt, [key_col, "__seg"], "left"
+    )
+    prev_v, prev_t = F.col("__prev_v"), F.col("__prev_t")
+    next_v, next_t = F.col("__next_v"), F.col("__next_t")
     interp = F.when(F.col("vsum").isNotNull(), F.col("vsum")).otherwise(
         F.when(
             next_t.isNotNull(),

@@ -53,9 +53,12 @@ from henbun_spark import sources
 #    the (<= k-per-task) candidate counts for the n*k > N filter.
 #  - mix_temperature_sources: the 1-row (W, N) normalization aggregate
 #    crossed onto the per-source rate table (|sources| rows).
+#  - assemble_training_corpus: contains the same bounded mixing
+#    normalization cross join as mix_temperature_sources.
 BNLJ_OK = {
     "heavy_hitters_users",
     "mix_temperature_sources",
+    "assemble_training_corpus",
     "range_join_quantity",
     "sim_cosine_topk",
     "emb_near_dup",
