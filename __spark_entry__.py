@@ -5322,6 +5322,33 @@ def streaming_heavy_hitters(spark, sf_dir):
     return sketch.heavy_hitters_verify(ev, "user_id", cands, k=128)
 
 
+def video_dedup_frames(spark, sf_dir):
+    """Video near-dup end-to-end on REAL frames: genuine HBV1 raw-frame
+    containers -> per-frame decode + perceptual aHash at sampled
+    offsets (Arrow-batched mapInPandas, payload never shuffles) ->
+    frame-hash inverted-index join (frames play the n-gram role). 8
+    planted copies must pair with their originals. Rows-only (frame
+    decode has no SQL oracle; container/codec parity is pytest-covered)."""
+    from henbun_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=64, kind="video", seed=0)
+    extras = [
+        (
+            int(r["media_id"]) + 1000,
+            "video",
+            bytearray(bytes(r["payload"])),
+            (8, 8, None, 1500, "hbv"),
+        )
+        for r in media.where(F.col("media_id") < 8).collect()
+    ]
+    all_media = media.unionByName(
+        spark.createDataFrame(extras, multimodal.MEDIA_SCHEMA)
+    )
+    frames = multimodal.frame_sample(all_media, every_ms=250)
+    pairs = multimodal.video_dup_candidates(frames, min_shared=3)
+    return pairs.where(F.col("id_b") - F.col("id_a") == 1000)
+
+
 def ann_topk_pq(spark, sf_dir):
     """Approximate NN via product quantization: 8x16 codebooks (driver
     sample), one-byte-per-subspace codes, ADC lookup-table scoring, then
@@ -5481,6 +5508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_heavy_hitters": streaming_heavy_hitters,
         # non-SQL-expressible (rows-only checks)
         "ann_topk_pq": ann_topk_pq,
+        "video_dedup_frames": video_dedup_frames,
         "vi_linear_regression": vi_linear_regression,
         "vi_amortized_encoder": vi_amortized_encoder,
         "gp_sparse_posterior": gp_sparse_posterior,

@@ -6,10 +6,12 @@ mapInPandas, Arrow batch shapes, metadata propagation.
 
 Codec status (this container has no PIL/ffmpeg/torchaudio):
 * REAL decoders, pure numpy/struct: uncompressed 24-bit BMP (`decode_bmp`
-  -> pixel array, mean/std features, box-filter resize) and PCM WAV
+  -> pixel array, mean/std features, box-filter resize), PCM WAV
   (`decode_wav` -> waveform, RMS / zero-crossing / spectral-centroid
-  features). These exercise genuine byte-level decode inside the
-  mapInPandas kernels.
+  features), and the raw-frame HBV1 video container (`decode_rawvideo`
+  -> frame stack; per-frame aHash sampling + frame-hash video dedup).
+  These exercise genuine byte-level decode inside the mapInPandas
+  kernels.
 * STUBBED: compressed formats (jpeg/png/mp4/...) fall back to
   `_fake_features` (seeded-stable from the payload digest) so pipelines
   stay testable end-to-end; `strict=True` raises NotImplementedError
@@ -51,8 +53,10 @@ MEDIA_SCHEMA = T.StructType(
 def synthesize_media(spark, n: int = 64, kind: str = "image", seed: int = 0) -> DataFrame:
     """Deterministic media table with REAL payloads where a pure-numpy
     codec exists: images are genuine 24-bit BMPs, audio is genuine PCM16
-    WAV (seeded content); video stays a fake payload (no container
-    format is decodable without ffmpeg)."""
+    WAV, video is the raw HBV1 frame container (seeded content; adjacent
+    frames are rolls of one base image, so temporal coherence is real).
+    ``kind="blob"`` keeps an undecodable payload for exercising the
+    strict-raise codec boundary."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -65,6 +69,13 @@ def synthesize_media(spark, n: int = 64, kind: str = "image", seed: int = 0) -> 
             freq = 100.0 + 10.0 * i
             payload = encode_wav(0.5 * np.sin(2 * np.pi * freq * t), 16000)
             meta = (None, None, 16000, 100, "wav")
+        elif kind == "video":
+            base = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+            frames = np.stack(
+                [np.roll(base, k, axis=1) for k in range(7)]
+            )  # 7 frames @ 4 fps = 1500 ms
+            payload = encode_rawvideo(frames, fps=4)
+            meta = (8, 8, None, 1500, "hbv")
         else:
             payload = rng.bytes(256)
             meta = (None, None, None, 1500, "fake")
@@ -170,6 +181,49 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     raise ValueError("no data chunk")
 
 
+def encode_rawvideo(frames: np.ndarray, fps: int = 4) -> bytes:
+    """Minimal raw-frame video container ('HBV1'): header (frame count,
+    height, width, fps) + contiguous uint8 RGB frames. Uncompressed on
+    purpose — the point is a REAL byte-level decode path (like the BMP/
+    WAV codecs) without ffmpeg; a compressed codec plugs in at the same
+    boundary. frames: [n, h, w, 3] uint8."""
+    import struct
+
+    n, h, w, c = frames.shape
+    if c != 3 or frames.dtype != np.uint8:
+        raise ValueError("frames must be [n, h, w, 3] uint8")
+    return struct.pack("<4sIIII", b"HBV1", n, h, w, fps) + frames.tobytes()
+
+
+def decode_rawvideo(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an HBV1 container -> ([n, h, w, 3] uint8 frames, fps)."""
+    import struct
+
+    if payload[:4] != b"HBV1":
+        raise ValueError("not an HBV1 payload")
+    n, h, w, fps = struct.unpack_from("<IIII", payload, 4)
+    frames = np.frombuffer(
+        payload, dtype=np.uint8, offset=20, count=n * h * w * 3
+    ).reshape(n, h, w, 3)
+    return frames, int(fps)
+
+
+def frame_ahash(pixels: np.ndarray, hash_size: int = 8) -> int:
+    """Average-hash one frame (same recipe as `ahash_images`): box-resize
+    to hash_size^2, grayscale, threshold at the mean -> 63-bit int."""
+    h, w, _ = pixels.shape
+    if h % hash_size or w % hash_size:
+        raise ValueError("frame not divisible for box resize")
+    small = resize_box(pixels, hash_size, hash_size)
+    gray = small.astype(np.float64).mean(axis=2)
+    bits = (gray > gray.mean()).ravel()
+    val = 0
+    for j, b in enumerate(bits):
+        if b:
+            val |= 1 << j
+    return val & 0x7FFFFFFFFFFFFFFF
+
+
 def audio_features(wave: np.ndarray, sample_rate: int, dim: int) -> np.ndarray:
     """Real waveform features: [duration, rms, zero-crossing rate,
     spectral centroid, band energies...] padded/truncated to dim."""
@@ -231,6 +285,12 @@ def decode_and_featurize(
                 elif fmt == "wav":
                     wave, sr = decode_wav(b)
                     feats.append(audio_features(wave, sr, dim))
+                elif fmt == "hbv":
+                    frames, _fps = decode_rawvideo(b)
+                    per_frame = np.stack(
+                        [image_features(f, dim) for f in frames]
+                    )
+                    feats.append(per_frame.mean(axis=0).astype(np.float32))
                 elif strict:
                     raise NotImplementedError(
                         f"no pure-python codec for format {fmt!r}; plug "
@@ -252,19 +312,86 @@ def decode_and_featurize(
 
 
 def frame_sample(df: DataFrame, every_ms: int = 500, strict: bool = False) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled timestamp
-    (real explode over sampled offsets; fake frame payloads)."""
-    if strict:
-        raise NotImplementedError("video codec not available in this runtime")
-    offsets = F.sequence(
-        F.lit(0),
-        F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
-        F.lit(every_ms),
+    """Video frame sampling with REAL decode for HBV1 payloads: one
+    output row per sampled timestamp carrying the decoded frame's
+    perceptual aHash and mean intensity. The frame index for offset t is
+    floor(t * fps / 1000) clamped to the last frame. Non-decodable
+    formats raise under ``strict`` (the ffmpeg plug-in point) else emit
+    a payload-seeded fake hash so pipelines stay testable.
+
+    Arrow-batched mapInPandas; only (media_id, frame_ms, frame_ahash,
+    frame_mean) leaves the stage — payload bytes never shuffle.
+    """
+    import hashlib
+
+    def fn(batches):
+        for pdf in batches:
+            mid, fms, fh, fm = [], [], [], []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                dur = int((meta or {}).get("duration_ms") or 0)
+                offsets = range(0, dur + 1, every_ms)
+                if b[:4] == b"HBV1":
+                    frames, fps = decode_rawvideo(b)
+                    for t in offsets:
+                        idx = min(t * fps // 1000, len(frames) - 1)
+                        mid.append(media_id)
+                        fms.append(t)
+                        fh.append(frame_ahash(frames[idx]))
+                        fm.append(float(frames[idx].mean()))
+                elif strict:
+                    raise NotImplementedError(
+                        "no pure-python codec for this video payload; "
+                        "plug ffmpeg here"
+                    )
+                else:
+                    seed = hashlib.sha256(b).digest()
+                    fake = int.from_bytes(seed[:8], "little") & 0x7FFFFFFFFFFFFFFF
+                    for t in offsets:
+                        mid.append(media_id)
+                        fms.append(t)
+                        fh.append(fake)
+                        fm.append(0.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": mid,
+                    "frame_ms": fms,
+                    "frame_ahash": fh,
+                    "frame_mean": fm,
+                }
+            )
+
+    return (
+        df.where(F.col("kind") == "video")
+        .select("media_id", "payload", "meta")
+        .mapInPandas(
+            fn,
+            "media_id long, frame_ms int, frame_ahash long, frame_mean double",
+        )
     )
-    return df.where(F.col("kind") == "video").select(
-        "media_id",
-        F.explode(offsets).alias("frame_ms"),
-        F.sha2(F.concat(F.col("payload"), F.lit("|")), 256).alias("frame_digest"),
+
+
+def video_dup_candidates(
+    frames: DataFrame, min_shared: int = 2
+) -> DataFrame:
+    """Video near-duplicate candidates from sampled-frame perceptual
+    hashes: videos sharing at least ``min_shared`` distinct frame hashes
+    — an equi-join keyed on the hash (the inverted-index shape of
+    `dedup.ngram_jaccard_pairs`, frames playing the role of n-grams),
+    never an all-pairs comparison of videos."""
+    f = frames.select("media_id", "frame_ahash").distinct()
+    a, b = f.alias("a"), f.alias("b")
+    return (
+        a.join(b, on="frame_ahash")
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .groupBy(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .where(F.col("shared_frames") >= min_shared)
     )
 
 

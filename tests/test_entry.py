@@ -15,6 +15,8 @@ ROWS_ONLY = {
     "multimodal_features",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_topk_pq",
+    "video_dedup_frames",
     "approx_distinct_events",
     "kmeans_embeddings",
     "pca_embeddings",
