@@ -525,3 +525,63 @@ def mv_stream_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def mv_stream_maintenance_partitioned(
+    stream: DataFrame,
+    partials_fn,
+    key_cols: list[str],
+    partition_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Partition-scoped streaming MV maintenance — the huge-MV variant of
+    `mv_stream_maintenance`: the state is hive-partitioned on
+    ``partition_col`` (which must be one of ``key_cols``), and each
+    micro-batch (1) aggregates itself, (2) reads back ONLY the state
+    partitions it touches (partition pruning on the scan), (3) merges,
+    and (4) rewrites only those partitions via dynamic partition
+    overwrite. Untouched partitions are never read or written, so the
+    per-batch cost is O(|batch| + |touched partitions|) regardless of
+    total MV size — a day-keyed MV over years of history folds in a
+    late-arriving hour by touching one partition.
+
+    The merged rows pivot through the driver (bounded by the touched
+    partitions' MV rows, not the MV) because Spark refuses to overwrite
+    a path that an active plan is reading. Returns the StreamingQuery.
+    """
+    import os
+
+    from henbun_spark.operators import relational
+
+    if partition_col not in key_cols:
+        raise ValueError("partition_col must be one of key_cols")
+
+    def merge_batch(bdf: DataFrame, batch_id: int):
+        spark = bdf.sparkSession
+        partials = partials_fn(bdf)
+        touched = [
+            r[0] for r in partials.select(partition_col).distinct().collect()
+        ]
+        if not touched:
+            return
+        if os.path.exists(state_dir):
+            prev = spark.read.parquet(state_dir).where(
+                F.col(partition_col).isin(touched)
+            )
+            if prev.columns:
+                partials = relational.merge_agg_states(
+                    prev.select(*partials.columns), partials, key_cols
+                )
+        rows = partials.collect()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.createDataFrame(rows, partials.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).partitionBy(partition_col).parquet(state_dir)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

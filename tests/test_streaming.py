@@ -373,3 +373,52 @@ def test_mv_stream_maintenance_exact_merge(spark, tmp_path):
     }
     exp = {r["k"]: (r["n"], float(r["s"])) for r in partials(df).collect()}
     assert got == exp
+
+
+def test_mv_stream_maintenance_partitioned_exact_and_scoped(spark, tmp_path):
+    """Partition-scoped streaming MV == batch aggregation, with state
+    hive-partitioned on the key and only touched partitions rewritten
+    (key-disjoint batches leave the other key's files untouched)."""
+    import os
+
+    import pandas as pd
+
+    from henbun_spark import streaming
+
+    rows = pd.DataFrame(
+        {
+            "k": ["a"] * 60 + ["b"] * 60,
+            "v": [1.5] * 60 + [2.25] * 60,
+        }
+    )
+    df = spark.createDataFrame(rows)
+    in_dir = str(tmp_path / "in")
+    # two key-disjoint files -> batch 1 touches only one key's partition
+    df.where(F.col("k") == "a").coalesce(1).write.parquet(in_dir)
+    df.where(F.col("k") == "b").coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def partials(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,6)")).alias("s"),
+        )
+
+    state = str(tmp_path / "state")
+    q = streaming.mv_stream_maintenance_partitioned(
+        stream, partials, ["k"], "k", state, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {
+        r["k"]: (r["n"], float(r["s"]))
+        for r in spark.read.parquet(state).collect()
+    }
+    exp = {r["k"]: (r["n"], float(r["s"])) for r in partials(df).collect()}
+    assert got == exp
+    assert sorted(
+        d for d in os.listdir(state) if d.startswith("k=")
+    ) == ["k=a", "k=b"]
