@@ -5322,6 +5322,40 @@ def streaming_heavy_hitters(spark, sf_dir):
     return sketch.heavy_hitters_verify(ev, "user_id", cands, k=128)
 
 
+def tdigest_quantiles_value(spark, sf_dir):
+    """t-digest quantile estimates over events.value next to the exact
+    percentiles: deterministic md5-bucketed digests (applyInPandas),
+    k1-scale greedy compression (~100 centroids regardless of input),
+    bounded merge, interpolated estimates. The adaptive sibling of
+    `quantile_sketch_value` — no [lo, hi] range assumption, tails keep
+    accuracy on skew. Rows-only (the greedy compression loop has no SQL
+    form); rank-error < 2% and merge-equivalence are pytest-asserted."""
+    from henbun_spark.operators import sketch
+
+    ev = _load(spark, sf_dir, "events")
+    dig = sketch.tdigest_merge(sketch.tdigest_build(ev, "value", delta=100))
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    est = sketch.tdigest_quantile(dig, qs)
+    exact = ev.agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"p{int(q * 100)}")
+            for q in qs
+        ]
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "q",
+        F.round("est", 6).alias("est"),
+        F.round(
+            F.when(F.col("q") == 0.01, F.col("p1"))
+            .when(F.col("q") == 0.25, F.col("p25"))
+            .when(F.col("q") == 0.5, F.col("p50"))
+            .when(F.col("q") == 0.75, F.col("p75"))
+            .otherwise(F.col("p99")),
+            6,
+        ).alias("exact"),
+    )
+
+
 def video_dedup_frames(spark, sf_dir):
     """Video near-dup end-to-end on REAL frames: genuine HBV1 raw-frame
     containers -> per-frame decode + perceptual aHash at sampled
@@ -5509,6 +5543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-SQL-expressible (rows-only checks)
         "ann_topk_pq": ann_topk_pq,
         "video_dedup_frames": video_dedup_frames,
+        "tdigest_quantiles_value": tdigest_quantiles_value,
         "vi_linear_regression": vi_linear_regression,
         "vi_amortized_encoder": vi_amortized_encoder,
         "gp_sparse_posterior": gp_sparse_posterior,

@@ -134,6 +134,8 @@ HEADLINE = [
     "boilerplate_chunks_docs",
     "asof_nearest_purchase",
     "assemble_training_corpus",
+    "tdigest_quantiles_value",
+    "video_dedup_frames",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
     # at any SF; they stay on the CORRECTNESS board.

@@ -505,3 +505,169 @@ def heavy_hitters_verify(
         .where(F.col("n") * k > F.col("n_total"))
         .select("key", "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# t-digest (Dunning & Ertl 2019) — deterministic bucket-keyed variant
+# ---------------------------------------------------------------------------
+
+
+def _tdigest_compress(means, weights, delta: int):
+    """Greedy merging-digest pass over (mean, weight) pairs sorted by
+    mean, using the k1 scale function k(q) = (delta/2pi) asin(2q-1):
+    consecutive pairs merge while the combined centroid spans <= 1
+    k-unit. k1's slope explodes at q -> 0/1, so tail centroids hold few
+    points (tail-accurate where equi-width histograms are not) while
+    the total k-range delta/2 caps the centroid count at ~delta."""
+    import math
+
+    import numpy as np
+
+    order = np.argsort(means, kind="mergesort")
+    means, weights = np.asarray(means)[order], np.asarray(weights)[order]
+    total = float(weights.sum())
+
+    def k(q):
+        return delta / (2.0 * math.pi) * math.asin(
+            max(-1.0, min(1.0, 2.0 * q - 1.0))
+        )
+
+    out_m, out_w = [], []
+    cur_m, cur_w, w_before = float(means[0]), float(weights[0]), 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q0 = w_before / total
+        q2 = (w_before + cur_w + float(w)) / total
+        if k(q2) - k(q0) <= 1.0:
+            cur_m = (cur_m * cur_w + float(m) * float(w)) / (cur_w + float(w))
+            cur_w += float(w)
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_before += cur_w
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return out_m, out_w
+
+
+def tdigest_build(
+    df: DataFrame,
+    value_col: str,
+    delta: int = 100,
+    n_buckets: int = 16,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Distributed t-digest: rows hash into ``n_buckets`` DETERMINISTIC
+    buckets (md5 of the value's string form when no ``bucket_col`` —
+    layout-independent, so the digest is reproducible across engines,
+    partitionings, and retries, unlike per-physical-partition digests);
+    each bucket builds its own digest with `applyInPandas` (sorted
+    one-pass greedy k1 merge, ~delta centroids); `tdigest_merge`
+    folds the bucket digests into one.
+
+    vs the equi-width `histogram_build`: no [lo, hi] range needs to be
+    known up front, and centroid widths shrink toward the tails, so
+    extreme quantiles stay accurate on skewed data where fixed-width
+    bins collapse into one bucket.
+
+    Output: (bucket int, centroid_mean double, centroid_weight double).
+    """
+    import pandas as pd
+
+    key = (
+        F.col(bucket_col)
+        if bucket_col
+        else (
+            F.conv(
+                F.substring(
+                    F.md5(F.col(value_col).cast("string")), 1, 6
+                ), 16, 10
+            ).cast("long")
+            % n_buckets
+        ).cast("int")
+    )
+    vals = df.select(
+        key.alias("bucket"), F.col(value_col).cast("double").alias("v")
+    )
+
+    def digest(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["v"].to_numpy(dtype=float)
+        m, w = _tdigest_compress(v, [1.0] * len(v), delta)
+        return pd.DataFrame(
+            {
+                "bucket": pdf["bucket"].iloc[0],
+                "centroid_mean": m,
+                "centroid_weight": w,
+            }
+        )
+
+    return vals.groupBy("bucket").applyInPandas(
+        digest, "bucket int, centroid_mean double, centroid_weight double"
+    )
+
+
+def tdigest_merge(*digests: DataFrame, delta: int = 100) -> DataFrame:
+    """Merge digests (bucketed or already-merged) into ONE digest of
+    ~delta centroids: union the centroid tables (each bounded) and
+    re-compress in a single bounded `applyInPandas` group. Centroid
+    merging is the t-digest's mergeability contract — per-day digests
+    roll up without touching raw data."""
+    import pandas as pd
+
+    out = digests[0]
+    for d in digests[1:]:
+        out = out.unionByName(d)
+
+    def compress(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = _tdigest_compress(
+            pdf["centroid_mean"].to_numpy(),
+            pdf["centroid_weight"].to_numpy(),
+            delta,
+        )
+        return pd.DataFrame({"centroid_mean": m, "centroid_weight": w})
+
+    return (
+        out.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(
+            lambda pdf: compress(pdf),
+            "centroid_mean double, centroid_weight double",
+        )
+    )
+
+
+def tdigest_quantile(digest: DataFrame, qs: list[float]) -> DataFrame:
+    """Quantile estimates from a merged digest: linear interpolation
+    between centroid means at the target cumulative weight (each
+    centroid's mass centered at its midpoint). The digest is tiny
+    (~delta rows), so this collects it and emits one row per q:
+    (q double, est double)."""
+    import pandas as pd  # noqa: F401
+
+    rows = sorted(
+        digest.collect(), key=lambda r: r["centroid_mean"]
+    )
+    means = [r["centroid_mean"] for r in rows]
+    weights = [r["centroid_weight"] for r in rows]
+    total = sum(weights)
+    # midpoint cumulative positions
+    cum, acc = [], 0.0
+    for w in weights:
+        cum.append(acc + w / 2.0)
+        acc += w
+    out = []
+    for q in qs:
+        target = q * total
+        if target <= cum[0]:
+            est = means[0]
+        elif target >= cum[-1]:
+            est = means[-1]
+        else:
+            import bisect
+
+            i = bisect.bisect_left(cum, target)
+            frac = (target - cum[i - 1]) / (cum[i] - cum[i - 1])
+            est = means[i - 1] + frac * (means[i] - means[i - 1])
+        out.append((float(q), float(est)))
+    spark = digest.sparkSession
+    return spark.createDataFrame(out, "q double, est double")

@@ -17,6 +17,7 @@ ROWS_ONLY = {
     "ann_topk_ivf",
     "ann_topk_pq",
     "video_dedup_frames",
+    "tdigest_quantiles_value",
     "approx_distinct_events",
     "kmeans_embeddings",
     "pca_embeddings",

@@ -36,8 +36,12 @@ DEFAULT = [
     "chunk_dedup_docs",
     "lm_score_docs",
     "gapfill_hourly_locf",
+    "gapfill_hourly_interp",
     "bpe_train_encode",
     "sessionize_events",
+    "heavy_hitters_users",
+    "boilerplate_chunks_docs",
+    "assemble_training_corpus",
 ]
 
 
