@@ -69,3 +69,70 @@ def test_lgamma_recurrence_property(x):
     # Gamma(x+1) = x * Gamma(x)  =>  lgamma(x+1) - lgamma(x) = log(x)
     lhs = np_lgamma(x + 1.0) - np_lgamma(x)
     np.testing.assert_allclose(lhs, np.log(x), rtol=1e-9, atol=1e-9)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=300),
+    st.integers(min_value=2, max_value=20),
+)
+def test_mg_fold_guarantee_property(keys, k):
+    """Misra-Gries invariants under arbitrary streams: summary holds at
+    most k-1 counters, never overcounts, undercounts by at most n/k —
+    hence every key with frequency > n/k survives."""
+    from collections import Counter
+
+    from henbun_spark.operators.sketch import mg_fold
+
+    d = mg_fold({}, [(key, 1) for key in keys], k)
+    true = Counter(keys)
+    n = len(keys)
+    assert len(d) <= k - 1
+    for key, w in d.items():
+        assert 0 < w <= true[key]
+        assert true[key] - w <= n / k
+    for key, c in true.items():
+        if c * k > n:
+            assert key in d
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=500,
+    ),
+    st.integers(min_value=10, max_value=200),
+)
+def test_tdigest_compress_property(vals, delta):
+    """t-digest compression conserves mass and the weighted mean, keeps
+    centroid means sorted, and bounds the centroid count by ~delta."""
+    from henbun_spark.operators.sketch import _tdigest_compress
+
+    m, w = _tdigest_compress(vals, [1.0] * len(vals), delta)
+    assert abs(sum(w) - len(vals)) < 1e-6
+    assert all(a <= b + 1e-9 for a, b in zip(m, m[1:]))
+    assert len(m) <= delta + 2
+    got_mean = sum(mi * wi for mi, wi in zip(m, w)) / sum(w)
+    np.testing.assert_allclose(got_mean, np.mean(vals), rtol=1e-9, atol=1e-6)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_rawvideo_roundtrip_property(n, h, w, seed):
+    from henbun_spark.operators import multimodal
+
+    frames = np.random.default_rng(seed).integers(
+        0, 256, size=(n, h, w, 3), dtype=np.uint8
+    )
+    dec, fps = multimodal.decode_rawvideo(
+        multimodal.encode_rawvideo(frames, fps=7)
+    )
+    assert fps == 7
+    np.testing.assert_array_equal(dec, frames)
