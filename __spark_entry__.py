@@ -2794,6 +2794,64 @@ def vi_amortized_encoder(spark, sf_dir):
     )
 
 
+def gp_regression_events(spark, sf_dir):
+    """Sparse-GP regression TRAINED on a real table — the reference's
+    GPR notebook lifecycle (whitened variational u over inducing points,
+    trainable lengthscale, Gaussian likelihood) on events(hour -> value)
+    via the distributed trainer: broadcast params -> per-batch
+    K(z, x_batch) + sample inside mapInPandas -> treeAggregate grads ->
+    driver Adam; the analytic Normal KL enters once per step through
+    `global_objective`. Rows-only (stochastic training has no SQL
+    oracle); the GP math itself carries numpy-parity pytests."""
+    import henbun_spark as hb
+    from henbun_spark import autodiff as ad
+    from henbun_spark import variationals
+    from henbun_spark.gp import kernels
+    from henbun_spark.gp.gp import SparseGP
+    from henbun_spark.spark_exec import ColumnData, SparkTrainer
+
+    ev = _load(spark, sf_dir, "events").select(
+        (F.hour("ts").cast("double") / 24.0).alias("x"),
+        (F.col("value") / 100.0).alias("y"),
+    )
+    z = np.linspace(0.0, 1.0, 8).reshape(-1, 1)
+
+    class GPReg(hb.Model):
+        def setUp(self):
+            self.x = ColumnData("x")
+            self.y = ColumnData("y")
+            self.gp = SparseGP(kernels.UnitRBF(), z)
+            self.u = variationals.Normal(shape=[8], n_layers=[4])
+            self.lnsig = hb.Variable([1], mean=float(np.log(0.5)), stddev=0.01)
+
+        def local_objective(self):
+            s = self.gp.samples(
+                self.x.reshape((-1, 1)), self.u, q_shape="neglected"
+            )  # [4, n] posterior samples
+            var = ad.exp(self.lnsig * 2.0)
+            lik = hb.densities.gaussian(self.y.reshape((1, -1)), s, var)
+            return ad.sum(lik) / 4.0
+
+        def global_objective(self):
+            return -self.KL()
+
+    m = GPReg()
+    tr = SparkTrainer(m, ev, optimizer=hb.Adam(learning_rate=0.05))
+    tr.fit(maxiter=10)
+    ls = float(np.asarray(m.gp.kern.lengthscales.value).ravel()[0])
+    sig = float(np.exp(np.asarray(m.lnsig.value).ravel()[0]))
+    return spark.createDataFrame(
+        [
+            ("lengthscale", ls),
+            ("sigma", sig),
+            ("loss_first", float(tr.history[0])),
+            ("loss_final", float(tr.history[-1])),
+            ("improved", float(tr.history[-1] > tr.history[0])),
+        ],
+        "param string, value double",
+    )
+
+
 def gp_sparse_posterior(spark, sf_dir):
     """SparseGP posterior samples, DISTRIBUTED over the n (coordinate)
     axis — the §2.9 G3 execution shape: the model (inducing points z +
@@ -5547,6 +5605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vi_linear_regression": vi_linear_regression,
         "vi_amortized_encoder": vi_amortized_encoder,
         "gp_sparse_posterior": gp_sparse_posterior,
+        "gp_regression_events": gp_regression_events,
         "streaming_windowed_counts": streaming_windowed_counts,
         "streaming_hopping_counts": streaming_hopping_counts,
         "streaming_asof_purchase": streaming_asof_purchase,

@@ -12,6 +12,7 @@ from henbun_spark import sources
 ROWS_ONLY = {
     "vi_linear_regression",
     "gp_sparse_posterior",
+    "gp_regression_events",
     "multimodal_features",
     "ann_topk_lsh",
     "ann_topk_ivf",
