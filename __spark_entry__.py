@@ -5351,6 +5351,90 @@ def streaming_mv_daily(spark, sf_dir):
     )
 
 
+def streaming_interval_left_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER interval join, drained and
+    ORACLE-CHECKED against the batch left join: matched rows flow like
+    the inner join; each unmatched click emits (null purchase) only
+    after the watermark passes click_ts + 6h, so a sentinel row on both
+    streams 10 days past the data pushes the final watermark beyond
+    every real left row and the closing no-data micro-batch flushes the
+    outer results. State stays bounded by watermark + interval width."""
+    from henbun_spark import streaming
+
+    ev = _load(spark, sf_dir, "events")
+    base = _scratch_dir("henbun_sloj_")
+    in_dir = f"{base}/in"
+    far = ev.agg((F.max("ts") + F.expr("INTERVAL 240 HOURS")).alias("ts"))
+    sentinel = far.select(
+        F.lit(-1).cast("long").alias("event_id"),
+        "ts",
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("").alias("props"),
+    ).unionByName(
+        far.select(
+            F.lit(-2).cast("long").alias("event_id"),
+            "ts",
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
+        )
+    )
+    data = ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).unionByName(sentinel)
+    data.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(data.schema).parquet(in_dir)
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    joined = streaming.interval_join_streams(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="c_ts",
+        right_ts="p_ts",
+        lower="interval 0 seconds",
+        upper="interval 6 hours",
+        watermark="1 hour",
+        how="leftOuter",
+    )
+    # sentinel rows must flow INTO the sink: a user_id filter here gets
+    # pushed below the watermark operators by Catalyst and deletes the
+    # sentinels before the event-time stats — the watermark then never
+    # passes the tail clicks and their outer rows never flush. Filter on
+    # the batch read instead.
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"), "click_id", "purchase_id"
+    )
+    out_dir = f"{base}/out"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).where(F.col("user_id") >= 0)
+
+
+_STREAMING_LOJ_SQL = """
+SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 6 HOURS
+ AND r.ts <= l.ts
+"""
+
+
 def streaming_heavy_hitters(spark, sf_dir):
     """Incremental heavy-hitter maintenance on a stream, ORACLE-CHECKED
     with the SAME SQL as the batch `heavy_hitters_users`: each
@@ -5598,6 +5682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_chunks_docs": boilerplate_chunks_docs,
         "streaming_mv_daily": streaming_mv_daily,
         "streaming_heavy_hitters": streaming_heavy_hitters,
+        "streaming_interval_left_join": streaming_interval_left_join,
         # non-SQL-expressible (rows-only checks)
         "ann_topk_pq": ann_topk_pq,
         "video_dedup_frames": video_dedup_frames,
@@ -5759,4 +5844,5 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_chunks_docs": _BOILERPLATE_SQL,
         "streaming_mv_daily": _MV_INCREMENTAL_SQL,
         "streaming_heavy_hitters": _HEAVY_HITTERS_SQL,
+        "streaming_interval_left_join": _STREAMING_LOJ_SQL,
     }

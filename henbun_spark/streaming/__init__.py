@@ -60,8 +60,9 @@ def interval_join_streams(
     lower: str = "interval 0 seconds",
     upper: str = "interval 10 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: left row matches right rows
+    """Watermarked stream-stream join: left row matches right rows
     with the same key whose timestamp falls in
     [left_ts - upper... actually right_ts in [left_ts - upper, left_ts - lower]]
     — i.e. right events that happened up to `upper` BEFORE the left event.
@@ -69,6 +70,13 @@ def interval_join_streams(
     distance, so each side's buffered state is bounded by
     watermark + interval width — the only way a stream-stream join is
     feasible at scale (an unbounded-time join would buffer everything).
+
+    ``how="leftOuter"`` additionally emits each unmatched left row (null
+    right columns) once the watermark passes left_ts + upper — the
+    point where no future right row can still match it. Outer results
+    are therefore watermark-delayed by construction; a drain needs the
+    watermark pushed past the data (sentinel rows) for the final
+    no-data micro-batch to flush them.
     """
     lw = left.withWatermark(left_ts, watermark).alias("l")
     rw = right.withWatermark(right_ts, watermark).alias("r")
@@ -77,7 +85,7 @@ def interval_join_streams(
         & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - {upper}"))
         & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} - {lower}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def dedup_stream(

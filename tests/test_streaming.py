@@ -422,3 +422,53 @@ def test_mv_stream_maintenance_partitioned_exact_and_scoped(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(state) if d.startswith("k=")
     ) == ["k=a", "k=b"]
+
+
+def test_interval_left_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream interval join: matched rows flow like the
+    inner join; an unmatched left row emits with null right columns once
+    a later (sentinel) event pushes the watermark past its match
+    horizon."""
+    import datetime
+
+    import pandas as pd
+
+    from henbun_spark import streaming
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    left = pd.DataFrame(
+        {"k": [1, 2, 9], "lts": [ts(10), ts(20), ts(10000)], "lid": [100, 200, -1]}
+    )
+    right = pd.DataFrame(
+        {"k": [1, 9], "rts": [ts(8), ts(10000)], "rid": [500, -1]}
+    )
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(left).coalesce(1).write.parquet(ldir)
+    spark.createDataFrame(right).coalesce(1).write.parquet(rdir)
+    ls = spark.readStream.schema("k long, lts timestamp, lid long").parquet(ldir)
+    rs = spark.readStream.schema("k long, rts timestamp, rid long").parquet(rdir)
+    joined = streaming.interval_join_streams(
+        ls, rs, on="k", left_ts="lts", right_ts="rts",
+        lower="interval 0 seconds", upper="interval 10 minutes",
+        watermark="5 minutes", how="leftOuter",
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        joined.select("l.k", "lid", "rid")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["lid"], r["rid"])
+        for r in spark.read.parquet(out_dir).where(F.col("lid") >= 0).collect()
+    }
+    assert got == {(100, 500), (200, None)}
