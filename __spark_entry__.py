@@ -5227,6 +5227,84 @@ FROM o GROUP BY source
 """
 
 
+def date_trunc_family(spark, sf_dir):
+    """Datetime-truncation surface: per (week, month, quarter) truncation
+    of order dates with counts and revenue — the calendar-rollup shapes
+    (`date_trunc`) every time-series warehouse query leans on. Map-only
+    truncations + one map-side-combinable aggregation."""
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("wk"),
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mo"),
+            F.date_trunc("quarter", F.col("o_orderdate")).cast("date").alias("qt"),
+            "o_totalprice",
+        )
+        .groupBy("wk", "mo", "qt")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+
+
+_DATE_TRUNC_SQL = f"""
+SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qt,
+       COUNT(*)::BIGINT AS n_orders,
+       {_sql_dsum('o_totalprice', 'revenue')}
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+def null_semantics_suite(spark, sf_dir):
+    """SQL null-semantics surface over a column with real NULLs
+    (c_comment sliced to NULL for a deterministic subset): null-safe
+    equality (<=>), COALESCE, NULLIF, IS DISTINCT FROM aggregation, and
+    null-last ordering counts — the semantics corner every engine must
+    pin down."""
+    c = _load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("seg"),
+    )
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("seg").alias("n_nonnull"),
+        F.sum(F.col("seg").eqNullSafe(F.lit("BUILDING")).cast("long")).alias(
+            "n_building_nullsafe"
+        ),
+        F.sum(
+            (~F.col("seg").eqNullSafe(F.lit("BUILDING"))).cast("long")
+        ).alias("n_not_building_nullsafe"),
+        F.count(F.coalesce(F.col("seg"), F.lit("UNKNOWN"))).alias("n_coalesced"),
+        F.sum(F.nullif(F.col("seg"), F.lit("MACHINERY")).isNull().cast("long")).alias(
+            "n_nullified"
+        ),
+    )
+
+
+_NULL_SEMANTICS_SQL = """
+WITH c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+  FROM customer)
+SELECT COUNT(*)::BIGINT AS n_rows,
+  COUNT(seg)::BIGINT AS n_nonnull,
+  SUM(CASE WHEN seg IS NOT DISTINCT FROM 'BUILDING' THEN 1 ELSE 0 END)::BIGINT
+    AS n_building_nullsafe,
+  SUM(CASE WHEN seg IS DISTINCT FROM 'BUILDING' THEN 1 ELSE 0 END)::BIGINT
+    AS n_not_building_nullsafe,
+  COUNT(COALESCE(seg, 'UNKNOWN'))::BIGINT AS n_coalesced,
+  SUM(CASE WHEN NULLIF(seg, 'MACHINERY') IS NULL THEN 1 ELSE 0 END)::BIGINT
+    AS n_nullified
+FROM c
+"""
+
+
 def asof_nearest_purchase(spark, sf_dir):
     """Nearest-direction as-of join (clicks pick up the temporally
     CLOSEST purchase per user, either side; ties go backward): both
@@ -5679,6 +5757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_incremental_daily": mv_incremental_daily,
         "asof_nearest_purchase": asof_nearest_purchase,
         "assemble_training_corpus": assemble_training_corpus,
+        "date_trunc_family": date_trunc_family,
+        "null_semantics_suite": null_semantics_suite,
         "boilerplate_chunks_docs": boilerplate_chunks_docs,
         "streaming_mv_daily": streaming_mv_daily,
         "streaming_heavy_hitters": streaming_heavy_hitters,
@@ -5841,6 +5921,8 @@ def oracle_sql() -> dict[str, str]:
         "mv_incremental_daily": _MV_INCREMENTAL_SQL,
         "asof_nearest_purchase": _ASOF_NEAREST_SQL,
         "assemble_training_corpus": _assemble_sql(),
+        "date_trunc_family": _DATE_TRUNC_SQL,
+        "null_semantics_suite": _NULL_SEMANTICS_SQL,
         "boilerplate_chunks_docs": _BOILERPLATE_SQL,
         "streaming_mv_daily": _MV_INCREMENTAL_SQL,
         "streaming_heavy_hitters": _HEAVY_HITTERS_SQL,

@@ -135,6 +135,8 @@ HEADLINE = [
     "asof_nearest_purchase",
     "assemble_training_corpus",
     "tdigest_quantiles_value",
+    "date_trunc_family",
+    "null_semantics_suite",
     "video_dedup_frames",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
