@@ -5513,6 +5513,37 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
 """
 
 
+def streaming_ivf_ingest(spark, sf_dir):
+    """Incremental ANN index maintenance on a stream: arriving vectors
+    are cell-assigned (Column math, centroid literals) and APPENDED to
+    a cell-partitioned parquet index — no rewrite, no state; serving
+    prunes the scan to the probed cells' partition directories. Rows-
+    only check; pytest asserts the streamed index serves IDENTICAL
+    results to the batch `ivf_topk` under the same quantizer."""
+    from henbun_spark.operators import similarity
+
+    emb = _load(spark, sf_dir, "embeddings")
+    centroids = similarity.train_coarse_quantizer(
+        emb, "embedding", "vec_id", n_cells=8, train_sample=2000, seed=42
+    )
+    base = _scratch_dir("henbun_sivf_")
+    in_dir = f"{base}/in"
+    emb.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = similarity.ivf_index_write_stream(
+        stream, centroids, f"{base}/index", f"{base}/ckpt"
+    )
+    q.awaitTermination()
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_index_search(
+        spark, f"{base}/index", centroids, queries, k=3, nprobe=2
+    )
+
+
 def streaming_heavy_hitters(spark, sf_dir):
     """Incremental heavy-hitter maintenance on a stream, ORACLE-CHECKED
     with the SAME SQL as the batch `heavy_hitters_users`: each
@@ -5767,6 +5798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq": ann_topk_pq,
         "video_dedup_frames": video_dedup_frames,
         "tdigest_quantiles_value": tdigest_quantiles_value,
+        "streaming_ivf_ingest": streaming_ivf_ingest,
         "vi_linear_regression": vi_linear_regression,
         "vi_amortized_encoder": vi_amortized_encoder,
         "gp_sparse_posterior": gp_sparse_posterior,

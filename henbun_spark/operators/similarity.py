@@ -216,6 +216,37 @@ def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 10, seed: int = 0) -> n
     return centroids
 
 
+def train_coarse_quantizer(
+    corpus: DataFrame,
+    emb_col: str,
+    id_col: str,
+    n_cells: int,
+    train_sample: int,
+    seed: int,
+) -> np.ndarray:
+    """Deterministic IVF quantizer training shared by the batch and
+    streaming index paths. Training rows drawn by hash-of-id order, NOT
+    .limit(): limit takes rows from the first partition(s), so on
+    sorted/clustered data the centroids would be unrepresentative.
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    top-k, driver merge) — bounded and deterministic regardless of
+    layout."""
+    sample_rows = (
+        corpus.select(
+            F.col(emb_col).cast("array<double>").alias("v"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(train_sample)
+        .toPandas()["v"]
+    )
+    return _kmeans_fit(
+        np.stack(sample_rows.to_numpy()),
+        k=min(n_cells, len(sample_rows)),
+        seed=seed,
+    )
+
+
 def _nearest_centroid_col(vec_col, centroids: np.ndarray, top: int = 1):
     """Column expr: index (or array of indices) of the nearest centroid(s)
     by dot product on the L2-normalized vector. Centroid coefficients are
@@ -260,24 +291,8 @@ def ivf_topk(
     centroid literals; the join is hash-keyed on cell id — candidates per
     query are ~nprobe/n_cells of the corpus, never all of it.
     """
-    # Training rows drawn by hash-of-id order, NOT .limit(): limit takes
-    # rows from the first partition(s), so on sorted/clustered data the
-    # centroids would be unrepresentative. orderBy+limit compiles to
-    # TakeOrderedAndProject (per-partition top-k, driver merge) — bounded
-    # and deterministic regardless of layout.
-    sample_rows = (
-        corpus.select(
-            F.col(emb_col).cast("array<double>").alias("v"),
-            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("__h"),
-        )
-        .orderBy("__h")
-        .limit(train_sample)
-        .toPandas()["v"]
-    )
-    centroids = _kmeans_fit(
-        np.stack(sample_rows.to_numpy()),
-        k=min(n_cells, len(sample_rows)),
-        seed=seed,
+    centroids = train_coarse_quantizer(
+        corpus, emb_col, id_col, n_cells, train_sample, seed
     )
     c = ensure_parallelism(
         corpus.select(
@@ -461,6 +476,81 @@ def pq_topk(
     )
     return (
         rer.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_index_write_stream(
+    stream: DataFrame,
+    centroids: np.ndarray,
+    index_dir: str,
+    checkpoint_dir: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Incremental IVF index maintenance on a stream: each arriving
+    vector is assigned its coarse cell (pure Column math — centroid
+    coefficients are plan-time literals, no Python in the hot path) and
+    APPENDED to a cell-partitioned parquet index. No rewrite, no state:
+    the index grows by partition-local appends, and `ivf_index_search`
+    prunes to the probed cells at scan time. The quantizer is trained
+    once up front (`_kmeans_fit` on a bounded sample) — the standard
+    vector-index recipe where re-training is an offline rebuild, not a
+    streaming concern. Returns the StreamingQuery."""
+    assigned = stream.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).cast("array<double>").alias("cvec"),
+    ).withColumn("cell", _nearest_centroid_col(F.col("cvec"), centroids))
+    return (
+        assigned.writeStream.format("parquet")
+        .partitionBy("cell")
+        .option("path", index_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ivf_index_search(
+    spark,
+    index_dir: str,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Serve top-k from a cell-partitioned IVF index: queries probe
+    their `nprobe` nearest cells, the scan prunes to those PARTITION
+    DIRECTORIES (an `IN` filter on the partition column — the physical
+    payoff of the partitioned layout: untouched cells are never read),
+    then exact cosine + rank within the candidates."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).cast("array<double>").alias("qvec"),
+    ).withColumn(
+        "cell",
+        F.explode(_nearest_centroid_col(F.col("qvec"), centroids, top=nprobe)),
+    )
+    probe_cells = [int(r["cell"]) for r in q.select("cell").distinct().collect()]
+    index = spark.read.parquet(index_dir).where(F.col("cell").isin(probe_cells))
+    scored = (
+        index.join(F.broadcast(q), on="cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )

@@ -19,6 +19,7 @@ ROWS_ONLY = {
     "ann_topk_pq",
     "video_dedup_frames",
     "tdigest_quantiles_value",
+    "streaming_ivf_ingest",
     "approx_distinct_events",
     "kmeans_embeddings",
     "pca_embeddings",

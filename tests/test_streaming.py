@@ -472,3 +472,38 @@ def test_interval_left_join_emits_unmatched_after_watermark(spark, tmp_path):
         for r in spark.read.parquet(out_dir).where(F.col("lid") >= 0).collect()
     }
     assert got == {(100, 500), (200, None)}
+
+
+def test_streaming_ivf_index_matches_batch(spark, tmp_path):
+    """The stream-built cell-partitioned IVF index serves IDENTICAL
+    top-k results to the batch ivf_topk under the same quantizer —
+    append-only ingestion loses nothing and cell pruning finds the same
+    candidates."""
+    from henbun_spark import sources
+    from henbun_spark.operators import similarity
+
+    emb = sources.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    centroids = similarity.train_coarse_quantizer(
+        emb, "embedding", "vec_id", n_cells=8, train_sample=2000, seed=42
+    )
+    in_dir = str(tmp_path / "in")
+    emb.repartition(3).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = similarity.ivf_index_write_stream(
+        stream, centroids, str(tmp_path / "index"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    queries = emb.where(F.col("vec_id") < 5)
+    served = similarity.ivf_index_search(
+        spark, str(tmp_path / "index"), centroids, queries, k=3, nprobe=2
+    )
+    batch = similarity.ivf_topk(
+        emb, queries, k=3, n_cells=8, nprobe=2, train_sample=2000, seed=42
+    )
+    s = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in served.collect()}
+    b = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in batch.collect()}
+    assert s == b and len(s) > 0
