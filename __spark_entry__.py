@@ -2794,6 +2794,56 @@ def vi_amortized_encoder(spark, sf_dir):
     )
 
 
+def vi_staged_training(spark, sf_dir):
+    """Collection-scoped STAGED optimization, distributed — the
+    reference's Expert_GPR training recipe (freeze one parameter set
+    while fitting the other, then swap): stage 1 fits the location
+    with the scale frozen (collection 'loc'), stage 2 fits the scale
+    with the location frozen (collection 'scale'). Each stage is its
+    own SparkTrainer over the same cached frame; the frozen values are
+    bitwise unchanged across the other stage (asserted here via the
+    output). Rows-only (stochastic training has no SQL oracle)."""
+    import henbun_spark as hb
+    from henbun_spark.spark_exec import ColumnData, SparkTrainer
+
+    ev = _load(spark, sf_dir, "events").select(
+        (F.col("value") / 100.0).alias("y")
+    )
+
+    class Staged(hb.Model):
+        def setUp(self):
+            self.y = ColumnData("y")
+            self.mu = hb.Variable([1], collections="loc")
+            self.lnsig = hb.Variable([1], collections="scale")
+
+        def local_objective(self):
+            import henbun_spark.autodiff as ad
+
+            var = ad.exp(self.lnsig * 2.0)
+            return hb.densities.gaussian(self.y, self.mu, var)
+
+    m = Staged()
+    t1 = SparkTrainer(m, ev, optimizer=hb.Adam(learning_rate=0.1), collection="loc")
+    lnsig_before = float(np.asarray(m.lnsig.value).ravel()[0])
+    t1.fit(maxiter=12)
+    lnsig_after_s1 = float(np.asarray(m.lnsig.value).ravel()[0])
+    mu_after_s1 = float(np.asarray(m.mu.value).ravel()[0])
+    t2 = SparkTrainer(m, ev, optimizer=hb.Adam(learning_rate=0.1), collection="scale")
+    t2.fit(maxiter=12)
+    mu_after_s2 = float(np.asarray(m.mu.value).ravel()[0])
+    return spark.createDataFrame(
+        [
+            ("mu_fitted", mu_after_s1),
+            ("mu_frozen_in_stage2", float(mu_after_s1 == mu_after_s2)),
+            ("lnsig_frozen_in_stage1", float(lnsig_before == lnsig_after_s1)),
+            ("lnsig_fitted", float(np.asarray(m.lnsig.value).ravel()[0])),
+            ("stage1_improved", float(t1.history[-1] > t1.history[0])),
+            ("stage2_improved", float(t2.history[-1] > t2.history[0])),
+        ],
+        "param string, value double",
+    )
+
+
 def gp_regression_events(spark, sf_dir):
     """Sparse-GP regression TRAINED on a real table — the reference's
     GPR notebook lifecycle (whitened variational u over inducing points,
@@ -5803,6 +5853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vi_amortized_encoder": vi_amortized_encoder,
         "gp_sparse_posterior": gp_sparse_posterior,
         "gp_regression_events": gp_regression_events,
+        "vi_staged_training": vi_staged_training,
         "streaming_windowed_counts": streaming_windowed_counts,
         "streaming_hopping_counts": streaming_hopping_counts,
         "streaming_asof_purchase": streaming_asof_purchase,

@@ -55,10 +55,19 @@ from henbun_spark import sources
 #    crossed onto the per-source rate table (|sources| rows).
 #  - assemble_training_corpus: contains the same bounded mixing
 #    normalization cross join as mix_temperature_sources.
+#  - streaming_heavy_hitters: same bounded verify shape as
+#    heavy_hitters_users (1-row total crossed onto candidate counts).
+#  - streaming_hll_users: 1-row sketch estimate crossed with the 1-row
+#    exact-distinct aggregate (same shape as hll_distinct_users).
+#  - tdigest_quantiles_value: the 5-row estimate table crossed with the
+#    1-row exact-percentiles aggregate.
 BNLJ_OK = {
     "heavy_hitters_users",
     "mix_temperature_sources",
     "assemble_training_corpus",
+    "streaming_heavy_hitters",
+    "streaming_hll_users",
+    "tdigest_quantiles_value",
     "range_join_quantity",
     "sim_cosine_topk",
     "emb_near_dup",
