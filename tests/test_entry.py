@@ -13,6 +13,7 @@ ROWS_ONLY = {
     "vi_linear_regression",
     "gp_sparse_posterior",
     "gp_regression_events",
+    "gp_experts_events",
     "vi_staged_training",
     "multimodal_features",
     "ann_topk_lsh",
