@@ -2744,6 +2744,45 @@ def vi_linear_regression(spark, sf_dir):
     )
 
 
+def vi_minibatch_sgd(spark, sf_dir):
+    """Minibatch stochastic training — the reference's scalability
+    mechanism (MinibatchData, `param.py:716-739`) distributed: each Adam
+    step samples a deterministic per-step fraction of the frame
+    (seed = f(step), retry-safe), gradients rescale by 1/fraction so
+    they stay unbiased for the full objective. Recovers the same
+    regression fit as the full-batch `vi_linear_regression` at a fifth
+    of the per-step rows. Rows-only."""
+    import henbun_spark as hb
+    from henbun_spark.spark_exec import ColumnData, SparkTrainer
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    class Reg(hb.Model):
+        def setUp(self):
+            self.x = ColumnData("x")
+            self.y = ColumnData("y")
+            self.ab = hb.Variable([2])
+
+        def local_objective(self):
+            pred = self.ab[0] + self.ab[1] * self.x
+            return hb.densities.gaussian(self.y, pred, 1.0)
+
+    trainer = SparkTrainer(Reg(), ev, optimizer=hb.Adam(learning_rate=0.05))
+    trainer.fit(maxiter=25, minibatch_fraction=0.2)
+    a, b = trainer.model.ab.value
+    return spark.createDataFrame(
+        [
+            ("a", float(a)),
+            ("b", float(b)),
+            ("loss_final", float(trainer.history[-1])),
+        ],
+        "param string, value double",
+    )
+
+
 def vi_amortized_encoder(spark, sf_dir):
     """The reference's core differentiator end-to-end, DISTRIBUTED: the
     global/local split (README.md:14-21) — a NeuralNet encoder emits
@@ -5920,6 +5959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantiles_value": tdigest_quantiles_value,
         "streaming_ivf_ingest": streaming_ivf_ingest,
         "vi_linear_regression": vi_linear_regression,
+        "vi_minibatch_sgd": vi_minibatch_sgd,
         "vi_amortized_encoder": vi_amortized_encoder,
         "gp_sparse_posterior": gp_sparse_posterior,
         "gp_regression_events": gp_regression_events,

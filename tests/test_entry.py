@@ -11,6 +11,7 @@ from henbun_spark import sources
 
 ROWS_ONLY = {
     "vi_linear_regression",
+    "vi_minibatch_sgd",
     "gp_sparse_posterior",
     "gp_regression_events",
     "gp_experts_events",
