@@ -5061,6 +5061,29 @@ HAVING COUNT(*) * 128 > tot.N
 """
 
 
+def heavy_hitters_by_type(spark, sf_dir):
+    """GROUPED Misra-Gries heavy hitters: per event_type, the users with
+    within-segment frequency > segment_n / 128 — "trending per segment"
+    with O(k) sketch state per (task, group), candidate summaries (not
+    raw data) shuffling on the group, and one exact candidate-only
+    verify pass. Same no-false-negative guarantee per group, so the
+    oracle is the plain per-group HAVING."""
+    from henbun_spark.operators import sketch
+
+    ev = _load(spark, sf_dir, "events")
+    return sketch.heavy_hitters_grouped(ev, "event_type", "user_id", k=128)
+
+
+_HH_GROUPED_SQL = """
+WITH tot AS (
+  SELECT event_type, COUNT(*) AS grp_n FROM events GROUP BY event_type)
+SELECT e.event_type, CAST(e.user_id AS VARCHAR) AS key, COUNT(*)::BIGINT AS n
+FROM events e JOIN tot USING (event_type)
+GROUP BY e.event_type, e.user_id, tot.grp_n
+HAVING COUNT(*) * 128 > tot.grp_n
+"""
+
+
 def gapfill_hourly_interp(spark, sf_dir):
     """Hourly rollup with LINEAR-interpolation gap filling per user (the
     `interpolate` sibling of gapfill_hourly_locf): missing buckets take
@@ -5940,6 +5963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priors_logp": priors_logp,
         # round-4 additions
         "heavy_hitters_users": heavy_hitters_users,
+        "heavy_hitters_by_type": heavy_hitters_by_type,
         "gapfill_hourly_interp": gapfill_hourly_interp,
         "dedup_normalized": dedup_normalized,
         "mix_temperature_sources": mix_temperature_sources,
@@ -6108,6 +6132,7 @@ def oracle_sql() -> dict[str, str]:
         "transform_exp": _TRANSFORM_EXP_SQL,
         "priors_logp": _PRIORS_SQL,
         "heavy_hitters_users": _HEAVY_HITTERS_SQL,
+        "heavy_hitters_by_type": _HH_GROUPED_SQL,
         "gapfill_hourly_interp": _GAPFILL_INTERP_SQL,
         "dedup_normalized": _DEDUP_NORM_SQL,
         "mix_temperature_sources": _MIX_TEMP_SQL,

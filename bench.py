@@ -125,6 +125,7 @@ HEADLINE = [
     "chunk_docs_overlap",
     "quantile_sketch_value",
     "heavy_hitters_users",
+    "heavy_hitters_by_type",
     "gapfill_hourly_interp",
     "dedup_normalized",
     "mix_temperature_sources",

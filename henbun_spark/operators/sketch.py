@@ -671,3 +671,69 @@ def tdigest_quantile(digest: DataFrame, qs: list[float]) -> DataFrame:
         out.append((float(q), float(est)))
     spark = digest.sparkSession
     return spark.createDataFrame(out, "q double, est double")
+
+
+def heavy_hitters_grouped(
+    df: DataFrame, group_col: str, key_col: str, k: int = 32
+) -> DataFrame:
+    """Per-group heavy hitters: for every ``group_col`` value, the keys
+    with within-group frequency > group_n / k — "trending items per
+    segment" without a full (group, key) groupBy over the key space.
+
+    Pass 1a (mapInPandas, no shuffle): each scan task keeps one
+    Misra-Gries dict PER GROUP seen (O(groups_in_task * k) state) and
+    emits weighted summaries — <= (k-1) rows per (task, group). Pass 1b:
+    the summaries shuffle on the group (bounded rows, never raw data)
+    and fold per group into <= k-1 candidates (`mg_fold` is the MG
+    merge, so the per-group undercount bound N_g/k survives the merge
+    tree). Pass 2: counts ONLY candidate (group, key) pairs —
+    non-candidates collapse into one NULL key per group — and the group
+    totals come out of the same aggregation.
+
+    Output: (group string, key string, n bigint) with n * k > group_n
+    (both columns stringified for genericity).
+    """
+    import pandas as pd
+
+    pairs = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(key_col).cast("string").alias("key"),
+    )
+
+    def summaries(batches):
+        ds: dict = {}
+        for pdf in batches:
+            for (g, key), c in pdf.groupby(["grp", "key"]).size().items():
+                mg_fold(ds.setdefault(g, {}), [(key, int(c))], k)
+        yield pd.DataFrame(
+            [
+                (g, key, int(w))
+                for g, d in ds.items()
+                for key, w in d.items()
+            ],
+            columns=["grp", "key", "wt"],
+        )
+
+    summ = pairs.mapInPandas(
+        summaries, "grp string, key string, wt bigint"
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        d: dict = {}
+        mg_fold(d, zip(pdf["key"], pdf["wt"]), k)
+        return pd.DataFrame({"grp": pdf["grp"].iloc[0], "key": list(d.keys())})
+
+    cands = summ.groupBy("grp").applyInPandas(
+        merge, "grp string, key string"
+    ).withColumn("is_c", F.lit(True))
+    flagged = pairs.join(F.broadcast(cands), ["grp", "key"], "left")
+    counts = flagged.groupBy(
+        "grp", F.when(F.col("is_c"), F.col("key")).alias("key")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("grp").agg(F.sum("n").alias("grp_n"))
+    return (
+        counts.where(F.col("key").isNotNull())
+        .join(F.broadcast(totals), "grp")
+        .where(F.col("n") * k > F.col("grp_n"))
+        .select(F.col("grp").alias(group_col), "key", "n")
+    )
