@@ -4966,6 +4966,43 @@ est AS (
 """
 
 
+def sliding_distinct_users(spark, sf_dir):
+    """Distinct users per SLIDING window (2h window / 1h hop) as one HLL
+    sketch per window next to the exact count — the streaming-dashboard
+    shape ("unique visitors, rolling 2h") where the exact distinct must
+    expand every (window, user) pair but the sketch caps state at 2^b
+    registers per window. Each event explodes into its two covering
+    windows (map-only), then the register build combines map-side.
+    Oracle rebuilds identical per-window registers from the same window
+    arithmetic."""
+    from henbun_spark.operators import sketch
+
+    ev = _load(spark, sf_dir, "events")
+    wstart = (
+        (F.unix_timestamp(F.col("ts")) / 3600).cast("long") * 3600
+    )
+    ev2 = ev.select(
+        "user_id",
+        F.explode(F.array(wstart, wstart - 3600)).alias("win_start"),
+    )
+    regs = sketch.hll_registers(ev2, "user_id", b=8, group_cols=["win_start"])
+    est = sketch.hll_estimate(regs, b=8, group_cols=["win_start"])
+    exact = ev2.groupBy("win_start").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "win_start")
+
+
+def _hll_windowed_sql() -> str:
+    base = _hll_sql(group_col="win_start").replace("FROM events", "FROM winsrc")
+    win = """winsrc AS (
+  SELECT user_id, unnest([
+    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600,
+    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 - 3600]) AS win_start
+  FROM events),"""
+    return base.replace("WITH hashed AS (", "WITH " + win + "\nhashed AS (")
+
+
 def hll_users_by_type(spark, sf_dir):
     """GROUPED HyperLogLog: distinct users per event_type as one sketch
     per group (<= 256 rows each), next to the exact count — the realistic
@@ -5964,6 +6001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions
         "heavy_hitters_users": heavy_hitters_users,
         "heavy_hitters_by_type": heavy_hitters_by_type,
+        "sliding_distinct_users": sliding_distinct_users,
         "gapfill_hourly_interp": gapfill_hourly_interp,
         "dedup_normalized": dedup_normalized,
         "mix_temperature_sources": mix_temperature_sources,
@@ -6133,6 +6171,7 @@ def oracle_sql() -> dict[str, str]:
         "priors_logp": _PRIORS_SQL,
         "heavy_hitters_users": _HEAVY_HITTERS_SQL,
         "heavy_hitters_by_type": _HH_GROUPED_SQL,
+        "sliding_distinct_users": _hll_windowed_sql(),
         "gapfill_hourly_interp": _GAPFILL_INTERP_SQL,
         "dedup_normalized": _DEDUP_NORM_SQL,
         "mix_temperature_sources": _MIX_TEMP_SQL,

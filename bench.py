@@ -126,6 +126,7 @@ HEADLINE = [
     "quantile_sketch_value",
     "heavy_hitters_users",
     "heavy_hitters_by_type",
+    "sliding_distinct_users",
     "gapfill_hourly_interp",
     "dedup_normalized",
     "mix_temperature_sources",
