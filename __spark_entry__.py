@@ -3458,6 +3458,51 @@ def image_dedup_ahash(spark, sf_dir):
     return pairs.orderBy("id_a", "id_b")
 
 
+def audio_dedup_fp(spark, sf_dir):
+    """Perceptual audio dedup end-to-end on REAL waveforms — the audio
+    sibling of `image_dedup_ahash`: genuine PCM16 WAV payloads (multi-tone
+    mixes, so spectra are diverse) -> decode + spectral-envelope
+    fingerprint (Arrow-batched mapInPandas; only (id, 31-bit fp) leaves
+    the scan) -> banded Hamming pair join (pigeonhole blocks, no
+    all-pairs). 8 planted re-levelled+noisy copies must pair with their
+    originals: the fingerprint bits are cumulative-energy-curve signs,
+    invariant to gain and robust to additive noise. Rows-only (waveform
+    decode has no SQL oracle; codec/fingerprint parity is pytest-covered)."""
+    import numpy as np  # noqa: F811 — local alias for the closure below
+
+    from henbun_spark.operators import multimodal
+
+    rng = np.random.default_rng(7)
+    t = np.arange(3200) / 16000.0
+    # one tone per log-spaced band with random (lognormal) energy: the
+    # cumulative-energy curve wiggles around the diagonal, so the 31
+    # fingerprint bits are document-specific (sparse 4-tone spectra all
+    # collapse to near-identical run-of-ones patterns)
+    band_freqs = np.geomspace(40.0, 7200.0, 31)
+    rows, waves = [], {}
+    for i in range(64):
+        amps = 0.02 * rng.lognormal(0.0, 1.0, size=31)
+        phases = rng.uniform(0.0, 2 * np.pi, size=31)
+        w = np.zeros_like(t)
+        for fq, am, ph in zip(band_freqs, amps, phases):
+            w += am * np.sin(2 * np.pi * fq * t + ph)
+        waves[i] = w
+        rows.append(
+            (i, "audio", bytearray(multimodal.encode_wav(w)),
+             (None, None, 16000, 200, "wav"))
+        )
+    for i in range(8):  # gain-shifted noisy re-encodes of the first 8
+        noisy = waves[i] * 0.8 + rng.normal(0.0, 0.01, t.size)
+        rows.append(
+            (1000 + i, "audio", bytearray(multimodal.encode_wav(noisy)),
+             (None, None, 16000, 200, "wav"))
+        )
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA).coalesce(8)
+    fp = multimodal.audio_fingerprint(media).withColumnRenamed("afp", "ahash")
+    pairs = multimodal.ahash_near_pairs(fp, bits=31, max_hamming=3)
+    return pairs.orderBy("id_a", "id_b")
+
+
 def streaming_interval_join(spark, sf_dir):
     """Watermarked stream-stream interval join, drained with availableNow
     and ORACLE-CHECKED: with an eviction-free watermark over a finite
@@ -6037,6 +6082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich_static": streaming_enrich_static,
         "multimodal_features": multimodal_features,
         "image_dedup_ahash": image_dedup_ahash,
+        "audio_dedup_fp": audio_dedup_fp,
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
         "kmeans_embeddings": kmeans_embeddings,

@@ -29,6 +29,7 @@ ROWS_ONLY = {
     "bpe_train_encode",
     "vi_amortized_encoder",
     "image_dedup_ahash",
+    "audio_dedup_fp",
     "semantic_dedup_emb",
 }
 
