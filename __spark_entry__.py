@@ -1178,6 +1178,63 @@ LIMIT 10
 """
 
 
+def salted_join_segments(spark, sf_dir):
+    """Skew-mitigated fact-to-dim join (`relational.salted_join`): events
+    rows scatter across 8 salted sub-keys, the customer dim replicates
+    once per salt, and the join keys on (user_id, salt) — a hot user's
+    rows spread over 8 reducer tasks instead of one straggler. The
+    per-segment aggregate is salt-invariant, so the oracle is the PLAIN
+    join: salting must change the schedule, never the result."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events").select("user_id", "value")
+    cust = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = relational.salted_join(ev, cust, on="user_id", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value"), "value_sum"),
+    )
+
+
+_SALTED_JOIN_SQL = f"""
+SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+  {_sql_dsum('value', 'value_sum')}
+FROM events JOIN customer ON customer.c_custkey = events.user_id
+GROUP BY 1
+"""
+
+
+def partition_pruned_scan(spark, sf_dir):
+    """Hive-partitioned layout + partition pruning end-to-end: events
+    rewritten `partitionBy(day)` (the 100 TB ingest layout), then a
+    day-range aggregate whose filter prunes DIRECTORIES at planning time
+    — the scan never lists, opens, or reads files outside the three
+    matching partitions (PartitionFilters in the plan; asserted in
+    pytest). The oracle computes the same aggregate from the unpruned
+    table, so the pruned scan must lose zero rows."""
+    ev = _load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    base = _scratch_dir("henbun_prune_")
+    ev.write.mode("overwrite").partitionBy("day").parquet(base)
+    part = spark.read.parquet(base).where(
+        F.col("day").between("2024-01-05", "2024-01-07")
+    )
+    return part.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value"), "value_sum"),
+    ).withColumn("day", F.col("day").cast("date"))
+
+
+_PARTITION_PRUNE_SQL = f"""
+SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*)::BIGINT AS n,
+  {_sql_dsum('value', 'value_sum')}
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+GROUP BY 1, 2
+"""
+
+
 def budget_select_docs(spark, sf_dir):
     """Token-budget corpus selection: highest-n_chars docs until a 12k
     cumulative token budget — the distributed two-pass prefix sum
@@ -5967,6 +6024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hashing_events": feature_hashing_events,
         "zorder_events": zorder_events,
         "skew_report_events": skew_report_events,
+        "salted_join_segments": salted_join_segments,
+        "partition_pruned_scan": partition_pruned_scan,
         "budget_select_docs": budget_select_docs,
         "funnel_signup_purchase": funnel_signup_purchase,
         "weighted_sample_docs": weighted_sample_docs,
@@ -6143,6 +6202,8 @@ def oracle_sql() -> dict[str, str]:
         "feature_hashing_events": _feature_hash_sql(),
         "zorder_events": _ZORDER_SQL,
         "skew_report_events": _SKEW_SQL,
+        "salted_join_segments": _SALTED_JOIN_SQL,
+        "partition_pruned_scan": _PARTITION_PRUNE_SQL,
         "budget_select_docs": _BUDGET_SELECT_SQL,
         "funnel_signup_purchase": _FUNNEL_SQL,
         "weighted_sample_docs": _weighted_sample_sql(),

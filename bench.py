@@ -140,6 +140,9 @@ HEADLINE = [
     "date_trunc_family",
     "null_semantics_suite",
     "video_dedup_frames",
+    "salted_join_segments",
+    "partition_pruned_scan",
+    "audio_dedup_fp",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
     # at any SF; they stay on the CORRECTNESS board.
