@@ -2765,6 +2765,55 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def sql_udf_surface(spark, sf_dir):
+    """The PURE-SQL math surface (`henbun_spark.sql_functions`): the
+    density/transform families registered as Spark SQL temporary
+    functions and exercised entirely through `spark.sql(...)` — no
+    Column API anywhere. SQL UDFs are macros, so this plan is the same
+    whole-stage codegen as the Column twin queries (`density_gaussian`,
+    `transform_softplus`): zero Python workers, constant folding and
+    pushdown see through every `hb_*` call. The oracle inlines the
+    identical formulas (same op order, same literals)."""
+    from henbun_spark.sql_functions import register_sql_functions
+
+    register_sql_functions(spark)
+    _load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+SELECT l_returnflag,
+  CAST(SUM(CAST(ROUND(hb_gaussian(l_quantity, 25.0D, 100.0D), 6) AS DECIMAL(38,6))) AS DOUBLE) AS sum_gauss,
+  CAST(SUM(CAST(ROUND(hb_laplace(25.0D, 10.0D, l_quantity), 6) AS DECIMAL(38,6))) AS DOUBLE) AS sum_laplace,
+  CAST(SUM(CAST(ROUND(hb_log1pe(l_discount * 10.0D), 6) AS DECIMAL(38,6))) AS DOUBLE) AS sum_log1pe,
+  CAST(SUM(CAST(ROUND(hb_bimixture(0.3D,
+      hb_gaussian(l_quantity, 20.0D, 100.0D),
+      hb_gaussian(l_quantity, 30.0D, 100.0D)), 6) AS DECIMAL(38,6))) AS DOUBLE) AS sum_bimix
+FROM lineitem GROUP BY l_returnflag
+""")
+
+
+def _sql_udf_oracle() -> str:
+    gauss = (
+        lambda mu: f"({-HALF_LOG_2PI!r} - 0.5 * ln(100.0)"
+        f" - 0.5 * ({mu} - l_quantity) * ({mu} - l_quantity) / 100.0)"
+    )
+    a = f"({gauss('20.0')} + ln(0.3))"
+    b = f"({gauss('30.0')} + ln(1.0 - 0.3))"
+    bimix = (
+        f"greatest({a}, {b})"
+        f" + ln(exp({a} - greatest({a}, {b})) + exp({b} - greatest({a}, {b})))"
+    )
+    return f"""
+SELECT l_returnflag,
+  {_sql_dsum(gauss('25.0'), 'sum_gauss')},
+  {_sql_dsum('-abs(25.0 - l_quantity) / 10.0 - ln(2.0 * 10.0)', 'sum_laplace')},
+  {_sql_dsum('greatest(l_discount * 10.0, 0.0) + ln(1.0 + exp(-abs(l_discount * 10.0))) + 1e-06', 'sum_log1pe')},
+  {_sql_dsum(bimix, 'sum_bimix')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+_SQL_UDF_SQL = _sql_udf_oracle()
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible: VI training, GP sampling, streaming, multimodal, ANN
 # (driver records rows-only checks for these)
@@ -6102,6 +6151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_softplus": transform_softplus,
         "transform_exp": transform_exp,
         "priors_logp": priors_logp,
+        "sql_udf_surface": sql_udf_surface,
         # round-4 additions
         "heavy_hitters_users": heavy_hitters_users,
         "heavy_hitters_by_type": heavy_hitters_by_type,
@@ -6274,6 +6324,7 @@ def oracle_sql() -> dict[str, str]:
         "density_laplace": _DENS_LAPLACE_SQL,
         "density_bimixture": _DENS_BIMIX_SQL,
         "transform_softplus": _TRANSFORM_SQL,
+        "sql_udf_surface": _SQL_UDF_SQL,
         "transform_exp": _TRANSFORM_EXP_SQL,
         "priors_logp": _PRIORS_SQL,
         "heavy_hitters_users": _HEAVY_HITTERS_SQL,

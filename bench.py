@@ -143,6 +143,7 @@ HEADLINE = [
     "salted_join_segments",
     "partition_pruned_scan",
     "audio_dedup_fp",
+    "sql_udf_surface",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
     # at any SF; they stay on the CORRECTNESS board.

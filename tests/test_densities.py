@@ -193,3 +193,47 @@ def test_lgamma_column_matches_math(spark):
     assert "EvalPython" not in expr_plan
     expect = np.vectorize(math.lgamma)(np.sort(xs))
     np.testing.assert_allclose(got["lg"].to_numpy(), expect, rtol=1e-12, atol=1e-13)
+
+
+def test_sql_function_registry_matches_column_api(spark):
+    """Every hb_* SQL function evaluates bitwise-identical to its Column/
+    numpy twin, and the call macro-expands into codegen (a constant call
+    constant-folds — no Python eval, no UDF node in the plan)."""
+    from pyspark.sql import functions as F
+
+    from henbun_spark import densities, transforms
+    from henbun_spark.sql_functions import register_sql_functions
+
+    register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT hb_gaussian(3.0D, 1.0D, 4.0D) AS g,"
+        " hb_lognormal(3.0D, 0.0D, 1.0D) AS lnr,"
+        " hb_bernoulli(0.3D, 1.0D) AS be,"
+        " hb_exponential(2.0D, 1.0D) AS ex,"
+        " hb_laplace(0.0D, 1.0D, 2.0D) AS la,"
+        " hb_bimixture(0.4D, -1.0D, -2.0D) AS bi,"
+        " hb_softplus(-3.0D) AS sp,"
+        " hb_logistic(0.5D, 0.0D, 2.0D) AS lg,"
+        " hb_clip(5.0D, 0.0D, 1.0D) AS cl"
+    ).collect()[0]
+    lit = F.lit
+    col_row = spark.range(1).select(
+        densities.gaussian(lit(3.0), lit(1.0), lit(4.0)).alias("g"),
+        densities.lognormal(lit(3.0), lit(0.0), lit(1.0)).alias("lnr"),
+        densities.bernoulli(lit(0.3), lit(1.0)).alias("be"),
+        densities.exponential(lit(2.0), lit(1.0)).alias("ex"),
+        densities.laplace(lit(0.0), lit(1.0), lit(2.0)).alias("la"),
+        densities.bimixture(lit(0.4), lit(-1.0), lit(-2.0)).alias("bi"),
+        transforms.Logistic(0.0, 2.0).forward(lit(0.5)).alias("lg"),
+    ).collect()[0]
+    for k in ["g", "lnr", "be", "ex", "la", "bi", "lg"]:
+        assert row[k] == col_row[k], k  # bitwise: same engine, same ops
+    assert row["cl"] == 1.0
+    # and the numpy mode agrees to the last couple ulps (libm vs JVM ln)
+    assert abs(row["g"] - float(densities.gaussian(3.0, 1.0, 4.0))) < 1e-14
+    plan = (
+        spark.sql("SELECT hb_gaussian(3.0D, 1.0D, 4.0D) AS g")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "UDF" not in plan
+    assert "-2.112085713764618" in plan  # constant-folded to a literal
