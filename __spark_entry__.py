@@ -5222,6 +5222,111 @@ GROUP BY events.event_type
 """
 
 
+def anomaly_mad_events(spark, sf_dir):
+    """Robust (median/MAD) anomaly detection per event_type — the outlier
+    filter that survives heavy-tailed distributions where mean/std
+    (`anomaly_zscore_events`) gets dragged by the outliers it should
+    flag: pass 1 computes the exact interpolated median, pass 2 the
+    median absolute deviation, then rows beyond 3 * 1.4826 * MAD are
+    flagged. Both statistics quantize to 1e-6 via the portable
+    floor-quantize (identical IEEE op sequence in both engines) BEFORE
+    entering the flag predicate, so the boundary comparison is
+    bit-deterministic cross-engine. Three keyed passes with 5-row
+    broadcast stats — no global sort, no driver round-trip."""
+    ev = _load(spark, sf_dir, "events")
+
+    def q(c):  # portable 1e-6 quantizer (round(x, 6) tie-breaks differ)
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    med = ev.groupBy("event_type").agg(
+        q(F.expr("percentile(value, 0.5)")).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            q(F.expr("percentile(adev, 0.5)")).alias("mad"),
+        )
+    )
+    flagged = ev.join(F.broadcast(mad), "event_type").where(
+        F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_anomalies"),
+        F.max("med").alias("med_value"),
+        F.max("mad").alias("mad_value"),
+    )
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type,
+    floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS med
+  FROM events GROUP BY 1),
+mad AS (
+  SELECT events.event_type, MAX(med) AS med,
+    floor(quantile_cont(abs(value - med), 0.5) * 1000000.0 + 0.5) / 1000000.0
+      AS mad
+  FROM events JOIN med USING (event_type) GROUP BY events.event_type)
+SELECT events.event_type, COUNT(*)::BIGINT AS n_anomalies,
+  MAX(med) AS med_value, MAX(mad) AS mad_value
+FROM events JOIN mad USING (event_type)
+WHERE abs(value - med) > 3 * 1.4826 * mad
+GROUP BY 1
+"""
+
+
+def observed_filter_metrics(spark, sf_dir):
+    """One-pass pipeline observability (`DataFrame.observe`): ingest-side
+    metrics (input row count + decimal-exact value sum) ride the SAME
+    job that computes the filtered aggregate — never a second scan of
+    the input. At 100 TB a separate metrics pass doubles the pipeline's
+    IO; `observe` attaches accumulator-style metrics to the plan node,
+    so drop-rate monitoring is free. The bounded 1-row observation is
+    re-emitted next to the kept-side aggregate; the oracle recomputes
+    both sides from the base table."""
+    from pyspark.sql import Observation
+
+    ev = _load(spark, sf_dir, "events")
+    obs = Observation("ingest")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)")).alias("sum_total"),
+    )
+    kept = observed.where(
+        (F.col("value") > 100.0) & (F.col("event_type") != "view")
+    )
+    kept_row = kept.agg(
+        F.count(F.lit(1)).alias("n_kept"), _dsum(F.col("value"), "sum_kept")
+    ).collect()[0]
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_total"]),
+                float(m["sum_total"]),
+                int(kept_row["n_kept"]),
+                float(kept_row["sum_kept"] or 0.0),
+            )
+        ],
+        "n_total bigint, sum_total double, n_kept bigint, sum_kept double",
+    )
+
+
+_OBSERVE_SQL = f"""
+SELECT
+  (SELECT COUNT(*) FROM events)::BIGINT AS n_total,
+  (SELECT CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE)
+     FROM events) AS sum_total,
+  COUNT(*)::BIGINT AS n_kept,
+  {_sql_dsum('value', 'sum_kept')}
+FROM events WHERE value > 100.0 AND event_type <> 'view'
+"""
+
+
 # ---------------------------------------------------------------------------
 # round-4 additions: heavy hitters, interpolated gapfill, normalized dedup,
 # temperature mixing, rolling median, incremental MV maintenance, PQ ANN
@@ -6098,6 +6203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_intervals": scd2_user_intervals,
         "array_functions_emb": array_functions_emb,
         "anomaly_zscore_events": anomaly_zscore_events,
+        "anomaly_mad_events": anomaly_mad_events,
+        "observed_filter_metrics": observed_filter_metrics,
         # dedup suite
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -6277,6 +6384,8 @@ def oracle_sql() -> dict[str, str]:
         "scd2_user_intervals": _SCD2_SQL,
         "array_functions_emb": _ARRAY_FN_SQL,
         "anomaly_zscore_events": _ZSCORE_SQL,
+        "anomaly_mad_events": _MAD_SQL,
+        "observed_filter_metrics": _OBSERVE_SQL,
         "dedup_exact_groups": _EXACT_DUP_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_jaccard": _JACCARD_SQL,

@@ -144,6 +144,8 @@ HEADLINE = [
     "partition_pruned_scan",
     "audio_dedup_fp",
     "sql_udf_surface",
+    "anomaly_mad_events",
+    "observed_filter_metrics",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
     # at any SF; they stay on the CORRECTNESS board.
