@@ -2889,6 +2889,101 @@ def vi_minibatch_sgd(spark, sf_dir):
     )
 
 
+def logreg_quality_classifier(spark, sf_dir):
+    """Supervised corpus-filter classifier (the fastText-style "good vs
+    crawl" quality gate every production pretraining pipeline runs),
+    framed as rule distillation: the composite heuristic
+    `text.quality_score` plays teacher (label = score above the corpus
+    median), and a logistic regression over the UNDERLYING statistics
+    (length score, punctuation ratio, stopword score) is trained
+    DISTRIBUTED through the same broadcast-params -> mapInPandas grads ->
+    treeAggregate -> driver Adam loop as the VI flagships — the
+    reference's Model/Variable machinery (`model.py:113-263`,
+    `param.py:97-205`) driving a plain MAP objective. The teacher's
+    decision boundary is linear in these features, so the student can
+    represent it exactly and training provably separates (pytest asserts
+    accuracy far above the base rate). The per-row log-likelihood uses
+    the numerically exact form ``y*s - softplus(s)`` (never
+    materializes a probability, so no log(0) at confident scores).
+    Features are pure Column math; serving/accuracy is a second
+    pure-Column pass with the fitted weights folded in as literals — at
+    100 TB both passes are map-only scans. Rows-only (stochastic
+    training has no SQL twin)."""
+    import henbun_spark as hb
+    from henbun_spark import autodiff as ad
+    from henbun_spark.operators.text import PUNCT_CHARS, STOPWORDS, _tokens
+    from henbun_spark.spark_exec import ColumnData, SparkTrainer
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    n_chr = F.greatest(F.length("text"), F.lit(1))
+    punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), f"[{PUNCT_CHARS}]", "")
+    )
+    ls = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+    pr = punct / n_chr
+    ss = F.least(
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        / n_tok / F.lit(0.5),
+        F.lit(1.0),
+    )
+    quality = F.lit(0.4) * ls + F.lit(0.3) * (1 - pr) + F.lit(0.3) * ss
+    feats = docs.select(
+        ls.cast("double").alias("x1"),
+        pr.cast("double").alias("x2"),
+        ss.cast("double").alias("x3"),
+        F.when(quality > 0.58, 1.0).otherwise(0.0).alias("y"),
+    )
+
+    class Clf(hb.Model):
+        def setUp(self):
+            self.x1 = ColumnData("x1")
+            self.x2 = ColumnData("x2")
+            self.x3 = ColumnData("x3")
+            self.y = ColumnData("y")
+            self.w = hb.Variable([4])
+
+        def local_objective(self):
+            s = (
+                self.w[0]
+                + self.w[1] * self.x1
+                + self.w[2] * self.x2
+                + self.w[3] * self.x3
+            )
+            softplus = ad.maximum(s, 0.0) + ad.log1p(ad.exp(-ad.abs(s)))
+            return self.y * s - softplus
+
+    trainer = SparkTrainer(Clf(), feats, optimizer=hb.Adam(learning_rate=0.3))
+    trainer.fit(maxiter=80)
+    w0, w1, w2, w3 = [float(v) for v in trainer.model.w.value]
+    score = (
+        F.lit(w0)
+        + F.lit(w1) * F.col("x1")
+        + F.lit(w2) * F.col("x2")
+        + F.lit(w3) * F.col("x3")
+    )
+    m = feats.agg(
+        F.avg(
+            F.when((score > 0) == (F.col("y") == 1.0), 1.0).otherwise(0.0)
+        ).alias("a"),
+        F.avg("y").alias("b"),
+    ).collect()[0]
+    acc, base = m["a"], m["b"]
+    return spark.createDataFrame(
+        [
+            ("w_bias", w0),
+            ("w_length", w1),
+            ("w_punct", w2),
+            ("w_stopword", w3),
+            ("train_accuracy", float(acc)),
+            ("base_rate", float(base)),
+        ],
+        "param string, value double",
+    )
+
+
 def vi_amortized_encoder(spark, sf_dir):
     """The reference's core differentiator end-to-end, DISTRIBUTED: the
     global/local split (README.md:14-21) — a NeuralNet encoder emits
@@ -6283,6 +6378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ivf_ingest": streaming_ivf_ingest,
         "vi_linear_regression": vi_linear_regression,
         "vi_minibatch_sgd": vi_minibatch_sgd,
+        "logreg_quality_classifier": logreg_quality_classifier,
         "vi_amortized_encoder": vi_amortized_encoder,
         "gp_sparse_posterior": gp_sparse_posterior,
         "gp_regression_events": gp_regression_events,

@@ -12,6 +12,7 @@ from henbun_spark import sources
 ROWS_ONLY = {
     "vi_linear_regression",
     "vi_minibatch_sgd",
+    "logreg_quality_classifier",
     "gp_sparse_posterior",
     "gp_regression_events",
     "gp_experts_events",

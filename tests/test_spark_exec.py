@@ -225,3 +225,17 @@ def test_gp_regression_trains_distributed(spark):
     tr = SparkTrainer(GPReg(), df, optimizer=hb.Adam(learning_rate=0.05))
     tr.fit(maxiter=15)
     assert tr.history[-1] > tr.history[0]
+
+
+def test_logreg_classifier_separates(spark, sf_dir):
+    """The distilled quality classifier must learn the teacher's linear
+    boundary: train accuracy far above the base rate."""
+    import __spark_entry__ as entry_mod
+
+    rows = {
+        r["param"]: r["value"]
+        for r in entry_mod.logreg_quality_classifier(spark, sf_dir).collect()
+    }
+    base = max(rows["base_rate"], 1.0 - rows["base_rate"])
+    assert rows["train_accuracy"] >= 0.85
+    assert rows["train_accuracy"] >= base + 0.15
