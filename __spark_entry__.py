@@ -6177,6 +6177,55 @@ def tdigest_quantiles_value(spark, sf_dir):
     )
 
 
+def streaming_tdigest_value(spark, sf_dir):
+    """Incremental quantile-sketch maintenance on a stream
+    (`streaming.tdigest_stream_maintenance`): events replayed as a
+    4-file stream (one file per trigger); each micro-batch's bucketed
+    t-digest folds into a persistent ~100-centroid parquet state via
+    foreachBatch. The drained state answers p1..p99 next to the exact
+    batch percentiles — completing the streaming sketch family (HLL =
+    distinct, Misra-Gries = heavy keys, t-digest = quantiles, MV =
+    aggregates). Rows-only (greedy compression has no SQL form; the
+    drained rank error < 2.5% is pytest-asserted)."""
+    from henbun_spark import streaming
+    from henbun_spark.operators import sketch
+
+    ev = _load(spark, sf_dir, "events").select("value", "ts")
+    base = _scratch_dir("henbun_std_")
+    in_dir = f"{base}/in"
+    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.tdigest_stream_maintenance(
+        stream, "value", f"{base}/state", f"{base}/ckpt", delta=100
+    )
+    q.awaitTermination()
+    dig = spark.read.parquet(f"{base}/state")
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    est = sketch.tdigest_quantile(dig, qs)
+    exact = ev.agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"p{int(q * 100)}")
+            for q in qs
+        ]
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "q",
+        F.round("est", 6).alias("est"),
+        F.round(
+            F.when(F.col("q") == 0.01, F.col("p1"))
+            .when(F.col("q") == 0.25, F.col("p25"))
+            .when(F.col("q") == 0.5, F.col("p50"))
+            .when(F.col("q") == 0.75, F.col("p75"))
+            .otherwise(F.col("p99")),
+            6,
+        ).alias("exact"),
+    )
+
+
 def video_dedup_frames(spark, sf_dir):
     """Video near-dup end-to-end on REAL frames: genuine HBV1 raw-frame
     containers -> per-frame decode + perceptual aHash at sampled
@@ -6375,6 +6424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq": ann_topk_pq,
         "video_dedup_frames": video_dedup_frames,
         "tdigest_quantiles_value": tdigest_quantiles_value,
+        "streaming_tdigest_value": streaming_tdigest_value,
         "streaming_ivf_ingest": streaming_ivf_ingest,
         "vi_linear_regression": vi_linear_regression,
         "vi_minibatch_sgd": vi_minibatch_sgd,

@@ -486,6 +486,57 @@ def mg_stream_maintenance(
     )
 
 
+def tdigest_stream_maintenance(
+    stream: DataFrame,
+    value_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    delta: int = 100,
+):
+    """Incremental quantile-sketch maintenance on a stream: each
+    micro-batch builds its own bucketed t-digest
+    (`sketch.tdigest_build`, deterministic md5 buckets) and folds the
+    centroids into a persistent ~delta-row parquet digest via
+    foreachBatch — the t-digest mergeability contract applied
+    incrementally, the quantile sibling of `mg_stream_maintenance`
+    (heavy hitters) and `hll` maintenance (distinct counts).
+
+    State pivoting through the driver path per batch is bounded by
+    ~2*delta centroid rows — never by data volume or value cardinality —
+    so the same loop holds on an unbounded stream. Estimates after any
+    prefix of batches carry the usual t-digest rank-error bound for the
+    data seen so far. Returns the StreamingQuery.
+    """
+    import os
+    import shutil
+
+    from henbun_spark.operators import sketch
+
+    def merge_batch(bdf: DataFrame, batch_id: int):
+        spark = bdf.sparkSession
+        if not bdf.head(1):
+            return
+        batch_digest = sketch.tdigest_merge(
+            sketch.tdigest_build(bdf, value_col, delta=delta), delta=delta
+        )
+        if os.path.exists(state_dir):
+            batch_digest = sketch.tdigest_merge(
+                batch_digest, spark.read.parquet(state_dir), delta=delta
+            )
+        tmp = state_dir + "__tmp"
+        batch_digest.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def mv_stream_maintenance(
     stream: DataFrame,
     partials_fn,

@@ -507,3 +507,34 @@ def test_streaming_ivf_index_matches_batch(spark, tmp_path):
     s = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in served.collect()}
     b = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_tdigest_stream_maintenance_rank_error(spark, tmp_path):
+    """The incrementally maintained digest's quantile estimates must hit
+    the t-digest rank-error bound over the whole stream: for each q, the
+    fraction of values <= est stays within 2.5% of q."""
+    from henbun_spark import sources, streaming
+    from henbun_spark.operators import sketch
+    from pyspark.sql import functions as F
+
+    ev = sources.load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "value", "ts"
+    )
+    in_dir = str(tmp_path / "in")
+    ev.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.tdigest_stream_maintenance(
+        stream, "value", str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        delta=100,
+    )
+    q.awaitTermination()
+    dig = spark.read.parquet(str(tmp_path / "state"))
+    assert dig.count() <= 220  # bounded state: ~2*delta worst case
+    n = ev.count()
+    for row in sketch.tdigest_quantile(dig, [0.01, 0.25, 0.5, 0.75, 0.99]).collect():
+        frac = ev.where(F.col("value") <= row["est"]).count() / n
+        assert abs(frac - row["q"]) <= 0.025, (row["q"], row["est"], frac)
