@@ -4460,6 +4460,145 @@ GROUP BY source, start_offset // 512
 """
 
 
+def streaming_corpus_ingest(spark, sf_dir):
+    """STREAMING corpus-ingest ETL — the production shape of
+    `pipeline_clean_corpus` minus the cross-doc dedup: documents arrive
+    as a file stream (one file per trigger) and every scoring step
+    (quality heuristic, language ID, token estimate) plus the quality
+    gate runs as stateless map-only Column code inside each micro-batch
+    — zero streaming state, so the pipeline sustains any rate and any
+    history length. The sink parquet is aggregated per language and
+    ORACLE-CHECKED against the batch SQL over the same table: a finite
+    drain of a stateless pipeline must equal the batch run exactly."""
+    from henbun_spark.operators import text
+
+    docs = _load(spark, sf_dir, "documents")
+    base = _scratch_dir("henbun_singest_")
+    in_dir = f"{base}/in"
+    docs.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    scored = text.bpe_ish_token_count(text.lang_id(text.quality_score(stream)))
+    kept = scored.where(F.col("quality") >= 0.5).select(
+        "doc_id", "pred_lang", "quality",
+        F.col("token_estimate").cast("long").alias("token_estimate"),
+    )
+    out_dir = f"{base}/out"
+    q = (
+        kept.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("token_estimate").alias("sum_tokens"),
+            _dsum(F.col("quality"), "sum_quality"),
+        )
+    )
+
+
+_STREAM_INGEST_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+    length(text) AS n_chars
+  FROM documents
+), scored AS (
+  SELECT doc_id, toks,
+    0.4 * least(n_chars / 500.0, 1.0)
+    + 0.3 * (1 - (n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / greatest(n_chars, 1))
+    + 0.3 * least(
+        len(list_filter(toks,
+          x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
+        / greatest(len(toks), 1) / 0.5, 1.0) AS quality,
+    (len(toks) + CAST(ceil(length(text) / 16.0) AS INT)) AS token_estimate
+  FROM t
+), langed AS (
+  SELECT doc_id, quality, token_estimate,
+  {_LANG_SCORES}
+  FROM scored
+), pred AS (
+  SELECT doc_id, quality, token_estimate,
+    CASE {_LANG_CASE} END AS pred_lang
+  FROM (SELECT *, greatest(score_de, score_en, score_es, score_fr, score_zh)
+          AS best FROM langed)
+)
+SELECT pred_lang, COUNT(*) AS n_docs,
+  CAST(SUM(token_estimate) AS BIGINT) AS sum_tokens,
+  {_sql_dsum('quality', 'sum_quality')}
+FROM pred
+WHERE quality >= 0.5
+GROUP BY pred_lang
+"""
+
+
+def training_shards_docs(spark, sf_dir):
+    """Deterministic training-shard layout — the sink step after packing:
+    every doc lands in shard = md5 bucket (a layout/retry-independent
+    "global shuffle" with no global sort), ordered WITHIN its shard by a
+    second independent md5 key (the deterministic permutation training
+    jobs want for reproducible batches). One hash-keyed window per
+    shard; at 100 TB each shard is a partitionBy directory written in
+    parallel. The per-shard manifest carries an order checksum
+    (sum(position * doc_id), exact integer math) that pins the
+    within-shard permutation itself — the oracle verifies the ORDER, not
+    just membership."""
+    n_shards = 8
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.floor(F.col("n_chars") / 4) + 1).cast("long").alias("tok_est"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))),
+                    1, 6,
+                ), 16, 10,
+            ).cast("long") % n_shards
+        ).cast("int").alias("shard"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ord|"), F.col("doc_id").cast("string"))),
+                1, 6,
+            ), 16, 10,
+        ).cast("long").alias("ord"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    pos = docs.withColumn("pos", F.row_number().over(w).cast("long"))
+    return pos.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok_est").alias("sum_tokens"),
+        F.sum(F.col("pos") * F.col("doc_id")).alias("order_checksum"),
+    )
+
+
+_SHARDS_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, (n_chars // 4 + 1)::BIGINT AS tok_est,
+    ({_md5_prefix_sql('doc_id', 'shard')} % 8)::INT AS shard,
+    {_md5_prefix_sql('doc_id', 'ord')}::BIGINT AS ord
+  FROM documents),
+po AS (
+  SELECT shard, tok_est, doc_id,
+    row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)::BIGINT AS pos
+  FROM keyed)
+SELECT shard, COUNT(*)::BIGINT AS n_docs,
+  SUM(tok_est)::BIGINT AS sum_tokens,
+  SUM(pos * doc_id)::BIGINT AS order_checksum
+FROM po GROUP BY shard
+"""
+
+
 def contamination_check(spark, sf_dir):
     """Benchmark decontamination scan (SURVEY §2.11): corpus docs sharing
     any 12-char gram with the held-out 'benchmark' slice (3% of docs by
@@ -6376,6 +6515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": sample_per_group,
         "mix_corpus_sources": mix_corpus_sources,
         "pack_sequences_docs": pack_sequences_docs,
+        "training_shards_docs": training_shards_docs,
         "contamination_check": contamination_check,
         "token_histogram": token_histogram,
         # similarity suite
@@ -6442,6 +6582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": streaming_sessionize,
         "streaming_dedup_keys": streaming_dedup_keys,
         "streaming_enrich_static": streaming_enrich_static,
+        "streaming_corpus_ingest": streaming_corpus_ingest,
         "multimodal_features": multimodal_features,
         "image_dedup_ahash": image_dedup_ahash,
         "audio_dedup_fp": audio_dedup_fp,
@@ -6491,6 +6632,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessionize": _STREAM_SESS_SQL,
         "streaming_dedup_keys": _STREAM_DEDUP_SQL,
         "streaming_enrich_static": _STREAM_ENRICH_SQL,
+        "streaming_corpus_ingest": _STREAM_INGEST_SQL,
         "streaming_windowed_counts": _STREAM_WINDOW_SQL,
         "streaming_hopping_counts": _HOPPING_SQL,
         "streaming_asof_purchase": _ASOF_SQL,
@@ -6557,6 +6699,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_per_group": _SAMPLE_GROUP_SQL,
         "mix_corpus_sources": _MIX_SQL,
         "pack_sequences_docs": _PACK_SQL,
+        "training_shards_docs": _SHARDS_SQL,
         "contamination_check": _CONTAM_SQL,
         "token_histogram": _TOKEN_HIST_SQL,
         "sim_cosine_topk": _COSINE_TOPK_SQL,

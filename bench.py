@@ -146,6 +146,7 @@ HEADLINE = [
     "sql_udf_surface",
     "anomaly_mad_events",
     "observed_filter_metrics",
+    "training_shards_docs",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
     # at any SF; they stay on the CORRECTNESS board.
