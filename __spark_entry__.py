@@ -3828,8 +3828,13 @@ FROM sess GROUP BY user_id, sid
 
 
 def ann_topk_lsh(spark, sf_dir):
-    """Approximate NN via sign-random-projection LSH buckets (the 100 TB
-    path; recall vs the exact oracle is asserted in tests, not here)."""
+    """Approximate NN via sign-random-projection LSH buckets with
+    1-bit multi-probe (the 100 TB serving path). HASH-CHECKED: the
+    seeded planes, bucket bits, XOR probe masks, cosine fold order, and
+    the (cos DESC, neighbor_id) tie-break are all deterministic, so the
+    oracle replays the identical bucketing with the plane coefficients
+    as literals — the same pattern that makes `emb_near_dup_lsh` exact.
+    Recall vs the exact brute force is separately pytest-asserted."""
     from henbun_spark.operators import similarity
 
     emb = _load(spark, sf_dir, "embeddings")
@@ -3837,6 +3842,32 @@ def ann_topk_lsh(spark, sf_dir):
     return similarity.ann_topk(
         emb, queries, k=3, n_planes=4, seed=42, dim=64, probe_hamming=1
     )
+
+
+def _ann_lsh_sql() -> str:
+    from henbun_spark.operators.similarity import _planes
+
+    bucket = _emb_lsh_bucket_sql(_planes(64, 4, 42))
+    # probe masks for probe_hamming=1 over 4 planes: self + 4 bit flips
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT b.vec_id AS query_id, v AS qv, xor(bucket, m) AS bucket
+      FROM b CROSS JOIN (SELECT unnest([0,1,2,4,8]::BIGINT[]) AS m)
+      WHERE b.vec_id < 5),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, {_cos_sql('qv', 'v')} AS cos
+  FROM b JOIN q ON b.bucket = q.bucket
+  WHERE b.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
+_ANN_LSH_SQL = _ann_lsh_sql()
 
 
 def ann_topk_ivf(spark, sf_dir):
@@ -6633,6 +6664,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_keys": _STREAM_DEDUP_SQL,
         "streaming_enrich_static": _STREAM_ENRICH_SQL,
         "streaming_corpus_ingest": _STREAM_INGEST_SQL,
+        "ann_topk_lsh": _ANN_LSH_SQL,
         "streaming_windowed_counts": _STREAM_WINDOW_SQL,
         "streaming_hopping_counts": _HOPPING_SQL,
         "streaming_asof_purchase": _ASOF_SQL,

@@ -18,7 +18,6 @@ ROWS_ONLY = {
     "gp_experts_events",
     "vi_staged_training",
     "multimodal_features",
-    "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_topk_pq",
     "video_dedup_frames",
