@@ -4374,13 +4374,15 @@ LIMIT 10
 
 def window_functions_suite(spark, sf_dir):
     """Ranking/navigation window-function surface (§2.10): lag, lead,
-    ntile, percent_rank, first_value, row_number over a per-customer order
-    timeline.  All six share one window spec, so they evaluate in a single
-    pass after one shuffle keyed on o_custkey; the (o_orderdate,
-    o_orderkey) ordering is total, making every function deterministic.
+    ntile, percent_rank, cume_dist, first_value, nth_value, row_number
+    over a per-customer order timeline.  All eight share one window spec,
+    so they evaluate in a single pass after one shuffle keyed on
+    o_custkey; the (o_orderdate, o_orderkey) ordering is total, making
+    every function deterministic.
     """
     orders = _load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -4388,7 +4390,9 @@ def window_functions_suite(spark, sf_dir):
         F.lead("o_totalprice").over(w).alias("next_price"),
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
         F.first("o_totalprice").over(w).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
         F.row_number().over(w).alias("rn"),
     )
 
@@ -4399,10 +4403,14 @@ SELECT o_custkey, o_orderkey,
   lead(o_totalprice) OVER w AS next_price,
   CAST(ntile(4) OVER w AS INT) AS quartile,
   percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cdist,
   first_value(o_totalprice) OVER w AS first_price,
+  nth_value(o_totalprice, 2) OVER wf AS second_price,
   CAST(row_number() OVER w AS INT) AS rn
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
 
 
