@@ -61,7 +61,10 @@ from henbun_spark import sources
 #    exact-distinct aggregate (same shape as hll_distinct_users).
 #  - tdigest_quantiles_value: the 5-row estimate table crossed with the
 #    1-row exact-percentiles aggregate.
+#  - streaming_tdigest_value: same bounded 5x1 estimate-vs-exact shape
+#    as tdigest_quantiles_value (drained streaming state side).
 BNLJ_OK = {
+    "streaming_tdigest_value",
     "heavy_hitters_users",
     "mix_temperature_sources",
     "assemble_training_corpus",
