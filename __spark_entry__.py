@@ -2889,6 +2889,63 @@ def vi_minibatch_sgd(spark, sf_dir):
     )
 
 
+def streaming_vi_training(spark, sf_dir):
+    """ONLINE training on a stream (`streaming.StreamingTrainer`): the
+    reference's minibatch loop (`MinibatchData`, param.py:716-739) with
+    micro-batches as the minibatches — each arriving file triggers
+    foreachBatch, which runs SGD steps of the distributed gradient loop
+    on just that batch while model/optimizer state persists on the
+    driver across batches. Fits the mean of events.value; with
+    lr = 0.5/n_total each step contracts the error for any micro-batch
+    size, so the drained estimate lands near the true mean. Rows-only
+    (stochastic training; convergence is also pytest-asserted)."""
+    import henbun_spark as hb
+    from henbun_spark import autodiff as ad
+    from henbun_spark import streaming
+    from henbun_spark.spark_exec import ColumnData, SparkTrainer
+
+    ev = _load(spark, sf_dir, "events").select("value")
+    base = _scratch_dir("henbun_strain_")
+    in_dir = f"{base}/in"
+    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    class MeanModel(hb.Model):
+        def setUp(self):
+            self.v = ColumnData("value")
+            self.mu = hb.Variable([1])
+
+        def local_objective(self):
+            return ad.sum(
+                hb.densities.gaussian(self.v, self.mu * 100.0, 100.0**2)
+            )
+
+    m = MeanModel()
+    n_total = ev.count()
+    tr = SparkTrainer(
+        m, ev,
+        optimizer=hb.model.GradientDescent(learning_rate=0.5 / n_total),
+        cache=False,
+    )
+    st = streaming.StreamingTrainer(tr, steps_per_batch=6)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = st.attach(stream, f"{base}/ckpt")
+    q.awaitTermination()
+    true_mean = float(ev.agg(F.avg("value")).collect()[0][0])
+    return spark.createDataFrame(
+        [
+            ("fitted_mean", float(m.mu.value[0] * 100.0)),
+            ("true_mean", true_mean),
+            ("batches_seen", float(st.batches_seen)),
+            ("steps", float(tr.step_count)),
+        ],
+        "param string, value double",
+    )
+
+
 def logreg_quality_classifier(spark, sf_dir):
     """Supervised corpus-filter classifier (the fastText-style "good vs
     crawl" quality gate every production pretraining pipeline runs),
@@ -6608,6 +6665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vi_linear_regression": vi_linear_regression,
         "vi_minibatch_sgd": vi_minibatch_sgd,
         "logreg_quality_classifier": logreg_quality_classifier,
+        "streaming_vi_training": streaming_vi_training,
         "vi_amortized_encoder": vi_amortized_encoder,
         "gp_sparse_posterior": gp_sparse_posterior,
         "gp_regression_events": gp_regression_events,

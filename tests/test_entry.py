@@ -13,6 +13,7 @@ ROWS_ONLY = {
     "vi_linear_regression",
     "vi_minibatch_sgd",
     "logreg_quality_classifier",
+    "streaming_vi_training",
     "gp_sparse_posterior",
     "gp_regression_events",
     "gp_experts_events",
