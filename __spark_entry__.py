@@ -451,6 +451,77 @@ FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
 """
 
 
+def join_types_suite(spark, sf_dir):
+    """Every join type in one checked result (§2.10 joins closure):
+    inner / left / right / full outer plus the row-filtering semi and
+    anti forms, each summarized as (rows, non-null left keys, non-null
+    right keys) over key ranges built to exercise all three overlap
+    regions (left-only, both, right-only). All six plan as hash joins on
+    the same key — the aggregate makes the null-extension semantics of
+    each type hash-checkable."""
+    from functools import reduce
+
+    cust = _load(spark, sf_dir, "customer").select("c_custkey").where(
+        F.col("c_custkey") < 600
+    )
+    ords = (
+        _load(spark, sf_dir, "orders")
+        .where(F.col("o_custkey").between(300, 900))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    parts = []
+    for how in ["inner", "left", "right", "full"]:
+        j = cust.join(ords, cust.c_custkey == ords.o_custkey, how)
+        parts.append(
+            j.agg(
+                F.lit(how).alias("join_type"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("c_custkey").alias("n_left"),
+                F.count("o_custkey").alias("n_right"),
+            )
+        )
+    for how in ["semi", "anti"]:
+        j = cust.join(ords, cust.c_custkey == ords.o_custkey, how)
+        parts.append(
+            j.agg(
+                F.lit(how).alias("join_type"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("c_custkey").alias("n_left"),
+                F.lit(0).cast("long").alias("n_right"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+_JOIN_TYPES_SQL = """
+WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey < 600),
+o AS (SELECT o_custkey, COUNT(*)::BIGINT AS n_orders FROM orders
+      WHERE o_custkey BETWEEN 300 AND 900 GROUP BY 1)
+SELECT 'inner' AS join_type, COUNT(*)::BIGINT AS n_rows,
+  COUNT(c_custkey)::BIGINT AS n_left, COUNT(o_custkey)::BIGINT AS n_right
+FROM c JOIN o ON c_custkey = o_custkey
+UNION ALL
+SELECT 'left', COUNT(*)::BIGINT, COUNT(c_custkey)::BIGINT,
+  COUNT(o_custkey)::BIGINT
+FROM c LEFT JOIN o ON c_custkey = o_custkey
+UNION ALL
+SELECT 'right', COUNT(*)::BIGINT, COUNT(c_custkey)::BIGINT,
+  COUNT(o_custkey)::BIGINT
+FROM c RIGHT JOIN o ON c_custkey = o_custkey
+UNION ALL
+SELECT 'full', COUNT(*)::BIGINT, COUNT(c_custkey)::BIGINT,
+  COUNT(o_custkey)::BIGINT
+FROM c FULL JOIN o ON c_custkey = o_custkey
+UNION ALL
+SELECT 'semi', COUNT(*)::BIGINT, COUNT(*)::BIGINT, 0::BIGINT
+FROM c WHERE c_custkey IN (SELECT o_custkey FROM o)
+UNION ALL
+SELECT 'anti', COUNT(*)::BIGINT, COUNT(*)::BIGINT, 0::BIGINT
+FROM c WHERE c_custkey NOT IN (SELECT o_custkey FROM o)
+"""
+
+
 def distinct_agg_suppliers(spark, sf_dir):
     """Exact COUNT(DISTINCT) per group (the approx_count_distinct twin is
     pytest-checked for 5% error — an approximate sketch can't hash-match an
@@ -6538,6 +6609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": cube_revenue,
         "grouping_sets_revenue": grouping_sets_revenue,
         "set_ops_customers": set_ops_customers,
+        "join_types_suite": join_types_suite,
         "distinct_agg_suppliers": distinct_agg_suppliers,
         "string_date_functions": string_date_functions,
         "percentile_quantity": percentile_quantity,
@@ -6716,6 +6788,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_revenue": _CUBE_SQL,
         "grouping_sets_revenue": _GROUPING_SETS_SQL,
         "set_ops_customers": _SET_OPS_SQL,
+        "join_types_suite": _JOIN_TYPES_SQL,
         "distinct_agg_suppliers": _DISTINCT_AGG_SQL,
         "string_date_functions": _STRING_DATE_SQL,
         "percentile_quantity": _PERCENTILE_SQL,
