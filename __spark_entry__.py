@@ -5623,6 +5623,120 @@ GROUP BY events.event_type
 """
 
 
+# Acklam's rational approximation to the standard-normal inverse CDF —
+# pure arithmetic (Horner forms + sqrt/ln), so the SAME coefficient list
+# generates both the Column expression and the oracle SQL text with
+# identical op order (bit-reproducible cross-engine).
+_ACKLAM = {
+    "a": [-3.969683028665376e+01, 2.209460984245205e+02,
+          -2.759285104469687e+02, 1.383577518672690e+02,
+          -3.066479806614716e+01, 2.506628277459239e+00],
+    "b": [-5.447609879822406e+01, 1.615858368580409e+02,
+          -1.556989798598866e+02, 6.680131188771972e+01,
+          -1.328068155288572e+01],
+    "c": [-7.784894002430293e-03, -3.223964580411365e-01,
+          -2.400758277161838e+00, -2.549732539343734e+00,
+          4.374664141464968e+00, 2.938163982698783e+00],
+    "d": [7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00],
+}
+_ACKLAM_PLOW = 0.02425
+
+
+def _ppf_col(u):
+    """Inverse normal CDF of Column `u` in (0,1) — whole-stage codegen."""
+    A, B, C, D = (_ACKLAM[k] for k in "abcd")
+
+    def horner(coefs, x):
+        acc = F.lit(coefs[0])
+        for coef in coefs[1:]:
+            acc = acc * x + F.lit(coef)
+        return acc
+
+    qc = u - F.lit(0.5)
+    r = qc * qc
+    central = horner(A, r) * qc / (horner(B, r) * r + F.lit(1.0))
+    ql = F.sqrt(F.lit(-2.0) * F.log(u))
+    lower = horner(C, ql) / (horner(D, ql) * ql + F.lit(1.0))
+    qu = F.sqrt(F.lit(-2.0) * F.log(F.lit(1.0) - u))
+    upper = -(horner(C, qu) / (horner(D, qu) * qu + F.lit(1.0)))
+    plow = F.lit(_ACKLAM_PLOW)
+    return (
+        F.when(u < plow, lower)
+        .when(u > F.lit(1.0) - plow, upper)
+        .otherwise(central)
+    )
+
+
+def _ppf_sql(u: str) -> str:
+    A, B, C, D = (_ACKLAM[k] for k in "abcd")
+
+    def horner(coefs, x):
+        acc = repr(coefs[0])
+        for coef in coefs[1:]:
+            acc = f"({acc} * {x} + {coef!r})"
+        return acc
+
+    qc = f"({u} - 0.5)"
+    r = f"({qc} * {qc})"
+    central = f"({horner(A, r)} * {qc} / ({horner(B, r)} * {r} + 1.0))"
+    ql = f"sqrt(-2.0 * ln({u}))"
+    lower = f"({horner(C, ql)} / ({horner(D, ql)} * {ql} + 1.0))"
+    qu = f"sqrt(-2.0 * ln(1.0 - {u}))"
+    upper = f"(-({horner(C, qu)} / ({horner(D, qu)} * {qu} + 1.0)))"
+    return (
+        f"CASE WHEN {u} < {_ACKLAM_PLOW!r} THEN {lower}"
+        f" WHEN {u} > 1.0 - {_ACKLAM_PLOW!r} THEN {upper}"
+        f" ELSE {central} END"
+    )
+
+
+def rank_gauss_value(spark, sf_dir):
+    """Rank-Gauss (inverse-normal quantile) feature normalization per
+    event_type — the tree-model/NN preprocessing step that maps any value
+    distribution onto N(0,1) by rank: u = (rank - 0.5)/n over a total
+    (value, event_id) order, z = Phi^-1(u) via Acklam's rational
+    approximation as PURE Column math (no scipy, no UDF — ~30 fused
+    multiply-adds in whole-stage codegen). One keyed shuffle for the
+    rank window; the per-type count rides the same window pass. The
+    oracle is generated from the same coefficient list with identical
+    Horner op order."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).cast("double").alias("rk"),
+        F.count(F.lit(1)).over(wn).cast("double").alias("n"),
+    )
+    z = _ppf_col((F.col("rk") - F.lit(0.5)) / F.col("n"))
+    scored = ranked.withColumn("z", z)
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dsum(F.col("z"), "sum_z"),
+        _dsum(F.col("z") * F.col("z"), "sum_z2"),
+        F.round(F.max("z"), 6).alias("max_z"),
+    )
+
+
+_RANK_GAUSS_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+    CAST(row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS DOUBLE) AS rk,
+    CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n
+  FROM events),
+scored AS (
+  SELECT event_type, {_ppf_sql('((rk - 0.5) / n)')} AS z FROM ranked)
+SELECT event_type, COUNT(*)::BIGINT AS n_rows,
+  {_sql_dsum('z', 'sum_z')},
+  {_sql_dsum('z * z', 'sum_z2')},
+  ROUND(MAX(z), 6) AS max_z
+FROM scored GROUP BY event_type
+"""
+
+
 def anomaly_mad_events(spark, sf_dir):
     """Robust (median/MAD) anomaly detection per event_type — the outlier
     filter that survives heavy-tailed distributions where mean/std
@@ -6656,6 +6770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore_events": anomaly_zscore_events,
         "anomaly_mad_events": anomaly_mad_events,
         "observed_filter_metrics": observed_filter_metrics,
+        "rank_gauss_value": rank_gauss_value,
         # dedup suite
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -6845,6 +6960,7 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_zscore_events": _ZSCORE_SQL,
         "anomaly_mad_events": _MAD_SQL,
         "observed_filter_metrics": _OBSERVE_SQL,
+        "rank_gauss_value": _RANK_GAUSS_SQL,
         "dedup_exact_groups": _EXACT_DUP_SQL,
         "dedup_minhash_lsh": _MINHASH_SQL,
         "dedup_jaccard": _JACCARD_SQL,
