@@ -368,6 +368,7 @@ GROUP BY c_nationkey
 
 
 def rollup_revenue(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus): subtotal hierarchy in one pass — Spark expands to a union of partial aggregates, all map-side combinable."""
     li = _load(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -600,6 +601,7 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def top_events_per_user(spark, sf_dir):
+    """Top-3 events per user by value: one keyed window (row_number) after a single shuffle on user_id — the per-group top-k shape."""
     from henbun_spark.operators import relational
 
     ev = _load(spark, sf_dir, "events")
@@ -704,6 +706,7 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r
 
 
 def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + cumulative-sum session ids in one keyed window pass, sub-second gap precision."""
     from henbun_spark.operators import relational
 
     ev = _load(spark, sf_dir, "events")
@@ -818,6 +821,7 @@ GROUP BY bracket
 # ---------------------------------------------------------------------------
 
 def dedup_exact_groups(spark, sf_dir):
+    """Exact duplicate groups by text hash: one map-side-combinable groupBy; keeps min doc_id per group as the canonical representative."""
     from henbun_spark.operators import dedup
 
     docs = _load(spark, sf_dir, "documents")
@@ -833,6 +837,7 @@ FROM documents GROUP BY text
 
 
 def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs: char-8-gram shingles -> banded min-hash signatures -> bucket equi-join, never an all-pairs compare."""
     from henbun_spark.operators import dedup
 
     docs = _load(spark, sf_dir, "documents")
@@ -861,6 +866,7 @@ HAVING COUNT(DISTINCT a.band) >= 1
 
 
 def dedup_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup pairs via an inverted index with a max_df skew cap — candidate generation is keyed on shared shingles only."""
     from henbun_spark.operators import dedup
 
     docs = _load(spark, sf_dir, "documents")
@@ -1745,6 +1751,7 @@ def _simhash_bits_sql(bits: int) -> str:
 
 
 def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints per doc: one shingle explode + one map-side-combinable groupBy of signed bit contributions, pure Column math."""
     from henbun_spark.operators import dedup
 
     docs = _load(spark, sf_dir, "documents")
@@ -1796,6 +1803,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 # ---------------------------------------------------------------------------
 
 def text_stats(spark, sf_dir):
+    """Per-doc token/char statistics + rolling-hash fingerprint — map-only Column pass, zero shuffle."""
     from henbun_spark.operators import text
 
     docs = _load(spark, sf_dir, "documents")
@@ -1831,6 +1839,7 @@ FROM t
 
 
 def text_quality(spark, sf_dir):
+    """Heuristic quality score (length, punctuation, stopword fraction) in [0,1] — pure Column math."""
     from henbun_spark.operators import text
 
     docs = _load(spark, sf_dir, "documents")
@@ -1860,6 +1869,7 @@ FROM t
 
 
 def text_langid(spark, sf_dir):
+    """Lexicon-vote language ID with deterministic tie-break, aggregated per predicted language — map-only scoring."""
     from henbun_spark.operators import text
 
     docs = _load(spark, sf_dir, "documents")
@@ -2510,6 +2520,7 @@ WHERE rank <= 3
 
 
 def emb_near_dup(spark, sf_dir):
+    """Embedding near-dup brute-force baseline: bounded O(n^2) cosine self-join kept as the small-SF ground truth for the LSH scale path."""
     from henbun_spark.operators import dedup
 
     emb = _load(spark, sf_dir, "embeddings")
@@ -2536,6 +2547,7 @@ _EMB_LSH_BANDS, _EMB_LSH_NPLANES, _EMB_LSH_SEED, _EMB_LSH_DIM = 3, 5, 7, 64
 
 
 def emb_near_dup_lsh(spark, sf_dir):
+    """Banded sign-random-projection LSH near-dup pairs + exact cosine refine — the 100 TB plan of record; plane literals make it hash-exact."""
     from henbun_spark.operators import dedup
 
     emb = _load(spark, sf_dir, "embeddings")
@@ -2603,6 +2615,7 @@ _EMB_LSH_SQL = _emb_lsh_sql()
 # ---------------------------------------------------------------------------
 
 def density_gaussian(spark, sf_dir):
+    """Gaussian log-density (densities.py D1) over lineitem as whole-stage-codegen Column math, grouped decimal-exact sums."""
     from henbun_spark import densities
 
     li = _load(spark, sf_dir, "lineitem")
@@ -2634,6 +2647,7 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def density_student_t(spark, sf_dir):
+    """Student-t log-density (D7) — exercises the codegen Lanczos lgamma twice per row."""
     from henbun_spark import densities
 
     li = _load(spark, sf_dir, "lineitem")
@@ -2653,6 +2667,7 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def density_lognormal(spark, sf_dir):
+    """Log-normal log-density (D2) as Column math."""
     from henbun_spark import densities
 
     li = _load(spark, sf_dir, "lineitem")
@@ -2668,6 +2683,7 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def density_bernoulli(spark, sf_dir):
+    """Bernoulli log-likelihood (D3) via a CASE branch on the outcome."""
     from henbun_spark import densities
 
     li = _load(spark, sf_dir, "lineitem")
@@ -2684,6 +2700,7 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def density_exponential(spark, sf_dir):
+    """Exponential log-density (D5) as Column math."""
     from henbun_spark import densities
 
     li = _load(spark, sf_dir, "lineitem")
@@ -2699,6 +2716,7 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def density_gamma(spark, sf_dir):
+    """Gamma log-density (D6) — codegen lgamma path."""
     from henbun_spark import densities
 
     li = _load(spark, sf_dir, "lineitem")
@@ -2714,6 +2732,7 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def density_beta(spark, sf_dir):
+    """Beta log-density (D8) with the reference's [1e-6, 1-1e-6] clip."""
     from henbun_spark import densities
 
     li = _load(spark, sf_dir, "lineitem")
@@ -2731,6 +2750,7 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def density_laplace(spark, sf_dir):
+    """Laplace log-density (D9) as Column math."""
     from henbun_spark import densities
 
     li = _load(spark, sf_dir, "lineitem")
