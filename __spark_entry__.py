@@ -4018,6 +4018,68 @@ WHERE rank <= 3
 _ANN_LSH_SQL = _ann_lsh_sql()
 
 
+def hard_negatives_emb(spark, sf_dir):
+    """Contrastive-training pair mining — the embedding-training prep
+    step (hard negatives a la DPR/SimCSE): for each query vector, the
+    top-5 most-similar documents BELOW the positive threshold (cos <
+    0.35) are its hard negatives, alongside the count of positives
+    (cos >= 0.35). One broadcast of the query side, one corpus scan,
+    one keyed window — the exact plan shape of `sim_cosine_topk` with a
+    threshold split. The cosine fold order matches the oracle
+    bit-for-bit, so the threshold boundary and ranking are
+    hash-checkable."""
+    from henbun_spark.operators.dedup import cosine
+
+    emb = _load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+    )
+    wq = Window.partitionBy("query_id")
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn(
+            "n_positives",
+            F.sum(F.when(F.col("cos") >= 0.35, 1).otherwise(0)).over(wq).cast("long"),
+        )
+        .where(F.col("cos") < 0.35)
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "n_positives", "neighbor_id", "cos", "rank")
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_cos_sql('qv', 'v')} AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+pos AS (
+  SELECT query_id,
+    SUM(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END)::BIGINT AS n_positives
+  FROM scored GROUP BY query_id)
+SELECT query_id, n_positives, neighbor_id, cos, rank::INT AS rank FROM (
+  SELECT s.query_id, p.n_positives, s.neighbor_id, s.cos,
+    row_number() OVER (PARTITION BY s.query_id
+                       ORDER BY s.cos DESC, s.neighbor_id ASC) AS rank
+  FROM scored s JOIN pos p USING (query_id)
+  WHERE s.cos < 0.35)
+WHERE rank <= 5
+"""
+
+
 def ann_topk_ivf(spark, sf_dir):
     """Approximate NN via an IVF index: k-means coarse quantizer (driver
     sample), cell-keyed equi-join, exact cosine refine within nprobe cells.
@@ -6825,6 +6887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "emb_near_dup": emb_near_dup,
         "emb_near_dup_lsh": emb_near_dup_lsh,
+        "hard_negatives_emb": hard_negatives_emb,
         "emb_quantize": emb_quantize,
         "emb_lsh_recall": emb_lsh_recall,
         "minhash_recall_docs": minhash_recall_docs,
@@ -7012,6 +7075,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": _COSINE_TOPK_SQL,
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
         "emb_near_dup_lsh": _EMB_LSH_SQL,
+        "hard_negatives_emb": _HARD_NEG_SQL,
         "emb_quantize": _EMB_QUANT_SQL,
         "emb_lsh_recall": _emb_recall_sql(),
         "minhash_recall_docs": _MINHASH_RECALL_SQL,

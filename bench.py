@@ -149,6 +149,7 @@ HEADLINE = [
     "training_shards_docs",
     "join_types_suite",
     "rank_gauss_value",
+    "hard_negatives_emb",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
     # at any SF; they stay on the CORRECTNESS board.
