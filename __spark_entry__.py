@@ -970,6 +970,88 @@ SELECT doc_id, component, doc_id = component AS is_canonical FROM comp
 """
 
 
+def dedup_canonical_best(spark, sf_dir):
+    """Quality-aware canonical selection — the composition that answers
+    the dedup pipeline's actual question, "which duplicate do we KEEP":
+    n-gram-Jaccard near-dup clusters (min-label propagation), each
+    member scored by the quality heuristic, and the highest-quality doc
+    (ties to lowest id) elected per cluster. The quality expression is
+    bit-identical cross-engine (same op order as the hash-exact
+    pipeline queries), so the argmax — a double-ordered window — is
+    deterministic and the whole election is oracle-checked."""
+    from henbun_spark.operators import dedup, graph, text
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.35, max_df=100
+    )
+    comp = graph.dedup_clusters(docs, pairs, "doc_id").select(
+        "doc_id", "component"
+    )
+    scored = text.quality_score(docs).select("doc_id", "quality")
+    j = comp.join(scored, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+            F.round(F.max("quality"), 6).alias("best_quality"),
+        )
+    )
+
+
+_CANONICAL_BEST_SQL = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM jac
+  UNION
+  SELECT id_b, id_a FROM jac
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v WHERE e.v <> r.u
+),
+comp AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+  GROUP BY d.doc_id
+),
+tq AS (
+  SELECT doc_id,
+    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+    text, length(text) AS n_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+    0.4 * least(n_chars / 500.0, 1.0)
+    + 0.3 * (1 - (n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / greatest(n_chars, 1))
+    + 0.3 * least(
+        len(list_filter(toks,
+          x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
+        / greatest(len(toks), 1) / 0.5, 1.0) AS quality
+  FROM tq
+),
+r AS (
+  SELECT comp.component, comp.doc_id, q.quality,
+    row_number() OVER (PARTITION BY comp.component
+                       ORDER BY q.quality DESC, comp.doc_id ASC) AS rk
+  FROM comp JOIN q USING (doc_id)
+)
+SELECT component, COUNT(*)::BIGINT AS n_members,
+  MAX(CASE WHEN rk = 1 THEN doc_id END)::BIGINT AS keep_doc_id,
+  ROUND(MAX(quality), 6) AS best_quality
+FROM r GROUP BY component
+"""
+
+
 def triangle_count_dupgraph(spark, sf_dir):
     """Triangle counting (Suri & Vassilvitskii WWW'11 wedge-check) on the
     n-gram-Jaccard near-dup graph: each triangle generated exactly once
@@ -6861,6 +6943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": simhash_near_pairs,
         "dedup_components": dedup_components,
         "dedup_components_star": dedup_components_star,
+        "dedup_canonical_best": dedup_canonical_best,
         "pagerank_dup_graph": pagerank_dup_graph,
         "triangle_count_dupgraph": triangle_count_dupgraph,
         "chunk_dedup_docs": chunk_dedup_docs,
@@ -7051,6 +7134,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_components": _COMPONENTS_SQL,
         "dedup_components_star": _COMPONENTS_SQL,
+        "dedup_canonical_best": _CANONICAL_BEST_SQL,
         "pagerank_dup_graph": _pagerank_sql(6),
         "triangle_count_dupgraph": _TRIANGLE_SQL,
         "chunk_dedup_docs": _CHUNK_DEDUP_SQL,

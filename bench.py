@@ -150,6 +150,7 @@ HEADLINE = [
     "join_types_suite",
     "rank_gauss_value",
     "hard_negatives_emb",
+    "dedup_canonical_best",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
     # at any SF; they stay on the CORRECTNESS board.
