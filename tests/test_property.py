@@ -136,3 +136,25 @@ def test_rawvideo_roundtrip_property(n, h, w, seed):
     )
     assert fps == 7
     np.testing.assert_array_equal(dec, frames)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.floats(min_value=1e-4, max_value=1.0 - 1e-4, allow_nan=False))
+def test_acklam_ppf_inverts_normal_cdf_property(u):
+    """The generated PPF SQL (same text the oracle runs) must invert the
+    normal CDF to the approximation's published error and be odd-symmetric
+    about 0.5 — checked through DuckDB, i.e. engine-independently."""
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as em
+
+    uu = f"CAST({u!r} AS DOUBLE)"
+    z, zs = duckdb.sql(
+        f"SELECT {em._ppf_sql(uu)} AS z,"
+        f" {em._ppf_sql(f'(1.0 - {uu})')} AS zs"
+    ).fetchone()
+    cdf = 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+    assert abs(cdf - u) < 5e-9
+    assert abs(zs + z) < 5e-8  # odd symmetry Phi^-1(1-u) = -Phi^-1(u)
