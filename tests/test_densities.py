@@ -237,3 +237,20 @@ def test_sql_function_registry_matches_column_api(spark):
     )
     assert "EvalPython" not in plan and "UDF" not in plan
     assert "-2.112085713764618" in plan  # constant-folded to a literal
+
+
+def test_sql_function_registry_idempotent_and_prefixable(spark):
+    """Re-registration must be safe (CREATE OR REPLACE) and a custom
+    prefix must not collide with the default namespace."""
+    from henbun_spark.sql_functions import SQL_FUNCTIONS, register_sql_functions
+
+    first = register_sql_functions(spark)
+    second = register_sql_functions(spark)  # idempotent
+    assert first == second and len(first) == len(SQL_FUNCTIONS)
+    alt = register_sql_functions(spark, prefix="hbx_")
+    assert all(n.startswith("hbx_") for n in alt)
+    a, b = spark.sql(
+        "SELECT hb_gaussian(1.0D, 0.0D, 1.0D) AS a,"
+        " hbx_gaussian(1.0D, 0.0D, 1.0D) AS b"
+    ).collect()[0]
+    assert a == b
