@@ -199,17 +199,45 @@ def main():
                 break
         times[name] = -1.0 if best is None else round(best, 3)
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    # The driver captures only the LAST ~2000 chars of stdout and parses
+    # them as JSON; the full per-query dump (129 queries, ~4.5 KB) outgrew
+    # that in round 4 (`BENCH_r04.json parsed: null`). So: the complete
+    # dump goes to stderr + BENCH_FULL.json (for tools/bench_diff.py), and
+    # stdout gets exactly ONE compact line — total + the slowest 20
+    # queries (sub-second entries are host-noise anyway) — kept well under
+    # the capture window.
+    print(json.dumps(full), file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as f:
+            json.dump(full, f)
+    except OSError as exc:  # pragma: no cover
+        print(f"# bench: could not write BENCH_FULL.json: {exc}", file=sys.stderr)
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:20]
     )
+    failed = sorted(n for n, t in times.items() if t < 0)
+    compact = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "n_failed": len(failed),
+        "queries": slowest,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # pragma: no cover — belt and braces
+        compact["queries"] = dict(list(slowest.items())[:10])
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

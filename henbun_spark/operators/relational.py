@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -495,6 +496,85 @@ def assign_row_ids(
     )
 
 
+def assign_keyed_ranks(
+    df: DataFrame,
+    key_cols,
+    order_by: list,
+    rank_name: str = "rank",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Per-key consecutive ranks (1-based `row_number()` within each key,
+    ordered by `order_by`) WITHOUT a per-key single-task window sort.
+
+    `row_number() OVER (PARTITION BY k ORDER BY ...)` puts each key's
+    ENTIRE row set into one task; for a low-cardinality key (event_type,
+    language, shard) that is ~1/|keys| of the table sorted — and spilled
+    — by a single task at 100 TB. This is the keyed generalization of
+    `assign_row_ids`' two-pass distributed prefix count:
+
+    1. range-repartition on (key, order) — each partition holds a
+       contiguous slice of the (key, order) space, a big key simply
+       spans several partitions;
+    2. per-(partition, key) counts to the driver: bounded by
+       n_partitions + n_keys rows (each key adds at most one extra
+       boundary partition), never by data;
+    3. exclusive per-key prefix offsets broadcast back; within-partition
+       `row_number` over (partition, key) — a parallel window whose
+       partitions are the range slices — plus the offset.
+
+    The ordering must be total per key (include a tiebreak column) for
+    deterministic ranks, and key columns must be non-null (the offset
+    equi-join drops null keys).
+    """
+    kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ocols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
+    parted = df.repartitionByRange(
+        *([n_partitions] if n_partitions else []),
+        *[F.col(k) for k in kcols],
+        *ocols,
+    ).withColumn("_pid", F.spark_partition_id())
+    counts = (
+        parted.groupBy("_pid", *kcols).agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    acc: dict = {}
+    rows = []
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        key = tuple(r[k] for k in kcols)
+        rows.append((int(r["_pid"]), *key, int(acc.get(key, 0))))
+        acc[key] = acc.get(key, 0) + int(r["_n"])
+    schema = T.StructType(
+        [T.StructField("_pid", T.IntegerType())]
+        + [T.StructField(k, df.schema[k].dataType) for k in kcols]
+        + [T.StructField("_off", T.LongType())]
+    )
+    off_df = F.broadcast(parted.sparkSession.createDataFrame(rows, schema))
+    w = Window.partitionBy("_pid", *kcols).orderBy(*ocols)
+    return (
+        parted.join(off_df, ["_pid", *kcols])
+        .withColumn(rank_name, F.row_number().over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
+def ntile_from_rank(rank, n, k: int):
+    """ANSI `ntile(k)` as pure Column math over a precomputed per-key
+    rank and count: the first (n % k) buckets take ceil(n/k) rows, the
+    rest floor(n/k) — bitwise the same bucket ids Spark's and DuckDB's
+    `ntile` assign, without the single-task-per-key window `ntile`
+    itself requires. `rank` 1-based, `n` the key's row count (longs)."""
+    rank, n = F.col(rank) if isinstance(rank, str) else rank, (
+        F.col(n) if isinstance(n, str) else n
+    )
+    q = F.floor(n / k).cast("long")
+    rem = (n % k).cast("long")
+    big = rem * (q + 1)  # rows living in the first `rem` (larger) buckets
+    return (
+        F.when(rank <= big, F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((rank - big - 1) / F.greatest(q, F.lit(1))) + 1)
+        .cast("int")
+    )
+
+
 def apply_changes(
     base: DataFrame,
     changes: DataFrame,
@@ -632,8 +712,13 @@ def gapfill_interpolate(
     )
     # number the observations per key once (small table: observed
     # buckets only), then give every axis row its segment index via a
-    # running count — O(n) frame, unlike any following-direction fill
-    numbered = b.withColumn(
+    # running count — O(n) frame, unlike any following-direction fill.
+    # Both numberings MUST count the same rows: the axis side counts
+    # non-NULL vsum, so the endpoint side numbers only non-NULL-vsum
+    # buckets too (an observed bucket whose values are all NULL is a
+    # value-gap — it gets interpolated like a missing bucket instead of
+    # desynchronizing every later segment of its key).
+    numbered = b.where(F.col("vsum").isNotNull()).withColumn(
         "__seg",
         F.row_number().over(
             Window.partitionBy(key_col).orderBy("bucket_epoch")

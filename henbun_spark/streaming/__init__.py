@@ -26,6 +26,95 @@ def read_stream_parquet(spark, path: str, schema) -> DataFrame:
     return spark.readStream.schema(schema).parquet(path)
 
 
+# --- versioned foreachBatch state commits -------------------------------
+#
+# foreachBatch is at-least-once: a crash between the state write and the
+# streaming checkpoint commit replays the batch on restart. A maintenance
+# sink that folds each batch into persistent state unconditionally would
+# double-count the replayed batch (and an rmtree+rename snapshot swap has
+# a crash window with NO readable state at all). The recipe below gives
+# every *_stream_maintenance sink exactly-once state folding:
+#
+#   * each commit writes a fresh snapshot dir ``v<batch_id>`` under the
+#     state dir — never overwriting the snapshot it was derived from;
+#   * a ``_CURRENT`` pointer file (JSON: version + batch_id) is flipped
+#     with ``os.replace`` — atomic on POSIX — as the single commit point;
+#   * on entry, a batch with ``batch_id <= committed batch_id`` is a
+#     replay and is skipped (idempotent upsert);
+#   * superseded snapshot dirs are garbage-collected after the flip.
+#
+# A state dir is therefore always readable (old or new snapshot, never a
+# half-written one) and pairs with ONE checkpoint dir: batch ids restart
+# from 0 under a fresh checkpoint, so reusing a state dir with a new
+# checkpoint must start from a fresh state dir too.
+
+_STATE_POINTER = "_CURRENT"
+
+
+def _state_meta(state_dir: str):
+    import json
+    import os
+
+    cur = os.path.join(state_dir, _STATE_POINTER)
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        return json.load(f)
+
+
+def load_state(spark, state_dir: str) -> DataFrame:
+    """Read the last committed snapshot of a versioned state dir."""
+    import os
+
+    meta = _state_meta(state_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no committed state under {state_dir}")
+    return spark.read.parquet(os.path.join(state_dir, meta["version"]))
+
+
+def load_partitioned_state(spark, state_dir: str) -> DataFrame:
+    """Read a hive-partitioned MV state, dropping the per-partition
+    ``__last_batch`` replay stamp (`mv_stream_maintenance_partitioned`)."""
+    return spark.read.parquet(state_dir).drop("__last_batch")
+
+
+def _read_state(spark, state_dir: str):
+    """(snapshot DataFrame | None, committed batch_id | -1)."""
+    import os
+
+    meta = _state_meta(state_dir)
+    if meta is None:
+        return None, -1
+    df = spark.read.parquet(os.path.join(state_dir, meta["version"]))
+    return df, int(meta["batch_id"])
+
+
+def _commit_state(df: DataFrame, state_dir: str, batch_id: int) -> None:
+    """Write ``df`` as snapshot v<batch_id> and atomically flip _CURRENT.
+
+    The write never touches the previous snapshot (so ``df`` may lazily
+    read from it — no driver collect needed to break lineage), the
+    pointer flip is the commit point, and old snapshots are GC'd last.
+    """
+    import json
+    import os
+    import shutil
+
+    vname = f"v{batch_id:020d}"
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state_dir, vname)
+    )
+    tmp = os.path.join(state_dir, _STATE_POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": vname, "batch_id": int(batch_id)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(state_dir, _STATE_POINTER))
+    for name in os.listdir(state_dir):
+        if name.startswith("v") and name != vname:
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+
+
 def windowed_counts(
     stream: DataFrame,
     ts_col: str = "ts",
@@ -403,29 +492,23 @@ def hll_stream_maintenance(
     data regardless of how rows split into micro-batches — which is what
     lets the oracle check the streaming path against the batch SQL.
 
-    The tiny state (<= 256 rows at b=8) pivots through the driver per
-    batch; that is bounded by construction (sketch size, not data size),
-    which is the entire point of a sketch. Returns the StreamingQuery.
+    State (<= 2^b rows) lives in a versioned snapshot dir: replayed
+    batches are skipped by batch_id (exactly-once folding even though
+    register MAX-merge happens to be replay-idempotent anyway) and each
+    commit is an atomic pointer flip — read it back with
+    `streaming.load_state`. Returns the StreamingQuery.
     """
-    import os
-    import shutil
-
     from henbun_spark.operators import sketch
 
     def merge_batch(bdf: DataFrame, batch_id: int):
         spark = bdf.sparkSession
+        prev, committed = _read_state(spark, state_dir)
+        if batch_id <= committed:
+            return  # at-least-once replay of an already-folded batch
         regs = sketch.hll_registers(bdf, key_col, b=b)
-        if os.path.exists(state_dir):
-            prev = spark.read.parquet(state_dir)
+        if prev is not None:
             regs = sketch.hll_merge(prev, regs)
-        rows = regs.collect()  # <= 2^b rows: bounded sketch state
-        tmp = state_dir + "__tmp"
-        spark.createDataFrame(rows, "register int, max_rank int").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
-        os.rename(tmp, state_dir)
+        _commit_state(regs, state_dir, batch_id)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)
@@ -453,30 +536,32 @@ def mg_stream_maintenance(
     N/k threshold over the WHOLE stream survives in the state, no
     matter how rows split into micro-batches. The state that pivots
     through the driver per batch is bounded by k, not by data or key
-    cardinality. Pair the drained candidate set with one exact
-    verification pass (`sketch.heavy_hitters` shape) for exact final
-    counts. Returns the StreamingQuery.
+    cardinality (MG's decrement fold is order-sensitive driver logic, so
+    unlike the other sinks it keeps the bounded collect). Replayed
+    batches are skipped by batch_id and commits are atomic pointer flips
+    — a replay folded in twice would inflate candidate weights. Read the
+    state back with `streaming.load_state`. Returns the StreamingQuery.
     """
-    import os
-    import shutil
-
     from henbun_spark.operators import sketch
 
     def merge_batch(bdf: DataFrame, batch_id: int):
         spark = bdf.sparkSession
+        prev, committed = _read_state(spark, state_dir)
+        if batch_id <= committed:
+            return  # at-least-once replay of an already-folded batch
         summ = sketch.mg_summary(bdf, key_col, k=k).collect()
         d: dict = {}
-        if os.path.exists(state_dir):
-            for row in spark.read.parquet(state_dir).collect():
+        if prev is not None:
+            for row in prev.collect():
                 d[row["key"]] = int(row["wt"])
         sketch.mg_fold(d, ((r["key"], r["wt"]) for r in summ), k)
-        tmp = state_dir + "__tmp"
-        spark.createDataFrame(
-            [(kk, int(v)) for kk, v in d.items()], "key string, wt bigint"
-        ).coalesce(1).write.mode("overwrite").parquet(tmp)
-        if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
-        os.rename(tmp, state_dir)
+        _commit_state(
+            spark.createDataFrame(
+                [(kk, int(v)) for kk, v in d.items()], "key string, wt bigint"
+            ),
+            state_dir,
+            batch_id,
+        )
 
     return (
         stream.writeStream.foreachBatch(merge_batch)
@@ -501,33 +586,31 @@ def tdigest_stream_maintenance(
     incrementally, the quantile sibling of `mg_stream_maintenance`
     (heavy hitters) and `hll` maintenance (distinct counts).
 
-    State pivoting through the driver path per batch is bounded by
-    ~2*delta centroid rows — never by data volume or value cardinality —
-    so the same loop holds on an unbounded stream. Estimates after any
-    prefix of batches carry the usual t-digest rank-error bound for the
-    data seen so far. Returns the StreamingQuery.
+    State is bounded by ~2*delta centroid rows — never by data volume or
+    value cardinality — so the same loop holds on an unbounded stream.
+    Estimates after any prefix of batches carry the usual t-digest
+    rank-error bound for the data seen so far. Replayed batches are
+    skipped by batch_id (a centroid folded in twice doubles its weight)
+    and commits are atomic pointer flips; read the state back with
+    `streaming.load_state`. Returns the StreamingQuery.
     """
-    import os
-    import shutil
-
     from henbun_spark.operators import sketch
 
     def merge_batch(bdf: DataFrame, batch_id: int):
         spark = bdf.sparkSession
+        prev, committed = _read_state(spark, state_dir)
+        if batch_id <= committed:
+            return  # at-least-once replay of an already-folded batch
         if not bdf.head(1):
             return
         batch_digest = sketch.tdigest_merge(
             sketch.tdigest_build(bdf, value_col, delta=delta), delta=delta
         )
-        if os.path.exists(state_dir):
+        if prev is not None:
             batch_digest = sketch.tdigest_merge(
-                batch_digest, spark.read.parquet(state_dir), delta=delta
+                batch_digest, prev, delta=delta
             )
-        tmp = state_dir + "__tmp"
-        batch_digest.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
-        os.rename(tmp, state_dir)
+        _commit_state(batch_digest, state_dir, batch_id)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)
@@ -552,31 +635,27 @@ def mv_stream_maintenance(
     `mv_incremental_daily` refresh.
 
     The per-batch cost is O(|batch| + |MV|): the base data is never
-    rescanned. This drains and rewrites the whole MV snapshot each
-    batch — right while the MV is group-cardinality-sized (days x
-    segments); for huge MVs partition the state by a key prefix and
-    rewrite only the partitions the batch touches (dynamic partition
-    overwrite), same merge math. Returns the StreamingQuery.
+    rescanned. This rewrites the whole MV snapshot each batch — right
+    while the MV is group-cardinality-sized (days x segments); for huge
+    MVs use `mv_stream_maintenance_partitioned`, which rewrites only the
+    partitions the batch touches, same merge math. Replayed batches are
+    skipped by batch_id (folding a batch twice doubles its counts/sums)
+    and commits are atomic pointer flips; because each snapshot is a
+    fresh dir, the merge plan reads the previous snapshot lazily — the MV
+    never pivots through the driver. Read it back with
+    `streaming.load_state`. Returns the StreamingQuery.
     """
-    import os
-    import shutil
-
     from henbun_spark.operators import relational
 
     def merge_batch(bdf: DataFrame, batch_id: int):
         spark = bdf.sparkSession
+        prev, committed = _read_state(spark, state_dir)
+        if batch_id <= committed:
+            return  # at-least-once replay of an already-folded batch
         partials = partials_fn(bdf)
-        if os.path.exists(state_dir):
-            prev = spark.read.parquet(state_dir)
+        if prev is not None:
             partials = relational.merge_agg_states(prev, partials, key_cols)
-        rows = partials.collect()
-        tmp = state_dir + "__tmp"
-        spark.createDataFrame(rows, partials.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
-        os.rename(tmp, state_dir)
+        _commit_state(partials, state_dir, batch_id)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)
@@ -607,7 +686,15 @@ def mv_stream_maintenance_partitioned(
 
     The merged rows pivot through the driver (bounded by the touched
     partitions' MV rows, not the MV) because Spark refuses to overwrite
-    a path that an active plan is reading. Returns the StreamingQuery.
+    a path that an active plan is reading.
+
+    Idempotence is per partition: every state row carries a
+    ``__last_batch`` stamp, and a replayed batch (foreachBatch is
+    at-least-once) skips partitions already stamped with its batch_id —
+    so a crash mid-overwrite re-applies the batch only to the partitions
+    it never committed, never double-counting. Readers should drop the
+    ``__last_batch`` column (`load_partitioned_state` does). Returns the
+    StreamingQuery.
     """
     import os
 
@@ -629,12 +716,28 @@ def mv_stream_maintenance_partitioned(
                 F.col(partition_col).isin(touched)
             )
             if prev.columns:
+                # partitions already stamped with this batch id were
+                # committed by a previous attempt of the same batch
+                applied = {
+                    r[0]
+                    for r in prev.where(F.col("__last_batch") >= batch_id)
+                    .select(partition_col)
+                    .distinct()
+                    .collect()
+                }
+                todo = [p for p in touched if p not in applied]
+                if not todo:
+                    return
+                if len(todo) < len(touched):
+                    partials = partials.where(F.col(partition_col).isin(todo))
+                    prev = prev.where(F.col(partition_col).isin(todo))
                 partials = relational.merge_agg_states(
                     prev.select(*partials.columns), partials, key_cols
                 )
-        rows = partials.collect()
+        stamped = partials.withColumn("__last_batch", F.lit(int(batch_id)))
+        rows = stamped.collect()
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        spark.createDataFrame(rows, partials.schema).coalesce(1).write.mode(
+        spark.createDataFrame(rows, stamped.schema).coalesce(1).write.mode(
             "overwrite"
         ).partitionBy(partition_col).parquet(state_dir)
 

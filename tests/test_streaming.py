@@ -326,7 +326,7 @@ def test_mg_stream_maintenance_covers_hot_keys(spark, tmp_path):
         stream, "k", str(tmp_path / "state"), str(tmp_path / "ckpt"), k=50
     )
     q.awaitTermination()
-    state = spark.read.parquet(str(tmp_path / "state"))
+    state = streaming.load_state(spark, str(tmp_path / "state"))
     assert state.count() <= 49
     got = sketch.heavy_hitters_verify(df, "k", state, k=50).toPandas()
     vc = pd.Series(keys).value_counts()
@@ -369,7 +369,7 @@ def test_mv_stream_maintenance_exact_merge(spark, tmp_path):
     q.awaitTermination()
     got = {
         r["k"]: (r["n"], float(r["s"]))
-        for r in spark.read.parquet(str(tmp_path / "state")).collect()
+        for r in streaming.load_state(spark, str(tmp_path / "state")).collect()
     }
     exp = {r["k"]: (r["n"], float(r["s"])) for r in partials(df).collect()}
     assert got == exp
@@ -415,7 +415,7 @@ def test_mv_stream_maintenance_partitioned_exact_and_scoped(spark, tmp_path):
     q.awaitTermination()
     got = {
         r["k"]: (r["n"], float(r["s"]))
-        for r in spark.read.parquet(state).collect()
+        for r in streaming.load_partitioned_state(spark, state).collect()
     }
     exp = {r["k"]: (r["n"], float(r["s"])) for r in partials(df).collect()}
     assert got == exp
@@ -532,7 +532,7 @@ def test_tdigest_stream_maintenance_rank_error(spark, tmp_path):
         delta=100,
     )
     q.awaitTermination()
-    dig = spark.read.parquet(str(tmp_path / "state"))
+    dig = streaming.load_state(spark, str(tmp_path / "state"))
     assert dig.count() <= 220  # bounded state: ~2*delta worst case
     n = ev.count()
     for row in sketch.tdigest_quantile(dig, [0.01, 0.25, 0.5, 0.75, 0.99]).collect():
@@ -610,3 +610,118 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
         e = exp[r["event_type"]]
         assert r["n"] == e["n"]
         assert abs(r["s"] - e["s"]) < 1e-6
+
+
+def test_mv_maintenance_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch replayed against already-
+    committed state must NOT fold in twice. Simulated by draining the
+    same input files a second time under a FRESH checkpoint (batch ids
+    restart at 0, all <= the committed id) — the state must be
+    unchanged, where the pre-round-5 unconditional fold would have
+    doubled every count and sum."""
+    import pandas as pd
+
+    from henbun_spark import streaming
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 40 + ["b"] * 20, "v": [1.5] * 60})
+    )
+    in_dir, state = str(tmp_path / "in"), str(tmp_path / "state")
+    df.repartition(3).write.parquet(in_dir)
+
+    def partials(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,6)")).alias("s"),
+        )
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = streaming.mv_stream_maintenance(
+            stream, partials, ["k"], state, str(tmp_path / ckpt)
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    first = {
+        r["k"]: (r["n"], float(r["s"]))
+        for r in streaming.load_state(spark, state).collect()
+    }
+    drain("ckpt2")  # full replay: every batch id <= committed -> all skipped
+    second = {
+        r["k"]: (r["n"], float(r["s"]))
+        for r in streaming.load_state(spark, state).collect()
+    }
+    assert first == second == {"a": (40, 60.0), "b": (20, 30.0)}
+
+
+def test_mv_partitioned_replay_is_idempotent(spark, tmp_path):
+    """Per-partition __last_batch stamps: replaying the same batches
+    against the hive-partitioned MV state skips every already-stamped
+    partition instead of double-counting it."""
+    import pandas as pd
+
+    from henbun_spark import streaming
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 30 + ["b"] * 30, "v": [2.0] * 60})
+    )
+    in_dir, state = str(tmp_path / "in"), str(tmp_path / "state")
+    df.where(F.col("k") == "a").coalesce(1).write.parquet(in_dir)
+    df.where(F.col("k") == "b").coalesce(1).write.mode("append").parquet(in_dir)
+
+    def partials(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,6)")).alias("s"),
+        )
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = streaming.mv_stream_maintenance_partitioned(
+            stream, partials, ["k"], "k", state, str(tmp_path / ckpt)
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    first = {
+        r["k"]: (r["n"], float(r["s"]))
+        for r in streaming.load_partitioned_state(spark, state).collect()
+    }
+    drain("ckpt2")
+    second = {
+        r["k"]: (r["n"], float(r["s"]))
+        for r in streaming.load_partitioned_state(spark, state).collect()
+    }
+    assert first == second == {"a": (30, 60.0), "b": (30, 60.0)}
+
+
+def test_state_commit_survives_and_gcs_versions(spark, tmp_path):
+    """_commit_state: atomic pointer flip, readable old-or-new at every
+    point, superseded snapshot dirs garbage-collected."""
+    import os
+
+    import pandas as pd
+
+    from henbun_spark import streaming
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    d1 = spark.createDataFrame(pd.DataFrame({"x": [1, 2]}))
+    streaming._commit_state(d1, state, 0)
+    assert sorted(r["x"] for r in streaming.load_state(spark, state).collect()) == [1, 2]
+    d2 = spark.createDataFrame(pd.DataFrame({"x": [7]}))
+    streaming._commit_state(d2, state, 3)
+    assert [r["x"] for r in streaming.load_state(spark, state).collect()] == [7]
+    vdirs = [n for n in os.listdir(state) if n.startswith("v")]
+    assert vdirs == ["v" + "3".zfill(20)]
+    _, committed = streaming._read_state(spark, state)
+    assert committed == 3

@@ -63,7 +63,11 @@ from henbun_spark import sources
 #    1-row exact-percentiles aggregate.
 #  - streaming_tdigest_value: same bounded 5x1 estimate-vs-exact shape
 #    as tdigest_quantiles_value (drained streaming state side).
+#  - hard_negatives_emb: <=20 broadcast query vectors crossed onto one
+#    corpus scan — the same bounded brute-force shape as sim_cosine_topk
+#    (linear in the corpus; the query side is a filtered constant).
 BNLJ_OK = {
+    "hard_negatives_emb",
     "streaming_tdigest_value",
     "heavy_hitters_users",
     "mix_temperature_sources",
