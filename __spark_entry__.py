@@ -582,13 +582,24 @@ GROUP BY 1, 2
 
 
 def percentile_quantity(spark, sf_dir):
-    """Exact interpolated percentiles per group (Spark `percentile` ==
-    DuckDB `quantile_cont` semantics), rounded to 6 decimals to absorb
-    interpolation-arithmetic ulps."""
+    """Exact interpolated percentiles per group, rounded to 6 decimals
+    to absorb interpolation-arithmetic ulps — computed by the
+    DISTRIBUTED order-statistics path (`relational.
+    keyed_percentiles_exact`), not Spark's buffering `percentile()`:
+    the builtin holds a value->count map per group in executor memory
+    (unbounded in distinct values — l_extendedprice is
+    high-cardinality, so it OOMs at 100x), while the two-pass rank
+    shape keeps every task bounded and reproduces percentile() /
+    quantile_cont interpolation bit-for-bit."""
+    from henbun_spark.operators import relational
+
     li = _load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+    pct = relational.keyed_percentiles_exact(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.95]
+    )
+    return pct.groupBy("l_returnflag").agg(
+        F.round(F.max(F.when(F.col("p") == 0.5, F.col("value"))), 6).alias("p50"),
+        F.round(F.max(F.when(F.col("p") == 0.95, F.col("value"))), 6).alias("p95"),
     )
 
 
@@ -5937,24 +5948,31 @@ def anomaly_mad_events(spark, sf_dir):
     flagged. Both statistics quantize to 1e-6 via the portable
     floor-quantize (identical IEEE op sequence in both engines) BEFORE
     entering the flag predicate, so the boundary comparison is
-    bit-deterministic cross-engine. Three keyed passes with 5-row
-    broadcast stats — no global sort, no driver round-trip."""
+    bit-deterministic cross-engine. Both medians come from the
+    DISTRIBUTED order-statistics path (`relational.
+    keyed_percentiles_exact` — two-pass keyed rank, bounded tasks)
+    rather than Spark's buffering `percentile()`, whose per-group
+    value->count map is unbounded in distinct values at 100x; the
+    interpolation arithmetic is bitwise the builtin's, so the oracle is
+    unchanged."""
+    from henbun_spark.operators import relational
+
     ev = _load(spark, sf_dir, "events")
 
     def q(c):  # portable 1e-6 quantizer (round(x, 6) tie-breaks differ)
         return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
-    med = ev.groupBy("event_type").agg(
-        q(F.expr("percentile(value, 0.5)")).alias("med")
+    med = relational.keyed_percentiles_exact(
+        ev, "event_type", "value", [0.5]
+    ).select("event_type", q(F.col("value")).alias("med"))
+    adev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
     )
     mad = (
-        ev.join(F.broadcast(med), "event_type")
-        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
-        .groupBy("event_type")
-        .agg(
-            F.max("med").alias("med"),
-            q(F.expr("percentile(adev, 0.5)")).alias("mad"),
-        )
+        relational.keyed_percentiles_exact(adev, "event_type", "adev", [0.5])
+        .select("event_type", q(F.col("value")).alias("mad"))
+        .join(F.broadcast(med), "event_type")
+        .select("event_type", "med", "mad")
     )
     flagged = ev.join(F.broadcast(mad), "event_type").where(
         F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")

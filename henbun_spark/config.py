@@ -65,7 +65,95 @@ class Settings:
         return self.numerics.jitter_level
 
 
-settings = Settings()
+def parse_rc_value(string: str):
+    """Typed parse of one rc value — the reference's grammar
+    (`_settings.py:91-108`): booleans, dtype names (mapped to numpy
+    here, tf there), floats, ints, else the raw string."""
+    if not isinstance(string, str):
+        raise ValueError("rc values must be strings")
+    if string in ("true", "True"):
+        return True
+    if string in ("false", "False"):
+        return False
+    if string in ("float64", "float32", "float16", "int64", "int32", "int16"):
+        return getattr(np, string)
+    if any(string.count(s) for s in ".eE"):
+        try:
+            return float(string)
+        except ValueError:
+            return string
+    try:
+        return int(string)
+    except ValueError:
+        return string
+
+
+def _rc_path(path: str | None = None) -> str | None:
+    """Resolve the rc file: explicit arg > $HENBUNRC > search order
+    cwd -> home -> package dir, preferring `henbunrc` over `.henbunrc`
+    per location (`_settings.py:126-144`)."""
+    import os
+
+    if path is not None:
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        return path
+    env = os.environ.get("HENBUNRC")
+    if env:
+        if not os.path.exists(env):
+            raise FileNotFoundError(env)
+        return env
+    locations = [
+        os.path.abspath(os.curdir),
+        os.path.expanduser("~"),
+        os.path.dirname(os.path.realpath(__file__)),
+    ]
+    for loc in locations:
+        for name in ("henbunrc", ".henbunrc"):
+            cand = os.path.join(loc, name)
+            if os.path.isfile(cand):
+                return cand
+    return None
+
+
+def load_rc(path: str | None = None) -> Settings:
+    """Defaults -> rc file layer (`_settings.py:26-149` semantics):
+    build a `Settings` from dataclass defaults, then overlay any
+    matching [section] keys from the INI rc file. Unknown sections/keys
+    are ignored (this engine's settings surface is typed; the
+    reference's profiling/tf-verbosity knobs have no Spark meaning).
+    With no rc file anywhere, returns pure defaults."""
+    import configparser
+
+    out = Settings()
+    resolved = _rc_path(path)
+    if resolved is None:
+        return out
+    cp = configparser.ConfigParser()
+    cp.read(resolved)
+    groups = {
+        "dtypes": out.dtypes,
+        "numerics": out.numerics,
+        "training": out.training,
+    }
+    for section in cp.sections():
+        if section == "verbosity":
+            # the reference splits verbosity into per-subsystem flags;
+            # any true flag turns this engine's single switch on
+            out.verbosity = any(
+                parse_rc_value(v) is True for v in cp[section].values()
+            )
+            continue
+        target = groups.get(section)
+        if target is None:
+            continue
+        for key, raw in cp[section].items():
+            if hasattr(target, key):
+                setattr(target, key, parse_rc_value(raw))
+    return out
+
+
+settings = load_rc()
 
 
 @contextlib.contextmanager

@@ -556,6 +556,96 @@ def assign_keyed_ranks(
     )
 
 
+def keyed_percentiles_exact(
+    df: DataFrame,
+    key_cols,
+    value_col: str,
+    ps: list,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT interpolated per-key percentiles with bounded memory at any
+    scale — the 100-TB replacement for ``percentile(value, p)``:
+    Spark's exact `percentile` buffers a value->count OpenHashMap per
+    group in executor memory, unbounded in DISTINCT values, so a
+    high-cardinality double column OOMs the aggregate at scale.
+
+    Shape: one `assign_keyed_ranks` pass (range repartition + bounded
+    per-(partition,key) counts + broadcast offsets — no per-key
+    single-task sort), then the per-key counts (|keys| rows on the
+    driver) turn each percentile into at most two target ranks; a
+    broadcast targets table picks the two order statistics out of one
+    scan and the interpolation
+    ``(ceil(pos) - pos) * v_lo + (pos - floor(pos)) * v_hi``
+    reproduces Spark's `percentile` (and DuckDB's `quantile_cont`)
+    arithmetic bit-for-bit — same op order as
+    Percentile.getPercentile in spark/sql catalyst.
+
+    Intended for low/moderate key cardinality (the regime where the
+    keyed window dies); NULL values are ignored like the builtin.
+    Returns long format: (*key_cols, p, value).
+    """
+    import math
+
+    kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    vals = df.select(
+        *kcols, F.col(value_col).cast("double").alias("__v")
+    ).where(F.col("__v").isNotNull())
+    ranked = assign_keyed_ranks(
+        vals, kcols, [F.col("__v").asc()], "__rk", n_partitions=n_partitions
+    )
+    counts = vals.groupBy(*kcols).agg(F.count(F.lit(1)).alias("__n")).collect()
+    need = []
+    for r in counts:
+        n = int(r["__n"])
+        key = tuple(r[k] for k in kcols)
+        for p in ps:
+            pos = float(p) * (n - 1)  # 0-based fractional position
+            need.append(
+                (*key, float(p), int(math.floor(pos)) + 1,
+                 int(math.ceil(pos)) + 1, pos)
+            )
+    schema = T.StructType(
+        [T.StructField(k, df.schema[k].dataType) for k in kcols]
+        + [
+            T.StructField("p", T.DoubleType()),
+            T.StructField("__lo", T.LongType()),
+            T.StructField("__hi", T.LongType()),
+            T.StructField("__pos", T.DoubleType()),
+        ]
+    )
+    tgt = F.broadcast(df.sparkSession.createDataFrame(need, schema))
+    hit = ranked.join(
+        tgt,
+        on=[ranked[k] == tgt[k] for k in kcols]
+        + [(ranked["__rk"] == tgt["__lo"]) | (ranked["__rk"] == tgt["__hi"])],
+    ).select(
+        *[tgt[k] for k in kcols],
+        tgt["p"],
+        tgt["__lo"],
+        tgt["__hi"],
+        tgt["__pos"],
+        ranked["__rk"],
+        ranked["__v"],
+    )
+    v_lo = F.max(F.when(F.col("__rk") == F.col("__lo"), F.col("__v")))
+    v_hi = F.max(F.when(F.col("__rk") == F.col("__hi"), F.col("__v")))
+    pos, lo = F.col("__pos"), (F.col("__lo") - 1).cast("double")
+    hi = (F.col("__hi") - 1).cast("double")
+    return (
+        hit.groupBy(*kcols, "p", "__lo", "__hi", "__pos")
+        .agg(v_lo.alias("__vlo"), v_hi.alias("__vhi"))
+        .select(
+            *kcols,
+            "p",
+            F.when(F.col("__lo") == F.col("__hi"), F.col("__vlo"))
+            .otherwise(
+                (hi - pos) * F.col("__vlo") + (pos - lo) * F.col("__vhi")
+            )
+            .alias("value"),
+        )
+    )
+
+
 def ntile_from_rank(rank, n, k: int):
     """ANSI `ntile(k)` as pure Column math over a precomputed per-key
     rank and count: the first (n % k) buckets take ceil(n/k) rows, the

@@ -121,3 +121,73 @@ def test_test_feed_dict_shape():
     feeds = m.test_feed_dict(5)
     (batch,) = feeds.values()
     assert batch.shape == (5, 1)
+
+
+def test_rc_file_layer_round_trip(tmp_path, monkeypatch):
+    """henbunrc loading mirrors the reference's layered settings
+    (`_settings.py:26-149`, `henbunrc:1-17`): INI sections overlay the
+    dataclass defaults with typed parsing (bool / numpy dtype / float /
+    int), unknown sections are ignored, $HENBUNRC selects the file, and
+    `temp_settings` still scopes overrides."""
+    from henbun_spark import config
+
+    rc = tmp_path / "henbunrc"
+    rc.write_text(
+        "[dtypes]\n"
+        "float_type = float32\n"
+        "int_type = int64\n"
+        "[numerics]\n"
+        "jitter_level = 1e-3\n"
+        "clip_by_value = True\n"
+        "clip_value_min = -10.0\n"
+        "[training]\n"
+        "seed = 7\n"
+        "[verbosity]\n"
+        "optimisation_verb = False\n"
+        "hmc_verb = True\n"
+        "[profiling]\n"
+        "dump_timeline = True\n"
+    )
+    s = config.load_rc(str(rc))
+    assert s.dtypes.float_type is np.float32
+    assert s.dtypes.int_type is np.int64
+    assert s.numerics.jitter_level == 1e-3
+    assert s.numerics.clip_by_value is True
+    assert s.numerics.clip_value_min == -10.0
+    assert s.numerics.clip_value_max == 50.0  # untouched default
+    assert s.training.seed == 7
+    assert s.training.test_frac == 0.1  # untouched default
+    assert s.verbosity is True  # any true verbosity flag switches on
+
+    # env-var layer
+    monkeypatch.setenv("HENBUNRC", str(rc))
+    s2 = config.load_rc()
+    assert s2.dtypes.float_type is np.float32
+    monkeypatch.setenv("HENBUNRC", str(tmp_path / "missing"))
+    with pytest.raises(FileNotFoundError):
+        config.load_rc()
+    monkeypatch.delenv("HENBUNRC")
+
+    # no rc anywhere -> pure defaults
+    monkeypatch.chdir(tmp_path / "..")
+    base = config.load_rc()
+    assert base.dtypes.float_type is np.float64
+
+    # context override still scopes (reference test_tf_wraps.py:16-42)
+    with config.temp_settings(s) as active:
+        assert active.dtypes.float_type is np.float32
+    assert config.settings.dtypes.float_type is np.float64
+
+
+def test_rc_value_parser_grammar():
+    from henbun_spark import config
+
+    assert config.parse_rc_value("True") is True
+    assert config.parse_rc_value("false") is False
+    assert config.parse_rc_value("float64") is np.float64
+    assert config.parse_rc_value("1e-5") == 1e-5
+    assert config.parse_rc_value("-50.0") == -50.0
+    assert config.parse_rc_value("42") == 42
+    assert config.parse_rc_value("hello") == "hello"
+    with pytest.raises(ValueError):
+        config.parse_rc_value(3)

@@ -79,5 +79,9 @@ def test_bnlj_whitelist_entries_still_exist():
     # A whitelist entry for a deleted query is a stale hole; every name in
     # BNLJ_OK must still be a registered contract query.
     qs = set(entry_mod.queries())
-    stale = sorted(n for n in explain_audit.BNLJ_OK if n not in qs)
-    assert not stale, f"stale BNLJ whitelist entries: {stale}"
+    stale = sorted(
+        n
+        for n in explain_audit.BNLJ_OK | explain_audit.PERCENTILE_OK
+        if n not in qs
+    )
+    assert not stale, f"stale audit whitelist entries: {stale}"

@@ -87,6 +87,18 @@ BNLJ_OK = {
     "minhash_recall_docs",
     "bloom_semi_lineitem",
 }
+# Spark's EXACT `percentile()` aggregate buffers a value->count map per
+# group in executor memory — unbounded in distinct values, an OOM shape
+# on high-cardinality doubles at 100x. The scale paths are
+# relational.keyed_percentiles_exact (exact, bounded) and the t-digest
+# sketch. Allowed only where the exact builtin IS the point — the
+# sketch-accuracy measurement queries, whose input is the single-digit-
+# row estimate table joined against one bounded global aggregate:
+PERCENTILE_OK = {
+    "quantile_sketch_value",
+    "tdigest_quantiles_value",
+    "streaming_tdigest_value",
+}
 # These execute work at build time (training loops, streaming drains) —
 # still audited, just slower to appear.
 HARD = ("CartesianProduct", "BatchEvalPython")
@@ -106,6 +118,8 @@ def audit(name: str, plan: str) -> list[str]:
             flags.append(bad)
     if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
         flags.append("BroadcastNestedLoopJoin")
+    if re.search(r"\bpercentile\(", plan) and name not in PERCENTILE_OK:
+        flags.append("buffering-percentile")
     # scan fed directly by a filter but nothing pushed down
     for m in re.finditer(r"PushedFilters: \[\]", plan):
         ctx = plan[max(0, m.start() - 400) : m.start()]
