@@ -6002,6 +6002,70 @@ GROUP BY 1
 """
 
 
+def winsorize_value_by_type(spark, sf_dir):
+    """Per-type winsorization — the outlier-clipping feature transform
+    (clip every value into its type's [p01, p99]) that precedes scaling
+    in tabular/feature pipelines. The clip bounds come from the
+    DISTRIBUTED exact-percentile path (`relational.
+    keyed_percentiles_exact`, two-pass keyed rank — no buffering
+    `percentile()`, no per-key single-task sort), quantized to 1e-6 with
+    the portable floor-quantize so the boundary predicate is
+    bit-deterministic cross-engine; the clipped values then fold into an
+    order-independent decimal-exact sum. One rank pass + one broadcast
+    join + one scan-side aggregate at any scale."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+
+    def q(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    pct = relational.keyed_percentiles_exact(
+        ev, "event_type", "value", [0.01, 0.99]
+    )
+    bounds = pct.groupBy("event_type").agg(
+        q(F.max(F.when(F.col("p") == 0.01, F.col("value")))).alias("lo"),
+        q(F.max(F.when(F.col("p") == 0.99, F.col("value")))).alias("hi"),
+    )
+    clipped = F.when(F.col("value") < F.col("lo"), F.col("lo")).otherwise(
+        F.when(F.col("value") > F.col("hi"), F.col("hi")).otherwise(
+            F.col("value")
+        )
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_hi"),
+            _dsum(clipped, "w_sum"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+
+
+_WINSORIZE_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+    floor(quantile_cont(value, 0.01) * 1000000.0 + 0.5) / 1000000.0 AS lo,
+    floor(quantile_cont(value, 0.99) * 1000000.0 + 0.5) / 1000000.0 AS hi
+  FROM events GROUP BY 1)
+SELECT event_type, COUNT(*)::BIGINT AS n_rows,
+  SUM(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_lo,
+  SUM(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_hi,
+  {_sql_dsum("CASE WHEN value < lo THEN lo WHEN value > hi THEN hi ELSE value END", "w_sum")},
+  MAX(lo) AS lo, MAX(hi) AS hi
+FROM events JOIN b USING (event_type)
+GROUP BY 1
+"""
+
+
 def observed_filter_metrics(spark, sf_dir):
     """One-pass pipeline observability (`DataFrame.observe`): ingest-side
     metrics (input row count + decimal-exact value sum) ride the SAME
@@ -6912,6 +6976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The driver samples the FIRST 50 entries for its DuckDB oracle
         # check, so never-driver-checked queries are front-loaded:
         # oracle-backed first, then rows-only, then previously-green.
+        "winsorize_value_by_type": winsorize_value_by_type,
         "json_extract_props": json_extract_props,
         "pivot_event_types": pivot_event_types,
         "rolling_1h_user_value": rolling_1h_user_value,
@@ -7091,6 +7156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "winsorize_value_by_type": _WINSORIZE_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,

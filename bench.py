@@ -149,6 +149,7 @@ HEADLINE = [
     "training_shards_docs",
     "join_types_suite",
     "rank_gauss_value",
+    "winsorize_value_by_type",
     "hard_negatives_emb",
     "dedup_canonical_best",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
@@ -162,6 +163,38 @@ HEADLINE = [
 
 def force(df):
     df.write.format("noop").mode("overwrite").save()
+
+
+def format_output(times: dict, sf: float, max_line: int = 1900):
+    """(full dict, compact stdout line). The driver captures only the
+    LAST ~2000 chars of stdout and parses them as JSON; round 4's full
+    129-query line outgrew that (`BENCH_r04.json parsed: null`), so the
+    stdout line carries total + the slowest 20 queries only (sub-second
+    entries are host noise anyway) and is guaranteed under `max_line`."""
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    full = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    slowest = dict(sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:20])
+    failed = sorted(n for n, t in times.items() if t < 0)
+    compact = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "n_failed": len(failed),
+        "queries": slowest,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > max_line and compact["queries"]:
+        compact["queries"] = dict(list(compact["queries"].items())[:-2])
+        line = json.dumps(compact, separators=(",", ":"))
+    return full, line
 
 
 def main():
@@ -198,21 +231,9 @@ def main():
                 print(f"# bench {name} failed: {exc}", file=sys.stderr)
                 break
         times[name] = -1.0 if best is None else round(best, 3)
-    total = round(sum(t for t in times.values() if t >= 0), 3)
-    full = {
-        "metric": "headline_suite_total",
-        "value": total,
-        "unit": "sec",
-        "queries": times,
-        "sf": sf,
-    }
-    # The driver captures only the LAST ~2000 chars of stdout and parses
-    # them as JSON; the full per-query dump (129 queries, ~4.5 KB) outgrew
-    # that in round 4 (`BENCH_r04.json parsed: null`). So: the complete
-    # dump goes to stderr + BENCH_FULL.json (for tools/bench_diff.py), and
-    # stdout gets exactly ONE compact line — total + the slowest 20
-    # queries (sub-second entries are host-noise anyway) — kept well under
-    # the capture window.
+    full, line = format_output(times, sf)
+    # complete dump -> stderr + BENCH_FULL.json (tools/bench_diff.py);
+    # stdout -> exactly one compact parseable line for the driver
     print(json.dumps(full), file=sys.stderr)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -220,23 +241,6 @@ def main():
             json.dump(full, f)
     except OSError as exc:  # pragma: no cover
         print(f"# bench: could not write BENCH_FULL.json: {exc}", file=sys.stderr)
-    slowest = dict(
-        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:20]
-    )
-    failed = sorted(n for n, t in times.items() if t < 0)
-    compact = {
-        "metric": "headline_suite_total",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "n_queries": len(times),
-        "n_failed": len(failed),
-        "queries": slowest,
-    }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # pragma: no cover — belt and braces
-        compact["queries"] = dict(list(slowest.items())[:10])
-        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

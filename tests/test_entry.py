@@ -108,3 +108,24 @@ def test_readme_counts_match_registry():
     import bench
 
     assert b and int(b.group(1)) == len(bench.HEADLINE)
+
+
+def test_bench_stdout_line_fits_driver_capture():
+    """Round 4's official bench signal was lost because the stdout JSON
+    outgrew the driver's ~2000-char tail capture. Guard: for the full
+    current HEADLINE (worst-case long names, 4-digit times) the compact
+    line parses as JSON and stays under 1900 chars."""
+    import json as _json
+
+    import bench
+
+    times = {n: 123.456 for n in bench.HEADLINE}
+    times[bench.HEADLINE[0]] = -1.0  # a failed query still fits
+    full, line = bench.format_output(times, 0.1)
+    assert len(line) <= 1900
+    d = _json.loads(line)
+    assert d["metric"] == "headline_suite_total"
+    assert d["n_queries"] == len(bench.HEADLINE)
+    assert d["n_failed"] == 1
+    assert 0 < len(d["queries"]) <= 20
+    assert full["queries"] == times
