@@ -6066,6 +6066,41 @@ GROUP BY 1
 """
 
 
+def cap_docs_per_source(spark, sf_dir):
+    """Per-source quota cap — the anti-domination guard of corpus
+    assembly (no single crawl/source may exceed K docs): keep at most
+    K=400 docs per source, chosen by deterministic salted-hash order
+    (reproducible, unbiased by ingest order). `source` is
+    low-cardinality, so the naive `row_number() OVER (PARTITION BY
+    source ...)` is a single-task sort of ~1/|sources| of the corpus at
+    100 TB — the rank comes from the two-pass distributed prefix count
+    (`relational.assign_keyed_ranks`) instead; md5 order totalizes via
+    the doc_id tiebreak so the kept set is engine-identical."""
+    from henbun_spark.operators import relational
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked = relational.assign_keyed_ranks(
+        docs.withColumn("__h", F.md5(F.col("doc_id").cast("string"))),
+        "source",
+        [F.col("__h").asc(), F.col("doc_id").asc()],
+        "rank",
+    )
+    return (
+        ranked.where(F.col("rank") <= 400)
+        .select("doc_id", "source", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_CAP_SOURCE_SQL = """
+SELECT doc_id, source, rank::INT AS rank FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+  FROM documents)
+WHERE rank <= 400
+"""
+
+
 def observed_filter_metrics(spark, sf_dir):
     """One-pass pipeline observability (`DataFrame.observe`): ingest-side
     metrics (input row count + decimal-exact value sum) ride the SAME
@@ -6977,6 +7012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # check, so never-driver-checked queries are front-loaded:
         # oracle-backed first, then rows-only, then previously-green.
         "winsorize_value_by_type": winsorize_value_by_type,
+        "cap_docs_per_source": cap_docs_per_source,
         "json_extract_props": json_extract_props,
         "pivot_event_types": pivot_event_types,
         "rolling_1h_user_value": rolling_1h_user_value,
@@ -7157,6 +7193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "winsorize_value_by_type": _WINSORIZE_SQL,
+        "cap_docs_per_source": _CAP_SOURCE_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,

@@ -150,6 +150,7 @@ HEADLINE = [
     "join_types_suite",
     "rank_gauss_value",
     "winsorize_value_by_type",
+    "cap_docs_per_source",
     "hard_negatives_emb",
     "dedup_canonical_best",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
