@@ -129,3 +129,13 @@ def test_bench_stdout_line_fits_driver_capture():
     assert d["n_failed"] == 1
     assert 0 < len(d["queries"]) <= 20
     assert full["queries"] == times
+
+
+def test_driver_sampled_window_is_oracle_backed():
+    """The driver hash-checks the FIRST 50 registry entries against
+    DuckDB. Keep that window populated with oracle-backed queries (a
+    rows-only query in the window wastes a hash-check slot)."""
+    qs = list(entry_mod.queries())[:50]
+    oracles = entry_mod.oracle_sql()
+    missing = [n for n in qs if n not in oracles]
+    assert not missing, f"rows-only queries in the driver window: {missing}"

@@ -39,10 +39,6 @@ EAGER = {
     "ann_topk_pq",
     "tdigest_quantiles_value",
     "mv_incremental_daily",
-    "merge_upsert_docs",
-    "incremental_dedup_new",
-    "snapshot_diff_docs",
-    "contamination_check",
     "image_dedup_ahash",
     "audio_dedup_fp",
     "video_dedup_frames",
