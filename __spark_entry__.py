@@ -2307,12 +2307,14 @@ def equidepth_histogram(spark, sf_dir):
 
     ev = _load(spark, sf_dir, "events").select("event_type", "value", "event_id")
     ranked = relational.assign_keyed_ranks(
-        ev, "event_type", [F.col("value").asc(), F.col("event_id").asc()], "rk"
+        ev,
+        "event_type",
+        [F.col("value").asc(), F.col("event_id").asc()],
+        "rk",
+        total_name="__n",  # per-type totals ride the offset broadcast: no extra scan
     )
-    n_by_type = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
     return (
-        ranked.join(F.broadcast(n_by_type), "event_type")
-        .withColumn(
+        ranked.withColumn(
             "bucket", relational.ntile_from_rank(F.col("rk"), F.col("__n"), 8)
         )
         .groupBy("event_type", "bucket")
@@ -5897,20 +5899,17 @@ def rank_gauss_value(spark, sf_dir):
     from henbun_spark.operators import relational
 
     ev = _load(spark, sf_dir, "events").select("event_type", "value", "event_id")
-    n_by_type = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("double").alias("n")
-    )
-    ranked = (
-        relational.assign_keyed_ranks(
-            ev, "event_type", [F.col("value").asc(), F.col("event_id").asc()], "__rk"
-        )
-        .join(F.broadcast(n_by_type), "event_type")
-        .select(
-            "event_type",
-            "value",
-            F.col("__rk").cast("double").alias("rk"),
-            "n",
-        )
+    ranked = relational.assign_keyed_ranks(
+        ev,
+        "event_type",
+        [F.col("value").asc(), F.col("event_id").asc()],
+        "__rk",
+        total_name="__n",  # per-type totals ride the offset broadcast: no extra scan
+    ).select(
+        "event_type",
+        "value",
+        F.col("__rk").cast("double").alias("rk"),
+        F.col("__n").cast("double").alias("n"),
     )
     z = _ppf_col((F.col("rk") - F.lit(0.5)) / F.col("n"))
     scored = ranked.withColumn("z", z)

@@ -502,6 +502,7 @@ def assign_keyed_ranks(
     order_by: list,
     rank_name: str = "rank",
     n_partitions: int | None = None,
+    total_name: str | None = None,
 ) -> DataFrame:
     """Per-key consecutive ranks (1-based `row_number()` within each key,
     ordered by `order_by`) WITHOUT a per-key single-task window sort.
@@ -525,7 +526,30 @@ def assign_keyed_ranks(
     The ordering must be total per key (include a tiebreak column) for
     deterministic ranks, and key columns must be non-null (the offset
     equi-join drops null keys).
+
+    `total_name` (optional) also attaches each key's TOTAL row count as
+    a column — for free: the totals fall out of the same per-(partition,
+    key) counts the offset pass already collected, so consumers that
+    need (rank, n) pairs (ntile, rank-gauss u = (rk-0.5)/n, percentile
+    positions) skip a whole extra scan + aggregate + broadcast join.
     """
+    ranked, _totals = _keyed_ranks_with_totals(
+        df, key_cols, order_by, rank_name, n_partitions, total_name
+    )
+    return ranked
+
+
+def _keyed_ranks_with_totals(
+    df: DataFrame,
+    key_cols,
+    order_by: list,
+    rank_name: str,
+    n_partitions: int | None,
+    total_name: str | None = None,
+):
+    """(ranked DataFrame, {key tuple: total}) — shared scaffold for
+    `assign_keyed_ranks` and `keyed_percentiles_exact`, one counts
+    collect serving offsets AND per-key totals."""
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     ocols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
     parted = df.repartitionByRange(
@@ -540,20 +564,28 @@ def assign_keyed_ranks(
     rows = []
     for r in sorted(counts, key=lambda r: r["_pid"]):
         key = tuple(r[k] for k in kcols)
-        rows.append((int(r["_pid"]), *key, int(acc.get(key, 0))))
+        rows.append([int(r["_pid"]), *key, int(acc.get(key, 0))])
         acc[key] = acc.get(key, 0) + int(r["_n"])
-    schema = T.StructType(
+    fields = (
         [T.StructField("_pid", T.IntegerType())]
         + [T.StructField(k, df.schema[k].dataType) for k in kcols]
         + [T.StructField("_off", T.LongType())]
     )
-    off_df = F.broadcast(parted.sparkSession.createDataFrame(rows, schema))
+    if total_name:
+        fields.append(T.StructField(total_name, T.LongType()))
+        for row in rows:
+            row.append(int(acc[tuple(row[1 : 1 + len(kcols)])]))
+    schema = T.StructType(fields)
+    off_df = F.broadcast(
+        parted.sparkSession.createDataFrame([tuple(r) for r in rows], schema)
+    )
     w = Window.partitionBy("_pid", *kcols).orderBy(*ocols)
-    return (
+    ranked = (
         parted.join(off_df, ["_pid", *kcols])
         .withColumn(rank_name, F.row_number().over(w) + F.col("_off"))
         .drop("_pid", "_off")
     )
+    return ranked, acc
 
 
 def keyed_percentiles_exact(
@@ -571,10 +603,10 @@ def keyed_percentiles_exact(
 
     Shape: one `assign_keyed_ranks` pass (range repartition + bounded
     per-(partition,key) counts + broadcast offsets — no per-key
-    single-task sort), then the per-key counts (|keys| rows on the
-    driver) turn each percentile into at most two target ranks; a
-    broadcast targets table picks the two order statistics out of one
-    scan and the interpolation
+    single-task sort) whose SAME counts collect also yields the per-key
+    totals (no extra count job); the totals turn each percentile into
+    at most two target ranks; a broadcast targets table picks the two
+    order statistics out of one scan and the interpolation
     ``(ceil(pos) - pos) * v_lo + (pos - floor(pos)) * v_hi``
     reproduces Spark's `percentile` (and DuckDB's `quantile_cont`)
     arithmetic bit-for-bit — same op order as
@@ -590,14 +622,11 @@ def keyed_percentiles_exact(
     vals = df.select(
         *kcols, F.col(value_col).cast("double").alias("__v")
     ).where(F.col("__v").isNotNull())
-    ranked = assign_keyed_ranks(
-        vals, kcols, [F.col("__v").asc()], "__rk", n_partitions=n_partitions
+    ranked, totals = _keyed_ranks_with_totals(
+        vals, kcols, [F.col("__v").asc()], "__rk", n_partitions
     )
-    counts = vals.groupBy(*kcols).agg(F.count(F.lit(1)).alias("__n")).collect()
     need = []
-    for r in counts:
-        n = int(r["__n"])
-        key = tuple(r[k] for k in kcols)
+    for key, n in totals.items():
         for p in ps:
             pos = float(p) * (n - 1)  # 0-based fractional position
             need.append(
