@@ -1,0 +1,63 @@
+"""End-to-end corpus pipeline on the custom `synthetic_docs` source —
+no input files at all: generate a deterministic corpus on the executors,
+dedup it, quality-filter it, and pack it into training sequences.
+
+Run:  PYTHONPATH=/root/repo python examples/synthetic_pipeline.py
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def build_corpus(spark, rows: int = 5000):
+    """Generate -> exact-dedup -> quality-gate -> pack. Returns
+    (n_generated, n_after_dedup, n_quality, n_packed_sequences)."""
+    from henbun_spark.operators import dedup, pipeline, text
+    from henbun_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    docs = (
+        spark.read.format("synthetic_docs")
+        .option("rows", rows)
+        .option("partitions", 8)
+        .load()
+    )
+    n_gen = docs.count()
+
+    # exact dedup on normalized text (the generator plants ~3% dups);
+    # the group table carries only (id, hash, keep) — join the kept ids
+    # back onto the corpus for the payload columns
+    kept = (
+        dedup.normalized_dup_groups(docs, "text", "doc_id")
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    deduped = docs.join(kept, "doc_id")
+    n_dedup = deduped.count()
+
+    # quality gate: token-count floor via the token-stats operator
+    good = text.token_stats(
+        deduped.select("doc_id", "text", "source"), "text"
+    ).where(F.col("n_tokens") >= 30)
+    n_quality = good.count()
+
+    # next-fit packing into 512-token training sequences per source shard
+    packed = pipeline.pack_sequences(
+        good.select("doc_id", "source", F.col("n_tokens").cast("long").alias("tok")),
+        "doc_id",
+        "tok",
+        budget=512,
+        part_col="source",
+    )
+    n_seqs = packed.select("source", "bin").distinct().count()
+    return n_gen, n_dedup, n_quality, n_seqs
+
+
+if __name__ == "__main__":
+    from henbun_spark import sources
+
+    spark = sources.get_spark("synthetic-pipeline", master="local[4]")
+    print(build_corpus(spark))

@@ -527,6 +527,13 @@ def assign_keyed_ranks(
     deterministic ranks, and key columns must be non-null (the offset
     equi-join drops null keys).
 
+    Regime: this targets LOW/MODERATE key cardinality — the counts
+    collect is n_partitions + n_keys rows, and that is exactly the
+    regime where the keyed window dies. For HIGH-cardinality keys
+    (user_id, doc_id) use the plain `row_number()` window: each key's
+    partition is small, the sort parallelizes fine, and this
+    primitive's driver rows would grow with |keys| for no benefit.
+
     `total_name` (optional) also attaches each key's TOTAL row count as
     a column — for free: the totals fall out of the same per-(partition,
     key) counts the offset pass already collected, so consumers that

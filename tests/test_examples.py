@@ -14,3 +14,15 @@ def test_quickstart_functions(spark, sf_dir):
     row = quickstart.score_columns(spark, sf_dir)
     assert row["sum_logp"] < 0  # log-densities are negative
     assert quickstart.corpus_slice(spark, sf_dir) > 0
+
+
+def test_synthetic_pipeline(spark):
+    import synthetic_pipeline
+
+    n_gen, n_dedup, n_quality, n_seqs = synthetic_pipeline.build_corpus(
+        spark, rows=2000
+    )
+    assert n_gen == 2000
+    assert 0 < n_dedup < n_gen  # planted duplicates removed
+    assert 0 < n_quality <= n_dedup
+    assert 0 < n_seqs < n_quality  # packing coalesces docs into sequences
