@@ -6904,6 +6904,39 @@ def tdigest_quantiles_value(spark, sf_dir):
     )
 
 
+def tdigest_by_type(spark, sf_dir):
+    """Per-GROUP t-digest quantiles (grouped sketch family completion:
+    HLL by type = distinct, Misra-Gries by type = heavy keys, t-digest
+    by type = quantiles): per-event_type p50/p95 estimated from
+    ~100-centroid digests built over (group, md5-value-bucket) cells —
+    summaries, never raw values, shuffle on the group key — next to the
+    EXACT per-type percentiles from the distributed order-statistics
+    path and the absolute error. Rows-only (greedy compression has no
+    SQL form); per-group rank error < 2.5% is pytest-asserted."""
+    from henbun_spark.operators import relational, sketch
+
+    ev = _load(spark, sf_dir, "events")
+    dig = sketch.tdigest_merge_grouped(
+        sketch.tdigest_build_grouped(ev, "event_type", "value", delta=100),
+        "event_type",
+        delta=100,
+    )
+    est = sketch.tdigest_quantile_grouped(dig, "event_type", [0.5, 0.95])
+    exact = relational.keyed_percentiles_exact(
+        ev, "event_type", "value", [0.5, 0.95]
+    ).select("event_type", F.col("p").alias("q"), F.col("value").alias("exact"))
+    return (
+        est.join(exact, ["event_type", "q"])
+        .select(
+            "event_type",
+            "q",
+            F.round("est", 6).alias("est"),
+            F.round("exact", 6).alias("exact"),
+            F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+        )
+    )
+
+
 def streaming_tdigest_value(spark, sf_dir):
     """Incremental quantile-sketch maintenance on a stream
     (`streaming.tdigest_stream_maintenance`): events replayed as a
@@ -7086,6 +7119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq": ann_topk_pq,
         "video_dedup_frames": video_dedup_frames,
         "tdigest_quantiles_value": tdigest_quantiles_value,
+        "tdigest_by_type": tdigest_by_type,
         "streaming_tdigest_value": streaming_tdigest_value,
         "streaming_ivf_ingest": streaming_ivf_ingest,
         "vi_minibatch_sgd": vi_minibatch_sgd,

@@ -137,6 +137,7 @@ HEADLINE = [
     "asof_nearest_purchase",
     "assemble_training_corpus",
     "tdigest_quantiles_value",
+    "tdigest_by_type",
     "date_trunc_family",
     "null_semantics_suite",
     "video_dedup_frames",

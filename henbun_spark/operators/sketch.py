@@ -737,3 +737,130 @@ def heavy_hitters_grouped(
         .where(F.col("n") * k > F.col("grp_n"))
         .select(F.col("grp").alias(group_col), "key", "n")
     )
+
+
+def tdigest_build_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    delta: int = 100,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Per-GROUP distributed t-digests — the quantile sibling of
+    `hll_registers(group)` / `heavy_hitters_grouped`: rows hash into
+    deterministic md5 value-buckets WITHIN each group, each
+    (group, bucket) cell compresses its own ~delta-centroid digest in
+    one `applyInPandas` pass, and `tdigest_merge_grouped` folds the
+    cells per group. State is |groups| x n_buckets x ~2*delta centroid
+    rows — never raw data — and every stage shuffles summaries keyed on
+    the group, so a per-type p99 over 100 TB moves megabytes.
+
+    Output: (group_col, bucket int, centroid_mean, centroid_weight).
+    """
+    import pandas as pd
+
+    key = (
+        F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        % n_buckets
+    ).cast("int")
+    vals = df.select(
+        F.col(group_col).alias("__grp"),
+        key.alias("bucket"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    gtype = df.schema[group_col].dataType.simpleString()
+
+    def digest(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = _tdigest_compress(
+            pdf["v"].to_numpy(dtype=float), [1.0] * len(pdf), delta
+        )
+        return pd.DataFrame(
+            {
+                "__grp": pdf["__grp"].iloc[0],
+                "bucket": pdf["bucket"].iloc[0],
+                "centroid_mean": m,
+                "centroid_weight": w,
+            }
+        )
+
+    return (
+        vals.groupBy("__grp", "bucket")
+        .applyInPandas(
+            digest,
+            f"__grp {gtype}, bucket int, centroid_mean double,"
+            " centroid_weight double",
+        )
+        .withColumnRenamed("__grp", group_col)
+    )
+
+
+def tdigest_merge_grouped(
+    digest: DataFrame, group_col: str, delta: int = 100
+) -> DataFrame:
+    """Fold a grouped bucket-digest table into ONE ~delta-centroid
+    digest per group (bounded per-group applyInPandas over centroid
+    rows only). Output: (group_col, centroid_mean, centroid_weight)."""
+    import pandas as pd
+
+    gtype = digest.schema[group_col].dataType.simpleString()
+
+    def compress(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = _tdigest_compress(
+            pdf["centroid_mean"].to_numpy(),
+            pdf["centroid_weight"].to_numpy(),
+            delta,
+        )
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].iloc[0],
+                "centroid_mean": m,
+                "centroid_weight": w,
+            }
+        )
+
+    return digest.groupBy(group_col).applyInPandas(
+        compress,
+        f"{group_col} {gtype}, centroid_mean double, centroid_weight double",
+    )
+
+
+def tdigest_quantile_grouped(
+    digest: DataFrame, group_col: str, qs: list[float]
+) -> DataFrame:
+    """Per-group quantile estimates from merged grouped digests —
+    midpoint-interpolated like `tdigest_quantile`, but computed INSIDE
+    an `applyInPandas` group (no driver collect: the group count may be
+    large even though each digest is tiny).
+
+    Output: (group_col, q double, est double)."""
+    import numpy as np
+    import pandas as pd
+
+    gtype = digest.schema[group_col].dataType.simpleString()
+    qlist = [float(q) for q in qs]
+
+    def est(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("centroid_mean")
+        means = pdf["centroid_mean"].to_numpy()
+        weights = pdf["centroid_weight"].to_numpy()
+        total = float(weights.sum())
+        cum = np.cumsum(weights) - weights / 2.0
+        out = []
+        for q in qlist:
+            target = q * total
+            if target <= cum[0]:
+                e = means[0]
+            elif target >= cum[-1]:
+                e = means[-1]
+            else:
+                i = int(np.searchsorted(cum, target, side="left"))
+                frac = (target - cum[i - 1]) / (cum[i] - cum[i - 1])
+                e = means[i - 1] + frac * (means[i] - means[i - 1])
+            out.append((pdf[group_col].iloc[0], q, float(e)))
+        return pd.DataFrame(out, columns=[group_col, "q", "est"])
+
+    return digest.groupBy(group_col).applyInPandas(
+        est, f"{group_col} {gtype}, q double, est double"
+    )

@@ -23,6 +23,7 @@ ROWS_ONLY = {
     "ann_topk_pq",
     "video_dedup_frames",
     "tdigest_quantiles_value",
+    "tdigest_by_type",
     "streaming_tdigest_value",
     "streaming_ivf_ingest",
     "approx_distinct_events",
