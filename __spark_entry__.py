@@ -2509,7 +2509,7 @@ def sample_per_group(spark, sf_dir):
 
     ev = _load(spark, sf_dir, "events")
     return sampling.deterministic_sample_per_group(
-        ev, ["event_type"], "event_id", k=5
+        ev, ["event_type"], "event_id", k=5, distributed_ranks=True
     ).select("event_type", "event_id")
 
 

@@ -68,24 +68,28 @@ def pack_sequences(
     of packing, where documents may straddle bin boundaries exactly as a
     token stream fed to a fixed-length batcher would.
 
-    One window (shuffle keyed on the shard column) computes the running
-    offset; integer token counts make the cumsum exact in any engine.  At
-    100 TB the shard column bounds window state: packing is per-shard by
-    construction (shards = sources, dates, or hash ranges), which matches
-    how training shards are actually built — never a single global
-    ordering.  Adds ``start_offset`` and ``bin`` columns.
+    The running offset is the two-pass distributed prefix sum
+    (`relational.keyed_prefix_sum`) rather than a `sum() OVER
+    (PARTITION BY shard ...)` window: shard columns are low-cardinality
+    (sources, dates), so the keyed window would sort ~1/|shards| of the
+    corpus in ONE task at 100 TB, while the range-partitioned prefix
+    sum keeps every task at a range slice. Integer token counts make
+    the offsets bitwise identical to the window's under any grouping.
+    Adds ``start_offset`` and ``bin`` columns.
     """
+    from henbun_spark.operators import relational
+
     h = F.md5(
         F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))
     )
-    w = (
-        Window.partitionBy(part_col)
-        .orderBy(h.asc(), F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    tokens = F.col(token_col).cast("long")
-    start = (F.sum(tokens).over(w) - tokens).alias("start_offset")
-    return df.withColumn("start_offset", start).withColumn(
+    packed = relational.keyed_prefix_sum(
+        df.withColumn("__h", h),
+        part_col,
+        [F.col("__h").asc(), F.col(id_col).asc()],
+        token_col,
+        out_name="start_offset",
+    ).drop("__h")
+    return packed.withColumn(
         "bin", F.floor(F.col("start_offset") / F.lit(int(budget)))
     )
 

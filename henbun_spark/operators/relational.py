@@ -595,6 +595,63 @@ def _keyed_ranks_with_totals(
     return ranked, acc
 
 
+def keyed_prefix_sum(
+    df: DataFrame,
+    key_cols,
+    order_by: list,
+    weight_col: str,
+    out_name: str = "prefix_sum",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE per-key running sum of an integer ``weight_col`` in
+    `order_by` order — the prefix-sum sibling of `assign_keyed_ranks`
+    (a rank is just a prefix sum of 1s), for the same low-cardinality-
+    key regime where `sum() OVER (PARTITION BY k ORDER BY ...)` funnels
+    each key through one task: sequence packing offsets per source
+    shard, byte offsets per file group, token budgets per language.
+
+    Same two-pass scaffold: range-repartition on (key, order); per-
+    (partition, key) weight sums to the driver (bounded by n_partitions
+    + n_keys); broadcast exclusive offsets; within-partition running sum
+    (parallel bounded frame) + offset. Integer weights make the sum
+    exact under any grouping, so the result is bitwise the window's.
+    Ordering must be total per key; keys must be non-null.
+    """
+    kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ocols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
+    wcol = F.col(weight_col).cast("long")
+    parted = df.repartitionByRange(
+        *([n_partitions] if n_partitions else []),
+        *[F.col(k) for k in kcols],
+        *ocols,
+    ).withColumn("_pid", F.spark_partition_id())
+    sums = (
+        parted.groupBy("_pid", *kcols).agg(F.sum(wcol).alias("_s")).collect()
+    )
+    acc: dict = {}
+    rows = []
+    for r in sorted(sums, key=lambda r: r["_pid"]):
+        key = tuple(r[k] for k in kcols)
+        rows.append((int(r["_pid"]), *key, int(acc.get(key, 0))))
+        acc[key] = acc.get(key, 0) + int(r["_s"] or 0)
+    schema = T.StructType(
+        [T.StructField("_pid", T.IntegerType())]
+        + [T.StructField(k, df.schema[k].dataType) for k in kcols]
+        + [T.StructField("_off", T.LongType())]
+    )
+    off_df = F.broadcast(parted.sparkSession.createDataFrame(rows, schema))
+    w = (
+        Window.partitionBy("_pid", *kcols)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parted.join(off_df, ["_pid", *kcols])
+        .withColumn(out_name, F.sum(wcol).over(w) - wcol + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
 def keyed_percentiles_exact(
     df: DataFrame,
     key_cols,

@@ -45,11 +45,32 @@ def deterministic_sample_per_group(
     id_col: str,
     k: int,
     salt: str = "sample",
+    distributed_ranks: bool = False,
 ) -> DataFrame:
     """Exactly k rows per group, chosen by md5 order — a deterministic
     'reservoir': every run, engine, and cluster size picks the same rows.
-    One shuffle (the group window); no RNG."""
+    No RNG.
+
+    ``distributed_ranks=False`` (default) uses the group window — right
+    for HIGH-cardinality groups (user_id), where each group's partition
+    is small. Set it True for LOW-cardinality groups (event_type, lang,
+    source): the window would sort ~1/|groups| of the table in one task,
+    so the rank comes from `relational.assign_keyed_ranks`' two-pass
+    prefix count instead — identical rows kept, bitwise."""
     h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+    if distributed_ranks:
+        from henbun_spark.operators import relational
+
+        return (
+            relational.assign_keyed_ranks(
+                df.withColumn("__h", h),
+                group_cols,
+                [F.col("__h").asc(), F.col(id_col).asc()],
+                "__rn",
+            )
+            .where(F.col("__rn") <= k)
+            .drop("__rn", "__h")
+        )
     w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))

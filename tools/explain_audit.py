@@ -99,6 +99,20 @@ PERCENTILE_OK = {
     "tdigest_quantiles_value",
     "streaming_tdigest_value",
 }
+# Known low-cardinality columns of the test tables: a Window partitioned
+# SOLELY by one of these funnels ~1/|values| of the table through one
+# task at scale (the shape the keyed-rank/percentile primitives exist to
+# avoid). Soft warn — bounded-frame windows (lag, rolling ROWS frames)
+# over these keys are sometimes intentional; the hard gate is review.
+LOWCARD_COLS = {
+    "event_type",
+    "source",
+    "lang",
+    "l_returnflag",
+    "l_linestatus",
+    "o_orderstatus",
+    "o_orderpriority",
+}
 # These execute work at build time (training loops, streaming drains) —
 # still audited, just slower to appear.
 HARD = ("CartesianProduct", "BatchEvalPython")
@@ -120,6 +134,11 @@ def audit(name: str, plan: str) -> list[str]:
         flags.append("BroadcastNestedLoopJoin")
     if re.search(r"\bpercentile\(", plan) and name not in PERCENTILE_OK:
         flags.append("buffering-percentile")
+    for m in re.finditer(r"windowspecdefinition\((\w+)#\d+(?:L)?,", plan):
+        col = m.group(1)
+        if col in LOWCARD_COLS:
+            flags.append(f"warn:lowcard-window:{col}")
+            break
     # scan fed directly by a filter but nothing pushed down
     for m in re.finditer(r"PushedFilters: \[\]", plan):
         ctx = plan[max(0, m.start() - 400) : m.start()]
