@@ -617,6 +617,16 @@ def keyed_prefix_sum(
     exact under any grouping, so the result is bitwise the window's.
     Ordering must be total per key; keys must be non-null.
     """
+    if not isinstance(
+        df.schema[weight_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise ValueError(
+            f"keyed_prefix_sum needs an integer weight column; "
+            f"{weight_col} is {df.schema[weight_col].dataType.simpleString()} "
+            "(fractional sums are not exact under regrouping — quantize to "
+            "integer units first)"
+        )
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     ocols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
     wcol = F.col(weight_col).cast("long")
