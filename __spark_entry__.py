@@ -6072,17 +6072,21 @@ def cap_docs_per_source(spark, sf_dir):
     (reproducible, unbiased by ingest order). `source` is
     low-cardinality, so the naive `row_number() OVER (PARTITION BY
     source ...)` is a single-task sort of ~1/|sources| of the corpus at
-    100 TB — the rank comes from the two-pass distributed prefix count
-    (`relational.assign_keyed_ranks`) instead; md5 order totalizes via
-    the doc_id tiebreak so the kept set is engine-identical."""
+    100 TB — the rank comes from the md5-bucketed distributed prefix
+    count (`relational.md5_bucketed_prefix_sum`: order-aligned
+    hash-prefix cells, in-plan bucket offsets, no driver round-trip);
+    md5 order totalizes via the doc_id tiebreak so the kept set is
+    engine-identical."""
     from henbun_spark.operators import relational
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
-    ranked = relational.assign_keyed_ranks(
+    ranked = relational.md5_bucketed_prefix_sum(
         docs.withColumn("__h", F.md5(F.col("doc_id").cast("string"))),
         "source",
-        [F.col("__h").asc(), F.col("doc_id").asc()],
-        "rank",
+        "__h",
+        "doc_id",
+        None,
+        out_name="rank",
     )
     return (
         ranked.where(F.col("rank") <= 400)

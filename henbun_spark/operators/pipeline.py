@@ -68,24 +68,26 @@ def pack_sequences(
     of packing, where documents may straddle bin boundaries exactly as a
     token stream fed to a fixed-length batcher would.
 
-    The running offset is the two-pass distributed prefix sum
-    (`relational.keyed_prefix_sum`) rather than a `sum() OVER
+    The running offset is the md5-bucketed distributed prefix sum
+    (`relational.md5_bucketed_prefix_sum`) rather than a `sum() OVER
     (PARTITION BY shard ...)` window: shard columns are low-cardinality
     (sources, dates), so the keyed window would sort ~1/|shards| of the
-    corpus in ONE task at 100 TB, while the range-partitioned prefix
-    sum keeps every task at a range slice. Integer token counts make
-    the offsets bitwise identical to the window's under any grouping.
-    Adds ``start_offset`` and ``bin`` columns.
+    corpus in ONE task at 100 TB, while the hash-prefix buckets are
+    order-aligned contiguous slices — per-(shard, bucket) windows plus
+    an in-plan tiny bucket-offset table, no driver round-trip, same
+    single data shuffle. Integer token counts make the offsets bitwise
+    identical to the window's. Adds ``start_offset`` and ``bin``.
     """
     from henbun_spark.operators import relational
 
     h = F.md5(
         F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))
     )
-    packed = relational.keyed_prefix_sum(
+    packed = relational.md5_bucketed_prefix_sum(
         df.withColumn("__h", h),
         part_col,
-        [F.col("__h").asc(), F.col(id_col).asc()],
+        "__h",
+        id_col,
         token_col,
         out_name="start_offset",
     ).drop("__h")

@@ -662,6 +662,82 @@ def keyed_prefix_sum(
     )
 
 
+def md5_bucketed_prefix_sum(
+    df: DataFrame,
+    key_cols,
+    hash_col: str,
+    tiebreak_col: str,
+    weight_col: str | None,
+    out_name: str = "prefix_sum",
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """EXCLUSIVE per-key running sum (or 1-based rank when
+    ``weight_col`` is None) in ``(hash_col ASC, tiebreak_col ASC)``
+    order, with NO driver round-trip and NO single-task-per-key sort —
+    the special case that covers every md5-ordered flow (sequence
+    packing, deterministic k-per-group sampling, shard layout).
+
+    Key insight: the first ``prefix_chars`` hex chars of the hash are
+    ORDER-ALIGNED with the full-hash sort (lexicographic prefix), so
+    they form 16^prefix_chars contiguous buckets per key. The plan is
+    pure DataFrame ops end-to-end:
+
+    1. map-side-combinable (key, bucket) weight totals — a tiny table
+       (|keys| x 16^prefix_chars rows);
+    2. per-key exclusive bucket offsets via a window over THAT tiny
+       table (each key's window is 16^prefix_chars rows — trivial);
+    3. broadcast-join the offsets back; running sum inside each
+       (key, bucket) cell — a parallel window whose partitions are
+       ~1/(|keys| * 16^prefix_chars) of the data (raise prefix_chars
+       for more parallelism at bigger scale).
+
+    md5 is uniform, so cells are balanced. Integer weights keep the
+    offsets bitwise equal to the single window's. One data shuffle
+    (the cell window) + one tiny aggregate branch — the same shuffle
+    count as the naive keyed window, without its single-task sort.
+    """
+    kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    wcol = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
+    if weight_col is not None and not isinstance(
+        df.schema[weight_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise ValueError(
+            f"md5_bucketed_prefix_sum needs an integer weight column; "
+            f"{weight_col} is {df.schema[weight_col].dataType.simpleString()}"
+        )
+    bucket = F.conv(
+        F.substring(F.col(hash_col), 1, prefix_chars), 16, 10
+    ).cast("int")
+    b = df.withColumn("__bkt", bucket)
+    cell = b.groupBy(*kcols, "__bkt").agg(F.sum(wcol).alias("__bs"))
+    wb = (
+        Window.partitionBy(*kcols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = cell.select(
+        *kcols,
+        "__bkt",
+        F.coalesce(F.sum("__bs").over(wb), F.lit(0)).alias("__boff"),
+    )
+    wc = (
+        Window.partitionBy(*kcols, "__bkt")
+        .orderBy(F.col(hash_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = b.join(F.broadcast(off), [*kcols, "__bkt"]).withColumn(
+        out_name, F.sum(wcol).over(wc) - wcol + F.col("__boff")
+    )
+    if weight_col is None:
+        out = out.withColumn(out_name, F.col(out_name) + 1)  # 1-based rank
+    return out.drop("__bkt", "__boff")
+
+
 def keyed_percentiles_exact(
     df: DataFrame,
     key_cols,

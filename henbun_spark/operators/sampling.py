@@ -54,19 +54,22 @@ def deterministic_sample_per_group(
     ``distributed_ranks=False`` (default) uses the group window — right
     for HIGH-cardinality groups (user_id), where each group's partition
     is small. Set it True for LOW-cardinality groups (event_type, lang,
-    source): the window would sort ~1/|groups| of the table in one task,
-    so the rank comes from `relational.assign_keyed_ranks`' two-pass
-    prefix count instead — identical rows kept, bitwise."""
+    source): the window would sort ~1/|groups| of the table in one
+    task, so the rank comes from the md5-bucketed prefix count instead
+    (order-aligned hash-prefix cells, in-plan offsets, no driver
+    round-trip) — identical rows kept, bitwise."""
     h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
     if distributed_ranks:
         from henbun_spark.operators import relational
 
         return (
-            relational.assign_keyed_ranks(
+            relational.md5_bucketed_prefix_sum(
                 df.withColumn("__h", h),
                 group_cols,
-                [F.col("__h").asc(), F.col(id_col).asc()],
-                "__rn",
+                "__h",
+                id_col,
+                None,
+                out_name="__rn",
             )
             .where(F.col("__rn") <= k)
             .drop("__rn", "__h")

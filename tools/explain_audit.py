@@ -134,10 +134,15 @@ def audit(name: str, plan: str) -> list[str]:
         flags.append("BroadcastNestedLoopJoin")
     if re.search(r"\bpercentile\(", plan) and name not in PERCENTILE_OK:
         flags.append("buffering-percentile")
-    for m in re.finditer(r"windowspecdefinition\((\w+)#\d+(?:L)?,", plan):
-        col = m.group(1)
-        if col in LOWCARD_COLS:
-            flags.append(f"warn:lowcard-window:{col}")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = m.group(1)
+        first = re.match(r"(\w+)#", args)
+        # windows over the md5-bucket machinery's TINY aggregated offset
+        # table (ordered by the internal __bkt column, 16^p rows per
+        # key) are bounded by construction — not the data-sized shape
+        # this warns about
+        if first and first.group(1) in LOWCARD_COLS and "__bkt" not in args:
+            flags.append(f"warn:lowcard-window:{first.group(1)}")
             break
     # scan fed directly by a filter but nothing pushed down
     for m in re.finditer(r"PushedFilters: \[\]", plan):
