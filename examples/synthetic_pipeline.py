@@ -5,9 +5,10 @@ dedup it, quality-filter it, and pack it into training sequences.
 Run:  PYTHONPATH=/root/repo python examples/synthetic_pipeline.py
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 

@@ -153,7 +153,25 @@ def load_rc(path: str | None = None) -> Settings:
     return out
 
 
-settings = load_rc()
+def _load_rc_at_import() -> Settings:
+    """Import-time layer load must never break `import henbun_spark`: a
+    stale $HENBUNRC (deleted file, leftover CI env) falls back to
+    defaults with a stderr note instead of raising. Explicit
+    `load_rc(path)` still raises on a missing path."""
+    import sys
+
+    try:
+        return load_rc()
+    except FileNotFoundError as exc:  # pragma: no cover - env-dependent
+        print(
+            f"henbun_spark: ignoring unreadable HENBUNRC ({exc}); "
+            "using default settings",
+            file=sys.stderr,
+        )
+        return Settings()
+
+
+settings = _load_rc_at_import()
 
 
 @contextlib.contextmanager

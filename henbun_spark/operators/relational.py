@@ -546,33 +546,52 @@ def assign_keyed_ranks(
     return ranked
 
 
-def _keyed_ranks_with_totals(
+def _require_integer_weight(df: DataFrame, weight_col: str, fn: str) -> None:
+    if not isinstance(
+        df.schema[weight_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise ValueError(
+            f"{fn} needs an integer weight column; "
+            f"{weight_col} is {df.schema[weight_col].dataType.simpleString()} "
+            "(fractional sums are not exact under regrouping — quantize to "
+            "integer units first)"
+        )
+
+
+def _keyed_offset_scaffold(
     df: DataFrame,
     key_cols,
     order_by: list,
-    rank_name: str,
     n_partitions: int | None,
+    weight_col: str | None = None,
     total_name: str | None = None,
 ):
-    """(ranked DataFrame, {key tuple: total}) — shared scaffold for
-    `assign_keyed_ranks` and `keyed_percentiles_exact`, one counts
-    collect serving offsets AND per-key totals."""
+    """The shared two-pass core: range-repartition on (key, order),
+    per-(partition, key) count-or-weight totals to the driver, exclusive
+    per-key prefix offsets broadcast back. Returns
+    (parted, off_df, kcols, ocols, {key tuple: total}). A rank is just
+    a prefix sum of 1s, so ranks (weight_col None) and weighted prefix
+    sums share everything up to the final window expression."""
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     ocols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
+    agg = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
+    )
     parted = df.repartitionByRange(
         *([n_partitions] if n_partitions else []),
         *[F.col(k) for k in kcols],
         *ocols,
     ).withColumn("_pid", F.spark_partition_id())
-    counts = (
-        parted.groupBy("_pid", *kcols).agg(F.count(F.lit(1)).alias("_n")).collect()
-    )
+    per_cell = parted.groupBy("_pid", *kcols).agg(agg.alias("_n")).collect()
     acc: dict = {}
     rows = []
-    for r in sorted(counts, key=lambda r: r["_pid"]):
+    for r in sorted(per_cell, key=lambda r: r["_pid"]):
         key = tuple(r[k] for k in kcols)
         rows.append([int(r["_pid"]), *key, int(acc.get(key, 0))])
-        acc[key] = acc.get(key, 0) + int(r["_n"])
+        acc[key] = acc.get(key, 0) + int(r["_n"] or 0)
     fields = (
         [T.StructField("_pid", T.IntegerType())]
         + [T.StructField(k, df.schema[k].dataType) for k in kcols]
@@ -586,11 +605,28 @@ def _keyed_ranks_with_totals(
     off_df = F.broadcast(
         parted.sparkSession.createDataFrame([tuple(r) for r in rows], schema)
     )
+    return parted, off_df, kcols, ocols, acc
+
+
+def _keyed_ranks_with_totals(
+    df: DataFrame,
+    key_cols,
+    order_by: list,
+    rank_name: str,
+    n_partitions: int | None,
+    total_name: str | None = None,
+):
+    """(ranked DataFrame, {key tuple: total}); input column order is
+    preserved, with rank (and total) appended."""
+    parted, off_df, kcols, ocols, acc = _keyed_offset_scaffold(
+        df, key_cols, order_by, n_partitions, None, total_name
+    )
     w = Window.partitionBy("_pid", *kcols).orderBy(*ocols)
+    extra = [total_name] if total_name else []
     ranked = (
         parted.join(off_df, ["_pid", *kcols])
         .withColumn(rank_name, F.row_number().over(w) + F.col("_off"))
-        .drop("_pid", "_off")
+        .select(*df.columns, rank_name, *extra)
     )
     return ranked, acc
 
@@ -605,51 +641,23 @@ def keyed_prefix_sum(
 ) -> DataFrame:
     """EXCLUSIVE per-key running sum of an integer ``weight_col`` in
     `order_by` order — the prefix-sum sibling of `assign_keyed_ranks`
-    (a rank is just a prefix sum of 1s), for the same low-cardinality-
-    key regime where `sum() OVER (PARTITION BY k ORDER BY ...)` funnels
-    each key through one task: sequence packing offsets per source
-    shard, byte offsets per file group, token budgets per language.
+    (same `_keyed_offset_scaffold`, weighted), for the same
+    low-cardinality-key regime where `sum() OVER (PARTITION BY k ORDER
+    BY ...)` funnels each key through one task: sequence packing
+    offsets per source shard, byte offsets per file group, token
+    budgets per language. For md5-ordered flows prefer
+    `md5_bucketed_prefix_sum` (no driver round-trip).
 
-    Same two-pass scaffold: range-repartition on (key, order); per-
-    (partition, key) weight sums to the driver (bounded by n_partitions
-    + n_keys); broadcast exclusive offsets; within-partition running sum
-    (parallel bounded frame) + offset. Integer weights make the sum
-    exact under any grouping, so the result is bitwise the window's.
-    Ordering must be total per key; keys must be non-null.
+    Integer weights make the sum exact under any grouping, so the
+    result is bitwise the window's. Ordering must be total per key;
+    keys must be non-null. Input column order is preserved, with
+    ``out_name`` appended.
     """
-    if not isinstance(
-        df.schema[weight_col].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
-    ):
-        raise ValueError(
-            f"keyed_prefix_sum needs an integer weight column; "
-            f"{weight_col} is {df.schema[weight_col].dataType.simpleString()} "
-            "(fractional sums are not exact under regrouping — quantize to "
-            "integer units first)"
-        )
-    kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    ocols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
+    _require_integer_weight(df, weight_col, "keyed_prefix_sum")
+    parted, off_df, kcols, ocols, _acc = _keyed_offset_scaffold(
+        df, key_cols, order_by, n_partitions, weight_col
+    )
     wcol = F.col(weight_col).cast("long")
-    parted = df.repartitionByRange(
-        *([n_partitions] if n_partitions else []),
-        *[F.col(k) for k in kcols],
-        *ocols,
-    ).withColumn("_pid", F.spark_partition_id())
-    sums = (
-        parted.groupBy("_pid", *kcols).agg(F.sum(wcol).alias("_s")).collect()
-    )
-    acc: dict = {}
-    rows = []
-    for r in sorted(sums, key=lambda r: r["_pid"]):
-        key = tuple(r[k] for k in kcols)
-        rows.append((int(r["_pid"]), *key, int(acc.get(key, 0))))
-        acc[key] = acc.get(key, 0) + int(r["_s"] or 0)
-    schema = T.StructType(
-        [T.StructField("_pid", T.IntegerType())]
-        + [T.StructField(k, df.schema[k].dataType) for k in kcols]
-        + [T.StructField("_off", T.LongType())]
-    )
-    off_df = F.broadcast(parted.sparkSession.createDataFrame(rows, schema))
     w = (
         Window.partitionBy("_pid", *kcols)
         .orderBy(*ocols)
@@ -658,7 +666,7 @@ def keyed_prefix_sum(
     return (
         parted.join(off_df, ["_pid", *kcols])
         .withColumn(out_name, F.sum(wcol).over(w) - wcol + F.col("_off"))
-        .drop("_pid", "_off")
+        .select(*df.columns, out_name)
     )
 
 
@@ -696,23 +704,20 @@ def md5_bucketed_prefix_sum(
     (the cell window) + one tiny aggregate branch — the same shuffle
     count as the naive keyed window, without its single-task sort.
     """
+    if not 1 <= prefix_chars <= 12:
+        # 16^12 buckets is already absurd; beyond 15 the long overflows
+        raise ValueError(f"prefix_chars must be in [1, 12], got {prefix_chars}")
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     wcol = (
         F.lit(1).cast("long")
         if weight_col is None
         else F.col(weight_col).cast("long")
     )
-    if weight_col is not None and not isinstance(
-        df.schema[weight_col].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
-    ):
-        raise ValueError(
-            f"md5_bucketed_prefix_sum needs an integer weight column; "
-            f"{weight_col} is {df.schema[weight_col].dataType.simpleString()}"
-        )
+    if weight_col is not None:
+        _require_integer_weight(df, weight_col, "md5_bucketed_prefix_sum")
     bucket = F.conv(
         F.substring(F.col(hash_col), 1, prefix_chars), 16, 10
-    ).cast("int")
+    ).cast("long")
     b = df.withColumn("__bkt", bucket)
     cell = b.groupBy(*kcols, "__bkt").agg(F.sum(wcol).alias("__bs"))
     wb = (
@@ -735,7 +740,7 @@ def md5_bucketed_prefix_sum(
     )
     if weight_col is None:
         out = out.withColumn(out_name, F.col(out_name) + 1)  # 1-based rank
-    return out.drop("__bkt", "__boff")
+    return out.select(*df.columns, out_name)
 
 
 def keyed_percentiles_exact(

@@ -86,6 +86,10 @@ class _DocsReader(DataSourceReader):
         self.seed = int(options.get("seed", 0))
 
     def partitions(self):
+        if self.rows <= 0:
+            # pyspark replaces an empty partition list with [None] and
+            # calls read(None) — hand it one empty range instead
+            return [_RangePartition(0, 0, self.seed)]
         per = -(-self.rows // self.n_parts)
         return [
             _RangePartition(i * per, min((i + 1) * per, self.rows), self.seed)

@@ -39,14 +39,15 @@ def read_stream_parquet(spark, path: str, schema) -> DataFrame:
 #     state dir — never overwriting the snapshot it was derived from;
 #   * a ``_CURRENT`` pointer file (JSON: version + batch_id) is flipped
 #     with ``os.replace`` — atomic on POSIX — as the single commit point;
-#   * on entry, a batch with ``batch_id <= committed batch_id`` is a
-#     replay and is skipped (idempotent upsert);
+#   * on entry, a batch with ``batch_id == committed batch_id`` is the
+#     legitimate crash-replay and is skipped (idempotent upsert); a
+#     batch id BELOW the committed id can only come from a reset/
+#     recreated checkpoint whose ids restarted — silently skipping would
+#     drop all new data, so that raises instead (`_should_skip_batch`);
 #   * superseded snapshot dirs are garbage-collected after the flip.
 #
 # A state dir is therefore always readable (old or new snapshot, never a
-# half-written one) and pairs with ONE checkpoint dir: batch ids restart
-# from 0 under a fresh checkpoint, so reusing a state dir with a new
-# checkpoint must start from a fresh state dir too.
+# half-written one) and pairs with ONE checkpoint dir.
 
 _STATE_POINTER = "_CURRENT"
 
@@ -113,6 +114,26 @@ def _commit_state(df: DataFrame, state_dir: str, batch_id: int) -> None:
     for name in os.listdir(state_dir):
         if name.startswith("v") and name != vname:
             shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+
+
+def _should_skip_batch(batch_id: int, committed: int, state_dir: str) -> bool:
+    """foreachBatch can only legitimately replay the MOST RECENT batch
+    (crash between state commit and checkpoint commit), i.e. batch_id ==
+    committed. A batch_id BELOW the committed id means the state dir is
+    being driven by a different (reset/recreated) checkpoint whose ids
+    restarted at 0 — silently skipping would drop all new data, so fail
+    loudly: pair each state dir with exactly one checkpoint dir, or
+    start both fresh."""
+    if batch_id == committed:
+        return True  # at-least-once replay of the already-folded batch
+    if batch_id < committed:
+        raise ValueError(
+            f"state dir {state_dir} has committed batch {committed} but "
+            f"received batch {batch_id}: the streaming checkpoint was "
+            "reset or replaced. Reuse the matching checkpoint dir, or "
+            "start from a fresh state dir."
+        )
+    return False
 
 
 def windowed_counts(
@@ -503,8 +524,8 @@ def hll_stream_maintenance(
     def merge_batch(bdf: DataFrame, batch_id: int):
         spark = bdf.sparkSession
         prev, committed = _read_state(spark, state_dir)
-        if batch_id <= committed:
-            return  # at-least-once replay of an already-folded batch
+        if committed >= 0 and _should_skip_batch(batch_id, committed, state_dir):
+            return
         regs = sketch.hll_registers(bdf, key_col, b=b)
         if prev is not None:
             regs = sketch.hll_merge(prev, regs)
@@ -547,8 +568,8 @@ def mg_stream_maintenance(
     def merge_batch(bdf: DataFrame, batch_id: int):
         spark = bdf.sparkSession
         prev, committed = _read_state(spark, state_dir)
-        if batch_id <= committed:
-            return  # at-least-once replay of an already-folded batch
+        if committed >= 0 and _should_skip_batch(batch_id, committed, state_dir):
+            return
         summ = sketch.mg_summary(bdf, key_col, k=k).collect()
         d: dict = {}
         if prev is not None:
@@ -599,8 +620,8 @@ def tdigest_stream_maintenance(
     def merge_batch(bdf: DataFrame, batch_id: int):
         spark = bdf.sparkSession
         prev, committed = _read_state(spark, state_dir)
-        if batch_id <= committed:
-            return  # at-least-once replay of an already-folded batch
+        if committed >= 0 and _should_skip_batch(batch_id, committed, state_dir):
+            return
         if not bdf.head(1):
             return
         batch_digest = sketch.tdigest_merge(
@@ -650,8 +671,8 @@ def mv_stream_maintenance(
     def merge_batch(bdf: DataFrame, batch_id: int):
         spark = bdf.sparkSession
         prev, committed = _read_state(spark, state_dir)
-        if batch_id <= committed:
-            return  # at-least-once replay of an already-folded batch
+        if committed >= 0 and _should_skip_batch(batch_id, committed, state_dir):
+            return
         partials = partials_fn(bdf)
         if prev is not None:
             partials = relational.merge_agg_states(prev, partials, key_cols)
@@ -690,12 +711,20 @@ def mv_stream_maintenance_partitioned(
 
     Idempotence is per partition: every state row carries a
     ``__last_batch`` stamp, and a replayed batch (foreachBatch is
-    at-least-once) skips partitions already stamped with its batch_id —
-    so a crash mid-overwrite re-applies the batch only to the partitions
-    it never committed, never double-counting. Readers should drop the
-    ``__last_batch`` column (`load_partitioned_state` does). Returns the
-    StreamingQuery.
+    at-least-once) skips partitions already stamped with its batch_id.
+    Because a dynamic partition OVERWRITE is not atomic (a crash during
+    job commit can leave a touched partition's old files deleted and
+    its new files unmoved — losing that partition's history), the
+    post-merge rows are journaled FIRST (`<state>__journal` parquet +
+    an atomically-replaced meta file), and every batch begins by
+    re-applying any pending journal (`recover_partitioned_mv`): the
+    journal holds final post-merge rows, so re-applying it is
+    idempotent. A stamp ABOVE the incoming batch id means the
+    checkpoint was reset — that raises rather than silently dropping
+    data. Readers should drop the ``__last_batch`` column
+    (`load_partitioned_state` does). Returns the StreamingQuery.
     """
+    import json
     import os
 
     from henbun_spark.operators import relational
@@ -705,6 +734,7 @@ def mv_stream_maintenance_partitioned(
 
     def merge_batch(bdf: DataFrame, batch_id: int):
         spark = bdf.sparkSession
+        recover_partitioned_mv(spark, state_dir, partition_col)
         partials = partials_fn(bdf)
         touched = [
             r[0] for r in partials.select(partition_col).distinct().collect()
@@ -716,16 +746,25 @@ def mv_stream_maintenance_partitioned(
                 F.col(partition_col).isin(touched)
             )
             if prev.columns:
-                # partitions already stamped with this batch id were
-                # committed by a previous attempt of the same batch
-                applied = {
-                    r[0]
-                    for r in prev.where(F.col("__last_batch") >= batch_id)
-                    .select(partition_col)
-                    .distinct()
+                stamps = {
+                    r[0]: r[1]
+                    for r in prev.groupBy(partition_col)
+                    .agg(F.max("__last_batch"))
                     .collect()
                 }
-                todo = [p for p in touched if p not in applied]
+                ahead = {p: s for p, s in stamps.items() if s > batch_id}
+                if ahead:
+                    raise ValueError(
+                        f"state dir {state_dir} partitions {sorted(ahead)} "
+                        f"carry batch stamps {sorted(set(ahead.values()))} "
+                        f"above incoming batch {batch_id}: the streaming "
+                        "checkpoint was reset or replaced. Reuse the "
+                        "matching checkpoint dir, or start from a fresh "
+                        "state dir."
+                    )
+                # partitions already stamped with this batch id were
+                # committed by a previous attempt of the same batch
+                todo = [p for p in touched if stamps.get(p) != batch_id]
                 if not todo:
                     return
                 if len(todo) < len(touched):
@@ -736,10 +775,21 @@ def mv_stream_maintenance_partitioned(
                 )
         stamped = partials.withColumn("__last_batch", F.lit(int(batch_id)))
         rows = stamped.collect()
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        spark.createDataFrame(rows, stamped.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).partitionBy(partition_col).parquet(state_dir)
+        sdf = spark.createDataFrame(rows, stamped.schema)
+        # write-ahead journal: post-merge rows + atomically-flipped meta,
+        # THEN the non-atomic partition overwrite, then journal removal
+        jdir, jmeta = state_dir + "__journal", state_dir + "__journal.meta"
+        sdf.coalesce(1).write.mode("overwrite").parquet(jdir)
+        tmp = jmeta + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"batch_id": int(batch_id), "partition_col": partition_col}, f
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, jmeta)
+        _overwrite_mv_partitions(spark, sdf, state_dir, partition_col)
+        os.remove(jmeta)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)
@@ -747,3 +797,37 @@ def mv_stream_maintenance_partitioned(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _overwrite_mv_partitions(spark, sdf, state_dir, partition_col):
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    sdf.coalesce(1).write.mode("overwrite").partitionBy(
+        partition_col
+    ).parquet(state_dir)
+
+
+def recover_partitioned_mv(spark, state_dir: str, partition_col: str) -> bool:
+    """Re-apply a pending partitioned-MV journal left by a crash between
+    the journal commit and the partition overwrite (or mid-overwrite).
+    The journal holds the FINAL post-merge rows for the touched
+    partitions, so overwriting from it is idempotent at any crash point.
+    Returns True if a journal was applied. Runs automatically at the
+    start of every micro-batch; call it manually before ad-hoc reads
+    after an unclean shutdown."""
+    import json
+    import os
+
+    jdir, jmeta = state_dir + "__journal", state_dir + "__journal.meta"
+    if not os.path.exists(jmeta):
+        return False
+    with open(jmeta) as f:
+        meta = json.load(f)
+    if meta["partition_col"] != partition_col:  # pragma: no cover
+        raise ValueError(
+            f"journal {jmeta} was written for partition column "
+            f"{meta['partition_col']!r}, not {partition_col!r}"
+        )
+    sdf = spark.read.parquet(jdir)
+    _overwrite_mv_partitions(spark, sdf, state_dir, partition_col)
+    os.remove(jmeta)
+    return True

@@ -613,13 +613,14 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
 
 
 def test_mv_maintenance_replay_is_idempotent(spark, tmp_path):
-    """foreachBatch is at-least-once: a batch replayed against already-
-    committed state must NOT fold in twice. Simulated by draining the
-    same input files a second time under a FRESH checkpoint (batch ids
-    restart at 0, all <= the committed id) — the state must be
-    unchanged, where the pre-round-5 unconditional fold would have
-    doubled every count and sum."""
+    """foreachBatch is at-least-once: the legitimate crash-replay
+    (batch_id == committed) is skipped idempotently, while a batch id
+    BELOW the committed id can only come from a reset/recreated
+    checkpoint — that now fails LOUDLY instead of silently dropping all
+    new data (round-5 review fix), and the committed state stays
+    intact."""
     import pandas as pd
+    import pytest as _pytest
 
     from henbun_spark import streaming
 
@@ -651,12 +652,21 @@ def test_mv_maintenance_replay_is_idempotent(spark, tmp_path):
         r["k"]: (r["n"], float(r["s"]))
         for r in streaming.load_state(spark, state).collect()
     }
-    drain("ckpt2")  # full replay: every batch id <= committed -> all skipped
+    assert first == {"a": (40, 60.0), "b": (20, 30.0)}
+    # crash-replay of the last committed batch: skipped, state unchanged
+    _, committed = streaming._read_state(spark, state)
+    assert streaming._should_skip_batch(committed, committed, state) is True
+    # fresh checkpoint against committed state: batch ids restart at 0 —
+    # must raise (silently skipping would drop all new data forever)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="checkpoint was.*reset"):
+        drain("ckpt2")
     second = {
         r["k"]: (r["n"], float(r["s"]))
         for r in streaming.load_state(spark, state).collect()
     }
-    assert first == second == {"a": (40, 60.0), "b": (20, 30.0)}
+    assert first == second  # state untouched by the rejected run
 
 
 def test_mv_partitioned_replay_is_idempotent(spark, tmp_path):
@@ -725,3 +735,65 @@ def test_state_commit_survives_and_gcs_versions(spark, tmp_path):
     assert vdirs == ["v" + "3".zfill(20)]
     _, committed = streaming._read_state(spark, state)
     assert committed == 3
+
+
+def test_partitioned_mv_journal_recovers_crashed_overwrite(spark, tmp_path):
+    """Dynamic partition overwrite is not atomic: simulate a crash after
+    the journal commit but mid-overwrite (one touched partition's files
+    deleted, nothing moved in) — recover_partitioned_mv must re-apply
+    the journaled post-merge rows and restore the partition."""
+    import json
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from henbun_spark import streaming
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 10 + ["b"] * 10, "v": [1.0] * 20})
+    )
+    in_dir, state = str(tmp_path / "in"), str(tmp_path / "state")
+    df.coalesce(1).write.parquet(in_dir)
+
+    def partials(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,6)")).alias("s"),
+        )
+
+    q = streaming.mv_stream_maintenance_partitioned(
+        spark.readStream.schema(df.schema).parquet(in_dir),
+        partials,
+        ["k"],
+        "k",
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    good = {
+        r["k"]: (r["n"], float(r["s"]))
+        for r in streaming.load_partitioned_state(spark, state).collect()
+    }
+    assert good == {"a": (10, 10.0), "b": (10, 10.0)}
+
+    # fabricate the crash window: journal present (same rows), one
+    # partition's files wiped by the half-done overwrite
+    snapshot = spark.read.parquet(state)
+    snapshot.coalesce(1).write.mode("overwrite").parquet(state + "__journal")
+    with open(state + "__journal.meta", "w") as f:
+        json.dump({"batch_id": 0, "partition_col": "k"}, f)
+    shutil.rmtree(os.path.join(state, "k=a"))
+    assert "a" not in {
+        r["k"] for r in spark.read.parquet(state).select("k").collect()
+    }
+
+    assert streaming.recover_partitioned_mv(spark, state, "k") is True
+    recovered = {
+        r["k"]: (r["n"], float(r["s"]))
+        for r in streaming.load_partitioned_state(spark, state).collect()
+    }
+    assert recovered == good
+    assert not os.path.exists(state + "__journal.meta")
+    # idempotent no-op when no journal is pending
+    assert streaming.recover_partitioned_mv(spark, state, "k") is False
