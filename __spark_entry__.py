@@ -6327,6 +6327,52 @@ GROUP BY d.source
 """
 
 
+def upsample_epochs_sources(spark, sf_dir):
+    """Multi-EPOCH deterministic source mixing (`pipeline.
+    upsample_epochs`) — the upsampling half of corpus re-balancing that
+    keep-rate mixers cannot express: per-source rates span 0.25x..3.75x
+    (derived from the source id), so small high-quality sources repeat
+    whole epochs while others run a fraction of one. Copy counts are
+    floor(rate) + a ppm-hash Bernoulli on the fraction — reproducible,
+    RNG-free, stable under corpus growth; copies materialize via a
+    map-side explode with an epoch index (no shuffle). Output audits
+    (source, epoch) -> docs + char mass, hash-checked."""
+    from henbun_spark.operators import pipeline
+
+    docs = _load(spark, sf_dir, "documents")
+    srcs = [r[0] for r in docs.select("source").distinct().collect()]
+    rates = {s: 0.25 + (int(s[3:]) % 8) * 0.5 for s in srcs}
+    out = pipeline.upsample_epochs(
+        docs, "source", "doc_id", rates, default_rate=1.0, salt="epoch"
+    )
+    return out.groupBy("source", F.col("epoch").cast("int").alias("epoch")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("char_mass"),
+    )
+
+
+_UPSAMPLE_SQL = """
+WITH rates AS (
+  SELECT source,
+    CAST((250000 + (CAST(substr(source, 4) AS INT) % 8) * 500000) // 1000000
+         AS INT) AS base,
+    CAST((250000 + (CAST(substr(source, 4) AS INT) % 8) * 500000) % 1000000
+         AS INT) AS frac
+  FROM (SELECT DISTINCT source FROM documents)),
+c AS (
+  SELECT d.source, d.doc_id, d.n_chars,
+    base + CASE WHEN CAST((((instr('0123456789abcdef', substr(md5('epoch' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576) + ((instr('0123456789abcdef', substr(md5('epoch' || '|' || CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 65536) + ((instr('0123456789abcdef', substr(md5('epoch' || '|' || CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 4096) + ((instr('0123456789abcdef', substr(md5('epoch' || '|' || CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1) * 256) + ((instr('0123456789abcdef', substr(md5('epoch' || '|' || CAST(d.doc_id AS VARCHAR)), 5, 1)) - 1) * 16) + ((instr('0123456789abcdef', substr(md5('epoch' || '|' || CAST(d.doc_id AS VARCHAR)), 6, 1)) - 1) * 1)) % 1000000 AS INT) < frac THEN 1 ELSE 0 END AS n
+  FROM documents d JOIN rates USING (source)),
+e AS (
+  SELECT source, doc_id, n_chars,
+    unnest(generate_series(0, n - 1)) AS epoch
+  FROM c WHERE n > 0)
+SELECT source, epoch::INT AS epoch, COUNT(*)::BIGINT AS n_docs,
+  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS char_mass
+FROM e GROUP BY 1, 2
+"""
+
+
 def rolling_median_user(spark, sf_dir):
     """Exact rolling median of `value` over the trailing 7 events per
     user (ROWS frame, ts+event_id tie-broken ordering): one keyed window
@@ -7049,6 +7095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed first, then rows-only, then previously-green.
         "winsorize_value_by_type": winsorize_value_by_type,
         "cap_docs_per_source": cap_docs_per_source,
+        "upsample_epochs_sources": upsample_epochs_sources,
         "json_extract_props": json_extract_props,
         "pivot_event_types": pivot_event_types,
         "rolling_1h_user_value": rolling_1h_user_value,
@@ -7231,6 +7278,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "winsorize_value_by_type": _WINSORIZE_SQL,
         "cap_docs_per_source": _CAP_SOURCE_SQL,
+        "upsample_epochs_sources": _UPSAMPLE_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,

@@ -152,6 +152,7 @@ HEADLINE = [
     "rank_gauss_value",
     "winsorize_value_by_type",
     "cap_docs_per_source",
+    "upsample_epochs_sources",
     "hard_negatives_emb",
     "dedup_canonical_best",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like

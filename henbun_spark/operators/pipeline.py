@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from henbun_spark.operators.dedup import char_shingles
 from henbun_spark.operators.sampling import _hash_bucket
@@ -25,6 +26,7 @@ from henbun_spark.operators.sampling import _hash_bucket
 __all__ = [
     "mix_sources",
     "mix_temperature",
+    "upsample_epochs",
     "pack_sequences",
     "contamination_overlap",
 ]
@@ -206,4 +208,74 @@ def mix_temperature(
     )
     return df.join(F.broadcast(rates), source_col).where(
         _hash_ppm(F.col(id_col), salt) < F.col("keep_ppm")
+    )
+
+
+def upsample_epochs(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    rates: dict,
+    default_rate: float = 1.0,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic multi-EPOCH source mixing — the other half of
+    corpus re-balancing that `mix_temperature` (keep-rates <= 1) cannot
+    express: high-quality small sources run MORE than one epoch (wiki
+    x3.4, books x2) while the big crawl runs a fraction of one. Each
+    row's copy count is
+
+        n = floor(rate) + 1[hash_ppm(salt|id) < frac(rate) * 1e6]
+
+    so a source with rate 3.4 emits every row 3 times plus a
+    deterministic 40% of rows a 4th time — exactly rate x mass in
+    expectation, reproducible across runs/engines/partitionings (md5
+    decides, never RNG), stable under corpus growth (a new row never
+    changes an old row's copies). Rates are quantized to ppm. Copies
+    are materialized by `explode(sequence(0, n-1))` with an ``epoch``
+    index column (0 = first pass) so downstream shuffles/packing can
+    keep epochs apart; unlisted sources take ``default_rate``.
+
+    Scale shape: one broadcast rates join + one map-side explode — no
+    shuffle at all; output size is rate-weighted input size, the
+    irreducible cost of materializing epochs. (If downstream is a
+    streaming trainer, prefer feeding epochs as separate passes;
+    materialization is for shard-writing pipelines.)
+    """
+    spark = df.sparkSession
+    stype = df.schema[source_col].dataType
+
+    def split(r: float):
+        ppm = int(round(float(r) * 1e6))
+        if ppm < 0:
+            raise ValueError(f"negative rate {r}")
+        return ppm // 1000000, ppm % 1000000
+
+    rows = [(s, *split(r)) for s, r in rates.items()]
+    rdf = F.broadcast(
+        spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField(source_col, stype),
+                    T.StructField("__base", T.IntegerType()),
+                    T.StructField("__frac", T.IntegerType()),
+                ]
+            ),
+        )
+    )
+    dbase, dfrac = split(default_rate)
+    n = F.coalesce(F.col("__base"), F.lit(dbase)) + F.when(
+        _hash_ppm(F.col(id_col), salt)
+        < F.coalesce(F.col("__frac"), F.lit(dfrac)),
+        1,
+    ).otherwise(0)
+    return (
+        df.join(rdf, source_col, "left")
+        .withColumn("__n", n)
+        .where(F.col("__n") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+        )
+        .drop("__base", "__frac", "__n")
     )
