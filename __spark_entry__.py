@@ -6373,6 +6373,54 @@ FROM e GROUP BY 1, 2
 """
 
 
+def pack_materialize_docs(spark, sf_dir):
+    """Materialized packed training sequences (`pipeline.
+    materialize_packed_sequences`): the bins `pack_sequences_docs`
+    assigns become actual concatenated sequences — per (source, bin),
+    member docs joined in stream order with a record-separator char.
+    The concat shuffle keys on the HIGH-cardinality (shard, bin) pair,
+    so every group is ~budget tokens regardless of corpus size. Output
+    hashes the sequence text via md5 so the oracle compares content
+    without hauling megabyte strings through the compare."""
+    from henbun_spark.operators import pipeline
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "tok_est", (F.floor(F.col("n_chars") / 4) + 1).cast("long")
+    )
+    seqs = pipeline.materialize_packed_sequences(
+        docs, "doc_id", "text", "tok_est", budget=512, part_col="source",
+        salt="pack",
+    )
+    return seqs.select(
+        "source",
+        "bin",
+        "n_docs",
+        "seq_tokens",
+        F.md5(F.col("seq_text")).alias("seq_digest"),
+        F.length("seq_text").alias("seq_chars"),
+    )
+
+
+_PACK_MATERIALIZE_SQL = """
+WITH toks AS (
+  SELECT source, doc_id, text, (n_chars // 4 + 1)::BIGINT AS tok_est
+  FROM documents),
+offs AS (
+  SELECT source, doc_id, text, tok_est,
+    SUM(tok_est) OVER (
+      PARTITION BY source
+      ORDER BY md5('pack' || '|' || CAST(doc_id AS VARCHAR)), doc_id
+      ROWS UNBOUNDED PRECEDING) - tok_est AS start_offset
+  FROM toks)
+SELECT source, (start_offset // 512)::BIGINT AS bin,
+  COUNT(*)::BIGINT AS n_docs,
+  CAST(SUM(tok_est) AS BIGINT) AS seq_tokens,
+  md5(string_agg(text, chr(30) ORDER BY start_offset, doc_id)) AS seq_digest,
+  (SUM(length(text)) + (COUNT(*) - 1))::BIGINT AS seq_chars
+FROM offs GROUP BY 1, 2
+"""
+
+
 def rolling_median_user(spark, sf_dir):
     """Exact rolling median of `value` over the trailing 7 events per
     user (ROWS frame, ts+event_id tie-broken ordering): one keyed window
@@ -7096,6 +7144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_value_by_type": winsorize_value_by_type,
         "cap_docs_per_source": cap_docs_per_source,
         "upsample_epochs_sources": upsample_epochs_sources,
+        "pack_materialize_docs": pack_materialize_docs,
         "json_extract_props": json_extract_props,
         "pivot_event_types": pivot_event_types,
         "rolling_1h_user_value": rolling_1h_user_value,
@@ -7279,6 +7328,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_value_by_type": _WINSORIZE_SQL,
         "cap_docs_per_source": _CAP_SOURCE_SQL,
         "upsample_epochs_sources": _UPSAMPLE_SQL,
+        "pack_materialize_docs": _PACK_MATERIALIZE_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,

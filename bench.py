@@ -153,6 +153,7 @@ HEADLINE = [
     "winsorize_value_by_type",
     "cap_docs_per_source",
     "upsample_epochs_sources",
+    "pack_materialize_docs",
     "hard_negatives_emb",
     "dedup_canonical_best",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like

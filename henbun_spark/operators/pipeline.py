@@ -279,3 +279,42 @@ def upsample_epochs(
         )
         .drop("__base", "__frac", "__n")
     )
+
+
+def materialize_packed_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    token_col: str,
+    budget: int,
+    part_col: str,
+    salt: str = "pack",
+    sep: str = "\x1e",
+) -> DataFrame:
+    """Turn `pack_sequences`' bin assignments into the actual training
+    sequences: per (shard, bin), concatenate member documents in stream
+    order (start_offset, id) with a separator token — the final
+    shard-writing step of corpus assembly.
+
+    One additional shuffle keyed on (shard, bin) — a HIGH-cardinality
+    composite (bins ~ total_tokens / budget), so groups are ~budget
+    tokens each and the per-group sort/concat state is bounded by the
+    sequence length by construction. Output:
+    (part_col, bin, n_docs, seq_tokens, seq_text).
+    """
+    packed = pack_sequences(df, id_col, token_col, budget, part_col, salt)
+    member = F.struct(
+        F.col("start_offset"), F.col(id_col).alias("__id"), F.col(text_col)
+    )
+    agg = packed.groupBy(part_col, "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col).cast("long")).alias("seq_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(member)),
+                lambda m: m[text_col],
+            ),
+            sep,
+        ).alias("seq_text"),
+    )
+    return agg
