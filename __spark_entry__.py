@@ -611,6 +611,45 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def weighted_percentile_price(spark, sf_dir):
+    """Exact WEIGHTED percentiles per group — `percentile(value, p,
+    freq)` semantics (price distribution where each lineitem counts
+    l_quantity times), computed by the bounded-memory distributed path
+    (`relational.keyed_weighted_percentiles_exact`: one weighted
+    prefix-mass pass, broadcast rank targets) instead of the builtin's
+    unbounded per-group value map. Interpolation is bitwise the
+    builtin's (pytest-asserted); the oracle replays the semantics by
+    frequency-expanding rows and taking quantile_cont."""
+    from henbun_spark.operators import relational
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    pct = relational.keyed_weighted_percentiles_exact(
+        li, "l_returnflag", "l_extendedprice", "qty", [0.5, 0.95]
+    )
+    return pct.groupBy("l_returnflag").agg(
+        F.round(F.max(F.when(F.col("p") == 0.5, F.col("value"))), 6).alias("p50"),
+        F.round(F.max(F.when(F.col("p") == 0.95, F.col("value"))), 6).alias("p95"),
+    )
+
+
+_WEIGHTED_PCT_SQL = """
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice::DOUBLE AS v, l_quantity::BIGINT AS q
+  FROM lineitem WHERE l_quantity > 0),
+e AS (
+  SELECT l_returnflag, v
+  FROM w, LATERAL unnest(generate_series(1, q)))
+SELECT l_returnflag,
+  ROUND(quantile_cont(v, 0.5), 6) AS p50,
+  ROUND(quantile_cont(v, 0.95), 6) AS p95
+FROM e GROUP BY 1
+"""
+
+
 def top_events_per_user(spark, sf_dir):
     """Top-3 events per user by value: one keyed window (row_number) after a single shuffle on user_id — the per-group top-k shape."""
     from henbun_spark.operators import relational
@@ -7145,6 +7184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_docs_per_source": cap_docs_per_source,
         "upsample_epochs_sources": upsample_epochs_sources,
         "pack_materialize_docs": pack_materialize_docs,
+        "weighted_percentile_price": weighted_percentile_price,
         "json_extract_props": json_extract_props,
         "pivot_event_types": pivot_event_types,
         "rolling_1h_user_value": rolling_1h_user_value,
@@ -7329,6 +7369,7 @@ def oracle_sql() -> dict[str, str]:
         "cap_docs_per_source": _CAP_SOURCE_SQL,
         "upsample_epochs_sources": _UPSAMPLE_SQL,
         "pack_materialize_docs": _PACK_MATERIALIZE_SQL,
+        "weighted_percentile_price": _WEIGHTED_PCT_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,

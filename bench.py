@@ -154,6 +154,7 @@ HEADLINE = [
     "cap_docs_per_source",
     "upsample_epochs_sources",
     "pack_materialize_docs",
+    "weighted_percentile_price",
     "hard_negatives_emb",
     "dedup_canonical_best",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like

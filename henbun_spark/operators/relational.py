@@ -1149,3 +1149,109 @@ def asof_nearest(
         within, F.when(choose_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}"))
     ).alias(c)
     return filled.select(*[c for c in left.columns], *[pick(c) for c in rcols])
+
+
+def keyed_weighted_percentiles_exact(
+    df: DataFrame,
+    key_cols,
+    value_col: str,
+    weight_col: str,
+    ps: list,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT per-key WEIGHTED percentiles — `percentile(value, p, freq)`
+    semantics (each row counts `weight` times in the multiset) on the
+    bounded-memory distributed path: the builtin buffers a value->count
+    map per group (unbounded in distinct values), while this runs one
+    weighted `_keyed_offset_scaffold` pass. Each row covers the weighted
+    rank interval (cum - w, cum]; a percentile target t = 1 + p*(W-1)
+    picks the covering row, and interpolation between the floor/ceil
+    target values reproduces the builtin bit-for-bit.
+
+    Weights must be positive integers (rows with NULL value or
+    non-positive weight are ignored, like the builtin). Returns
+    (*key_cols, p, value) long format.
+    """
+    import math
+
+    _require_integer_weight(df, weight_col, "keyed_weighted_percentiles_exact")
+    kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    vals = df.select(
+        *kcols,
+        F.col(value_col).cast("double").alias("__v"),
+        F.col(weight_col).cast("long").alias("__w"),
+    ).where(F.col("__v").isNotNull() & (F.col("__w") > 0))
+    parted, off_df, kcols, ocols, acc = _keyed_offset_scaffold(
+        vals, kcols, [F.col("__v").asc()], n_partitions, "__w"
+    )
+    w = (
+        Window.partitionBy("_pid", *kcols)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        parted.join(off_df, ["_pid", *kcols])
+        .withColumn("__cum", F.sum(F.col("__w")).over(w) + F.col("_off"))
+        .select(*kcols, "__v", "__w", "__cum")
+    )
+    need = []
+    for key, total in acc.items():
+        for p in ps:
+            pos = 1.0 + float(p) * (total - 1)  # 1-based weighted position
+            need.append(
+                (*key, float(p), int(math.floor(pos)), int(math.ceil(pos)), pos)
+            )
+    schema = T.StructType(
+        [T.StructField(k, df.schema[k].dataType) for k in kcols]
+        + [
+            T.StructField("p", T.DoubleType()),
+            T.StructField("__lo", T.LongType()),
+            T.StructField("__hi", T.LongType()),
+            T.StructField("__pos", T.DoubleType()),
+        ]
+    )
+    tgt = F.broadcast(df.sparkSession.createDataFrame(need, schema))
+    covers_lo = (F.col("__cum") - F.col("__w") < F.col("__lo")) & (
+        F.col("__lo") <= F.col("__cum")
+    )
+    covers_hi = (F.col("__cum") - F.col("__w") < F.col("__hi")) & (
+        F.col("__hi") <= F.col("__cum")
+    )
+    hit = cum.join(
+        tgt,
+        on=[cum[k] == tgt[k] for k in kcols]
+        + [
+            (
+                (cum["__cum"] - cum["__w"] < tgt["__lo"])
+                & (tgt["__lo"] <= cum["__cum"])
+            )
+            | (
+                (cum["__cum"] - cum["__w"] < tgt["__hi"])
+                & (tgt["__hi"] <= cum["__cum"])
+            )
+        ],
+    ).select(
+        *[tgt[k] for k in kcols],
+        tgt["p"],
+        tgt["__lo"],
+        tgt["__hi"],
+        tgt["__pos"],
+        cum["__v"],
+        cum["__w"],
+        cum["__cum"],
+    )
+    v_lo = F.max(F.when(covers_lo, F.col("__v")))
+    v_hi = F.max(F.when(covers_hi, F.col("__v")))
+    pos = F.col("__pos")
+    lo, hi = F.col("__lo").cast("double"), F.col("__hi").cast("double")
+    return (
+        hit.groupBy(*kcols, "p", "__lo", "__hi", "__pos")
+        .agg(v_lo.alias("__vlo"), v_hi.alias("__vhi"))
+        .select(
+            *kcols,
+            "p",
+            F.when(F.col("__lo") == F.col("__hi"), F.col("__vlo"))
+            .otherwise((hi - pos) * F.col("__vlo") + (pos - lo) * F.col("__vhi"))
+            .alias("value"),
+        )
+    )
