@@ -6367,8 +6367,8 @@ GROUP BY d.source
 
 
 def upsample_epochs_sources(spark, sf_dir):
-    """Multi-EPOCH deterministic source mixing (`pipeline.
-    upsample_epochs`) — the upsampling half of corpus re-balancing that
+    """Multi-EPOCH deterministic source mixing via
+    `pipeline.upsample_epochs` — the upsampling half of re-balancing that
     keep-rate mixers cannot express: per-source rates span 0.25x..3.75x
     (derived from the source id), so small high-quality sources repeat
     whole epochs while others run a fraction of one. Copy counts are
@@ -6413,8 +6413,8 @@ FROM e GROUP BY 1, 2
 
 
 def pack_materialize_docs(spark, sf_dir):
-    """Materialized packed training sequences (`pipeline.
-    materialize_packed_sequences`): the bins `pack_sequences_docs`
+    """Materialized packed training sequences
+    (`pipeline.materialize_packed_sequences`): bins `pack_sequences_docs`
     assigns become actual concatenated sequences — per (source, bin),
     member docs joined in stream order with a record-separator char.
     The concat shuffle keys on the HIGH-cardinality (shard, bin) pair,

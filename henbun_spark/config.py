@@ -162,9 +162,11 @@ def _load_rc_at_import() -> Settings:
 
     try:
         return load_rc()
-    except FileNotFoundError as exc:  # pragma: no cover - env-dependent
+    except Exception as exc:  # noqa: BLE001 - any rc problem (missing
+        # $HENBUNRC target, malformed INI, bad value) must degrade to
+        # defaults, not break import
         print(
-            f"henbun_spark: ignoring unreadable HENBUNRC ({exc}); "
+            f"henbun_spark: ignoring unusable rc config ({exc!r}); "
             "using default settings",
             file=sys.stderr,
         )

@@ -28,6 +28,7 @@ __all__ = [
     "mix_temperature",
     "upsample_epochs",
     "pack_sequences",
+    "materialize_packed_sequences",
     "contamination_overlap",
 ]
 
@@ -309,12 +310,15 @@ def materialize_packed_sequences(
     agg = packed.groupBy(part_col, "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(token_col).cast("long")).alias("seq_tokens"),
+        # null_replacement keeps the n_docs-1 separator invariant when a
+        # member doc's text is NULL (array_join would silently drop it)
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(member)),
                 lambda m: m[text_col],
             ),
             sep,
+            "",
         ).alias("seq_text"),
     )
     return agg

@@ -773,6 +773,7 @@ def keyed_percentiles_exact(
     """
     import math
 
+    _require_percentages(ps, "keyed_percentiles_exact")
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     vals = df.select(
         *kcols, F.col(value_col).cast("double").alias("__v")
@@ -813,20 +814,37 @@ def keyed_percentiles_exact(
     )
     v_lo = F.max(F.when(F.col("__rk") == F.col("__lo"), F.col("__v")))
     v_hi = F.max(F.when(F.col("__rk") == F.col("__hi"), F.col("__v")))
-    pos, lo = F.col("__pos"), (F.col("__lo") - 1).cast("double")
-    hi = (F.col("__hi") - 1).cast("double")
     return (
         hit.groupBy(*kcols, "p", "__lo", "__hi", "__pos")
         .agg(v_lo.alias("__vlo"), v_hi.alias("__vhi"))
-        .select(
-            *kcols,
-            "p",
-            F.when(F.col("__lo") == F.col("__hi"), F.col("__vlo"))
-            .otherwise(
-                (hi - pos) * F.col("__vlo") + (pos - lo) * F.col("__vhi")
-            )
-            .alias("value"),
+        .select(*kcols, "p", _percentile_interp().alias("value"))
+    )
+
+
+def _require_percentages(ps, fn: str) -> None:
+    bad = [p for p in ps if not 0.0 <= float(p) <= 1.0]
+    if bad:
+        raise ValueError(
+            f"{fn}: percentages must be in [0, 1], got {bad} "
+            "(did you pass percents instead of fractions?)"
         )
+
+
+def _percentile_interp():
+    """Bitwise replica of Spark Percentile.getPercentile's interpolation
+    over (__lo, __hi [1-based target ranks], __pos [0-BASED double
+    position], __vlo, __vhi): equal ranks OR equal keys short-circuit to
+    the lower key exactly (the builtin returns lowerKey without touching
+    float arithmetic there), else
+    ``(higher - position) * lowerKey + (position - lower) * higherKey``
+    with higher/lower/position all 0-based doubles."""
+    pos = F.col("__pos")
+    lo0 = (F.col("__lo") - 1).cast("double")
+    hi0 = (F.col("__hi") - 1).cast("double")
+    return (
+        F.when(F.col("__lo") == F.col("__hi"), F.col("__vlo"))
+        .when(F.col("__vlo") == F.col("__vhi"), F.col("__vlo"))
+        .otherwise((hi0 - pos) * F.col("__vlo") + (pos - lo0) * F.col("__vhi"))
     )
 
 
@@ -1164,8 +1182,8 @@ def keyed_weighted_percentiles_exact(
     bounded-memory distributed path: the builtin buffers a value->count
     map per group (unbounded in distinct values), while this runs one
     weighted `_keyed_offset_scaffold` pass. Each row covers the weighted
-    rank interval (cum - w, cum]; a percentile target t = 1 + p*(W-1)
-    picks the covering row, and interpolation between the floor/ceil
+    rank interval (cum - w, cum]; a percentile target at 0-based position p*(W-1)
+    picks the covering rows (1-based ranks floor+1 / ceil+1), and interpolation between the floor/ceil
     target values reproduces the builtin bit-for-bit.
 
     Weights must be positive integers (rows with NULL value or
@@ -1174,6 +1192,7 @@ def keyed_weighted_percentiles_exact(
     """
     import math
 
+    _require_percentages(ps, "keyed_weighted_percentiles_exact")
     _require_integer_weight(df, weight_col, "keyed_weighted_percentiles_exact")
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     vals = df.select(
@@ -1197,9 +1216,13 @@ def keyed_weighted_percentiles_exact(
     need = []
     for key, total in acc.items():
         for p in ps:
-            pos = 1.0 + float(p) * (total - 1)  # 1-based weighted position
+            # 0-BASED double position, exactly as the builtin computes it
+            # (adding 1.0 first would round differently and could even
+            # flip floor/ceil, selecting the wrong order statistics)
+            pos = float(p) * (total - 1)
             need.append(
-                (*key, float(p), int(math.floor(pos)), int(math.ceil(pos)), pos)
+                (*key, float(p), int(math.floor(pos)) + 1,
+                 int(math.ceil(pos)) + 1, pos)
             )
     schema = T.StructType(
         [T.StructField(k, df.schema[k].dataType) for k in kcols]
@@ -1242,16 +1265,8 @@ def keyed_weighted_percentiles_exact(
     )
     v_lo = F.max(F.when(covers_lo, F.col("__v")))
     v_hi = F.max(F.when(covers_hi, F.col("__v")))
-    pos = F.col("__pos")
-    lo, hi = F.col("__lo").cast("double"), F.col("__hi").cast("double")
     return (
         hit.groupBy(*kcols, "p", "__lo", "__hi", "__pos")
         .agg(v_lo.alias("__vlo"), v_hi.alias("__vhi"))
-        .select(
-            *kcols,
-            "p",
-            F.when(F.col("__lo") == F.col("__hi"), F.col("__vlo"))
-            .otherwise((hi - pos) * F.col("__vlo") + (pos - lo) * F.col("__vhi"))
-            .alias("value"),
-        )
+        .select(*kcols, "p", _percentile_interp().alias("value"))
     )

@@ -124,6 +124,8 @@ def _should_skip_batch(batch_id: int, committed: int, state_dir: str) -> bool:
     restarted at 0 — silently skipping would drop all new data, so fail
     loudly: pair each state dir with exactly one checkpoint dir, or
     start both fresh."""
+    if committed < 0:
+        return False  # fresh state dir: nothing committed yet
     if batch_id == committed:
         return True  # at-least-once replay of the already-folded batch
     if batch_id < committed:
@@ -524,7 +526,7 @@ def hll_stream_maintenance(
     def merge_batch(bdf: DataFrame, batch_id: int):
         spark = bdf.sparkSession
         prev, committed = _read_state(spark, state_dir)
-        if committed >= 0 and _should_skip_batch(batch_id, committed, state_dir):
+        if _should_skip_batch(batch_id, committed, state_dir):
             return
         regs = sketch.hll_registers(bdf, key_col, b=b)
         if prev is not None:
@@ -568,7 +570,7 @@ def mg_stream_maintenance(
     def merge_batch(bdf: DataFrame, batch_id: int):
         spark = bdf.sparkSession
         prev, committed = _read_state(spark, state_dir)
-        if committed >= 0 and _should_skip_batch(batch_id, committed, state_dir):
+        if _should_skip_batch(batch_id, committed, state_dir):
             return
         summ = sketch.mg_summary(bdf, key_col, k=k).collect()
         d: dict = {}
@@ -620,7 +622,7 @@ def tdigest_stream_maintenance(
     def merge_batch(bdf: DataFrame, batch_id: int):
         spark = bdf.sparkSession
         prev, committed = _read_state(spark, state_dir)
-        if committed >= 0 and _should_skip_batch(batch_id, committed, state_dir):
+        if _should_skip_batch(batch_id, committed, state_dir):
             return
         if not bdf.head(1):
             return
@@ -671,7 +673,7 @@ def mv_stream_maintenance(
     def merge_batch(bdf: DataFrame, batch_id: int):
         spark = bdf.sparkSession
         prev, committed = _read_state(spark, state_dir)
-        if committed >= 0 and _should_skip_batch(batch_id, committed, state_dir):
+        if _should_skip_batch(batch_id, committed, state_dir):
             return
         partials = partials_fn(bdf)
         if prev is not None:
