@@ -6978,6 +6978,70 @@ def streaming_ivf_ingest(spark, sf_dir):
     )
 
 
+def streaming_dedup_index(spark, sf_dir):
+    """PERSISTENT streaming dedup index, ORACLE-CHECKED with the batch
+    digest SQL: documents stream in as 4-file micro-batches and
+    foreachBatch folds each batch's (md5(text) -> min doc_id, count)
+    partials into a versioned exactly-once state via
+    `mv_stream_maintenance(agg_spec={canonical_id: min})` — the
+    continuous-ingest dedup pattern: the index answers "is this text
+    already in the lake, and which doc is canonical" without ever
+    rescanning the corpus, min/count merges are order-independent so
+    micro-batch splits cannot change the drained state, and replayed
+    batches are skipped by batch id. Output: duplicate groups only
+    (n_copies > 1) with their canonical (minimum) doc_id."""
+    from henbun_spark import streaming
+
+    base_docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    # the corpus has no exact text dups at test SF; a deterministic
+    # "re-crawl" slice (every 11th doc re-ingested under a new id)
+    # gives the index real duplicate groups to resolve
+    recrawl = base_docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    docs = base_docs.unionByName(recrawl)
+    base = _scratch_dir("henbun_sdi_")
+    in_dir = f"{base}/in"
+    docs.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def partials(d):
+        return d.groupBy(F.md5("text").alias("digest")).agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+
+    q = streaming.mv_stream_maintenance(
+        stream,
+        partials,
+        ["digest"],
+        f"{base}/state",
+        f"{base}/ckpt",
+        agg_spec={"canonical_id": "min"},
+    )
+    q.awaitTermination()
+    idx = streaming.load_state(spark, f"{base}/state")
+    return idx.where(F.col("n_copies") > 1).select(
+        "digest", "canonical_id", "n_copies"
+    )
+
+
+_STREAM_DEDUP_INDEX_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 11 = 0)
+SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id,
+  COUNT(*)::BIGINT AS n_copies
+FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
 def streaming_heavy_hitters(spark, sf_dir):
     """Incremental heavy-hitter maintenance on a stream, ORACLE-CHECKED
     with the SAME SQL as the batch `heavy_hitters_users`: each
@@ -7185,6 +7249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_epochs_sources": upsample_epochs_sources,
         "pack_materialize_docs": pack_materialize_docs,
         "weighted_percentile_price": weighted_percentile_price,
+        "streaming_dedup_index": streaming_dedup_index,
         "json_extract_props": json_extract_props,
         "pivot_event_types": pivot_event_types,
         "rolling_1h_user_value": rolling_1h_user_value,
@@ -7370,6 +7435,7 @@ def oracle_sql() -> dict[str, str]:
         "upsample_epochs_sources": _UPSAMPLE_SQL,
         "pack_materialize_docs": _PACK_MATERIALIZE_SQL,
         "weighted_percentile_price": _WEIGHTED_PCT_SQL,
+        "streaming_dedup_index": _STREAM_DEDUP_INDEX_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,

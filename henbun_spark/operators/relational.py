@@ -1060,13 +1060,19 @@ def gapfill_interpolate(
 
 
 def merge_agg_states(
-    mv: DataFrame, delta_partials: DataFrame, key_cols: list[str]
+    mv: DataFrame,
+    delta_partials: DataFrame,
+    key_cols: list[str],
+    agg_spec: dict | None = None,
 ) -> DataFrame:
     """Incremental materialized-view maintenance: merge a stored
-    aggregate table with freshly aggregated delta partials by summing
-    the mergeable state columns (every non-key column must be a
-    decomposable partial — counts and exact sums, from which avg/ratio
-    derive at read time).
+    aggregate table with freshly aggregated delta partials over the
+    mergeable state columns. Every non-key column must be a decomposable
+    partial; by default each merges by SUM (counts and exact sums, from
+    which avg/ratio derive at read time), and ``agg_spec`` overrides
+    per-column with ``"sum" | "min" | "max"`` — min/max are equally
+    mergeable and cover canonical-id election (dedup indexes keep
+    min(doc_id) per digest) and extrema tracking.
 
     The refresh cost is O(|delta| + |mv|) with one map-side-combinable
     re-aggregation — never a rescan of the base table, which is the
@@ -1077,10 +1083,15 @@ def merge_agg_states(
     val_cols = [c for c in mv.columns if c not in key_cols]
     if [c for c in delta_partials.columns if c not in key_cols] != val_cols:
         raise ValueError("mv and delta must share the same state columns")
+    fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    spec = agg_spec or {}
+    unknown = {c: m for c, m in spec.items() if m not in fns or c not in val_cols}
+    if unknown:
+        raise ValueError(f"bad agg_spec entries: {unknown}")
     return (
         mv.unionByName(delta_partials)
         .groupBy(*key_cols)
-        .agg(*[F.sum(c).alias(c) for c in val_cols])
+        .agg(*[fns[spec.get(c, "sum")](c).alias(c) for c in val_cols])
     )
 
 

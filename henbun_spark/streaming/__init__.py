@@ -649,6 +649,7 @@ def mv_stream_maintenance(
     key_cols: list[str],
     state_dir: str,
     checkpoint_dir: str,
+    agg_spec: dict | None = None,
 ):
     """Incremental materialized-view maintenance on a stream: every
     micro-batch aggregates itself with ``partials_fn`` (must emit only
@@ -677,7 +678,9 @@ def mv_stream_maintenance(
             return
         partials = partials_fn(bdf)
         if prev is not None:
-            partials = relational.merge_agg_states(prev, partials, key_cols)
+            partials = relational.merge_agg_states(
+                prev, partials, key_cols, agg_spec=agg_spec
+            )
         _commit_state(partials, state_dir, batch_id)
 
     return (
@@ -695,6 +698,7 @@ def mv_stream_maintenance_partitioned(
     partition_col: str,
     state_dir: str,
     checkpoint_dir: str,
+    agg_spec: dict | None = None,
 ):
     """Partition-scoped streaming MV maintenance — the huge-MV variant of
     `mv_stream_maintenance`: the state is hive-partitioned on
@@ -773,7 +777,8 @@ def mv_stream_maintenance_partitioned(
                     partials = partials.where(F.col(partition_col).isin(todo))
                     prev = prev.where(F.col(partition_col).isin(todo))
                 partials = relational.merge_agg_states(
-                    prev.select(*partials.columns), partials, key_cols
+                    prev.select(*partials.columns), partials, key_cols,
+                    agg_spec=agg_spec,
                 )
         stamped = partials.withColumn("__last_batch", F.lit(int(batch_id)))
         rows = stamped.collect()
