@@ -3954,6 +3954,48 @@ def image_dedup_ahash(spark, sf_dir):
     return pairs.orderBy("id_a", "id_b")
 
 
+def image_dedup_phash(spark, sf_dir):
+    """DCT perceptual-hash image dedup — the brightness-invariant sibling
+    of `image_dedup_ahash`: BMP decode -> box resize -> 2-D DCT (pure
+    numpy, no scipy) -> 8x8 low-frequency block -> median-threshold
+    64-bit fingerprint, then the same banded Hamming pair join. The
+    planted copies here get a GLOBAL BRIGHTNESS SHIFT plus noise — the
+    perturbation aHash is blind to (it thresholds at the mean, which
+    shifts with the image) and the DCT's excluded-DC normalization
+    absorbs. 8 shifted copies must pair with their originals. Rows-only
+    (pixel decode has no SQL oracle; invariance is pytest-covered)."""
+    import numpy as np  # noqa: F811 — local alias for the closure below
+
+    from henbun_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=64, kind="image", seed=3)
+    rng = np.random.default_rng(31)
+    extras = []
+    for r in media.where(F.col("media_id") < 8).collect():
+        pix = multimodal.decode_bmp(bytes(r["payload"]))
+        shifted = np.clip(
+            pix.astype(int) + 40 + rng.integers(-4, 5, pix.shape), 0, 255
+        ).astype(np.uint8)
+        extras.append(
+            (
+                int(r["media_id"]) + 1000,
+                "image",
+                bytearray(multimodal.encode_bmp(shifted)),
+                (8, 8, None, None, "bmp"),
+            )
+        )
+    all_media = media.unionByName(
+        spark.createDataFrame(extras, multimodal.MEDIA_SCHEMA)
+    )
+    # synthesized demo images are 8x8 — DCT the full image (img_size=8);
+    # real corpora keep the 32x32 default
+    hashes = multimodal.phash_images(all_media, img_size=8).withColumnRenamed(
+        "phash", "ahash"
+    )
+    pairs = multimodal.ahash_near_pairs(hashes, max_hamming=10)
+    return pairs.orderBy("id_a", "id_b")
+
+
 def audio_dedup_fp(spark, sf_dir):
     """Perceptual audio dedup end-to-end on REAL waveforms — the audio
     sibling of `image_dedup_ahash`: genuine PCM16 WAV payloads (multi-tone
@@ -7335,6 +7377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gp_experts_events": gp_experts_events,
         "vi_staged_training": vi_staged_training,
         "image_dedup_ahash": image_dedup_ahash,
+        "image_dedup_phash": image_dedup_phash,
         "audio_dedup_fp": audio_dedup_fp,
         "ann_topk_ivf": ann_topk_ivf,
         "kmeans_embeddings": kmeans_embeddings,

@@ -555,3 +555,67 @@ def audio_fingerprint(df: DataFrame, n_bands: int = 32, strict: bool = True) -> 
     return df.select("media_id", "payload").mapInPandas(
         fn, "media_id long, afp long"
     )
+
+
+def _dct2_8x8_lowfreq(gray: np.ndarray) -> np.ndarray:
+    """Top-left 8x8 (low-frequency) block of the 2-D DCT-II of a square
+    grayscale image — pure numpy (no scipy in this runtime): DCT-II via
+    the orthonormal cosine basis matrix, C @ X @ C.T."""
+    n = gray.shape[0]
+    k = np.arange(n)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    basis[0] *= 1.0 / np.sqrt(2.0)
+    basis *= np.sqrt(2.0 / n)
+    coeffs = basis @ gray @ basis.T
+    return coeffs[:8, :8]
+
+
+def phash_images(df: DataFrame, img_size: int = 32, strict: bool = True) -> DataFrame:
+    """Perceptual DCT hash (pHash): decode BMP -> box-resize to
+    img_size x img_size -> grayscale -> 2-D DCT -> keep the 8x8
+    low-frequency block -> threshold at the MEDIAN of the 63 non-DC
+    coefficients -> 64-bit fingerprint. vs `ahash_images`: the DCT
+    normalizes away brightness/contrast shifts (the DC term is
+    excluded), so re-encodes with level changes still land within a few
+    Hamming bits — the standard second fingerprint of image-dedup
+    pipelines. Same scale shape: Arrow-batched mapInPandas emitting only
+    (media_id, phash); pair with `ahash_near_pairs` (it bands on any
+    64-bit column via its `ahash` name — rename or reuse)."""
+    import hashlib
+
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                try:
+                    pix = decode_bmp(data)
+                    h, w, _ = pix.shape
+                    if h % img_size or w % img_size:
+                        raise ValueError("not divisible for box resize")
+                    small = resize_box(pix, img_size, img_size)
+                    gray = small.astype(np.float64).mean(axis=2)
+                    block = _dct2_8x8_lowfreq(gray)
+                    flat = block.ravel()
+                    ac = np.delete(flat, 0)  # drop DC (overall brightness)
+                    bits = flat > np.median(ac)
+                    bits[0] = False  # DC never contributes
+                except ValueError:
+                    if strict:
+                        raise
+                    seed = hashlib.sha256(b"p" + data).digest()
+                    bits = np.unpackbits(
+                        np.frombuffer(seed[:8], np.uint8)
+                    ).astype(bool)
+                val = 0
+                for j, b in enumerate(bits.ravel()[:64]):
+                    if b:
+                        val |= 1 << j
+                hashes.append(val & 0x7FFFFFFFFFFFFFFF)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": hashes})
+
+    return df.select("media_id", "payload").mapInPandas(
+        fn, "media_id long, phash long"
+    )

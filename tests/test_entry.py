@@ -32,6 +32,7 @@ ROWS_ONLY = {
     "bpe_train_encode",
     "vi_amortized_encoder",
     "image_dedup_ahash",
+    "image_dedup_phash",
     "audio_dedup_fp",
     "semantic_dedup_emb",
 }
