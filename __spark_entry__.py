@@ -3955,15 +3955,15 @@ def image_dedup_ahash(spark, sf_dir):
 
 
 def image_dedup_phash(spark, sf_dir):
-    """DCT perceptual-hash image dedup — the brightness-invariant sibling
+    """DCT perceptual-hash image dedup — the level-change-robust sibling
     of `image_dedup_ahash`: BMP decode -> box resize -> 2-D DCT (pure
     numpy, no scipy) -> 8x8 low-frequency block -> median-threshold
-    64-bit fingerprint, then the same banded Hamming pair join. The
-    planted copies here get a GLOBAL BRIGHTNESS SHIFT plus noise — the
-    perturbation aHash is blind to (it thresholds at the mean, which
-    shifts with the image) and the DCT's excluded-DC normalization
-    absorbs. 8 shifted copies must pair with their originals. Rows-only
-    (pixel decode has no SQL oracle; invariance is pytest-covered)."""
+    64-bit fingerprint (DC excluded), then the same banded Hamming pair
+    join. The planted copies get a GLOBAL BRIGHTNESS SHIFT plus noise;
+    8 shifted copies must pair with their originals. pHash and aHash
+    have complementary failure modes, which is why pipelines carry
+    both. Rows-only (pixel decode has no SQL oracle; affine-relevel
+    robustness is pytest-covered)."""
     import numpy as np  # noqa: F811 — local alias for the closure below
 
     from henbun_spark.operators import multimodal
@@ -3989,10 +3989,10 @@ def image_dedup_phash(spark, sf_dir):
     )
     # synthesized demo images are 8x8 — DCT the full image (img_size=8);
     # real corpora keep the 32x32 default
-    hashes = multimodal.phash_images(all_media, img_size=8).withColumnRenamed(
-        "phash", "ahash"
+    hashes = multimodal.phash_images(all_media, img_size=8)
+    pairs = multimodal.hamming_near_pairs(
+        hashes, max_hamming=10, hash_col="phash"
     )
-    pairs = multimodal.ahash_near_pairs(hashes, max_hamming=10)
     return pairs.orderBy("id_a", "id_b")
 
 

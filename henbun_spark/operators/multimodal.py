@@ -410,18 +410,13 @@ def resize_meta(df: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
-def ahash_images(df: DataFrame, hash_size: int = 8, strict: bool = True) -> DataFrame:
-    """Perceptual image fingerprint (average hash): decode BMP -> box-
-    resize to hash_size x hash_size -> grayscale -> threshold at the mean
-    -> 64-bit fingerprint. Near-identical images (small noise, re-
-    encodes) land within a few Hamming bits; pair them with
-    `dedup.simhash_near_pairs`-style banding on the `ahash` column.
-
-    Arrow-batched mapInPandas (decode cannot be Column math); emits only
-    (media_id, ahash) so the binary payload never leaves the scan stage.
-    Non-BMP rows raise when strict else hash the raw bytes' sha-seeded
-    fake (plumbing-only path, same contract as decode_and_featurize).
-    """
+def _hash_images(
+    df: DataFrame, out_col: str, bits_fn, strict: bool, fallback_tag: bytes
+) -> DataFrame:
+    """Shared image-fingerprint scaffold for aHash/pHash: Arrow-batched
+    mapInPandas, BMP decode, strict/sha-fallback contract, 64-bit
+    packing with the int64 sign bit cleared. `bits_fn(pixels)` returns
+    the boolean bit array; only (media_id, <out_col>) leaves the scan."""
     import hashlib
 
     import pandas as pd
@@ -432,53 +427,80 @@ def ahash_images(df: DataFrame, hash_size: int = 8, strict: bool = True) -> Data
             for payload in pdf["payload"]:
                 data = bytes(payload)
                 try:
-                    pix = decode_bmp(data)
-                    h, w, _ = pix.shape
-                    if h % hash_size or w % hash_size:
-                        raise ValueError("not divisible for box resize")
-                    small = resize_box(pix, hash_size, hash_size)
-                    gray = small.astype(np.float64).mean(axis=2)
-                    bits = (gray > gray.mean()).ravel()
+                    bits = bits_fn(decode_bmp(data))
                 except ValueError:
                     if strict:
                         raise
-                    seed = hashlib.sha256(data).digest()
+                    seed = hashlib.sha256(fallback_tag + data).digest()
                     bits = np.unpackbits(
-                        np.frombuffer(seed[: hash_size * hash_size // 8], np.uint8)
+                        np.frombuffer(seed[:8], np.uint8)
                     ).astype(bool)
                 val = 0
-                for j, b in enumerate(bits):
+                for j, b in enumerate(np.ravel(bits)[:64]):
                     if b:
                         val |= 1 << j
-                # keep within int64 (hash_size 8 -> 64 bits; clear the sign bit)
+                # keep within int64 (clear the sign bit)
                 hashes.append(val & 0x7FFFFFFFFFFFFFFF)
-            yield pd.DataFrame({"media_id": pdf["media_id"], "ahash": hashes})
+            yield pd.DataFrame({"media_id": pdf["media_id"], out_col: hashes})
 
     return df.select("media_id", "payload").mapInPandas(
-        fn, "media_id long, ahash long"
+        fn, f"media_id long, {out_col} long"
     )
 
 
-def ahash_near_pairs(
-    df: DataFrame, bits: int = 63, max_hamming: int = 3
+def ahash_images(df: DataFrame, hash_size: int = 8, strict: bool = True) -> DataFrame:
+    """Perceptual image fingerprint (average hash): decode BMP -> box-
+    resize to hash_size x hash_size -> grayscale -> threshold at the mean
+    -> 64-bit fingerprint. Near-identical images (small noise, re-
+    encodes) land within a few Hamming bits; pair them with
+    `hamming_near_pairs` banding on the `ahash` column.
+
+    Arrow-batched mapInPandas (decode cannot be Column math); emits only
+    (media_id, ahash) so the binary payload never leaves the scan stage.
+    Non-BMP rows raise when strict else hash the raw bytes' sha-seeded
+    fake (plumbing-only path, same contract as decode_and_featurize).
+    """
+
+    def bits_fn(pix):
+        h, w, _ = pix.shape
+        if h % hash_size or w % hash_size:
+            raise ValueError("not divisible for box resize")
+        small = resize_box(pix, hash_size, hash_size)
+        gray = small.astype(np.float64).mean(axis=2)
+        return (gray > gray.mean()).ravel()
+
+    return _hash_images(df, "ahash", bits_fn, strict, b"")
+
+
+def hamming_near_pairs(
+    df: DataFrame, bits: int = 63, max_hamming: int = 3, hash_col: str = "ahash"
 ) -> DataFrame:
-    """Near-duplicate image pairs by aHash Hamming distance, banded with
-    the pigeonhole block join (any pair within distance k agrees on one
-    of k+1 blocks) — identical candidate-generation shape to
-    `dedup.simhash_near_pairs`, never an all-pairs comparison."""
+    """Near-duplicate pairs by Hamming distance over any 64-bit
+    fingerprint column (aHash, pHash, audio fp), banded with the
+    pigeonhole block join (any pair within distance k agrees on one of
+    k+1 blocks) — identical candidate-generation shape to
+    `dedup.simhash_near_pairs`, never an all-pairs comparison.
+
+    Scale caveat: block width is bits // (max_hamming + 1); a large
+    max_hamming shrinks blocks (max_hamming=10 -> 5-bit blocks, 32
+    buckets per band), so band selectivity — and with it candidate
+    pruning — degrades. Recall stays guaranteed by pigeonhole, but for
+    loose thresholds at corpus scale prefer a longer fingerprint or a
+    two-stage (tight-band candidates, then verify at the loose
+    threshold) pipeline."""
     from pyspark.sql import functions as FF
 
     nblocks = max_hamming + 1
     block_bits = bits // nblocks
     blocks = [
-        FF.shiftright(FF.col("ahash"), i * block_bits)
+        FF.shiftright(FF.col(hash_col), i * block_bits)
         .bitwiseAND(FF.lit((1 << block_bits) - 1))
         .alias(f"blk{i}")
         for i in range(nblocks)
     ]
     pairs = ", ".join(f"{i}, blk{i}" for i in range(nblocks))
-    stacked = df.select("media_id", "ahash", *blocks).selectExpr(
-        "media_id", "ahash", f"stack({nblocks}, {pairs}) as (bi, blk)"
+    stacked = df.select("media_id", hash_col, *blocks).selectExpr(
+        "media_id", hash_col, f"stack({nblocks}, {pairs}) as (bi, blk)"
     )
     a, b = stacked.alias("a"), stacked.alias("b")
     return (
@@ -487,8 +509,8 @@ def ahash_near_pairs(
         .select(
             FF.col("a.media_id").alias("id_a"),
             FF.col("b.media_id").alias("id_b"),
-            FF.col("a.ahash").alias("h_a"),
-            FF.col("b.ahash").alias("h_b"),
+            FF.col(f"a.{hash_col}").alias("h_a"),
+            FF.col(f"b.{hash_col}").alias("h_b"),
         )
         .distinct()
         .withColumn(
@@ -497,6 +519,10 @@ def ahash_near_pairs(
         .where(FF.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# back-compat name (pre-r5 callers/tests)
+ahash_near_pairs = hamming_near_pairs
 
 
 def audio_fingerprint(df: DataFrame, n_bands: int = 32, strict: bool = True) -> DataFrame:
@@ -557,15 +583,22 @@ def audio_fingerprint(df: DataFrame, n_bands: int = 32, strict: bool = True) -> 
     )
 
 
+_DCT_BASIS_CACHE: dict = {}
+
+
 def _dct2_8x8_lowfreq(gray: np.ndarray) -> np.ndarray:
     """Top-left 8x8 (low-frequency) block of the 2-D DCT-II of a square
     grayscale image — pure numpy (no scipy in this runtime): DCT-II via
-    the orthonormal cosine basis matrix, C @ X @ C.T."""
+    the orthonormal cosine basis matrix, C @ X @ C.T. The basis is
+    cached per size (every image in a batch resizes to the same n)."""
     n = gray.shape[0]
-    k = np.arange(n)
-    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
-    basis[0] *= 1.0 / np.sqrt(2.0)
-    basis *= np.sqrt(2.0 / n)
+    basis = _DCT_BASIS_CACHE.get(n)
+    if basis is None:
+        k = np.arange(n)
+        basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        basis[0] *= 1.0 / np.sqrt(2.0)
+        basis *= np.sqrt(2.0 / n)
+        _DCT_BASIS_CACHE[n] = basis
     coeffs = basis @ gray @ basis.T
     return coeffs[:8, :8]
 
@@ -574,48 +607,25 @@ def phash_images(df: DataFrame, img_size: int = 32, strict: bool = True) -> Data
     """Perceptual DCT hash (pHash): decode BMP -> box-resize to
     img_size x img_size -> grayscale -> 2-D DCT -> keep the 8x8
     low-frequency block -> threshold at the MEDIAN of the 63 non-DC
-    coefficients -> 64-bit fingerprint. vs `ahash_images`: the DCT
-    normalizes away brightness/contrast shifts (the DC term is
-    excluded), so re-encodes with level changes still land within a few
-    Hamming bits — the standard second fingerprint of image-dedup
-    pipelines. Same scale shape: Arrow-batched mapInPandas emitting only
-    (media_id, phash); pair with `ahash_near_pairs` (it bands on any
-    64-bit column via its `ahash` name — rename or reuse)."""
-    import hashlib
+    coefficients -> 64-bit fingerprint. vs `ahash_images`: the DC
+    term is excluded and the median threshold absorbs affine level
+    changes (up to uint8 rounding), so re-levelled re-encodes land
+    within a few Hamming bits. The two hashes have DIFFERENT failure
+    modes (aHash is knife-edge near its mean; pHash needs low-frequency
+    content), which is why image-dedup pipelines carry both. Same scale shape as `ahash_images` (shared scaffold);
+    pair with `hamming_near_pairs(hash_col="phash")`."""
 
-    import pandas as pd
+    def bits_fn(pix):
+        h, w, _ = pix.shape
+        if h % img_size or w % img_size:
+            raise ValueError("not divisible for box resize")
+        small = resize_box(pix, img_size, img_size)
+        gray = small.astype(np.float64).mean(axis=2)
+        block = _dct2_8x8_lowfreq(gray)
+        flat = block.ravel()
+        ac = np.delete(flat, 0)  # drop DC (overall brightness)
+        bits = flat > np.median(ac)
+        bits[0] = False  # DC never contributes
+        return bits
 
-    def fn(batches):
-        for pdf in batches:
-            hashes = []
-            for payload in pdf["payload"]:
-                data = bytes(payload)
-                try:
-                    pix = decode_bmp(data)
-                    h, w, _ = pix.shape
-                    if h % img_size or w % img_size:
-                        raise ValueError("not divisible for box resize")
-                    small = resize_box(pix, img_size, img_size)
-                    gray = small.astype(np.float64).mean(axis=2)
-                    block = _dct2_8x8_lowfreq(gray)
-                    flat = block.ravel()
-                    ac = np.delete(flat, 0)  # drop DC (overall brightness)
-                    bits = flat > np.median(ac)
-                    bits[0] = False  # DC never contributes
-                except ValueError:
-                    if strict:
-                        raise
-                    seed = hashlib.sha256(b"p" + data).digest()
-                    bits = np.unpackbits(
-                        np.frombuffer(seed[:8], np.uint8)
-                    ).astype(bool)
-                val = 0
-                for j, b in enumerate(bits.ravel()[:64]):
-                    if b:
-                        val |= 1 << j
-                hashes.append(val & 0x7FFFFFFFFFFFFFFF)
-            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": hashes})
-
-    return df.select("media_id", "payload").mapInPandas(
-        fn, "media_id long, phash long"
-    )
+    return _hash_images(df, "phash", bits_fn, strict, b"p")

@@ -1059,6 +1059,22 @@ def gapfill_interpolate(
     )
 
 
+_AGG_SPEC_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def validate_agg_spec(agg_spec: dict | None) -> None:
+    """Merge-function names must be sum|min|max; callable eagerly (e.g.
+    by the streaming MV sinks before any state is committed — a bad
+    spec must not surface mid-stream after batch 0 already wrote)."""
+    bad = {
+        c: m for c, m in (agg_spec or {}).items() if m not in _AGG_SPEC_FNS
+    }
+    if bad:
+        raise ValueError(
+            f"bad agg_spec entries: {bad} (allowed: sum|min|max)"
+        )
+
+
 def merge_agg_states(
     mv: DataFrame,
     delta_partials: DataFrame,
@@ -1083,11 +1099,12 @@ def merge_agg_states(
     val_cols = [c for c in mv.columns if c not in key_cols]
     if [c for c in delta_partials.columns if c not in key_cols] != val_cols:
         raise ValueError("mv and delta must share the same state columns")
-    fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    fns = _AGG_SPEC_FNS
     spec = agg_spec or {}
-    unknown = {c: m for c, m in spec.items() if m not in fns or c not in val_cols}
+    validate_agg_spec(spec)
+    unknown = {c: m for c, m in spec.items() if c not in val_cols}
     if unknown:
-        raise ValueError(f"bad agg_spec entries: {unknown}")
+        raise ValueError(f"agg_spec names non-state columns: {unknown}")
     return (
         mv.unionByName(delta_partials)
         .groupBy(*key_cols)

@@ -671,6 +671,8 @@ def mv_stream_maintenance(
     """
     from henbun_spark.operators import relational
 
+    relational.validate_agg_spec(agg_spec)  # fail fast, before any state
+
     def merge_batch(bdf: DataFrame, batch_id: int):
         spark = bdf.sparkSession
         prev, committed = _read_state(spark, state_dir)
@@ -737,6 +739,7 @@ def mv_stream_maintenance_partitioned(
 
     if partition_col not in key_cols:
         raise ValueError("partition_col must be one of key_cols")
+    relational.validate_agg_spec(agg_spec)  # fail fast, before any state
 
     def merge_batch(bdf: DataFrame, batch_id: int):
         spark = bdf.sparkSession
