@@ -42,6 +42,17 @@ DEFAULT = [
     "heavy_hitters_users",
     "boilerplate_chunks_docs",
     "assemble_training_corpus",
+    # round-5 scale-path queries (keyed ranks / percentiles / prefix sums)
+    "equidepth_histogram",
+    "rank_gauss_value",
+    "percentile_quantity",
+    "anomaly_mad_events",
+    "winsorize_value_by_type",
+    "weighted_percentile_price",
+    "cap_docs_per_source",
+    "upsample_epochs_sources",
+    "pack_materialize_docs",
+    "sample_per_group",
 ]
 
 
