@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
 from henbun_spark import sources
+from henbun_spark.operators import relational
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -236,6 +237,8 @@ def main():
                 print(f"# bench {name} failed: {exc}", file=sys.stderr)
                 break
         times[name] = -1.0 if best is None else round(best, 3)
+        # safe here: the query's derived frames were just materialized
+        relational.release_scaffold_caches()
     full, line = format_output(times, sf)
     # complete dump -> stderr + BENCH_FULL.json (tools/bench_diff.py);
     # stdout -> exactly one compact parseable line for the driver

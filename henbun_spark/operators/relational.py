@@ -454,6 +454,73 @@ def ewma_last(
     )
 
 
+#: Persisted range-partitioned frames created by the two-pass prefix
+#: scaffolds (`assign_row_ids`, `_keyed_offset_scaffold`), awaiting
+#: `release_scaffold_caches()`. The persist is CORRECTNESS-critical,
+#: not a speed hint — see `_persisted_range_partition`.
+_SCAFFOLD_CACHES: list = []
+
+#: Loud cap on the scaffold's driver collect (per-(partition, key)
+#: cells). The collect is bounded by n_partitions + n_keys ONLY in the
+#: documented low-cardinality regime; a misuse on user_id/doc_id would
+#: silently pull millions of rows to the driver. ~200k cells is a few
+#: MB — far past any sane use, well short of driver OOM.
+SCAFFOLD_MAX_CELLS = 200_000
+
+
+def _persisted_range_partition(df: DataFrame, sort_cols: list) -> DataFrame:
+    """Range-repartition + `spark_partition_id()`, PERSISTED so that the
+    counts job and the offset-join job observe the SAME partitioning.
+
+    Why this is a correctness requirement, not an optimization: the two-
+    pass prefix scaffolds execute the range shuffle from two different
+    query executions (the per-cell counts collect, then the downstream
+    rank/offset join). `RangePartitioner.sketch` seeds its reservoir
+    sampling with the RDD id (core/Partitioner.scala — `shift = rdd.id`,
+    `seed = byteswap32(idx ^ (shift << 16))`), and each query execution
+    plans fresh RDDs, so the two executions sample with DIFFERENT seeds
+    and may pick different range boundaries. At toy scale every
+    partition fits inside the per-partition sample so the boundaries
+    coincide; at 100-TB scale they diverge and the `_pid` equi-join
+    silently misaligns offsets — corrupted ranks with no error.
+    Persisting the partitioned frame (MEMORY_AND_DISK) pins the
+    partition ids: the counts collect materializes the cache, the
+    downstream job reads it. Even a cache-miss recompute (executor
+    loss) stays deterministic — the lineage re-runs through the SAME
+    `ShuffleDependency`, whose RangePartitioner object holds the
+    already-computed bounds.
+
+    Lifecycle: the frame is registered in `_SCAFFOLD_CACHES`; callers
+    running many scaffold-backed queries in one session should call
+    `release_scaffold_caches()` AFTER materializing each query
+    (bench.py and tools/check_oracle.py do). Caches are never evicted
+    implicitly: unpersisting before a derived frame's first action
+    would replan WITHOUT the cache and void the contract — a leak is
+    recoverable, silent corruption is not.
+    """
+    parted = (
+        df.repartitionByRange(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    _SCAFFOLD_CACHES.append(parted)
+    return parted
+
+
+def release_scaffold_caches() -> int:
+    """Unpersist every scaffold cache created since the last release and
+    return how many were dropped. ONLY call once all DataFrames derived
+    from `assign_row_ids` / `assign_keyed_ranks` / `keyed_prefix_sum` /
+    the percentile family have been fully materialized (collected /
+    written): a not-yet-run derived frame re-plans without the cache
+    and loses the pinned-partition-id guarantee."""
+    n = 0
+    while _SCAFFOLD_CACHES:
+        _SCAFFOLD_CACHES.pop().unpersist(blocking=False)
+        n += 1
+    return n
+
+
 def assign_row_ids(
     df: DataFrame,
     order_by: list,
@@ -465,19 +532,20 @@ def assign_row_ids(
     with no partition key funnels 100 TB through one task).
 
     Two-pass distributed prefix count: range-repartition on the ordering
-    key + sort within partitions; per-partition row counts to the driver
-    (one row per partition); within-partition row_number (parallel
-    window keyed by partition id) + broadcast exclusive offset. The
-    ordering must be total (include a tiebreak column) for the ids to be
-    deterministic.
+    key (persisted across the two passes — see
+    `_persisted_range_partition` for why that is load-bearing); per-
+    partition row counts to the driver (one row per partition); within-
+    partition row_number (parallel window keyed by partition id) +
+    broadcast exclusive offset. The ordering must be total (include a
+    tiebreak column) for the ids to be deterministic.
 
     `order_by` takes Column expressions (e.g. ``[F.desc("score"),
     F.asc("doc_id")]``) or column-name strings (ascending).
     """
     cols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
-    parted = df.repartitionByRange(
-        *([n_partitions] if n_partitions else []), *cols
-    ).withColumn("_pid", F.spark_partition_id())
+    parted = _persisted_range_partition(
+        df, [*([n_partitions] if n_partitions else []), *cols]
+    )
     totals = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
     offsets, acc = {}, 0
     for row in sorted(totals, key=lambda r: r["_pid"]):
@@ -572,7 +640,18 @@ def _keyed_offset_scaffold(
     per-key prefix offsets broadcast back. Returns
     (parted, off_df, kcols, ocols, {key tuple: total}). A rank is just
     a prefix sum of 1s, so ranks (weight_col None) and weighted prefix
-    sums share everything up to the final window expression."""
+    sums share everything up to the final window expression.
+
+    The range-partitioned frame is PERSISTED across the counts pass and
+    the offset join (see `_persisted_range_partition`: the two passes
+    are separate query executions, and unpinned range boundaries are
+    re-sampled with per-execution seeds — silent offset misalignment at
+    scale). Call `release_scaffold_caches()` after materializing the
+    consuming query. The driver collect is capped at
+    `SCAFFOLD_MAX_CELLS` per-(partition, key) cells — beyond that the
+    key is high-cardinality and the plain keyed window (or
+    `md5_bucketed_prefix_sum` for md5-ordered flows) is the right tool.
+    """
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     ocols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
     agg = (
@@ -580,12 +659,30 @@ def _keyed_offset_scaffold(
         if weight_col is None
         else F.sum(F.col(weight_col).cast("long"))
     )
-    parted = df.repartitionByRange(
-        *([n_partitions] if n_partitions else []),
-        *[F.col(k) for k in kcols],
-        *ocols,
-    ).withColumn("_pid", F.spark_partition_id())
-    per_cell = parted.groupBy("_pid", *kcols).agg(agg.alias("_n")).collect()
+    parted = _persisted_range_partition(
+        df,
+        [
+            *([n_partitions] if n_partitions else []),
+            *[F.col(k) for k in kcols],
+            *ocols,
+        ],
+    )
+    per_cell = (
+        parted.groupBy("_pid", *kcols)
+        .agg(agg.alias("_n"))
+        .limit(SCAFFOLD_MAX_CELLS + 1)
+        .collect()
+    )
+    if len(per_cell) > SCAFFOLD_MAX_CELLS:
+        parted.unpersist(blocking=False)
+        raise ValueError(
+            f"_keyed_offset_scaffold: more than {SCAFFOLD_MAX_CELLS} "
+            f"(partition, key) cells for key {kcols} — this key is too "
+            "high-cardinality for the driver-offset scaffold (the "
+            "collect would grow with |keys|). Use the plain keyed "
+            "window (each key's partition is small at high cardinality) "
+            "or md5_bucketed_prefix_sum for md5-ordered flows."
+        )
     acc: dict = {}
     rows = []
     for r in sorted(per_cell, key=lambda r: r["_pid"]):

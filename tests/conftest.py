@@ -32,3 +32,15 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _release_scaffold_caches():
+    """Drop any persisted two-pass-scaffold frames after each test (every
+    test materializes its derived frames before returning, so the
+    release is safe) — keeps the session-scoped JVM's cache footprint
+    flat across the suite."""
+    yield
+    from henbun_spark.operators import relational
+
+    relational.release_scaffold_caches()

@@ -22,6 +22,7 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry_mod
 from henbun_spark import sources
+from henbun_spark.operators import relational
 
 
 def duck_con(sf_dir: str):
@@ -88,6 +89,8 @@ def main():
         t0 = time.time()
         try:
             got = fn(spark, sf_dir).toPandas()
+            # safe: the query's derived frames were just materialized
+            relational.release_scaffold_caches()
         except Exception:
             print(f"FAIL {name}: spark query raised")
             traceback.print_exc(limit=6)
