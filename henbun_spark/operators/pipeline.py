@@ -80,6 +80,13 @@ def pack_sequences(
     an in-plan tiny bucket-offset table, no driver round-trip, same
     single data shuffle. Integer token counts make the offsets bitwise
     identical to the window's. Adds ``start_offset`` and ``bin``.
+
+    BREAKING (since the distributed-prefix-sum rewrite): ``token_col``
+    must be an INTEGER type — a fractional column now raises
+    ValueError instead of being silently cast to long (fractional
+    running sums are not exact under regrouping, so they would break
+    the bitwise-offset guarantee). Pre-cast integral-valued floats:
+    ``df.withColumn(tok, F.col(tok).cast("long"))``.
     """
     from henbun_spark.operators import relational
 

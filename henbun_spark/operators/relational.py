@@ -800,6 +800,13 @@ def md5_bucketed_prefix_sum(
     offsets bitwise equal to the single window's. One data shuffle
     (the cell window) + one tiny aggregate branch — the same shuffle
     count as the naive keyed window, without its single-task sort.
+
+    NULL keys and NULL hashes are first-class: the offset join is
+    null-safe (`<=>`), NULL hash rows form the lowest bucket, and both
+    sort ascending-nulls-first — matching the keyed window's NULL
+    grouping/ordering exactly. (Rows with the SAME (hash, tiebreak)
+    pair — e.g. several NULL-id rows in one key — tie, and tie order is
+    arbitrary in the window too.)
     """
     if not 1 <= prefix_chars <= 12:
         # 16^12 buckets is already absurd; beyond 15 the long overflows
@@ -832,8 +839,20 @@ def md5_bucketed_prefix_sum(
         .orderBy(F.col(hash_col).asc(), F.col(tiebreak_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = b.join(F.broadcast(off), [*kcols, "__bkt"]).withColumn(
-        out_name, F.sum(wcol).over(wc) - wcol + F.col("__boff")
+    # null-safe (<=>) offset join: NULL keys / NULL-hash buckets keep
+    # their offsets instead of being silently dropped (still a
+    # broadcast hash join — <=> is an equi-join condition)
+    off_r = off.select(
+        *[F.col(k).alias(f"__kr{i}") for i, k in enumerate(kcols)],
+        F.col("__bkt").alias("__bktr"),
+        "__boff",
+    )
+    cond = [b[k].eqNullSafe(off_r[f"__kr{i}"]) for i, k in enumerate(kcols)]
+    cond.append(b["__bkt"].eqNullSafe(off_r["__bktr"]))
+    out = (
+        b.join(F.broadcast(off_r), cond)
+        .drop(*[f"__kr{i}" for i in range(len(kcols))], "__bktr")
+        .withColumn(out_name, F.sum(wcol).over(wc) - wcol + F.col("__boff"))
     )
     if weight_col is None:
         out = out.withColumn(out_name, F.col(out_name) + 1)  # 1-based rank

@@ -57,7 +57,11 @@ def deterministic_sample_per_group(
     source): the window would sort ~1/|groups| of the table in one
     task, so the rank comes from the md5-bucketed prefix count instead
     (order-aligned hash-prefix cells, in-plan offsets, no driver
-    round-trip) — identical rows kept, bitwise."""
+    round-trip) — identical rows kept, bitwise. NULL group keys and
+    NULL ids flow through both routes identically (null-safe offset
+    join, nulls-first ordering); the one soft spot is SEVERAL NULL-id
+    rows in one group — they tie on (md5, id), and tie order at the k
+    boundary is arbitrary in either route."""
     h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
     if distributed_ranks:
         from henbun_spark.operators import relational

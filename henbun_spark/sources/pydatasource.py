@@ -113,20 +113,34 @@ class _DocsStreamReader(DataSourceStreamReader):
         self.max_batches = int(options.get("maxBatches", 4))
         self.n_parts = int(options.get("partitions", 4))
         self.seed = int(options.get("seed", 0))
+        # highest offset reported so far (driver-side poll cursor;
+        # rebuilt from the checkpoint's committed offset on restart via
+        # initialOffset/latestOffset replay, so restarts resume rather
+        # than rewind)
+        self._reported = 0
 
     def initialOffset(self):
         return {"row": 0}
 
     def latestOffset(self):
-        # everything up to the cap is available; the engine decides the
-        # batch boundaries (availableNow snapshots this ONCE and drains
-        # it in one go — the incremental path is driven by repeated
-        # polls under a processing-time trigger, covered at the
-        # protocol level in tests)
-        return {"row": self.rows_per_batch * self.max_batches}
+        # advance by one batch per poll, up to the cap: a
+        # processing-time trigger then really ingests rowsPerBatch ids
+        # per micro-batch (the docstring's contract), instead of the
+        # whole cap landing in batch 0. NOTE availableNow snapshots
+        # latestOffset ONCE, so it drains a single poll step per run —
+        # use a processing-time trigger (or poll-restart) to drain the
+        # cap incrementally.
+        cap = self.rows_per_batch * self.max_batches
+        nxt = min(self._reported + self.rows_per_batch, cap)
+        self._reported = nxt
+        return {"row": nxt}
 
     def partitions(self, start, end):
         lo, hi = int(start["row"]), int(end["row"])
+        # sync the poll cursor with the engine's planned range, so a
+        # restart from a checkpoint resumes at the committed offset
+        # instead of re-climbing from 0 one poll at a time
+        self._reported = max(self._reported, hi)
         per = -(-(hi - lo) // self.n_parts) if hi > lo else 0
         return [
             _RangePartition(lo + i * per, min(lo + (i + 1) * per, hi), self.seed)

@@ -754,6 +754,11 @@ def mv_stream_maintenance_partitioned(
             prev = spark.read.parquet(state_dir).where(
                 F.col(partition_col).isin(touched)
             )
+            if prev.columns and "__last_batch" not in prev.columns:
+                # state dir written before the stamp column existed:
+                # treat every partition as stamped -1 (pre-history), so
+                # the first post-upgrade batch merges instead of raising
+                prev = prev.withColumn("__last_batch", F.lit(-1))
             if prev.columns:
                 stamps = {
                     r[0]: r[1]

@@ -424,6 +424,50 @@ def test_mv_stream_maintenance_partitioned_exact_and_scoped(spark, tmp_path):
     ) == ["k=a", "k=b"]
 
 
+def test_mv_partitioned_migrates_prestamp_state(spark, tmp_path):
+    """A state dir written before the __last_batch stamp column existed
+    (pre-upgrade layout) must merge on the first post-upgrade batch —
+    missing stamps are treated as -1 (pre-history), not an
+    AnalysisException."""
+    import pandas as pd
+
+    from henbun_spark import streaming
+
+    # old-layout state: hive-partitioned agg rows WITHOUT __last_batch
+    old = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "b"], "n": [10, 20], "s": [5.0, 7.0]})
+    )
+    state = str(tmp_path / "state")
+    old.write.partitionBy("k").parquet(state)
+
+    new_rows = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a", "c"], "v": [1.0, 2.0, 3.0]})
+    )
+    in_dir = str(tmp_path / "in")
+    new_rows.coalesce(1).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(new_rows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def partials(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    q = streaming.mv_stream_maintenance_partitioned(
+        stream, partials, ["k"], "k", state, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {
+        r["k"]: (r["n"], float(r["s"]))
+        for r in streaming.load_partitioned_state(spark, state).collect()
+    }
+    # touched partitions merged with the old rows; untouched kept as-is
+    assert got == {"a": (12, 8.0), "b": (20, 7.0), "c": (1, 3.0)}
+
+
 def test_interval_left_join_emits_unmatched_after_watermark(spark, tmp_path):
     """Left-outer stream-stream interval join: matched rows flow like the
     inner join; an unmatched left row emits with null right columns once
