@@ -7282,10 +7282,62 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- driver-coverage rotation (round 5) ---
+        # --- driver-coverage rotation (round 6) ---
         # The driver samples the FIRST 50 entries for its DuckDB oracle
-        # check, so never-driver-checked queries are front-loaded:
-        # oracle-backed first, then rows-only, then previously-green.
+        # check. 47 registry entries had no driver row in rounds 1-5;
+        # all 47 are front-loaded here, padded to 50 with the three
+        # entries whose last driver row is oldest (round 1).
+        "priors_logp": priors_logp,
+        "sql_udf_surface": sql_udf_surface,
+        "heavy_hitters_users": heavy_hitters_users,
+        "heavy_hitters_by_type": heavy_hitters_by_type,
+        "sliding_distinct_users": sliding_distinct_users,
+        "gapfill_hourly_interp": gapfill_hourly_interp,
+        "dedup_normalized": dedup_normalized,
+        "mix_temperature_sources": mix_temperature_sources,
+        "rolling_median_user": rolling_median_user,
+        "mv_incremental_daily": mv_incremental_daily,
+        "asof_nearest_purchase": asof_nearest_purchase,
+        "assemble_training_corpus": assemble_training_corpus,
+        "date_trunc_family": date_trunc_family,
+        "null_semantics_suite": null_semantics_suite,
+        "boilerplate_chunks_docs": boilerplate_chunks_docs,
+        "streaming_mv_daily": streaming_mv_daily,
+        "streaming_heavy_hitters": streaming_heavy_hitters,
+        "streaming_interval_left_join": streaming_interval_left_join,
+        "streaming_hopping_counts": streaming_hopping_counts,
+        "streaming_asof_purchase": streaming_asof_purchase,
+        "streaming_hll_users": streaming_hll_users,
+        "streaming_interval_join": streaming_interval_join,
+        "streaming_sessionize": streaming_sessionize,
+        "streaming_dedup_keys": streaming_dedup_keys,
+        "streaming_enrich_static": streaming_enrich_static,
+        "streaming_corpus_ingest": streaming_corpus_ingest,
+        "ann_topk_pq": ann_topk_pq,
+        "video_dedup_frames": video_dedup_frames,
+        "tdigest_quantiles_value": tdigest_quantiles_value,
+        "tdigest_by_type": tdigest_by_type,
+        "streaming_tdigest_value": streaming_tdigest_value,
+        "streaming_ivf_ingest": streaming_ivf_ingest,
+        "vi_minibatch_sgd": vi_minibatch_sgd,
+        "logreg_quality_classifier": logreg_quality_classifier,
+        "streaming_vi_training": streaming_vi_training,
+        "vi_amortized_encoder": vi_amortized_encoder,
+        "gp_regression_events": gp_regression_events,
+        "gp_experts_events": gp_experts_events,
+        "vi_staged_training": vi_staged_training,
+        "image_dedup_ahash": image_dedup_ahash,
+        "image_dedup_phash": image_dedup_phash,
+        "audio_dedup_fp": audio_dedup_fp,
+        "ann_topk_ivf": ann_topk_ivf,
+        "kmeans_embeddings": kmeans_embeddings,
+        "semantic_dedup_emb": semantic_dedup_emb,
+        "pca_embeddings": pca_embeddings,
+        "bpe_train_encode": bpe_train_encode,
+        "ann_topk_lsh": ann_topk_lsh,
+        "gp_sparse_posterior": gp_sparse_posterior,
+        "multimodal_features": multimodal_features,
+        # --- previously driver-checked (rounds 1-5) below ---
         "winsorize_value_by_type": winsorize_value_by_type,
         "cap_docs_per_source": cap_docs_per_source,
         "upsample_epochs_sources": upsample_epochs_sources,
@@ -7336,55 +7388,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs_overlap": chunk_docs_overlap,
         "quantile_sketch_value": quantile_sketch_value,
         "transform_exp": transform_exp,
-        "priors_logp": priors_logp,
-        "sql_udf_surface": sql_udf_surface,
-        "heavy_hitters_users": heavy_hitters_users,
-        "heavy_hitters_by_type": heavy_hitters_by_type,
-        "sliding_distinct_users": sliding_distinct_users,
-        "gapfill_hourly_interp": gapfill_hourly_interp,
-        "dedup_normalized": dedup_normalized,
-        "mix_temperature_sources": mix_temperature_sources,
-        "rolling_median_user": rolling_median_user,
-        "mv_incremental_daily": mv_incremental_daily,
-        "asof_nearest_purchase": asof_nearest_purchase,
-        "assemble_training_corpus": assemble_training_corpus,
-        "date_trunc_family": date_trunc_family,
-        "null_semantics_suite": null_semantics_suite,
-        "boilerplate_chunks_docs": boilerplate_chunks_docs,
-        "streaming_mv_daily": streaming_mv_daily,
-        "streaming_heavy_hitters": streaming_heavy_hitters,
-        "streaming_interval_left_join": streaming_interval_left_join,
-        "streaming_hopping_counts": streaming_hopping_counts,
-        "streaming_asof_purchase": streaming_asof_purchase,
-        "streaming_hll_users": streaming_hll_users,
-        "streaming_interval_join": streaming_interval_join,
-        "streaming_sessionize": streaming_sessionize,
-        "streaming_dedup_keys": streaming_dedup_keys,
-        "streaming_enrich_static": streaming_enrich_static,
-        "streaming_corpus_ingest": streaming_corpus_ingest,
-        # rows-only by declared design (no oracle_sql entry)
-        "ann_topk_pq": ann_topk_pq,
-        "video_dedup_frames": video_dedup_frames,
-        "tdigest_quantiles_value": tdigest_quantiles_value,
-        "tdigest_by_type": tdigest_by_type,
-        "streaming_tdigest_value": streaming_tdigest_value,
-        "streaming_ivf_ingest": streaming_ivf_ingest,
-        "vi_minibatch_sgd": vi_minibatch_sgd,
-        "logreg_quality_classifier": logreg_quality_classifier,
-        "streaming_vi_training": streaming_vi_training,
-        "vi_amortized_encoder": vi_amortized_encoder,
-        "gp_regression_events": gp_regression_events,
-        "gp_experts_events": gp_experts_events,
-        "vi_staged_training": vi_staged_training,
-        "image_dedup_ahash": image_dedup_ahash,
-        "image_dedup_phash": image_dedup_phash,
-        "audio_dedup_fp": audio_dedup_fp,
-        "ann_topk_ivf": ann_topk_ivf,
-        "kmeans_embeddings": kmeans_embeddings,
-        "semantic_dedup_emb": semantic_dedup_emb,
-        "pca_embeddings": pca_embeddings,
-        "bpe_train_encode": bpe_train_encode,
-        # driver-green in rounds 1-4
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_nation_revenue": q5_nation_revenue,
@@ -7464,12 +7467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_bimixture": density_bimixture,
         "transform_softplus": transform_softplus,
         "vi_linear_regression": vi_linear_regression,
-        "gp_sparse_posterior": gp_sparse_posterior,
         "streaming_windowed_counts": streaming_windowed_counts,
-        "multimodal_features": multimodal_features,
-        "ann_topk_lsh": ann_topk_lsh,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     return {

@@ -243,9 +243,22 @@ def main():
     # complete dump -> stderr + BENCH_FULL.json (tools/bench_diff.py);
     # stdout -> exactly one compact parseable line for the driver
     print(json.dumps(full), file=sys.stderr)
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_FULL.json"), "w") as f:
+        with open(os.path.join(repo, "BENCH_FULL.json"), "w") as f:
+            json.dump(full, f)
+        # per-run history keyed by HEAD sha: committed alongside code, so
+        # round-over-round per-query diffs never depend on the driver's
+        # truncated stdout capture again (the round-4 lost-signal failure)
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=repo,
+            capture_output=True, text=True,
+        ).stdout.strip() or "nogit"
+        hist = os.path.join(repo, "bench_history")
+        os.makedirs(hist, exist_ok=True)
+        with open(os.path.join(hist, f"BENCH_{sha}.json"), "w") as f:
             json.dump(full, f)
     except OSError as exc:  # pragma: no cover
         print(f"# bench: could not write BENCH_FULL.json: {exc}", file=sys.stderr)

@@ -467,6 +467,12 @@ _SCAFFOLD_CACHES: list = []
 #: MB — far past any sane use, well short of driver OOM.
 SCAFFOLD_MAX_CELLS = 200_000
 
+#: Diagnostic: per-(partition, key) cell count of the most recent
+#: scaffold counts collect. tools/scale_probe.py reads it to show the
+#: driver-collect staying flat (≈ n_partitions + n_keys) as SF grows —
+#: the boundedness claim behind the 100 TB story, measured not asserted.
+LAST_SCAFFOLD_CELLS = 0
+
 
 def _persisted_range_partition(df: DataFrame, sort_cols: list) -> DataFrame:
     """Range-repartition + `spark_partition_id()`, PERSISTED so that the
@@ -673,6 +679,8 @@ def _keyed_offset_scaffold(
         .limit(SCAFFOLD_MAX_CELLS + 1)
         .collect()
     )
+    global LAST_SCAFFOLD_CELLS
+    LAST_SCAFFOLD_CELLS = len(per_cell)
     if len(per_cell) > SCAFFOLD_MAX_CELLS:
         parted.unpersist(blocking=False)
         raise ValueError(

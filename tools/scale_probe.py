@@ -9,6 +9,13 @@ codegen warmup). Exponent = log(t_hi/t_lo) / log(10) between adjacent
 SFs (testdata SFs are decades apart).
 
 Usage: python tools/scale_probe.py [query ...]   (default: heavy set)
+       python tools/scale_probe.py --big [query ...]
+         (default: keyed-primitive consumers) — also probes synthetic
+         sf0.2 / sf0.4 built by replicating the driver's sf0.1 parquet
+         with id-shifted copies (PERFORMANCE ONLY — correctness stays
+         on the driver testdata), and prints the scaffold's
+         driver-collect cell count per SF, which must stay flat
+         (≈ n_partitions + n_keys) while rows double.
 """
 
 from __future__ import annotations
@@ -56,28 +63,108 @@ DEFAULT = [
 ]
 
 
+#: --big mode: the keyed-primitive consumers whose 100 TB story rests on
+#: the bounded driver collect / order-aligned cells staying flat.
+BIG_DEFAULT = [
+    "percentile_quantity",       # keyed_percentiles_exact (lineitem)
+    "weighted_percentile_price", # keyed_weighted_percentiles_exact
+    "equidepth_histogram",       # assign_keyed_ranks (events)
+    "anomaly_mad_events",        # two percentile passes
+    "pack_materialize_docs",     # md5_bucketed_prefix_sum (documents)
+    "cap_docs_per_source",       # distributed rank quota
+]
+
+#: tables the BIG_DEFAULT queries read; replicated into the synthetic SFs
+BIG_TABLES = ["events", "lineitem", "documents"]
+
+
 def force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def main():
-    names = sys.argv[1:] or DEFAULT
-    spark = sources.get_spark("henbun-scale-probe")
-    qs = entry_mod.queries()
-    print(f"{'query':28s} " + " ".join(f"{os.path.basename(s):>9s}" for s in SFS) + "  exp(0.01->0.1)")
+def build_big_sf(spark, factor: int, out_root: str = "/tmp/henbun_scale"):
+    """Materialize a synthetic sf0.1*factor directory by unioning
+    id-shifted copies of the driver's sf0.1 tables (key-distribution-
+    preserving: group keys like event_type/source/returnflag keep their
+    cardinality, id columns shift so dedup/rank semantics stay sane).
+    Performance probing only — never a correctness input."""
+    from pyspark.sql import functions as F
+
+    out_dir = os.path.join(out_root, f"sf{0.1 * factor:g}")
+    if all(
+        os.path.exists(os.path.join(out_dir, f"{t}.parquet"))
+        for t in BIG_TABLES
+    ):
+        return out_dir
+    shifts = {
+        "events": ("event_id", 10_000_000),
+        "lineitem": ("l_orderkey", 10_000_000),
+        "documents": ("doc_id", 10_000_000),
+    }
+    for t in BIG_TABLES:
+        base = sources.load_table(spark, "/root/testdata/sf0.1", t)
+        idc, step = shifts[t]
+        parts = [
+            base.withColumn(idc, F.col(idc) + F.lit(i * step))
+            for i in range(factor)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+    return out_dir
+
+
+def probe(spark, qs, names, sf_dirs, show_cells=False):
+    from henbun_spark.operators import relational
+
+    hdr = " ".join(f"{os.path.basename(s):>9s}" for s in sf_dirs)
+    tail = "  cells/SF" if show_cells else "  exp(last step)"
+    print(f"{'query':28s} {hdr}{tail}")
     for name in names:
-        times = []
-        for sf_dir in SFS:
+        times, cells = [], []
+        for sf_dir in sf_dirs:
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
                 force(qs[name](spark, sf_dir))
                 best = min(best, time.time() - t0)
+                relational.release_scaffold_caches()
             times.append(best)
-        exp = math.log(times[2] / times[1]) / math.log(10) if times[1] > 0 else float("nan")
-        print(
-            f"{name:28s} " + " ".join(f"{t:9.2f}" for t in times) + f"  {exp:+.2f}"
-        )
+            cells.append(relational.LAST_SCAFFOLD_CELLS)
+        row = f"{name:28s} " + " ".join(f"{t:9.2f}" for t in times)
+        if show_cells:
+            row += "  " + "/".join(str(c) for c in cells)
+        else:
+            ratio = (
+                math.log(times[-1] / times[-2]) / math.log(10)
+                if times[-2] > 0
+                else float("nan")
+            )
+            row += f"  {ratio:+.2f}"
+        print(row)
+
+
+def main():
+    args = sys.argv[1:]
+    big = "--big" in args
+    args = [a for a in args if a != "--big"]
+    spark = sources.get_spark("henbun-scale-probe")
+    qs = entry_mod.queries()
+    if big:
+        names = args or BIG_DEFAULT
+        dirs = ["/root/testdata/sf0.1"]
+        for factor in (2, 4):
+            print(f"# building synthetic sf{0.1 * factor:g} ...")
+            dirs.append(build_big_sf(spark, factor))
+        # doubling SFs: linear scaling shows time ratio ~2 per step and
+        # a FLAT cells column (driver collect independent of rows)
+        probe(spark, qs, names, dirs, show_cells=True)
+    else:
+        names = args or DEFAULT
+        probe(spark, qs, names, SFS)
 
 
 if __name__ == "__main__":
