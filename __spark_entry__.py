@@ -4233,18 +4233,23 @@ def hard_negatives_emb(spark, sf_dir):
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
     )
-    wq = Window.partitionBy("query_id")
+    # n_positives as a tiny groupBy + broadcast join, NOT a
+    # full-partition window: the window shape shuffled and buffered
+    # every scored pair a second time just to attach a per-query
+    # scalar; the aggregate is map-side combinable and 20 rows
+    pos = scored.groupBy("query_id").agg(
+        F.sum(F.when(F.col("cos") >= 0.35, 1).otherwise(0))
+        .cast("long")
+        .alias("n_positives")
+    )
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn(
-            "n_positives",
-            F.sum(F.when(F.col("cos") >= 0.35, 1).otherwise(0)).over(wq).cast("long"),
-        )
-        .where(F.col("cos") < 0.35)
+        scored.where(F.col("cos") < 0.35)
         .withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= 5)
+        .join(F.broadcast(pos), "query_id")
         .select("query_id", "n_positives", "neighbor_id", "cos", "rank")
     )
 
@@ -6045,9 +6050,16 @@ def anomaly_mad_events(spark, sf_dir):
     med = relational.keyed_percentiles_exact(
         ev, "event_type", "value", [0.5]
     ).select("event_type", q(F.col("value")).alias("med"))
-    adev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
+    # persist the DERIVED adev frame: the second percentile call's three
+    # passes (quantile sketch, cells aggregate, extract) would otherwise
+    # each recompute the join+abs; registered for release_scaffold_caches
+    adev = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        .select("event_type", "adev")
+        .persist()
     )
+    relational._SCAFFOLD_CACHES.append(adev)
     mad = (
         relational.keyed_percentiles_exact(adev, "event_type", "adev", [0.5])
         .select("event_type", q(F.col("value")).alias("mad"))
@@ -7335,9 +7347,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_embeddings": pca_embeddings,
         "bpe_train_encode": bpe_train_encode,
         "ann_topk_lsh": ann_topk_lsh,
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_jaccard": dedup_jaccard,
+        # --- previously driver-checked (rounds 1-5) below ---
         "gp_sparse_posterior": gp_sparse_posterior,
         "multimodal_features": multimodal_features,
-        # --- previously driver-checked (rounds 1-5) below ---
         "winsorize_value_by_type": winsorize_value_by_type,
         "cap_docs_per_source": cap_docs_per_source,
         "upsample_epochs_sources": upsample_epochs_sources,
@@ -7439,9 +7453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_docs": snapshot_diff_docs,
         "profile_documents": profile_documents,
         "range_join_quantity": range_join_quantity,
-        "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_jaccard": dedup_jaccard,
         "dedup_simhash": dedup_simhash,
         "simhash_near_pairs": simhash_near_pairs,
         "text_stats": text_stats,

@@ -867,6 +867,148 @@ def md5_bucketed_prefix_sum(
     return out.select(*df.columns, out_name)
 
 
+def _percentile_value_cells(vals, kcols, n_partitions, weighted: bool):
+    """The cells pass behind the exact-percentile family — with NO
+    shuffle of the data, at any scale:
+
+    1. `approxQuantile` on the value column (one scan; Greenwald-
+       Khanna sketch, bounded memory, merged driver-side — no data
+       movement) yields ~equi-depth global bin boundaries;
+    2. each row's bin is pure Column math over the broadcast-literal
+       sorted boundaries (`size(filter(bounds, b -> v > b))` — rows
+       equal to a boundary go to the lower bin, so bin membership is a
+       deterministic function of the VALUE alone);
+    3. one map-side-combinable aggregate per (key, bin) cell (count or
+       weight total, min/max value, any-NaN flag) — the only shuffle
+       anywhere is these |keys| x |bins| cell rows.
+
+    Returns {key tuple: [(total, lo, hi), ... ascending by value]}.
+
+    Later jobs re-identify a cell purely by VALUE RANGE (`key = k AND
+    __v BETWEEN lo AND hi`): bins partition the value axis, so cells of
+    one key are strictly value-disjoint and the filter reproduces a
+    cell exactly — no partition ids cross jobs, hence no pinned-
+    partitioning requirement and nothing to persist. Boundary QUALITY
+    only affects cell balance (the extract pass's work), never
+    correctness. NaN values are rejected loudly (checked for free in
+    the same aggregate): NaN breaks BETWEEN re-matching and has no
+    meaningful percentile.
+    """
+    spark = vals.sparkSession
+    n_bins = n_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    # interior boundaries only (drop p=0/p=1 endpoints)
+    probs = [i / n_bins for i in range(1, n_bins)]
+    bounds = vals.stat.approxQuantile("__v", probs, 0.01) if probs else []
+    bounds = sorted(set(bounds))
+    if bounds:
+        blit = F.array(*[F.lit(float(b)) for b in bounds])
+        bin_expr = F.size(F.filter(blit, lambda b: F.col("__v") > b))
+    else:
+        bin_expr = F.lit(0)
+    agg_total = F.sum(F.col("__w")) if weighted else F.count(F.lit(1))
+    rows = (
+        vals.withColumn("_bin", bin_expr)
+        .groupBy("_bin", *kcols)
+        .agg(
+            agg_total.alias("_n"),
+            F.min("__v").alias("_lo"),
+            F.max("__v").alias("_hi"),
+            F.max(F.isnan("__v")).alias("_nan"),
+        )
+        .limit(SCAFFOLD_MAX_CELLS + 1)
+        .collect()
+    )
+    global LAST_SCAFFOLD_CELLS
+    LAST_SCAFFOLD_CELLS = len(rows)
+    if len(rows) > SCAFFOLD_MAX_CELLS:
+        raise ValueError(
+            f"percentile cells pass: more than {SCAFFOLD_MAX_CELLS} "
+            "(bin, key) cells — key too high-cardinality for the "
+            "driver-cells design; use the plain percentile() per group "
+            "(each group is small at high cardinality)."
+        )
+    if any(r["_nan"] for r in rows):
+        raise ValueError(
+            "keyed percentiles: NaN values in the value column — filter "
+            "them out (or map to NULL) first; NaN cannot be re-matched "
+            "by value range and has no meaningful percentile."
+        )
+    cells: dict = {}
+    for r in rows:
+        cells.setdefault(tuple(r[k] for k in kcols), []).append(
+            (int(r["_n"] or 0), float(r["_lo"]), float(r["_hi"]))
+        )
+    for key in cells:
+        cells[key].sort(key=lambda c: c[1])  # ascending value ranges
+    return cells
+
+
+def _percentile_targets(cells, ps, kcols_types):
+    """Map each (key, p) to its two covering cells. Targets whose
+    covering cell holds a SINGLE distinct value (lo == hi — e.g. a
+    heavy-duplicate value class) are RESOLVED here on the driver: their
+    order statistic is that value, no extraction needed (and no task
+    ever sorts the giant duplicate run). The rest become extract rows:
+    one per (key, p, which∈{0 lo,1 hi}) carrying the covering cell's
+    value range and the 1-based LOCAL rank (or mass rank) inside it.
+    Pure driver math over the bounded cells list. Returns
+    (extract_rows, extract_schema, resolved_rows, resolved_schema)."""
+    import bisect
+    import math
+
+    need, resolved = [], []
+    for key, cs in cells.items():
+        total = sum(n for n, _, _ in cs)
+        if total == 0:
+            continue
+        # exclusive prefix offsets per cell
+        offs, acc = [], 0
+        for n, _, _ in cs:
+            offs.append(acc)
+            acc += n
+
+        def locate(rank):  # 1-based global rank -> (cell idx, local rank)
+            j = bisect.bisect_right(offs, rank - 1) - 1
+            return j, rank - offs[j]
+
+        for p in ps:
+            # 0-BASED double position, exactly as the builtin computes
+            # it (adding 1.0 first rounds differently and can flip
+            # floor/ceil, selecting the wrong order statistics)
+            pos = float(p) * (total - 1)
+            lo, hi = int(math.floor(pos)) + 1, int(math.ceil(pos)) + 1
+            for which, rank in ((0, lo), (1, hi)):
+                j, local = locate(rank)
+                if cs[j][1] == cs[j][2]:
+                    resolved.append(
+                        (*key, float(p), lo, hi, pos, which, cs[j][1])
+                    )
+                else:
+                    need.append(
+                        (*key, float(p), lo, hi, pos, which,
+                         cs[j][1], cs[j][2], local)
+                    )
+    common = list(kcols_types) + [
+        T.StructField("p", T.DoubleType()),
+        T.StructField("__lo", T.LongType()),
+        T.StructField("__hi", T.LongType()),
+        T.StructField("__pos", T.DoubleType()),
+        T.StructField("__which", T.IntegerType()),
+    ]
+    schema = T.StructType(
+        common
+        + [
+            T.StructField("__clo", T.DoubleType()),
+            T.StructField("__chi", T.DoubleType()),
+            T.StructField("__local", T.LongType()),
+        ]
+    )
+    rschema = T.StructType(common + [T.StructField("__v", T.DoubleType())])
+    return need, schema, resolved, rschema
+
+
 def keyed_percentiles_exact(
     df: DataFrame,
     key_cols,
@@ -880,66 +1022,66 @@ def keyed_percentiles_exact(
     group in executor memory, unbounded in DISTINCT values, so a
     high-cardinality double column OOMs the aggregate at scale.
 
-    Shape: one `assign_keyed_ranks` pass (range repartition + bounded
-    per-(partition,key) counts + broadcast offsets — no per-key
-    single-task sort) whose SAME counts collect also yields the per-key
-    totals (no extra count job); the totals turn each percentile into
-    at most two target ranks; a broadcast targets table picks the two
-    order statistics out of one scan and the interpolation
-    ``(ceil(pos) - pos) * v_lo + (pos - floor(pos)) * v_hi``
-    reproduces Spark's `percentile` (and DuckDB's `quantile_cont`)
-    arithmetic bit-for-bit — same op order as
+    Shape (cell-pruned order statistics): ONE full pass — range
+    repartition on (key, value) + per-(partition, key) cell
+    count/min/max to the driver (bounded by n_partitions + n_keys) —
+    turns each percentile into two (covering cell, local rank) targets;
+    a SECOND, cheap pass extracts them with a broadcast-join value-range
+    filter and a row_number window over ONLY the matched cells (at most
+    2·|ps|·|keys| cells, each one range-slice of one key — everything
+    else is filtered at the scan). No persisted state, no full-data
+    window, and no partition-id reuse across jobs: cells are re-matched
+    by value range, which the range-partition invariant makes exact.
+    The interpolation ``(ceil(pos) - pos) * v_lo + (pos - floor(pos)) *
+    v_hi`` reproduces Spark's `percentile` (and DuckDB's
+    `quantile_cont`) arithmetic bit-for-bit — same op order as
     Percentile.getPercentile in spark/sql catalyst.
 
     Intended for low/moderate key cardinality (the regime where the
-    keyed window dies); NULL values are ignored like the builtin.
-    Returns long format: (*key_cols, p, value).
+    keyed window dies); NULL values are ignored like the builtin; NaN
+    values raise (checked for free in the cells pass). Returns long
+    format: (*key_cols, p, value).
     """
-    import math
-
     _require_percentages(ps, "keyed_percentiles_exact")
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     vals = df.select(
         *kcols, F.col(value_col).cast("double").alias("__v")
     ).where(F.col("__v").isNotNull())
-    ranked, totals = _keyed_ranks_with_totals(
-        vals, kcols, [F.col("__v").asc()], "__rk", n_partitions
-    )
-    need = []
-    for key, n in totals.items():
-        for p in ps:
-            pos = float(p) * (n - 1)  # 0-based fractional position
-            need.append(
-                (*key, float(p), int(math.floor(pos)) + 1,
-                 int(math.ceil(pos)) + 1, pos)
-            )
-    schema = T.StructType(
-        [T.StructField(k, df.schema[k].dataType) for k in kcols]
-        + [
-            T.StructField("p", T.DoubleType()),
-            T.StructField("__lo", T.LongType()),
-            T.StructField("__hi", T.LongType()),
-            T.StructField("__pos", T.DoubleType()),
-        ]
+    cells = _percentile_value_cells(vals, kcols, n_partitions, weighted=False)
+    need, schema, resolved, rschema = _percentile_targets(
+        cells, ps, [T.StructField(k, df.schema[k].dataType) for k in kcols]
     )
     tgt = F.broadcast(df.sparkSession.createDataFrame(need, schema))
-    hit = ranked.join(
+    hit = vals.join(
         tgt,
-        on=[ranked[k] == tgt[k] for k in kcols]
-        + [(ranked["__rk"] == tgt["__lo"]) | (ranked["__rk"] == tgt["__hi"])],
+        on=[vals[k] == tgt[k] for k in kcols]
+        + [
+            (vals["__v"] >= tgt["__clo"]) & (vals["__v"] <= tgt["__chi"])
+        ],
     ).select(
         *[tgt[k] for k in kcols],
         tgt["p"],
         tgt["__lo"],
         tgt["__hi"],
         tgt["__pos"],
-        ranked["__rk"],
-        ranked["__v"],
+        tgt["__which"],
+        tgt["__local"],
+        vals["__v"],
     )
-    v_lo = F.max(F.when(F.col("__rk") == F.col("__lo"), F.col("__v")))
-    v_hi = F.max(F.when(F.col("__rk") == F.col("__hi"), F.col("__v")))
+    w = Window.partitionBy(*kcols, "p", "__which").orderBy(F.col("__v").asc())
+    picked = (
+        hit.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == F.col("__local"))
+        .select(*kcols, "p", "__lo", "__hi", "__pos", "__which", "__v")
+    )
+    if resolved:
+        picked = picked.unionByName(
+            df.sparkSession.createDataFrame(resolved, rschema)
+        )
+    v_lo = F.max(F.when(F.col("__which") == 0, F.col("__v")))
+    v_hi = F.max(F.when(F.col("__which") == 1, F.col("__v")))
     return (
-        hit.groupBy(*kcols, "p", "__lo", "__hi", "__pos")
+        picked.groupBy(*kcols, "p", "__lo", "__hi", "__pos")
         .agg(v_lo.alias("__vlo"), v_hi.alias("__vhi"))
         .select(*kcols, "p", _percentile_interp().alias("value"))
     )
@@ -1338,12 +1480,18 @@ def keyed_weighted_percentiles_exact(
     picks the covering rows (1-based ranks floor+1 / ceil+1), and interpolation between the floor/ceil
     target values reproduces the builtin bit-for-bit.
 
-    Weights must be positive integers (rows with NULL value or
-    non-positive weight are ignored, like the builtin). Returns
-    (*key_cols, p, value) long format.
-    """
-    import math
+    Shape: same cell-pruned design as `keyed_percentiles_exact` — one
+    full pass collects per-(partition, key) WEIGHT totals + value
+    ranges; the driver maps each target mass rank to its covering cell
+    and LOCAL mass rank; a second cheap pass re-matches only the
+    covering cells by value range and runs the running-weight window
+    over those cells alone. No persisted state, no full-data window,
+    no cross-job partition-id reuse.
 
+    Weights must be positive integers (rows with NULL value or
+    non-positive weight are ignored, like the builtin); NaN values
+    raise. Returns (*key_cols, p, value) long format.
+    """
     _require_percentages(ps, "keyed_weighted_percentiles_exact")
     _require_integer_weight(df, weight_col, "keyed_weighted_percentiles_exact")
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
@@ -1352,58 +1500,16 @@ def keyed_weighted_percentiles_exact(
         F.col(value_col).cast("double").alias("__v"),
         F.col(weight_col).cast("long").alias("__w"),
     ).where(F.col("__v").isNotNull() & (F.col("__w") > 0))
-    parted, off_df, kcols, ocols, acc = _keyed_offset_scaffold(
-        vals, kcols, [F.col("__v").asc()], n_partitions, "__w"
-    )
-    w = (
-        Window.partitionBy("_pid", *kcols)
-        .orderBy(*ocols)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = (
-        parted.join(off_df, ["_pid", *kcols])
-        .withColumn("__cum", F.sum(F.col("__w")).over(w) + F.col("_off"))
-        .select(*kcols, "__v", "__w", "__cum")
-    )
-    need = []
-    for key, total in acc.items():
-        for p in ps:
-            # 0-BASED double position, exactly as the builtin computes it
-            # (adding 1.0 first would round differently and could even
-            # flip floor/ceil, selecting the wrong order statistics)
-            pos = float(p) * (total - 1)
-            need.append(
-                (*key, float(p), int(math.floor(pos)) + 1,
-                 int(math.ceil(pos)) + 1, pos)
-            )
-    schema = T.StructType(
-        [T.StructField(k, df.schema[k].dataType) for k in kcols]
-        + [
-            T.StructField("p", T.DoubleType()),
-            T.StructField("__lo", T.LongType()),
-            T.StructField("__hi", T.LongType()),
-            T.StructField("__pos", T.DoubleType()),
-        ]
+    cells = _percentile_value_cells(vals, kcols, n_partitions, weighted=True)
+    need, schema, resolved, rschema = _percentile_targets(
+        cells, ps, [T.StructField(k, df.schema[k].dataType) for k in kcols]
     )
     tgt = F.broadcast(df.sparkSession.createDataFrame(need, schema))
-    covers_lo = (F.col("__cum") - F.col("__w") < F.col("__lo")) & (
-        F.col("__lo") <= F.col("__cum")
-    )
-    covers_hi = (F.col("__cum") - F.col("__w") < F.col("__hi")) & (
-        F.col("__hi") <= F.col("__cum")
-    )
-    hit = cum.join(
+    hit = vals.join(
         tgt,
-        on=[cum[k] == tgt[k] for k in kcols]
+        on=[vals[k] == tgt[k] for k in kcols]
         + [
-            (
-                (cum["__cum"] - cum["__w"] < tgt["__lo"])
-                & (tgt["__lo"] <= cum["__cum"])
-            )
-            | (
-                (cum["__cum"] - cum["__w"] < tgt["__hi"])
-                & (tgt["__hi"] <= cum["__cum"])
-            )
+            (vals["__v"] >= tgt["__clo"]) & (vals["__v"] <= tgt["__chi"])
         ],
     ).select(
         *[tgt[k] for k in kcols],
@@ -1411,14 +1517,35 @@ def keyed_weighted_percentiles_exact(
         tgt["__lo"],
         tgt["__hi"],
         tgt["__pos"],
-        cum["__v"],
-        cum["__w"],
-        cum["__cum"],
+        tgt["__which"],
+        tgt["__local"],
+        vals["__v"],
+        vals["__w"],
     )
-    v_lo = F.max(F.when(covers_lo, F.col("__v")))
-    v_hi = F.max(F.when(covers_hi, F.col("__v")))
+    # running weight inside each target's covering cell: a row covers
+    # local mass rank m iff cum - w < m <= cum (each row spans the
+    # weighted interval (cum - w, cum]) — builtin multiset semantics
+    w = (
+        Window.partitionBy(*kcols, "p", "__which")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    picked = (
+        hit.withColumn("__cum", F.sum("__w").over(w))
+        .where(
+            (F.col("__cum") - F.col("__w") < F.col("__local"))
+            & (F.col("__local") <= F.col("__cum"))
+        )
+        .select(*kcols, "p", "__lo", "__hi", "__pos", "__which", "__v")
+    )
+    if resolved:
+        picked = picked.unionByName(
+            df.sparkSession.createDataFrame(resolved, rschema)
+        )
+    v_lo = F.max(F.when(F.col("__which") == 0, F.col("__v")))
+    v_hi = F.max(F.when(F.col("__which") == 1, F.col("__v")))
     return (
-        hit.groupBy(*kcols, "p", "__lo", "__hi", "__pos")
+        picked.groupBy(*kcols, "p", "__lo", "__hi", "__pos")
         .agg(v_lo.alias("__vlo"), v_hi.alias("__vhi"))
         .select(*kcols, "p", _percentile_interp().alias("value"))
     )

@@ -133,11 +133,27 @@ def test_bench_stdout_line_fits_driver_capture():
     assert full["queries"] == times
 
 
-def test_driver_sampled_window_is_oracle_backed():
-    """The driver hash-checks the FIRST 50 registry entries against
-    DuckDB. Keep that window populated with oracle-backed queries (a
-    rows-only query in the window wastes a hash-check slot)."""
-    qs = list(entry_mod.queries())[:50]
+def test_driver_sampled_window_rotation_invariant():
+    """The driver checks the FIRST 50 registry entries each round
+    (hash vs DuckDB when an oracle exists, rows-only otherwise). The
+    window is a scarce resource, so the invariant is: a ROWS-ONLY query
+    may hold a window slot only while it has NEVER had a driver row in
+    any committed CORRECTNESS_r*.json — first-time coverage beats a
+    repeat hash-check; once covered, oracle-backed queries reclaim the
+    slot next rotation."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            seen |= set(json.load(f))
+    window = list(entry_mod.queries())[:50]
     oracles = entry_mod.oracle_sql()
-    missing = [n for n in qs if n not in oracles]
-    assert not missing, f"rows-only queries in the driver window: {missing}"
+    stale_rows_only = [n for n in window if n not in oracles and n in seen]
+    assert not stale_rows_only, (
+        "already-driver-checked rows-only queries waste window slots: "
+        f"{stale_rows_only}"
+    )
