@@ -2335,20 +2335,22 @@ def equidepth_histogram(spark, sf_dir):
     type — the optimizer-statistics histogram as a query, built WITHOUT
     `ntile() OVER (PARTITION BY event_type ...)`: event_type is
     low-cardinality, so that window sorts ~1/|types| of the table in ONE
-    task at 100 TB. Instead the bucket id comes from the two-pass
-    distributed per-key rank (`relational.assign_keyed_ranks`:
-    range-repartition + bounded per-(partition,key) counts + broadcast
-    offsets) and `relational.ntile_from_rank`, pure Column math that
-    reproduces ANSI ntile bucket ids bitwise — so the DuckDB ntile
-    oracle still hash-matches while every task sorts only its range
-    slice."""
+    task at 100 TB. Instead the bucket id comes from the IN-PLAN binned
+    per-key rank (`relational.binned_keyed_ranks`: sampled equi-depth
+    value bins -> map-side cell counts -> in-plan broadcast offsets ->
+    within-cell row_number; one data shuffle, no driver round-trip, no
+    pinned partitioning) and `relational.ntile_from_rank`, pure Column
+    math that reproduces ANSI ntile bucket ids bitwise — so the DuckDB
+    ntile oracle still hash-matches while every task sorts only its
+    bin slice."""
     from henbun_spark.operators import relational
 
     ev = _load(spark, sf_dir, "events").select("event_type", "value", "event_id")
-    ranked = relational.assign_keyed_ranks(
+    ranked = relational.binned_keyed_ranks(
         ev,
         "event_type",
-        [F.col("value").asc(), F.col("event_id").asc()],
+        "value",
+        ["event_id"],
         "rk",
         total_name="__n",  # per-type totals ride the offset broadcast: no extra scan
     )
@@ -5976,19 +5978,22 @@ def rank_gauss_value(spark, sf_dir):
     multiply-adds in whole-stage codegen). One keyed shuffle for the
     rank window; the per-type count rides the same window pass. The
     oracle is generated from the same coefficient list with identical
-    Horner op order. The rank comes from the two-pass distributed
-    per-key prefix count (`relational.assign_keyed_ranks`) instead of a
-    `row_number() OVER (PARTITION BY event_type ...)` window — the keyed
-    window sorts ~1/|types| of the table in one task at 100 TB; the
-    two-pass shape sorts only range slices and the per-type count is a
-    5-row broadcast."""
+    Horner op order. The rank comes from the IN-PLAN binned per-key
+    rank (`relational.binned_keyed_ranks`: sampled equi-depth value
+    bins, map-side cell counts, in-plan broadcast offsets, within-cell
+    row_number) instead of a `row_number() OVER (PARTITION BY
+    event_type ...)` window — the keyed window sorts ~1/|types| of the
+    table in one task at 100 TB; the binned shape sorts only bin
+    slices, with no driver round-trip and nothing partition-id
+    dependent."""
     from henbun_spark.operators import relational
 
     ev = _load(spark, sf_dir, "events").select("event_type", "value", "event_id")
-    ranked = relational.assign_keyed_ranks(
+    ranked = relational.binned_keyed_ranks(
         ev,
         "event_type",
-        [F.col("value").asc(), F.col("event_id").asc()],
+        "value",
+        ["event_id"],
         "__rk",
         total_name="__n",  # per-type totals ride the offset broadcast: no extra scan
     ).select(

@@ -156,6 +156,7 @@ HEADLINE = [
     "upsample_epochs_sources",
     "pack_materialize_docs",
     "weighted_percentile_price",
+    "percentile_quantity",
     "hard_negatives_emb",
     "dedup_canonical_best",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like

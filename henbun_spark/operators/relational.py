@@ -1009,6 +1009,93 @@ def _percentile_targets(cells, ps, kcols_types):
     return need, schema, resolved, rschema
 
 
+def binned_keyed_ranks(
+    df: DataFrame,
+    key_cols,
+    value_col: str,
+    tiebreak_cols,
+    rank_name: str = "rank",
+    total_name: str | None = None,
+    n_bins: int | None = None,
+) -> DataFrame:
+    """Per-key 1-based rank in ``(value ASC, *tiebreaks ASC)`` order
+    with IN-PLAN offsets — the arbitrary-numeric-value generalization
+    of `md5_bucketed_prefix_sum`, and the preferred replacement for the
+    driver-offset `assign_keyed_ranks` whenever the primary sort key is
+    a single numeric column:
+
+    1. sampled ~equi-depth bin boundaries over the value column
+       (`approxQuantile`: one scan, Greenwald-Khanna sketch, NO data
+       movement) — bins are ORDER-ALIGNED contiguous slices of the
+       value axis, and a value class never splits across bins;
+    2. per-(key, bin) counts via a map-side-combinable aggregate (the
+       only extra shuffle is these tiny cell rows); exclusive per-key
+       bin offsets AND per-key totals from a window over that tiny
+       cells table — in-plan, broadcast back;
+    3. within-cell `row_number` (+ offset): ONE shuffle of the data,
+       each window partition ~1/(|keys| x |bins|) of it.
+
+    vs `assign_keyed_ranks`: no driver round-trip, no persisted
+    two-pass partitioning to pin, nothing partition-id-dependent —
+    bin membership is a pure function of the value. Bin quality
+    affects balance only, never correctness (pytest asserts bitwise
+    equality with the `row_number()` window). NULLs sort first and
+    NaNs last, exactly like the ASC window; ties beyond
+    (value, *tiebreaks) make ranks nondeterministic in both shapes.
+    Values may be any numeric type (binning compares through a double
+    cast, which can only COARSEN bins, never reorder them).
+    """
+    kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    tcols = (
+        [tiebreak_cols] if isinstance(tiebreak_cols, str) else list(tiebreak_cols)
+    )
+    spark = df.sparkSession
+    n_bins = n_bins or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    vd = F.col(value_col).cast("double")
+    qsrc = df.select(vd.alias("__v")).where(
+        F.col("__v").isNotNull() & ~F.isnan("__v")
+    )
+    probs = [i / n_bins for i in range(1, n_bins)]
+    bounds = qsrc.stat.approxQuantile("__v", probs, 0.01) if probs else []
+    bounds = sorted(set(bounds))
+    if bounds:
+        blit = F.array(*[F.lit(float(b)) for b in bounds])
+        # NULL value -> comparisons null -> filter drops -> bin 0 (first,
+        # like ASC NULLS FIRST); NaN -> Spark orders NaN above all -> every
+        # comparison true -> last bin (like the window). Boundary-equal
+        # values go low; equal values never split.
+        bin_expr = F.size(F.filter(blit, lambda b: vd > b))
+    else:
+        bin_expr = F.lit(0)
+    b = df.withColumn("__bin", bin_expr)
+    cells = b.groupBy(*kcols, "__bin").agg(F.count(F.lit(1)).alias("__bn"))
+    wb = (
+        Window.partitionBy(*kcols)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy(*kcols)
+    off = cells.select(
+        *kcols,
+        "__bin",
+        F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__boff"),
+        F.sum("__bn").over(wt).alias("__btot"),
+    )
+    wc = Window.partitionBy(*kcols, "__bin").orderBy(
+        F.col(value_col).asc(), *[F.col(t).asc() for t in tcols]
+    )
+    out = b.join(F.broadcast(off), [*kcols, "__bin"]).withColumn(
+        rank_name, F.row_number().over(wc) + F.col("__boff")
+    )
+    extra = []
+    if total_name:
+        out = out.withColumn(total_name, F.col("__btot"))
+        extra = [total_name]
+    return out.select(*df.columns, rank_name, *extra)
+
+
 def keyed_percentiles_exact(
     df: DataFrame,
     key_cols,
