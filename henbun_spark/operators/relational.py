@@ -1096,6 +1096,101 @@ def binned_keyed_ranks(
     return out.select(*df.columns, rank_name, *extra)
 
 
+def binned_prefix_sum(
+    df: DataFrame,
+    key_cols,
+    value_col: str,
+    tiebreak_cols,
+    weight_col: str | None,
+    out_name: str = "prefix_sum",
+    descending: bool = False,
+    n_bins: int | None = None,
+    inclusive: bool = False,
+) -> DataFrame:
+    """Per-key (or GLOBAL, with ``key_cols=[]``) running sum of an
+    integer weight — or 1-based rank when ``weight_col`` is None — in
+    ``(value ASC|DESC, *tiebreaks ASC)`` order, with IN-PLAN offsets:
+    the prefix-sum sibling of `binned_keyed_ranks` (same sampled
+    equi-depth value bins, same tiny in-plan cells/offsets table, same
+    single data shuffle) and the scale-safe replacement for BOTH the
+    global running-sum window (single reducer) and the two-pass
+    driver-offset scaffolds (whose re-executed range shuffle must be
+    persisted to stay deterministic — nothing here crosses jobs).
+
+    ``descending=True`` reverses the VALUE order only (tiebreaks stay
+    ascending), with the window's NULL placement (ASC nulls first,
+    DESC nulls last) and Spark's NaN-greatest semantics reproduced
+    bitwise. ``inclusive`` selects running-total-including-the-row
+    (budget semantics) vs exclusive (offset semantics). Integer weights
+    only — fractional sums are not exact under regrouping.
+    """
+    kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    tcols = (
+        [tiebreak_cols] if isinstance(tiebreak_cols, str) else list(tiebreak_cols)
+    )
+    if weight_col is not None:
+        _require_integer_weight(df, weight_col, "binned_prefix_sum")
+    wcol = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
+    spark = df.sparkSession
+    n_bins = n_bins or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    vd = F.col(value_col).cast("double")
+    qsrc = df.select(vd.alias("__v")).where(
+        F.col("__v").isNotNull() & ~F.isnan("__v")
+    )
+    probs = [i / n_bins for i in range(1, n_bins)]
+    bounds = qsrc.stat.approxQuantile("__v", probs, 0.01) if probs else []
+    bounds = sorted(set(bounds))
+    if bounds:
+        blit = F.array(*[F.lit(float(b)) for b in bounds])
+        bin_asc = F.size(F.filter(blit, lambda b: vd > b))
+        if descending:
+            # DESC: NULL must sort LAST (window desc-nulls-last) -> give
+            # NULL its own bin below every real one; NaN (greatest)
+            # already lands in the top bin and desc puts it first
+            bin_expr = F.when(vd.isNull(), F.lit(-1)).otherwise(bin_asc)
+        else:
+            bin_expr = bin_asc  # NULL -> bin 0, nulls-first like ASC
+    else:
+        bin_expr = F.lit(0)
+    b = df.withColumn("__bin", bin_expr)
+    cells = b.groupBy(*kcols, "__bin").agg(F.sum(wcol).alias("__bn"))
+    border = F.col("__bin").desc() if descending else F.col("__bin").asc()
+    wb = (
+        Window.partitionBy(*kcols)
+        .orderBy(border)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = cells.select(
+        *kcols,
+        "__bin",
+        F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__boff"),
+    )
+    vorder = (
+        F.col(value_col).desc() if descending else F.col(value_col).asc()
+    )
+    wc = (
+        Window.partitionBy(*kcols, "__bin")
+        .orderBy(vorder, *[F.col(t).asc() for t in tcols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    join_keys = [*kcols, "__bin"]
+    out = b.join(F.broadcast(off), join_keys).withColumn(
+        out_name,
+        F.sum(wcol).over(wc)
+        - (F.lit(0) if inclusive else wcol)
+        + F.col("__boff"),
+    )
+    if weight_col is None and not inclusive:
+        out = out.withColumn(out_name, F.col(out_name) + 1)  # 1-based rank
+    return out.select(*df.columns, out_name)
+
+
 def keyed_percentiles_exact(
     df: DataFrame,
     key_cols,

@@ -5,17 +5,13 @@ a training mix.
 
 The naive formulation is a running sum over a GLOBAL ordering, which in
 Spark means a window with no partition key — every row moves to ONE
-reducer (the canonical scale failure). This module implements the
-classic two-pass distributed prefix sum instead:
-
-1. range-repartition on the ordering key (Spark's sampled range exchange
-   — the same machinery behind a global sort, deterministic for a given
-   input) and sort within partitions;
-2. per-partition weight totals -> driver (one row per partition, tiny)
-   -> exclusive prefix offsets per partition;
-3. within-partition running sum (window PARTITIONED by the partition id
-   — parallel) + broadcast offset = exact global running sum; filter to
-   the budget.
+reducer (the canonical scale failure). The running sum comes from
+`relational.binned_prefix_sum` (r6): sampled equi-depth score bins ->
+map-side per-bin weight totals -> IN-PLAN exclusive bin offsets ->
+within-bin running sum. One data shuffle, no driver round-trip, and —
+unlike the earlier two-pass range-partition form — nothing that
+executes the same shuffle in two jobs (whose independently re-sampled
+range boundaries had to agree for the offsets to line up).
 
 Rows on the budget boundary: a row is kept iff its whole weight fits
 (cum <= budget), matching the SQL oracle's cumulative-sum filter.
@@ -27,7 +23,7 @@ surface (SURVEY §2.11).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["take_budget"]
@@ -47,40 +43,17 @@ def take_budget(
 
     Output: the selected rows of `df` plus `cum_weight` (the running
     total INCLUDING the row)."""
-    parted = df.repartitionByRange(
-        *([n_partitions] if n_partitions else []),
-        F.desc(score_col),
-        F.asc(id_col),
-    ).withColumn("_pid", F.spark_partition_id())
+    from henbun_spark.operators import relational
 
-    # pass 1: per-partition totals -> exclusive prefix offsets (driver
-    # sees one row per partition)
-    totals = (
-        parted.groupBy("_pid")
-        .agg(F.sum(weight_col).alias("_w"))
-        .collect()
+    out = relational.binned_prefix_sum(
+        df,
+        [],
+        score_col,
+        [id_col],
+        weight_col,
+        out_name="cum_weight",
+        descending=True,
+        n_bins=n_partitions,
+        inclusive=True,
     )
-    offsets, acc = {}, 0
-    for row in sorted(totals, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = acc
-        acc += row["_w"]
-    off_df = F.broadcast(
-        parted.sparkSession.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
-        )
-    )
-
-    # pass 2: parallel within-partition running sum + offset
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(F.desc(score_col), F.asc(id_col))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        parted.join(off_df, "_pid")
-        .withColumn(
-            "cum_weight", F.sum(weight_col).over(w) + F.col("_off")
-        )
-        .where(F.col("cum_weight") <= budget)
-        .drop("_pid", "_off")
-    )
+    return out.where(F.col("cum_weight") <= budget)

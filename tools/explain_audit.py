@@ -137,11 +137,19 @@ def audit(name: str, plan: str) -> list[str]:
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         args = m.group(1)
         first = re.match(r"(\w+)#", args)
-        # windows over the md5-bucket machinery's TINY aggregated offset
-        # table (ordered by the internal __bkt column, 16^p rows per
-        # key) are bounded by construction — not the data-sized shape
-        # this warns about
-        if first and first.group(1) in LOWCARD_COLS and "__bkt" not in args:
+        # windows over the bucket machineries' TINY aggregated offset
+        # tables (ordered by the internal __bkt / __bin columns — 16^p
+        # hash-prefix cells or sampled value bins per key) and the
+        # within-CELL data windows (partitioned by key AND bucket, each
+        # cell ~1/(|keys| x |bins|) of the data) are bounded by
+        # construction — not the data-sized single-task shape this
+        # warns about
+        if (
+            first
+            and first.group(1) in LOWCARD_COLS
+            and "__bkt" not in args
+            and "__bin" not in args
+        ):
             flags.append(f"warn:lowcard-window:{first.group(1)}")
             break
     # scan fed directly by a filter but nothing pushed down
