@@ -158,3 +158,68 @@ def test_acklam_ppf_inverts_normal_cdf_property(u):
     cdf = 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
     assert abs(cdf - u) < 5e-9
     assert abs(zs + z) < 5e-8  # odd symmetry Phi^-1(1-u) = -Phi^-1(u)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=12),
+    st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_percentile_target_location_property(cell_sizes, ps, seed):
+    """The percentile family's driver math (`_percentile_targets`): for
+    ANY cell layout, every target's covering cell and LOCAL rank must
+    agree with brute-force expansion of the cells into a sorted value
+    array — the invariant the value-range extract pass then relies on."""
+    import math
+
+    from henbun_spark.operators import relational
+
+    rng = np.random.default_rng(seed)
+    # strictly increasing disjoint value ranges per cell; some cells
+    # collapse to a single value (heavy-duplicate runs) to exercise the
+    # driver-resolved branch
+    edges = np.cumsum(rng.uniform(0.5, 2.0, size=2 * len(cell_sizes)))
+    point = rng.random(len(cell_sizes)) < 0.3
+    cells = {
+        ("k",): [
+            (
+                n,
+                float(edges[2 * i]),
+                float(edges[2 * i] if point[i] else edges[2 * i + 1]),
+            )
+            for i, n in enumerate(cell_sizes)
+        ]
+    }
+    kt = [__import__("pyspark").sql.types.StructField(
+        "k", __import__("pyspark").sql.types.StringType())]
+    need, _, resolved, _ = relational._percentile_targets(cells, ps, kt)
+    # brute-force: value array where cell i contributes n_i entries; an
+    # entry's "cell idx" is recoverable by position
+    owner = [i for i, n in enumerate(cell_sizes) for _ in range(n)]
+    total = sum(cell_sizes)
+    starts = np.cumsum([0] + cell_sizes).tolist()
+    targets = {}
+    for row in need:
+        _, p, lo, hi, pos, which, clo, chi, local = row
+        targets[(p, which)] = ("extract", clo, chi, local)
+    for row in resolved:
+        _, p, lo, hi, pos, which, v = row
+        targets[(p, which)] = ("resolved", v)
+    for p in ps:
+        pos = float(p) * (total - 1)
+        for which, rank in ((0, int(math.floor(pos)) + 1),
+                            (1, int(math.ceil(pos)) + 1)):
+            j = owner[rank - 1]
+            n, clo, chi = cells[("k",)][j]
+            got = targets[(float(p), which)]
+            if got[0] == "extract":
+                assert (got[1], got[2]) == (clo, chi), (p, which)
+                assert got[3] == rank - starts[j], (p, which)
+            else:
+                # resolved only permitted for single-value cells
+                assert clo == chi and got[1] == clo, (p, which)
