@@ -5627,16 +5627,24 @@ FROM (
 
 def row_ids_documents(spark, sf_dir):
     """Global consecutive row ids WITHOUT a single-reducer global window:
-    two-pass distributed prefix count (range partition + per-partition
-    counts to driver + parallel within-partition row_number). The oracle
-    is the naive `row_number() OVER (ORDER BY ...)` — same ids, scalable
-    plan."""
+    the IN-PLAN binned prefix rank (`relational.binned_prefix_sum`,
+    rank mode, global, DESC) — sampled value bins, map-side cell
+    counts, in-plan offsets, within-bin row_number; one data shuffle
+    and nothing that re-executes a sampled range shuffle across jobs
+    (the earlier two-pass form needed a persist pin for that). The
+    oracle is the naive `row_number() OVER (ORDER BY ...)` — same ids,
+    scalable plan."""
     from henbun_spark.operators import relational
 
     docs = _load(spark, sf_dir, "documents")
-    out = relational.assign_row_ids(
+    out = relational.binned_prefix_sum(
         docs.select("doc_id", F.length("text").alias("text_len")),
-        [F.desc("text_len"), F.asc("doc_id")],
+        [],
+        "text_len",
+        ["doc_id"],
+        None,
+        out_name="row_id",
+        descending=True,
     )
     return out.select("doc_id", "text_len", "row_id")
 

@@ -782,7 +782,7 @@ def md5_bucketed_prefix_sum(
     tiebreak_col: str,
     weight_col: str | None,
     out_name: str = "prefix_sum",
-    prefix_chars: int = 2,
+    prefix_chars: int | None = None,
 ) -> DataFrame:
     """EXCLUSIVE per-key running sum (or 1-based rank when
     ``weight_col`` is None) in ``(hash_col ASC, tiebreak_col ASC)``
@@ -816,6 +816,19 @@ def md5_bucketed_prefix_sum(
     pair — e.g. several NULL-id rows in one key — tie, and tie order is
     arbitrary in the window too.)
     """
+    if prefix_chars is None:
+        # derive from the session's shuffle width so cells stay at
+        # ~task size as deployments scale: 16^p buckets per key, sized
+        # to at least 8x the shuffle partitions (p=2/256 on a 32-way
+        # local session, p=3/4096 at a 200..32k-partition cluster
+        # config). The output is bitwise identical for ANY p — the
+        # prefix only changes how the order-aligned cells are grouped.
+        parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        prefix_chars = 1
+        while 16**prefix_chars < 8 * parts and prefix_chars < 12:
+            prefix_chars += 1
     if not 1 <= prefix_chars <= 12:
         # 16^12 buckets is already absurd; beyond 15 the long overflows
         raise ValueError(f"prefix_chars must be in [1, 12], got {prefix_chars}")
