@@ -1062,6 +1062,31 @@ def binned_keyed_ranks(
     tcols = (
         [tiebreak_cols] if isinstance(tiebreak_cols, str) else list(tiebreak_cols)
     )
+    b, off = _binned_cells(
+        df, kcols, value_col, F.lit(1).cast("long"), n_bins, descending=False
+    )
+    wc = Window.partitionBy(*kcols, "__bin").orderBy(
+        F.col(value_col).asc(), *[F.col(t).asc() for t in tcols]
+    )
+    out = b.join(F.broadcast(off), [*kcols, "__bin"]).withColumn(
+        rank_name, F.row_number().over(wc) + F.col("__boff")
+    )
+    extra = []
+    if total_name:
+        out = out.withColumn(total_name, F.col("__btot"))
+        extra = [total_name]
+    return out.select(*df.columns, rank_name, *extra)
+
+
+def _binned_cells(df, kcols, value_col, wcol, n_bins, descending):
+    """Shared core of the binned primitives: sampled ~equi-depth bin
+    boundaries over the value column (`approxQuantile` — one scan, GK
+    sketch, no data movement), the order-aligned `__bin` column (a pure
+    function of the value: NULL -> first in ASC / own trailing bin in
+    DESC, NaN -> Spark's NaN-greatest ordering, boundary-equal values
+    go low, a value class never splits), per-(key, bin) weight totals,
+    and the broadcast in-plan offsets table. Returns
+    (df + __bin, offsets [kcols, __bin, __boff exclusive, __btot])."""
     spark = df.sparkSession
     n_bins = n_bins or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -1075,18 +1100,22 @@ def binned_keyed_ranks(
     bounds = sorted(set(bounds))
     if bounds:
         blit = F.array(*[F.lit(float(b)) for b in bounds])
-        # NULL value -> comparisons null -> filter drops -> bin 0 (first,
-        # like ASC NULLS FIRST); NaN -> Spark orders NaN above all -> every
-        # comparison true -> last bin (like the window). Boundary-equal
-        # values go low; equal values never split.
-        bin_expr = F.size(F.filter(blit, lambda b: vd > b))
+        bin_asc = F.size(F.filter(blit, lambda b: vd > b))
+        if descending:
+            # DESC: NULL must sort LAST (window desc-nulls-last) -> give
+            # NULL its own bin below every real one; NaN (greatest)
+            # already lands in the top bin and desc puts it first
+            bin_expr = F.when(vd.isNull(), F.lit(-1)).otherwise(bin_asc)
+        else:
+            bin_expr = bin_asc  # NULL -> bin 0, nulls-first like ASC
     else:
         bin_expr = F.lit(0)
     b = df.withColumn("__bin", bin_expr)
-    cells = b.groupBy(*kcols, "__bin").agg(F.count(F.lit(1)).alias("__bn"))
+    cells = b.groupBy(*kcols, "__bin").agg(F.sum(wcol).alias("__bn"))
+    border = F.col("__bin").desc() if descending else F.col("__bin").asc()
     wb = (
         Window.partitionBy(*kcols)
-        .orderBy("__bin")
+        .orderBy(border)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     wt = Window.partitionBy(*kcols)
@@ -1096,17 +1125,7 @@ def binned_keyed_ranks(
         F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__boff"),
         F.sum("__bn").over(wt).alias("__btot"),
     )
-    wc = Window.partitionBy(*kcols, "__bin").orderBy(
-        F.col(value_col).asc(), *[F.col(t).asc() for t in tcols]
-    )
-    out = b.join(F.broadcast(off), [*kcols, "__bin"]).withColumn(
-        rank_name, F.row_number().over(wc) + F.col("__boff")
-    )
-    extra = []
-    if total_name:
-        out = out.withColumn(total_name, F.col("__btot"))
-        extra = [total_name]
-    return out.select(*df.columns, rank_name, *extra)
+    return b, off
 
 
 def binned_prefix_sum(
@@ -1148,42 +1167,7 @@ def binned_prefix_sum(
         if weight_col is None
         else F.col(weight_col).cast("long")
     )
-    spark = df.sparkSession
-    n_bins = n_bins or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    vd = F.col(value_col).cast("double")
-    qsrc = df.select(vd.alias("__v")).where(
-        F.col("__v").isNotNull() & ~F.isnan("__v")
-    )
-    probs = [i / n_bins for i in range(1, n_bins)]
-    bounds = qsrc.stat.approxQuantile("__v", probs, 0.01) if probs else []
-    bounds = sorted(set(bounds))
-    if bounds:
-        blit = F.array(*[F.lit(float(b)) for b in bounds])
-        bin_asc = F.size(F.filter(blit, lambda b: vd > b))
-        if descending:
-            # DESC: NULL must sort LAST (window desc-nulls-last) -> give
-            # NULL its own bin below every real one; NaN (greatest)
-            # already lands in the top bin and desc puts it first
-            bin_expr = F.when(vd.isNull(), F.lit(-1)).otherwise(bin_asc)
-        else:
-            bin_expr = bin_asc  # NULL -> bin 0, nulls-first like ASC
-    else:
-        bin_expr = F.lit(0)
-    b = df.withColumn("__bin", bin_expr)
-    cells = b.groupBy(*kcols, "__bin").agg(F.sum(wcol).alias("__bn"))
-    border = F.col("__bin").desc() if descending else F.col("__bin").asc()
-    wb = (
-        Window.partitionBy(*kcols)
-        .orderBy(border)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    off = cells.select(
-        *kcols,
-        "__bin",
-        F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__boff"),
-    )
+    b, off = _binned_cells(df, kcols, value_col, wcol, n_bins, descending)
     vorder = (
         F.col(value_col).desc() if descending else F.col(value_col).asc()
     )
