@@ -1446,9 +1446,10 @@ GROUP BY 1, 2
 
 def budget_select_docs(spark, sf_dir):
     """Token-budget corpus selection: highest-n_chars docs until a 12k
-    cumulative token budget — the distributed two-pass prefix sum
-    (range partition -> per-partition totals -> driver offsets ->
-    parallel partitioned window), NEVER a single-reducer global window."""
+    cumulative token budget — the in-plan binned prefix sum (sampled
+    equi-depth score bins -> map-side per-bin totals -> broadcast bin
+    offsets -> within-bin running window), NEVER a single-reducer
+    global window and no driver offset round-trip."""
     from henbun_spark.operators import selection
 
     docs = _load(spark, sf_dir, "documents").select(

@@ -880,6 +880,57 @@ def md5_bucketed_prefix_sum(
     return out.select(*df.columns, out_name)
 
 
+def _sampled_value_bounds(df, vexpr, n_bins):
+    """Interior ~equi-depth bin boundaries of ``vexpr`` (already double)
+    via `approxQuantile` over the non-NULL, non-NaN values only — one
+    scan, Greenwald-Khanna sketch merged driver-side, NO data movement.
+    NaN must be excluded here: it would poison the GK sketch before any
+    downstream NaN check fires. Returns a sorted deduplicated list
+    (possibly empty). Shared by `_binned_cells` and
+    `_percentile_value_cells` so the bin definition cannot drift."""
+    qsrc = df.select(vexpr.alias("__v")).where(
+        F.col("__v").isNotNull() & ~F.isnan("__v")
+    )
+    probs = [i / n_bins for i in range(1, n_bins)]
+    if not probs:
+        return []
+    return sorted(set(qsrc.stat.approxQuantile("__v", probs, 0.01)))
+
+
+def _bin_expr_from_bounds(bounds, vd):
+    """Ascending bin id for value ``vd`` against the broadcast-literal
+    sorted ``bounds``: `size(filter(bounds, b -> v > b))` — boundary-
+    equal values go LOW, so bin membership is a pure function of the
+    value and a value class never splits across bins. NULL -> bin 0
+    (nulls-first like an ASC window); NaN -> top bin (Spark orders NaN
+    greatest)."""
+    if not bounds:
+        return F.lit(0)
+    blit = F.array(*[F.lit(float(b)) for b in bounds])
+    return F.size(F.filter(blit, lambda b: vd > b))
+
+
+def _join_binned_offsets(b, off, kcols):
+    """Broadcast-join the tiny in-plan offsets table back onto the
+    binned frame, NULL-SAFE on the key columns: a plain equi-join would
+    silently drop NULL-key rows while the `row_number()` window shape
+    these primitives replace keeps the NULL-key partition. `__bin` is
+    never NULL so plain equality is fine there; `eqNullSafe` (`<=>`) is
+    an equi-join predicate, so the broadcast HASH join is preserved."""
+    ren = off.select(
+        *[F.col(k).alias(f"__ok{i}") for i, k in enumerate(kcols)],
+        F.col("__bin").alias("__obin"),
+        "__boff",
+        "__btot",
+    )
+    cond = b["__bin"] == ren["__obin"]
+    for i, k in enumerate(kcols):
+        cond = cond & b[k].eqNullSafe(ren[f"__ok{i}"])
+    return b.join(F.broadcast(ren), cond).drop(
+        "__obin", *[f"__ok{i}" for i in range(len(kcols))]
+    )
+
+
 def _percentile_value_cells(vals, kcols, n_partitions, weighted: bool):
     """The cells pass behind the exact-percentile family — with NO
     shuffle of the data, at any scale:
@@ -911,15 +962,8 @@ def _percentile_value_cells(vals, kcols, n_partitions, weighted: bool):
     n_bins = n_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    # interior boundaries only (drop p=0/p=1 endpoints)
-    probs = [i / n_bins for i in range(1, n_bins)]
-    bounds = vals.stat.approxQuantile("__v", probs, 0.01) if probs else []
-    bounds = sorted(set(bounds))
-    if bounds:
-        blit = F.array(*[F.lit(float(b)) for b in bounds])
-        bin_expr = F.size(F.filter(blit, lambda b: F.col("__v") > b))
-    else:
-        bin_expr = F.lit(0)
+    bounds = _sampled_value_bounds(vals, F.col("__v"), n_bins)
+    bin_expr = _bin_expr_from_bounds(bounds, F.col("__v"))
     agg_total = F.sum(F.col("__w")) if weighted else F.count(F.lit(1))
     rows = (
         vals.withColumn("_bin", bin_expr)
@@ -1053,7 +1097,9 @@ def binned_keyed_ranks(
     bin membership is a pure function of the value. Bin quality
     affects balance only, never correctness (pytest asserts bitwise
     equality with the `row_number()` window). NULLs sort first and
-    NaNs last, exactly like the ASC window; ties beyond
+    NaNs last, exactly like the ASC window; NULL-KEY rows are kept
+    (the offset join is null-safe, matching the window's NULL
+    partition); ties beyond
     (value, *tiebreaks) make ranks nondeterministic in both shapes.
     Values may be any numeric type (binning compares through a double
     cast, which can only COARSEN bins, never reorder them).
@@ -1068,7 +1114,7 @@ def binned_keyed_ranks(
     wc = Window.partitionBy(*kcols, "__bin").orderBy(
         F.col(value_col).asc(), *[F.col(t).asc() for t in tcols]
     )
-    out = b.join(F.broadcast(off), [*kcols, "__bin"]).withColumn(
+    out = _join_binned_offsets(b, off, kcols).withColumn(
         rank_name, F.row_number().over(wc) + F.col("__boff")
     )
     extra = []
@@ -1092,24 +1138,15 @@ def _binned_cells(df, kcols, value_col, wcol, n_bins, descending):
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
     vd = F.col(value_col).cast("double")
-    qsrc = df.select(vd.alias("__v")).where(
-        F.col("__v").isNotNull() & ~F.isnan("__v")
-    )
-    probs = [i / n_bins for i in range(1, n_bins)]
-    bounds = qsrc.stat.approxQuantile("__v", probs, 0.01) if probs else []
-    bounds = sorted(set(bounds))
-    if bounds:
-        blit = F.array(*[F.lit(float(b)) for b in bounds])
-        bin_asc = F.size(F.filter(blit, lambda b: vd > b))
-        if descending:
-            # DESC: NULL must sort LAST (window desc-nulls-last) -> give
-            # NULL its own bin below every real one; NaN (greatest)
-            # already lands in the top bin and desc puts it first
-            bin_expr = F.when(vd.isNull(), F.lit(-1)).otherwise(bin_asc)
-        else:
-            bin_expr = bin_asc  # NULL -> bin 0, nulls-first like ASC
+    bounds = _sampled_value_bounds(df, vd, n_bins)
+    bin_asc = _bin_expr_from_bounds(bounds, vd)
+    if descending and bounds:
+        # DESC: NULL must sort LAST (window desc-nulls-last) -> give
+        # NULL its own bin below every real one; NaN (greatest)
+        # already lands in the top bin and desc puts it first
+        bin_expr = F.when(vd.isNull(), F.lit(-1)).otherwise(bin_asc)
     else:
-        bin_expr = F.lit(0)
+        bin_expr = bin_asc  # NULL -> bin 0, nulls-first like ASC
     b = df.withColumn("__bin", bin_expr)
     cells = b.groupBy(*kcols, "__bin").agg(F.sum(wcol).alias("__bn"))
     border = F.col("__bin").desc() if descending else F.col("__bin").asc()
@@ -1176,8 +1213,7 @@ def binned_prefix_sum(
         .orderBy(vorder, *[F.col(t).asc() for t in tcols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    join_keys = [*kcols, "__bin"]
-    out = b.join(F.broadcast(off), join_keys).withColumn(
+    out = _join_binned_offsets(b, off, kcols).withColumn(
         out_name,
         F.sum(wcol).over(wc)
         - (F.lit(0) if inclusive else wcol)
@@ -1221,7 +1257,7 @@ def keyed_percentiles_exact(
     values raise (checked for free in the cells pass). Returns long
     format: (*key_cols, p, value).
     """
-    _require_percentages(ps, "keyed_percentiles_exact")
+    ps = _require_percentages(ps, "keyed_percentiles_exact")
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     vals = df.select(
         *kcols, F.col(value_col).cast("double").alias("__v")
@@ -1231,9 +1267,12 @@ def keyed_percentiles_exact(
         cells, ps, [T.StructField(k, df.schema[k].dataType) for k in kcols]
     )
     tgt = F.broadcast(df.sparkSession.createDataFrame(need, schema))
+    # eqNullSafe: a NULL-key group must match its extract targets too —
+    # a plain equi-join would drop them while driver-RESOLVED targets
+    # bypass the join, leaving half-populated interpolation rows
     hit = vals.join(
         tgt,
-        on=[vals[k] == tgt[k] for k in kcols]
+        on=[vals[k].eqNullSafe(tgt[k]) for k in kcols]
         + [
             (vals["__v"] >= tgt["__clo"]) & (vals["__v"] <= tgt["__chi"])
         ],
@@ -1266,13 +1305,20 @@ def keyed_percentiles_exact(
     )
 
 
-def _require_percentages(ps, fn: str) -> None:
+def _require_percentages(ps, fn: str) -> list:
+    """Validate and CANONICALIZE a percentile list: floats in [0, 1],
+    deduplicated, ascending. Dedup is load-bearing, not cosmetic — a
+    duplicated p would double its covering-cell rows through the extract
+    join, shifting `row_number()`/running-weight local ranks onto the
+    wrong order statistics. One output row per DISTINCT p either way
+    (the final groupBy collapses duplicates), so callers lose nothing."""
     bad = [p for p in ps if not 0.0 <= float(p) <= 1.0]
     if bad:
         raise ValueError(
             f"{fn}: percentages must be in [0, 1], got {bad} "
             "(did you pass percents instead of fractions?)"
         )
+    return sorted({float(p) for p in ps})
 
 
 def _percentile_interp():
@@ -1671,7 +1717,7 @@ def keyed_weighted_percentiles_exact(
     non-positive weight are ignored, like the builtin); NaN values
     raise. Returns (*key_cols, p, value) long format.
     """
-    _require_percentages(ps, "keyed_weighted_percentiles_exact")
+    ps = _require_percentages(ps, "keyed_weighted_percentiles_exact")
     _require_integer_weight(df, weight_col, "keyed_weighted_percentiles_exact")
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     vals = df.select(
@@ -1684,9 +1730,10 @@ def keyed_weighted_percentiles_exact(
         cells, ps, [T.StructField(k, df.schema[k].dataType) for k in kcols]
     )
     tgt = F.broadcast(df.sparkSession.createDataFrame(need, schema))
+    # eqNullSafe: keep NULL-key groups matched, same as the plain variant
     hit = vals.join(
         tgt,
-        on=[vals[k] == tgt[k] for k in kcols]
+        on=[vals[k].eqNullSafe(tgt[k]) for k in kcols]
         + [
             (vals["__v"] >= tgt["__clo"]) & (vals["__v"] <= tgt["__chi"])
         ],

@@ -41,6 +41,12 @@ def take_budget(
     (in (score desc, id asc) order) stays within `budget`. Weights must
     be non-negative integers (token counts) so the running sum is exact.
 
+    BREAKING (r6): a fractional weight column now raises ValueError (it
+    previously went through a float window sum whose result depended on
+    row grouping) — pre-cast integral-valued floats, e.g.
+    ``df.withColumn(w, F.col(w).cast("long"))``, after checking they
+    are whole numbers.
+
     Output: the selected rows of `df` plus `cum_weight` (the running
     total INCLUDING the row)."""
     from henbun_spark.operators import relational

@@ -114,10 +114,14 @@ class _DocsStreamReader(DataSourceStreamReader):
         self.n_parts = int(options.get("partitions", 4))
         self.seed = int(options.get("seed", 0))
         # highest offset reported so far (driver-side poll cursor;
-        # rebuilt from the checkpoint's committed offset on restart via
-        # initialOffset/latestOffset replay, so restarts resume rather
-        # than rewind)
+        # re-synced from every planned batch range in partitions(), so a
+        # restart resumes from the committed offset after at most one
+        # empty catch-up poll rather than rewinding)
         self._reported = 0
+        # committed offset revealed by a BACKWARDS planned range after a
+        # clean restart: later batches never re-emit ids below it (see
+        # partitions())
+        self._floor = 0
 
     def initialOffset(self):
         return {"row": 0}
@@ -140,12 +144,32 @@ class _DocsStreamReader(DataSourceStreamReader):
         # sync the poll cursor with the engine's planned range, so a
         # restart from a checkpoint resumes at the committed offset
         # instead of re-climbing from 0 one poll at a time
-        self._reported = max(self._reported, hi)
-        per = -(-(hi - lo) // self.n_parts) if hi > lo else 0
+        self._reported = max(self._reported, lo, hi)
+        # Clean-restart hazard: a fresh reader's first latestOffset()
+        # can sit BELOW the checkpoint's committed offset (cursor starts
+        # at 0), and MicroBatchExecution only checks offset INEQUALITY —
+        # it then plans one BACKWARDS batch (start=committed, end=below)
+        # and later catch-up batches overlapping the already-committed
+        # range. A backwards range is exactly how that committed offset
+        # becomes visible here: record it as a floor, emit nothing for
+        # the backwards batch, and clamp later overlapping ranges so
+        # committed ids are never re-emitted. Forward ranges never touch
+        # the floor, so WAL replay of a pending batch (a normal forward
+        # range) still re-emits its full range for the downstream
+        # idempotent sinks.
+        if hi < lo:
+            self._floor = max(self._floor, lo)
+        lo = max(lo, self._floor)
+        if hi <= lo:
+            # empty/backwards window: pyspark replaces an empty
+            # partition list with [None] and calls read(None) — hand it
+            # one empty range instead
+            return [_RangePartition(0, 0, self.seed)]
+        per = -(-(hi - lo) // self.n_parts)
         return [
             _RangePartition(lo + i * per, min(lo + (i + 1) * per, hi), self.seed)
             for i in range(self.n_parts)
-            if per and lo + i * per < hi
+            if lo + i * per < hi
         ]
 
     def read(self, partition):

@@ -751,14 +751,24 @@ def mv_stream_maintenance_partitioned(
         if not touched:
             return
         if os.path.exists(state_dir):
-            prev = spark.read.parquet(state_dir).where(
-                F.col(partition_col).isin(touched)
-            )
+            # mergeSchema: after a partial upgrade the state dir holds a
+            # MIX of pre-stamp and stamped files (the first post-upgrade
+            # batch rewrites only its touched partitions); a single-
+            # footer schema would either drop the stamp column for
+            # everyone (resetting real stamps to -1, breaking replay
+            # idempotence) or surface NULL stamps that crash `s >
+            # batch_id`. Merge the schemas and treat a missing/NULL
+            # stamp as -1 (pre-history).
+            prev = spark.read.option("mergeSchema", "true").parquet(
+                state_dir
+            ).where(F.col(partition_col).isin(touched))
             if prev.columns and "__last_batch" not in prev.columns:
-                # state dir written before the stamp column existed:
-                # treat every partition as stamped -1 (pre-history), so
-                # the first post-upgrade batch merges instead of raising
                 prev = prev.withColumn("__last_batch", F.lit(-1))
+            elif "__last_batch" in prev.columns:
+                prev = prev.withColumn(
+                    "__last_batch",
+                    F.coalesce(F.col("__last_batch"), F.lit(-1)),
+                )
             if prev.columns:
                 stamps = {
                     r[0]: r[1]

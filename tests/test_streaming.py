@@ -468,6 +468,52 @@ def test_mv_partitioned_migrates_prestamp_state(spark, tmp_path):
     assert got == {"a": (12, 8.0), "b": (20, 7.0), "c": (1, 3.0)}
 
 
+def test_mv_partitioned_mixed_stamp_state(spark, tmp_path):
+    """MIXED state schemas (r6): after a partial upgrade the dir holds
+    pre-stamp files for some partitions and stamped files for others —
+    the read must merge schemas, keep REAL stamps intact (a stamped
+    partition replaying its batch id is skipped, not double-merged),
+    and treat missing stamps as -1 (merge normally)."""
+    import pandas as pd
+
+    from henbun_spark import streaming
+
+    state = str(tmp_path / "state")
+    # pre-upgrade partition: k=b, no __last_batch column
+    spark.createDataFrame(
+        pd.DataFrame({"k": ["b"], "n": [20], "s": [7.0]})
+    ).write.partitionBy("k").parquet(state)
+    # post-upgrade partition: k=a, stamped with batch 0
+    spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "n": [10], "s": [5.0], "__last_batch": [0]})
+    ).write.mode("append").partitionBy("k").parquet(state)
+
+    new_rows = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "b"], "v": [1.0, 2.0]})
+    )
+    in_dir = str(tmp_path / "in")
+    new_rows.coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema(new_rows.schema).parquet(in_dir)
+
+    def partials(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    q = streaming.mv_stream_maintenance_partitioned(
+        stream, partials, ["k"], "k", state, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {
+        r["k"]: (r["n"], float(r["s"]))
+        for r in streaming.load_partitioned_state(spark, state).collect()
+    }
+    # k=a carries stamp 0 == incoming batch 0 -> treated as an already-
+    # committed replay and SKIPPED (the stamp survived the mixed read);
+    # k=b has no stamp -> -1 -> merged
+    assert got == {"a": (10, 5.0), "b": (21, 9.0)}
+
+
 def test_interval_left_join_emits_unmatched_after_watermark(spark, tmp_path):
     """Left-outer stream-stream interval join: matched rows flow like the
     inner join; an unmatched left row emits with null right columns once

@@ -127,6 +127,9 @@ def probe(spark, qs, names, sf_dirs, show_cells=False):
         times, cells = [], []
         for sf_dir in sf_dirs:
             best = float("inf")
+            # reset so a query with NO driver cells collect (the binned
+            # in-plan routes) reports 0, not the previous query's count
+            relational.LAST_SCAFFOLD_CELLS = 0
             for _ in range(2):
                 t0 = time.time()
                 force(qs[name](spark, sf_dir))
