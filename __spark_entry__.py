@@ -1465,6 +1465,58 @@ def budget_select_docs(spark, sf_dir):
     return out.select("doc_id", "n_chars", "n_tokens", "cum_weight")
 
 
+def dsir_select_docs(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): the 100 most English-like
+    docs from the raw pool by hashed-n-gram importance weight, with
+    lang='en' as the target-domain sample — fit + score in one pass
+    over the exploded uni/bigrams, md5 bucketing and floor-quantized
+    decimal log-ratio sums so the weights are bit-reproducible and
+    DuckDB-mirrorable. Two shuffles (bucket counts, per-doc sum); the
+    4096-row model broadcasts."""
+    from henbun_spark.operators import selection
+
+    docs = _load(spark, sf_dir, "documents")
+    return selection.dsir_select(
+        docs, "text", "doc_id", F.col("lang") == "en", k=100
+    )
+
+
+def _dsir_sql() -> str:
+    h = "md5('dsir|' || g)"
+    idx6 = " + ".join(
+        f"((instr('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) * {16 ** (5 - j)})"
+        for j in range(6)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id, is_t, g FROM toks, UNNEST(
+    list_concat(tk,
+      list_transform(generate_series(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i + 1]))) AS u(g)),
+hits AS (SELECT doc_id, is_t, ({idx6}) % 4096 AS b FROM grams),
+cnt AS (
+  SELECT b, COUNT(*)::BIGINT AS cr,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct
+  FROM hits GROUP BY b),
+lw AS (SELECT b, CAST(floor((ln(ct + 1) - ln(cr + 1)) * 1000000.0 + 0.5)
+                      / 1000000.0 AS DECIMAL(38,6)) AS lw FROM cnt),
+kk AS (SELECT CAST(floor((ln(SUM(cr) + 4096) - ln(SUM(ct) + 4096))
+                         * 1000000.0 + 0.5) / 1000000.0
+                   AS DECIMAL(38,6)) AS k FROM cnt),
+agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_ngrams, SUM(lw) AS s
+  FROM hits JOIN lw USING (b) GROUP BY doc_id)
+SELECT doc_id, n_ngrams, CAST(s + n_ngrams * k AS DOUBLE) AS weight
+FROM agg CROSS JOIN kk
+ORDER BY weight DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 _BUDGET_SELECT_SQL = """
 WITH t AS (
   SELECT doc_id, n_chars,
@@ -7313,6 +7365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # check. 47 registry entries had no driver row in rounds 1-5;
         # all 47 are front-loaded here, padded to 50 with the three
         # entries whose last driver row is oldest (round 1).
+        "dsir_select_docs": dsir_select_docs,  # new in r6, never checked
         "priors_logp": priors_logp,
         "sql_udf_surface": sql_udf_surface,
         "heavy_hitters_users": heavy_hitters_users,
@@ -7498,6 +7551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dsir_select_docs": _dsir_sql(),
         "winsorize_value_by_type": _WINSORIZE_SQL,
         "cap_docs_per_source": _CAP_SOURCE_SQL,
         "upsample_epochs_sources": _UPSAMPLE_SQL,

@@ -159,6 +159,7 @@ HEADLINE = [
     "percentile_quantity",
     "hard_negatives_emb",
     "dedup_canonical_best",
+    "dsir_select_docs",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
     # at any SF; they stay on the CORRECTNESS board.

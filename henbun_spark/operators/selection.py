@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["take_budget"]
+__all__ = ["take_budget", "dsir_weights", "dsir_select"]
 
 
 def take_budget(
@@ -63,3 +63,137 @@ def take_budget(
         inclusive=True,
     )
     return out.where(F.col("cum_weight") <= budget)
+
+
+def _q6(x):
+    """Floor-quantize to 6 decimals — identical IEEE op sequence in
+    Spark and DuckDB (ROUND disagrees across engines on ties)."""
+    return F.floor(x * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target,
+    n_buckets: int = 4096,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Data Selection for LMs via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169): score every raw-pool
+    document by how target-like its hashed n-gram distribution is,
+    ``w(d) = sum_ngrams log p_target(b) - log q_raw(b)`` under two
+    bag-of-hashed-ngrams models with add-one smoothing.
+
+    Distribution fit and scoring in ONE pass over the exploded n-grams
+    (unigrams + bigrams, whitespace tokens): per-bucket target/raw
+    counts come from the same groupBy (`is_target` rides the explode),
+    the <= `n_buckets`-row log-ratio table broadcasts back onto the
+    n-gram stream, and the per-doc aggregate sums floor-quantized
+    decimals — order-independent, so the weight is bit-reproducible at
+    any parallelism (and DuckDB-mirrorable: md5 bucketing, quantized
+    ln ratios, decimal sums, the repo's standard portability recipes).
+    The totals constant ``log((Tr + B) / (Tt + B))`` enters once per
+    n-gram via an exact ``n * K`` decimal product, never a per-row
+    float fold.
+
+    At 100 TB: two shuffles total (bucket counts — map-side combinable;
+    per-doc sum), everything else map-only; no vocabulary state, no
+    driver round-trip, model size fixed at `n_buckets` regardless of
+    corpus size. Docs with no tokens have no n-grams and drop out
+    (DSIR cannot score them).
+
+    `is_target` is a boolean Column marking the target-domain sample.
+    Returns (id_col, n_ngrams, weight) — weight DOUBLE, higher = more
+    target-like.
+    """
+    toks = df.select(
+        F.col(id_col),
+        is_target.alias("__is_t"),
+        F.filter(
+            F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+        ).alias("__toks"),
+    )
+    grams = toks.select(
+        id_col,
+        "__is_t",
+        F.explode(
+            F.concat(
+                F.col("__toks"),
+                F.expr(
+                    "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),"
+                    " (t, i) -> concat(t, ' ', __toks[i + 1]))"
+                ),
+            )
+        ).alias("__g"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col("__g"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    hits = grams.select(id_col, "__is_t", bucket.alias("__b"))
+    cnt = hits.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__ct"),
+    )
+    # the totals constant rides the tiny model table (every row carries
+    # the same __k; the per-doc agg takes max) so the scoring pass needs
+    # ONE broadcast join — the corpus explode subtree appears exactly
+    # twice in the plan (fit pass, score pass), DSIR's inherent 2-pass
+    # shape, instead of a third time under a separate totals branch.
+    # The two branches below cnt end at the same aggregate exchange, so
+    # ReuseExchange dedupes them.
+    k = cnt.agg(
+        _q6(
+            F.log(F.sum("__cr") + F.lit(n_buckets))
+            - F.log(F.sum("__ct") + F.lit(n_buckets))
+        )
+        .cast("decimal(38,6)")
+        .alias("__k")
+    )
+    lwk = cnt.select(
+        "__b",
+        _q6(F.log(F.col("__ct") + 1) - F.log(F.col("__cr") + 1))
+        .cast("decimal(38,6)")
+        .alias("__lw"),
+    ).crossJoin(F.broadcast(k))
+    return (
+        hits.join(F.broadcast(lwk), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum("__lw").alias("__s"),
+            F.max("__k").alias("__k"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            (F.col("__s") + F.col("n_ngrams") * F.col("__k"))
+            .cast("double")
+            .alias("weight"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target,
+    k: int,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Top-`k` most target-like raw-pool documents by DSIR importance
+    weight, deterministic tie-break on the id (the resampling step as
+    its reproducible top-k variant — Gumbel-noise resampling is the
+    same plan with a seeded `-ln(-ln(u))` perturbation on the weight).
+    `TakeOrderedAndProject`: no global sort materializes at any scale.
+    """
+    w = dsir_weights(df, text_col, id_col, is_target, n_buckets=n_buckets)
+    return w.orderBy(F.col("weight").desc(), F.col(id_col).asc()).limit(k)

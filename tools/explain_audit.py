@@ -66,7 +66,11 @@ from henbun_spark import sources
 #  - hard_negatives_emb: <=20 broadcast query vectors crossed onto one
 #    corpus scan — the same bounded brute-force shape as sim_cosine_topk
 #    (linear in the corpus; the query side is a filtered constant).
+#  - dsir_select_docs: the 1-row totals-constant aggregate (log
+#    (Tr+B)/(Tt+B)) crossed onto the per-doc weight aggregate — same
+#    bounded 1-row-broadcast shape as lm_score_docs' totals.
 BNLJ_OK = {
+    "dsir_select_docs",
     "hard_negatives_emb",
     "streaming_tdigest_value",
     "heavy_hitters_users",
