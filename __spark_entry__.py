@@ -959,6 +959,34 @@ SELECT id_a, id_b, jaccard FROM jac
 """
 
 
+def dedup_containment(spark, sf_dir):
+    """N-gram CONTAINMENT near-dup pairs (doc-inside-doc duplicates:
+    full quotes, concatenated crawls) — |A∩B|/min(|A|,|B|) over the same
+    inverted-index candidates and max_df skew cap as `dedup_jaccard`;
+    catches the asymmetric-overlap class symmetric Jaccard misses.
+    `contained_id` = the smaller-set member (the drop candidate)."""
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.5, max_df=100
+    )
+
+
+# shares sh0/rare/sh/sz/common with the jaccard oracle (the unused jac
+# CTE is dead code the engine prunes)
+_CONTAINMENT_SQL = f"""
+WITH {_JACCARD_CTES}
+SELECT id_a, id_b,
+  CASE WHEN za.sz <= zb.sz THEN id_a ELSE id_b END AS contained_id,
+  c::DOUBLE / least(za.sz, zb.sz) AS containment
+FROM common
+JOIN sz za ON za.doc_id = id_a
+JOIN sz zb ON zb.doc_id = id_b
+WHERE c::DOUBLE / least(za.sz, zb.sz) >= 0.5
+"""
+
+
 def dedup_components(spark, sf_dir):
     """Duplicate-CLUSTER labeling: n-gram-Jaccard near-dup pairs as edges,
     transitively closed by iterative min-label propagation (one keyed
@@ -7366,6 +7394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all 47 are front-loaded here, padded to 50 with the three
         # entries whose last driver row is oldest (round 1).
         "dsir_select_docs": dsir_select_docs,  # new in r6, never checked
+        "dedup_containment": dedup_containment,  # new in r6, never checked
         "priors_logp": priors_logp,
         "sql_udf_surface": sql_udf_surface,
         "heavy_hitters_users": heavy_hitters_users,
@@ -7552,6 +7581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "dsir_select_docs": _dsir_sql(),
+        "dedup_containment": _CONTAINMENT_SQL,
         "winsorize_value_by_type": _WINSORIZE_SQL,
         "cap_docs_per_source": _CAP_SOURCE_SQL,
         "upsample_epochs_sources": _UPSAMPLE_SQL,

@@ -201,6 +201,23 @@ def ngram_jaccard_pairs(
     (derived from the same grouped index), matching the filtered
     universe on both engines. None = oracle-exact mode.
     """
+    return (
+        _ngram_overlap_counts(df, text_col, id_col, n, max_df)
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _ngram_overlap_counts(df, text_col, id_col, n, max_df):
+    """Shared candidate-overlap core of the exact n-gram pair measures
+    (Jaccard, containment): inverted index keyed on shingle -> per-pair
+    shared-shingle counts, joined with both docs' (kept-)shingle set
+    sizes. Returns (id_a, id_b, common, sz_a, sz_b); `max_df` is the
+    hot-shingle skew cap (see ngram_jaccard_pairs)."""
     sh = char_shingles(df, text_col, id_col, n)
     if max_df is None:
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -220,15 +237,41 @@ def ngram_jaccard_pairs(
     common = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("common"))
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return common.join(sz_a, "id_a").join(sz_b, "id_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT near-dup pairs — the doc-inside-doc
+    duplicate class (full quotes, concatenated crawls, boilerplate-
+    wrapped copies) that symmetric Jaccard structurally misses: a short
+    doc fully quoted inside a long one has Jaccard ~ |A|/|B| (tiny) but
+    containment |A∩B|/min(|A|,|B|) ~ 1.
+
+    Same inverted-index candidate generation and `max_df` skew cap as
+    `ngram_jaccard_pairs` (shared `_ngram_overlap_counts` core — pairs
+    come only from shared shingles, never all-pairs), different measure.
+    `contained_id` names the smaller-set doc (the candidate to drop;
+    ties -> id_a). Output: (id_a, id_b, contained_id, containment).
+    """
+    j = _ngram_overlap_counts(df, text_col, id_col, n, max_df)
+    containment = F.col("common") / F.least(F.col("sz_a"), F.col("sz_b"))
     return (
-        common.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        j.withColumn("containment", containment)
+        .where(F.col("containment") >= threshold)
         .withColumn(
-            "jaccard",
-            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+            "contained_id",
+            F.when(F.col("sz_a") <= F.col("sz_b"), F.col("id_a")).otherwise(
+                F.col("id_b")
+            ),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "contained_id", "containment")
     )
 
 
