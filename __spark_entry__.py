@@ -2459,6 +2459,47 @@ GROUP BY 1, 2
 """
 
 
+def curriculum_order_docs(spark, sf_dir):
+    """Deterministic curriculum ordering for training (short->long
+    length curriculum): equi-depth difficulty LEVELS from the ANSI-ntile
+    bucket math over the in-plan GLOBAL binned rank (`key_cols=[]` —
+    never a partition-less `ntile()` window, which moves the whole
+    corpus to one task), then a deterministic md5 shuffle WITHIN each
+    level (position from the md5-bucketed per-level rank — sources
+    interleave with zero RNG state, reproducible across reruns/cluster
+    sizes). Training order = (level ASC, pos ASC)."""
+    from henbun_spark.operators import relational
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ranked = relational.binned_keyed_ranks(
+        docs, [], "n_chars", ["doc_id"], "rk", total_name="__n"
+    )
+    lev = ranked.withColumn(
+        "level", relational.ntile_from_rank(F.col("rk"), F.col("__n"), 10)
+    )
+    with_h = lev.withColumn(
+        "__h", F.md5(F.concat(F.lit("cur|"), F.col("doc_id").cast("string")))
+    )
+    pos = relational.md5_bucketed_prefix_sum(
+        with_h, ["level"], "__h", "doc_id", None, out_name="pos"
+    )
+    return pos.select("doc_id", "source", "level", "pos")
+
+
+_CURRICULUM_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+    CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS level,
+    md5('cur|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents)
+SELECT doc_id, source, level,
+  row_number() OVER (PARTITION BY level ORDER BY h, doc_id)::BIGINT AS pos
+FROM r
+"""
+
+
 def ewma_user_value(spark, sf_dir):
     """Per-user EWMA of event values (alpha=0.3): the sequential-fold
     option-(a) shape — one keyed shuffle, array_sort, codegen fold; the
@@ -7395,6 +7436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries whose last driver row is oldest (round 1).
         "dsir_select_docs": dsir_select_docs,  # new in r6, never checked
         "dedup_containment": dedup_containment,  # new in r6, never checked
+        "curriculum_order_docs": curriculum_order_docs,  # new in r6
         "priors_logp": priors_logp,
         "sql_udf_surface": sql_udf_surface,
         "heavy_hitters_users": heavy_hitters_users,
@@ -7582,6 +7624,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dsir_select_docs": _dsir_sql(),
         "dedup_containment": _CONTAINMENT_SQL,
+        "curriculum_order_docs": _CURRICULUM_SQL,
         "winsorize_value_by_type": _WINSORIZE_SQL,
         "cap_docs_per_source": _CAP_SOURCE_SQL,
         "upsample_epochs_sources": _UPSAMPLE_SQL,

@@ -898,16 +898,35 @@ def _sampled_value_bounds(df, vexpr, n_bins):
 
 
 def _bin_expr_from_bounds(bounds, vd):
-    """Ascending bin id for value ``vd`` against the broadcast-literal
-    sorted ``bounds``: `size(filter(bounds, b -> v > b))` — boundary-
-    equal values go LOW, so bin membership is a pure function of the
-    value and a value class never splits across bins. NULL -> bin 0
-    (nulls-first like an ASC window); NaN -> top bin (Spark orders NaN
-    greatest)."""
+    """Ascending bin id for value ``vd`` against the literal sorted
+    ``bounds``: the count of bounds strictly below the value —
+    boundary-equal values go LOW, so bin membership is a pure function
+    of the value and a value class never splits across bins. NULL ->
+    bin 0 (`v > b` is NULL -> indicator 0, nulls-first like an ASC
+    window); NaN -> top bin (`NaN > b` is true in Spark's ordering).
+
+    Deliberately built as a balanced tree of plain CASE-WHEN indicator
+    sums, NOT `size(filter(array(...), b -> v > b))`: higher-order-
+    function lambdas carry `NamedLambdaVariable`/inner attribute
+    references that Spark's attribute-rewrite passes (self-join /
+    set-op deduplication, pushed-down inferred filters) do not rewrite,
+    which detonates at runtime as INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+    ("Could not find v#N in [...]") whenever the binned frame is joined
+    or exceptAll'd against another frame sharing the same lineage. A
+    pure BinaryExpression tree has no lambda scope, so every rewrite
+    pass sees (and renames) the value reference."""
     if not bounds:
         return F.lit(0)
-    blit = F.array(*[F.lit(float(b)) for b in bounds])
-    return F.size(F.filter(blit, lambda b: vd > b))
+    terms = [
+        F.when(vd > F.lit(float(b)), F.lit(1)).otherwise(F.lit(0))
+        for b in bounds
+    ]
+    while len(terms) > 1:  # balanced sum: log-depth expression tree
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
 
 
 def _join_binned_offsets(b, off, kcols):
