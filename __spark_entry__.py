@@ -6168,13 +6168,20 @@ def anomaly_mad_events(spark, sf_dir):
     flagged. Both statistics quantize to 1e-6 via the portable
     floor-quantize (identical IEEE op sequence in both engines) BEFORE
     entering the flag predicate, so the boundary comparison is
-    bit-deterministic cross-engine. Both medians come from the
-    DISTRIBUTED order-statistics path (`relational.
-    keyed_percentiles_exact` — two-pass keyed rank, bounded tasks)
-    rather than Spark's buffering `percentile()`, whose per-group
-    value->count map is unbounded in distinct values at 100x; the
-    interpolation arithmetic is bitwise the builtin's, so the oracle is
-    unchanged."""
+    bit-deterministic cross-engine. Both statistics come from ONE
+    `relational.keyed_median_mad` call: a single map-side-combinable
+    (key, value) histogram — shuffle bounded by distinct pairs, not
+    rows — with both order statistics (and the |v - med| fold) as
+    driver math, replacing the previous TWO sequential
+    `keyed_percentiles_exact` calls (6 jobs + a persisted deviation
+    frame). Continuous-value inputs that overflow the histogram cap
+    fall back to the cell-pruned two-pass path inside the operator;
+    Spark's buffering `percentile()` (per-group value map, unbounded in
+    distinct values at 100x) is avoided in both regimes. Interpolation
+    and quantizer arithmetic are bitwise the builtin's, so the oracle
+    is unchanged."""
+    import math
+
     from henbun_spark.operators import relational
 
     ev = _load(spark, sf_dir, "events")
@@ -6182,25 +6189,13 @@ def anomaly_mad_events(spark, sf_dir):
     def q(c):  # portable 1e-6 quantizer (round(x, 6) tie-breaks differ)
         return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
-    med = relational.keyed_percentiles_exact(
-        ev, "event_type", "value", [0.5]
-    ).select("event_type", q(F.col("value")).alias("med"))
-    # persist the DERIVED adev frame: the second percentile call's three
-    # passes (quantile sketch, cells aggregate, extract) would otherwise
-    # each recompute the join+abs; registered for release_scaffold_caches
-    adev = (
-        ev.join(F.broadcast(med), "event_type")
-        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
-        .select("event_type", "adev")
-        .persist()
+    mm = relational.keyed_median_mad(
+        ev,
+        "event_type",
+        "value",
+        med_transform=lambda m: math.floor(m * 1e6 + 0.5) / 1e6,
     )
-    relational._SCAFFOLD_CACHES.append(adev)
-    mad = (
-        relational.keyed_percentiles_exact(adev, "event_type", "adev", [0.5])
-        .select("event_type", q(F.col("value")).alias("mad"))
-        .join(F.broadcast(med), "event_type")
-        .select("event_type", "med", "mad")
-    )
+    mad = mm.select("event_type", "med", q(F.col("mad")).alias("mad"))
     flagged = ev.join(F.broadcast(mad), "event_type").where(
         F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
     )

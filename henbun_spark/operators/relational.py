@@ -1324,6 +1324,141 @@ def keyed_percentiles_exact(
     )
 
 
+def keyed_median_mad(
+    df: DataFrame,
+    key_cols,
+    value_col: str,
+    med_transform=None,
+    max_cells: int | None = None,
+) -> DataFrame:
+    """Exact interpolated per-key median AND median-absolute-deviation
+    in ~ONE data pass via the value-histogram route: a single map-side-
+    combinable ``groupBy(key, value) -> count`` whose shuffle is bounded
+    by |distinct (key, value) pairs| — NOT rows — collected once; both
+    statistics are then driver order-statistics math over the sorted
+    histogram. The MAD needs no second data pass because the |v - med|
+    histogram is a pure driver fold of the value histogram around the
+    median. This replaces TWO sequential `keyed_percentiles_exact`
+    calls (2 x (quantile-sketch + cells + extract) = 6 jobs plus the
+    deviation-frame build) with 1 job + driver math.
+
+    Scale regime: the histogram route holds exactly where Spark's
+    buffering `percentile()` dies — heavy-duplicate value columns whose
+    distinct count stays bounded as rows grow (quantized metrics,
+    prices, sensor steps). When |distinct pairs| exceeds ``max_cells``
+    (default `SCAFFOLD_MAX_CELLS`) — the continuous-double regime — it
+    FALLS BACK to the cell-pruned two-pass `keyed_percentiles_exact`
+    path, which never collects more than bins x keys cells.
+
+    ``med_transform``: optional driver-side float -> float applied to
+    the median BEFORE deviations fold (e.g. a portable quantizer); IEEE
+    double ops in Python match the equivalent Column arithmetic
+    bitwise. Interpolation replicates Spark `Percentile.getPercentile`
+    / DuckDB `quantile_cont` bit-for-bit (same op order as
+    `_percentile_interp`). NULL values are ignored like the builtin;
+    NULL keys form their own group; NaN values raise. Returns
+    (*key_cols, med, mad).
+    """
+    import math
+
+    kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cap = SCAFFOLD_MAX_CELLS if max_cells is None else max_cells
+    vals = df.select(
+        *kcols, F.col(value_col).cast("double").alias("__v")
+    ).where(F.col("__v").isNotNull())
+    rows = (
+        vals.groupBy(*kcols, "__v")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .limit(cap + 1)
+        .collect()
+    )
+    global LAST_SCAFFOLD_CELLS
+    LAST_SCAFFOLD_CELLS = len(rows)
+    if len(rows) > cap:
+        # continuous-value regime: two-pass cell-pruned percentiles.
+        # The med table is collected (bounded by n_keys — the cell-
+        # pruned path already requires low key cardinality) and
+        # rebuilt as a literal frame: attribute-disjoint from vals and
+        # from the mad result, so neither join is an ambiguous
+        # self-join.
+        tf = med_transform if med_transform is not None else (lambda m: m)
+        med_rows = [
+            (*[r[k] for k in kcols], tf(r["value"]))
+            for r in keyed_percentiles_exact(
+                df, kcols, value_col, [0.5]
+            ).collect()
+        ]
+        mschema = T.StructType(
+            [T.StructField(k, df.schema[k].dataType) for k in kcols]
+            + [T.StructField("med", T.DoubleType())]
+        )
+        med = df.sparkSession.createDataFrame(med_rows, mschema)
+        cond = [vals[k].eqNullSafe(med[k]) for k in kcols]
+        adev = vals.join(F.broadcast(med), cond).select(
+            *[med[k] for k in kcols],
+            F.abs(vals["__v"] - med["med"]).alias("__adev"),
+        )
+        mad = keyed_percentiles_exact(adev, kcols, "__adev", [0.5]).select(
+            *kcols, F.col("value").alias("mad")
+        )
+        med2 = df.sparkSession.createDataFrame(med_rows, mschema)
+        cond2 = [mad[k].eqNullSafe(med2[k]) for k in kcols]
+        return mad.join(F.broadcast(med2), cond2).select(
+            *[mad[k] for k in kcols],
+            med2["med"],
+            mad["mad"],
+        )
+    if any(math.isnan(r["__v"]) for r in rows):
+        raise ValueError(
+            "keyed_median_mad: NaN values in the value column — filter "
+            "them out (or map to NULL) first; NaN has no meaningful "
+            "median."
+        )
+    hists: dict = {}
+    for r in rows:
+        hists.setdefault(tuple(r[k] for k in kcols), []).append(
+            (float(r["__v"]), int(r["__n"]))
+        )
+
+    def _interp_median(hist):  # hist: ascending [(value, count)]
+        total = sum(n for _, n in hist)
+        pos = 0.5 * (total - 1)  # 0-based double position, builtin's op
+        lo, hi = int(math.floor(pos)) + 1, int(math.ceil(pos)) + 1
+
+        def at(rank):  # 1-based order statistic
+            acc = 0
+            for v, n in hist:
+                acc += n
+                if acc >= rank:
+                    return v
+            return hist[-1][0]
+
+        vlo, vhi = at(lo), at(hi)
+        if lo == hi or vlo == vhi:  # builtin short-circuits, no float ops
+            return vlo
+        return (float(hi - 1) - pos) * vlo + (pos - float(lo - 1)) * vhi
+
+    out = []
+    for key, hist in hists.items():
+        hist.sort(key=lambda t: t[0])
+        med = _interp_median(hist)
+        if med_transform is not None:
+            med = med_transform(med)
+        folded: dict = {}
+        for v, n in hist:
+            folded[abs(v - med)] = folded.get(abs(v - med), 0) + n
+        mad = _interp_median(sorted(folded.items()))
+        out.append((*key, med, mad))
+    schema = T.StructType(
+        [T.StructField(k, df.schema[k].dataType) for k in kcols]
+        + [
+            T.StructField("med", T.DoubleType()),
+            T.StructField("mad", T.DoubleType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, schema)
+
+
 def _require_percentages(ps, fn: str) -> list:
     """Validate and CANONICALIZE a percentile list: floats in [0, 1],
     deduplicated, ascending. Dedup is load-bearing, not cosmetic — a
