@@ -594,8 +594,11 @@ def percentile_quantity(spark, sf_dir):
     from henbun_spark.operators import relational
 
     li = _load(spark, sf_dir, "lineitem")
+    # histogram_cap=0: l_extendedprice is known-continuous, so even the
+    # shuffle-free distinct probe is a wasted scan here — go straight
+    # to the cell-pruned path
     pct = relational.keyed_percentiles_exact(
-        li, "l_returnflag", "l_extendedprice", [0.5, 0.95]
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.95], histogram_cap=0
     )
     return pct.groupBy("l_returnflag").agg(
         F.round(F.max(F.when(F.col("p") == 0.5, F.col("value"))), 6).alias("p50"),

@@ -1249,6 +1249,7 @@ def keyed_percentiles_exact(
     value_col: str,
     ps: list,
     n_partitions: int | None = None,
+    histogram_cap: int | None = None,
 ) -> DataFrame:
     """EXACT interpolated per-key percentiles with bounded memory at any
     scale — the 100-TB replacement for ``percentile(value, p)``:
@@ -1271,6 +1272,17 @@ def keyed_percentiles_exact(
     `quantile_cont`) arithmetic bit-for-bit — same op order as
     Percentile.getPercentile in spark/sql catalyst.
 
+    Fast path (``histogram_cap`` > 0, the default): an optimistic
+    (key, value) -> count histogram — ONE map-side-combinable job whose
+    shuffle is bounded by |distinct pairs|, not rows — resolves every
+    percentile as driver order-statistics math when the pairs fit under
+    the cap. This is exactly the heavy-duplicate regime where the
+    buffering builtin dies, and it turns the 3-job cell path into 1
+    job. Continuous-value columns overflow the cap and fall through to
+    the cell path, paying one bounded extra scan for the probe; pass
+    ``histogram_cap=0`` to skip the probe when the column is known
+    continuous.
+
     Intended for low/moderate key cardinality (the regime where the
     keyed window dies); NULL values are ignored like the builtin; NaN
     values raise (checked for free in the cells pass). Returns long
@@ -1278,6 +1290,24 @@ def keyed_percentiles_exact(
     """
     ps = _require_percentages(ps, "keyed_percentiles_exact")
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if histogram_cap is None:
+        histogram_cap = SCAFFOLD_MAX_CELLS
+    if histogram_cap:
+        hists = _value_histograms(df, kcols, value_col, histogram_cap)
+        if hists is not None:
+            out = [
+                (*key, p, _hist_percentile(hist, p))
+                for key, hist in hists.items()
+                for p in ps
+            ]
+            schema = T.StructType(
+                [T.StructField(k, df.schema[k].dataType) for k in kcols]
+                + [
+                    T.StructField("p", T.DoubleType()),
+                    T.StructField("value", T.DoubleType()),
+                ]
+            )
+            return df.sparkSession.createDataFrame(out, schema)
     vals = df.select(
         *kcols, F.col(value_col).cast("double").alias("__v")
     ).where(F.col("__v").isNotNull())
@@ -1324,6 +1354,87 @@ def keyed_percentiles_exact(
     )
 
 
+def _hist_percentile(hist, p):
+    """Exact interpolated percentile over an ascending value histogram
+    ``[(value, count), ...]`` — driver-side bitwise replica of Spark
+    `Percentile.getPercentile` / DuckDB `quantile_cont` (same op order
+    as `_percentile_interp`): 0-based double position ``p * (total-1)``,
+    1-based floor/ceil target ranks, equal ranks or equal values
+    short-circuit to the lower value without float arithmetic."""
+    import math
+
+    total = sum(n for _, n in hist)
+    pos = float(p) * (total - 1)
+    lo, hi = int(math.floor(pos)) + 1, int(math.ceil(pos)) + 1
+
+    def at(rank):  # 1-based order statistic via cumulative counts
+        acc = 0
+        for v, n in hist:
+            acc += n
+            if acc >= rank:
+                return v
+        return hist[-1][0]
+
+    vlo, vhi = at(lo), at(hi)
+    if lo == hi or vlo == vhi:
+        return vlo
+    return (float(hi - 1) - pos) * vlo + (pos - float(lo - 1)) * vhi
+
+
+def _value_histograms(df, kcols, value_col, cap):
+    """(key, value) -> count histogram collect for the exact percentile
+    family's one-job fast path: a single map-side-combinable aggregate
+    whose shuffle is bounded by |distinct (key, value) pairs| (NOT
+    rows). Returns {key tuple: ascending [(value, count)]} when the
+    histogram fits under ``cap``, else None (continuous-value regime —
+    caller falls back to the cell-pruned path).
+
+    Guarded by a SHUFFLE-FREE `approx_count_distinct` probe first (one
+    scan, sketch-merge partials, ONE row to the driver): without it, a
+    continuous column would ship cap+1 aggregated rows to the driver
+    just to learn it overflowed — row deserialization alone costs more
+    than the cell path saves. The sketch's ~2% error gets 30% headroom;
+    the hard ``limit(cap + 1)`` stays on the collect as the correctness
+    backstop if the estimate lied low. NaN values raise — they have no
+    meaningful percentile and would corrupt downstream value
+    comparisons. NULL values are ignored like the builtin."""
+    import math
+
+    global LAST_SCAFFOLD_CELLS
+    vals = df.select(
+        *kcols, F.col(value_col).cast("double").alias("__v")
+    ).where(F.col("__v").isNotNull())
+    est = vals.agg(
+        F.approx_count_distinct(F.struct(*kcols, "__v")).alias("__d")
+    ).collect()[0]["__d"]
+    if est > 0.7 * cap:
+        LAST_SCAFFOLD_CELLS = est
+        return None
+    rows = (
+        vals.groupBy(*kcols, "__v")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .limit(cap + 1)
+        .collect()
+    )
+    LAST_SCAFFOLD_CELLS = len(rows)
+    if len(rows) > cap:
+        return None
+    if any(math.isnan(r["__v"]) for r in rows):
+        raise ValueError(
+            "exact percentiles: NaN values in the value column — filter "
+            "them out (or map to NULL) first; NaN has no meaningful "
+            "percentile."
+        )
+    hists: dict = {}
+    for r in rows:
+        hists.setdefault(tuple(r[k] for k in kcols), []).append(
+            (float(r["__v"]), int(r["__n"]))
+        )
+    for hist in hists.values():
+        hist.sort(key=lambda t: t[0])
+    return hists
+
+
 def keyed_median_mad(
     df: DataFrame,
     key_cols,
@@ -1359,22 +1470,13 @@ def keyed_median_mad(
     NULL keys form their own group; NaN values raise. Returns
     (*key_cols, med, mad).
     """
-    import math
-
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     cap = SCAFFOLD_MAX_CELLS if max_cells is None else max_cells
-    vals = df.select(
-        *kcols, F.col(value_col).cast("double").alias("__v")
-    ).where(F.col("__v").isNotNull())
-    rows = (
-        vals.groupBy(*kcols, "__v")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .limit(cap + 1)
-        .collect()
-    )
-    global LAST_SCAFFOLD_CELLS
-    LAST_SCAFFOLD_CELLS = len(rows)
-    if len(rows) > cap:
+    hists = _value_histograms(df, kcols, value_col, cap)
+    if hists is None:
+        vals = df.select(
+            *kcols, F.col(value_col).cast("double").alias("__v")
+        ).where(F.col("__v").isNotNull())
         # continuous-value regime: two-pass cell-pruned percentiles.
         # The med table is collected (bounded by n_keys — the cell-
         # pruned path already requires low key cardinality) and
@@ -1385,7 +1487,7 @@ def keyed_median_mad(
         med_rows = [
             (*[r[k] for k in kcols], tf(r["value"]))
             for r in keyed_percentiles_exact(
-                df, kcols, value_col, [0.5]
+                df, kcols, value_col, [0.5], histogram_cap=0
             ).collect()
         ]
         mschema = T.StructType(
@@ -1398,9 +1500,9 @@ def keyed_median_mad(
             *[med[k] for k in kcols],
             F.abs(vals["__v"] - med["med"]).alias("__adev"),
         )
-        mad = keyed_percentiles_exact(adev, kcols, "__adev", [0.5]).select(
-            *kcols, F.col("value").alias("mad")
-        )
+        mad = keyed_percentiles_exact(
+            adev, kcols, "__adev", [0.5], histogram_cap=0
+        ).select(*kcols, F.col("value").alias("mad"))
         med2 = df.sparkSession.createDataFrame(med_rows, mschema)
         cond2 = [mad[k].eqNullSafe(med2[k]) for k in kcols]
         return mad.join(F.broadcast(med2), cond2).select(
@@ -1408,46 +1510,15 @@ def keyed_median_mad(
             med2["med"],
             mad["mad"],
         )
-    if any(math.isnan(r["__v"]) for r in rows):
-        raise ValueError(
-            "keyed_median_mad: NaN values in the value column — filter "
-            "them out (or map to NULL) first; NaN has no meaningful "
-            "median."
-        )
-    hists: dict = {}
-    for r in rows:
-        hists.setdefault(tuple(r[k] for k in kcols), []).append(
-            (float(r["__v"]), int(r["__n"]))
-        )
-
-    def _interp_median(hist):  # hist: ascending [(value, count)]
-        total = sum(n for _, n in hist)
-        pos = 0.5 * (total - 1)  # 0-based double position, builtin's op
-        lo, hi = int(math.floor(pos)) + 1, int(math.ceil(pos)) + 1
-
-        def at(rank):  # 1-based order statistic
-            acc = 0
-            for v, n in hist:
-                acc += n
-                if acc >= rank:
-                    return v
-            return hist[-1][0]
-
-        vlo, vhi = at(lo), at(hi)
-        if lo == hi or vlo == vhi:  # builtin short-circuits, no float ops
-            return vlo
-        return (float(hi - 1) - pos) * vlo + (pos - float(lo - 1)) * vhi
-
     out = []
     for key, hist in hists.items():
-        hist.sort(key=lambda t: t[0])
-        med = _interp_median(hist)
+        med = _hist_percentile(hist, 0.5)
         if med_transform is not None:
             med = med_transform(med)
         folded: dict = {}
         for v, n in hist:
             folded[abs(v - med)] = folded.get(abs(v - med), 0) + n
-        mad = _interp_median(sorted(folded.items()))
+        mad = _hist_percentile(sorted(folded.items()), 0.5)
         out.append((*key, med, mad))
     schema = T.StructType(
         [T.StructField(k, df.schema[k].dataType) for k in kcols]
