@@ -160,6 +160,8 @@ HEADLINE = [
     "hard_negatives_emb",
     "dedup_canonical_best",
     "dsir_select_docs",
+    "dedup_containment",
+    "curriculum_order_docs",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
     # at any SF; they stay on the CORRECTNESS board.
