@@ -2503,6 +2503,92 @@ FROM r
 """
 
 
+def quality_topq_per_source(spark, sf_dir):
+    """Per-domain quality filtering (the FineWeb/CCNet-style curation
+    step "keep the top 30% of each source by quality"): heuristic
+    quality score (pure Column math, `text.quality_score`), floor-
+    quantized to 1e-6 so the rank order is bit-deterministic
+    cross-engine, then a per-source rank from the IN-PLAN binned keyed
+    rank (never a per-source `row_number()` window, which sorts a whole
+    source in one task at 100 TB); keep rank > n - ceil(0.3 * n) in
+    (quality ASC, doc_id ASC) order — the top-30% boundary is exact,
+    not approximate, and survives any partitioning."""
+    from henbun_spark.operators import relational, text
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = text.quality_score(docs).select(
+        "doc_id",
+        "source",
+        (F.floor(F.col("quality") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "q"
+        ),
+    )
+    ranked = relational.binned_keyed_ranks(
+        scored, "source", "q", ["doc_id"], "rk", total_name="n"
+    )
+    kept = ranked.where(
+        F.col("rk") > F.col("n") - F.ceil(F.lit(0.3) * F.col("n"))
+    )
+    return kept.select("doc_id", "source", F.col("q").alias("quality"))
+
+
+_QUALITY_TOPQ_SQL = """
+WITH t AS (
+  SELECT doc_id, source, text,
+    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+    length(text) AS n_chars
+  FROM documents),
+s AS (
+  SELECT doc_id, source,
+    floor((
+      0.4 * least(n_chars / 500.0, 1.0)
+      + 0.3 * (1 - (n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / greatest(n_chars, 1))
+      + 0.3 * least(
+          len(list_filter(toks,
+            x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
+          / greatest(len(toks), 1) / 0.5, 1.0)
+    ) * 1000000.0 + 0.5) / 1000000.0 AS q
+  FROM t),
+r AS (
+  SELECT doc_id, source, q,
+    row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS rk,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM s)
+SELECT doc_id, source, q AS quality
+FROM r WHERE rk > n - CEIL(0.3 * n)
+"""
+
+
+def cross_source_dups(spark, sf_dir):
+    """Cross-source duplicate overlap matrix ("how much of dump B is
+    already in dump A"): distinct (8-token-span md5, source) pairs,
+    then a fingerprint-keyed self-join with src_a < src_b —
+    per-fingerprint expansion bounded by |sources|, output bounded by
+    source pairs; no all-pairs stage. The report that decides whether a
+    new crawl snapshot is worth ingesting before any dedup runs."""
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.cross_source_duplicates(docs, "text", "source")
+
+
+_CROSS_SOURCE_SQL = """
+WITH toks AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+p AS (
+  SELECT DISTINCT source, md5(array_to_string(t[g.i:g.i+7], ' ')) AS fp
+  FROM toks,
+    LATERAL (SELECT unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i) g),
+j AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.fp
+  FROM p a JOIN p b ON a.fp = b.fp AND a.source < b.source)
+SELECT src_a, src_b, COUNT(DISTINCT fp) AS n_shared
+FROM j GROUP BY 1, 2
+"""
+
+
 def ewma_user_value(spark, sf_dir):
     """Per-user EWMA of event values (alpha=0.3): the sequential-fold
     option-(a) shape — one keyed shuffle, array_sort, codegen fold; the
@@ -7435,6 +7521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_docs": dsir_select_docs,  # new in r6, never checked
         "dedup_containment": dedup_containment,  # new in r6, never checked
         "curriculum_order_docs": curriculum_order_docs,  # new in r6
+        "quality_topq_per_source": quality_topq_per_source,  # new in r6
+        "cross_source_dups": cross_source_dups,  # new in r6
         "priors_logp": priors_logp,
         "sql_udf_surface": sql_udf_surface,
         "heavy_hitters_users": heavy_hitters_users,
@@ -7623,6 +7711,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select_docs": _dsir_sql(),
         "dedup_containment": _CONTAINMENT_SQL,
         "curriculum_order_docs": _CURRICULUM_SQL,
+        "quality_topq_per_source": _QUALITY_TOPQ_SQL,
+        "cross_source_dups": _CROSS_SOURCE_SQL,
         "winsorize_value_by_type": _WINSORIZE_SQL,
         "cap_docs_per_source": _CAP_SOURCE_SQL,
         "upsample_epochs_sources": _UPSAMPLE_SQL,

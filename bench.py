@@ -162,6 +162,8 @@ HEADLINE = [
     "dsir_select_docs",
     "dedup_containment",
     "curriculum_order_docs",
+    "quality_topq_per_source",
+    "cross_source_dups",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
     # at any SF; they stay on the CORRECTNESS board.

@@ -732,3 +732,65 @@ def boilerplate_chunk_removal(
             " ",
         ).alias("clean_text"),
     )
+
+
+def cross_source_duplicates(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    shingle_words: int = 8,
+) -> DataFrame:
+    """Cross-source duplicate overlap matrix — the "how much of dump B
+    is already in dump A" report that drives cross-snapshot dedup
+    decisions (CommonCrawl dumps, site mirrors, vendor re-deliveries):
+    for every unordered source pair, the number of DISTINCT
+    ``shingle_words``-token span fingerprints present in both.
+    Span-level (not whole-document) overlap is what actually predicts
+    post-dedup yield: snapshots rarely share byte-identical documents,
+    they share paragraphs. ``shingle_words=0`` degrades to whole-text
+    md5 (exact-duplicate overlap only).
+
+    Plan: map-side token shingling + md5 (the fingerprint join key is
+    born from an explode, so no expression leaks across the self-join),
+    distinct (fingerprint, source) pairs (one map-side-combinable dedup
+    shuffle, bounded by unique pairs), then a self-equi-join on the
+    fingerprint key with `src_a < src_b` — each fingerprint expands
+    only into its own source-pair combinations (bounded by |sources|,
+    never corpus-sized), and AQE handles a skewed mega-duplicate key.
+    No all-pairs stage anywhere; the output is at most
+    |sources| x (|sources|-1) / 2 rows.
+
+    Returns (src_a, src_b, n_shared) with src_a < src_b.
+    """
+    base = ensure_parallelism(df.select(text_col, source_col))
+    if shingle_words:
+        toks = F.filter(
+            F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+        )
+        spans = F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(toks) - (shingle_words - 1), F.lit(0)),
+            ),
+            lambda i: F.array_join(F.slice(toks, i, shingle_words), " "),
+        )
+        pairs = (
+            base.select(
+                F.explode(spans).alias("__span"),
+                F.col(source_col).alias("__src"),
+            )
+            .select(F.md5(F.col("__span")).alias("__fp"), "__src")
+            .distinct()
+        )
+    else:
+        pairs = base.select(
+            F.md5(F.col(text_col)).alias("__fp"),
+            F.col(source_col).alias("__src"),
+        ).distinct()
+    a = pairs.select(F.col("__fp"), F.col("__src").alias("src_a"))
+    b = pairs.select(F.col("__fp").alias("__fp_b"), F.col("__src").alias("src_b"))
+    return (
+        a.join(b, (a["__fp"] == b["__fp_b"]) & (a["src_a"] < b["src_b"]))
+        .groupBy("src_a", "src_b")
+        .agg(F.countDistinct("__fp").alias("n_shared"))
+    )
