@@ -223,3 +223,54 @@ def test_percentile_target_location_property(cell_sizes, ps, seed):
             else:
                 # resolved only permitted for single-value cells
                 assert clo == chi and got[1] == clo, (p, which)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    ps=st.lists(
+        st.floats(min_value=0.0, max_value=1.0), min_size=1, max_size=5
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_hist_percentile_matches_numpy_linear(vals, ps):
+    """_hist_percentile (the driver math behind keyed_median_mad and
+    keyed_percentiles_exact's histogram fast path) == numpy's 'linear'
+    interpolation over the brute-force expansion, for arbitrary value
+    histograms with duplicates and arbitrary p — same definition as
+    Spark's percentile() and DuckDB's quantile_cont. Exact equality is
+    not asserted at the last ulp (numpy's op order differs); the
+    builtin-parity op-order check lives in the Spark-vs-oracle tests,
+    this one guards the ORDER-STATISTICS selection (cumulative-count
+    walk, floor/ceil ranks, short-circuits)."""
+    import numpy as np
+
+    from henbun_spark.operators import relational
+
+    # collapse duplicate values like groupBy(value) does, sort ascending
+    agg = {}
+    for v, n in vals:
+        agg[v] = agg.get(v, 0) + n
+    hist = sorted(agg.items())
+    expanded = np.array(
+        [v for v, n in hist for _ in range(n)], dtype=float
+    )
+    for p in ps:
+        got = relational._hist_percentile(hist, p)
+        exp = float(np.quantile(expanded, p, method="linear"))
+        assert got == exp or abs(got - exp) <= 4 * abs(exp) * 2.3e-16, (
+            p,
+            got,
+            exp,
+        )
