@@ -7315,6 +7315,75 @@ FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
+def streaming_neardup_index(spark, sf_dir):
+    """PERSISTENT streaming NEAR-dup index, ORACLE-CHECKED with the
+    batch LSH-bucket SQL: documents stream in as 4-file micro-batches;
+    each batch computes its docs' banded MinHash signatures (char-8-gram
+    shingles, 4 bands — a per-DOC map-side computation, so no signature
+    ever depends on other batches) and folds the per-(band, mh) bucket
+    partials (min doc_id as the canonical member, member count) into
+    versioned exactly-once state via `mv_stream_maintenance`
+    (`agg_spec={canonical_id: min}`). min/sum merges are
+    order-independent, so micro-batch splits cannot change the drained
+    state — the index equals the batch groupBy over the full corpus,
+    and answers "which LSH buckets does this new doc collide with, and
+    who is canonical there" without rescanning the lake. Output:
+    collision buckets only (n_members > 1) — exactly the candidate
+    generation state behind `dedup_minhash_lsh`, maintained
+    incrementally."""
+    from henbun_spark import streaming
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _scratch_dir("henbun_sni_")
+    in_dir = f"{base}/in"
+    docs.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def partials(d):
+        sig = dedup.minhash_signatures(d, "text", "doc_id", n=8, bands=4)
+        return sig.groupBy("band", "mh").agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+
+    q = streaming.mv_stream_maintenance(
+        stream,
+        partials,
+        ["band", "mh"],
+        f"{base}/state",
+        f"{base}/ckpt",
+        agg_spec={"canonical_id": "min"},
+    )
+    q.awaitTermination()
+    idx = streaming.load_state(spark, f"{base}/state")
+    return idx.where(F.col("n_members") > 1).select(
+        "band", "mh", "canonical_id", "n_members"
+    )
+
+
+_STREAM_NEARDUP_INDEX_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS s
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, greatest(length(text)-7, 1))) AS i
+        FROM documents)
+), sig AS (
+  SELECT doc_id, band,
+    min(substr(md5((band // 4)::VARCHAR || '|' || s), (band % 4) * 8 + 1, 8)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)
+  GROUP BY doc_id, band
+)
+SELECT band, mh, MIN(doc_id) AS canonical_id,
+  COUNT(*)::BIGINT AS n_members
+FROM sig GROUP BY 1, 2 HAVING COUNT(*) > 1
+"""
+
+
 def streaming_heavy_hitters(spark, sf_dir):
     """Incremental heavy-hitter maintenance on a stream, ORACLE-CHECKED
     with the SAME SQL as the batch `heavy_hitters_users`: each
@@ -7582,6 +7651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_materialize_docs": pack_materialize_docs,
         "weighted_percentile_price": weighted_percentile_price,
         "streaming_dedup_index": streaming_dedup_index,
+        "streaming_neardup_index": streaming_neardup_index,  # new in r6
         "json_extract_props": json_extract_props,
         "pivot_event_types": pivot_event_types,
         "rolling_1h_user_value": rolling_1h_user_value,
@@ -7719,6 +7789,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_materialize_docs": _PACK_MATERIALIZE_SQL,
         "weighted_percentile_price": _WEIGHTED_PCT_SQL,
         "streaming_dedup_index": _STREAM_DEDUP_INDEX_SQL,
+        "streaming_neardup_index": _STREAM_NEARDUP_INDEX_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,
