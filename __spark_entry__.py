@@ -7592,6 +7592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order_docs": curriculum_order_docs,  # new in r6
         "quality_topq_per_source": quality_topq_per_source,  # new in r6
         "cross_source_dups": cross_source_dups,  # new in r6
+        "streaming_neardup_index": streaming_neardup_index,  # new in r6
         "priors_logp": priors_logp,
         "sql_udf_surface": sql_udf_surface,
         "heavy_hitters_users": heavy_hitters_users,
@@ -7651,7 +7652,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_materialize_docs": pack_materialize_docs,
         "weighted_percentile_price": weighted_percentile_price,
         "streaming_dedup_index": streaming_dedup_index,
-        "streaming_neardup_index": streaming_neardup_index,  # new in r6
         "json_extract_props": json_extract_props,
         "pivot_event_types": pivot_event_types,
         "rolling_1h_user_value": rolling_1h_user_value,
