@@ -41,12 +41,61 @@ __all__ = [
     "pagerank",
 ]
 
+# Driver union-find fast-path cap (edges). Near-dup graphs after
+# candidate pruning are usually far smaller than the corpus; under the
+# cap, one collect + path-compressed union-find replaces O(rounds)
+# shuffle iterations (each round costs a join + groupBy + checkpoint +
+# count action). Over the cap, the distributed iteration runs — same
+# output contract either way.
+DRIVER_UNION_FIND_MAX_EDGES = 200_000
+
+
+def _driver_union_find(spark, sym: DataFrame):
+    """Collect an (already materialized, deduplicated, symmetrized)
+    edge list and label components with a path-compressed union-find;
+    comp = min node id of the component, matching the distributed
+    contract bit-for-bit. Returns a (node, comp) DataFrame with the
+    edge list's node type."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym.collect():
+        u, v = row[0], row[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        if r not in comp_min or node < comp_min[r]:
+            comp_min[r] = node
+    import pyspark.sql.types as T
+
+    ntype = sym.schema[0].dataType
+    schema = T.StructType(
+        [T.StructField("node", ntype), T.StructField("comp", ntype)]
+    )
+    rows = [(n, comp_min[find(n)]) for n in parent]
+    return spark.createDataFrame(rows, schema)
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    driver_cap: int | None = None,
 ) -> DataFrame:
     """Label every node reachable through `edges` with the minimum node id
     of its connected component.
@@ -59,6 +108,12 @@ def connected_components(
     Raises RuntimeError if `max_iter` rounds pass without convergence —
     at that point the caller's graph has diameter > max_iter and should
     use a doubling algorithm instead of silently-wrong labels.
+
+    Graphs whose (deduplicated, symmetrized) edge list fits under
+    ``driver_cap`` (default `DRIVER_UNION_FIND_MAX_EDGES`) take the
+    driver union-find fast path instead of iterating: the count is free
+    on the already-checkpointed edges, and one collect replaces
+    O(diameter) shuffle rounds. Same (node, min-id comp) contract.
     """
     # eager checkpoint: the edge pipeline (often an expensive near-dup
     # candidate generator) is computed once and truncated out of every
@@ -70,6 +125,9 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    cap = DRIVER_UNION_FIND_MAX_EDGES if driver_cap is None else driver_cap
+    if cap and sym.count() <= cap:
+        return _driver_union_find(edges.sparkSession, sym)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -110,6 +168,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 40,
+    driver_cap: int | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -162,6 +221,11 @@ def connected_components_star(
     cur = _sym(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint(eager=True)
+    # small-graph fast path: see connected_components — one collect +
+    # union-find beats O(log^2 n) x (4 shuffles + checkpoint + count)
+    cap = DRIVER_UNION_FIND_MAX_EDGES if driver_cap is None else driver_cap
+    if cap and cur.count() <= cap:
+        return _driver_union_find(edges.sparkSession, cur)
     prev_sig = None
     for _ in range(max_iter):
         stepped = _sym(_small_star(_large_star(cur))).localCheckpoint(
