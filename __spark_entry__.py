@@ -7366,6 +7366,78 @@ def streaming_neardup_index(spark, sf_dir):
     )
 
 
+def streaming_static_enrich(spark, sf_dir):
+    """STREAM-STATIC enrichment join, ORACLE-CHECKED with the batch
+    join SQL: events stream in as 4-file micro-batches and each batch
+    broadcast-joins the STATIC customer->nation dimension (the most
+    common production streaming shape — no state, no watermark: the
+    static side is re-broadcast per micro-batch, so dimension updates
+    between batches are picked up for free); per-batch (nation,
+    event_type) partials (count + DECIMAL-exact value sum, so folding
+    across arbitrary micro-batch splits is bit-exact) fold into
+    versioned exactly-once state via `mv_stream_maintenance`. The
+    drained state equals the batch join+groupBy bit-for-bit."""
+    from henbun_spark import streaming
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    dim = (
+        _load(spark, sf_dir, "customer")
+        .join(
+            _load(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    base = _scratch_dir("henbun_sse_")
+    in_dir = f"{base}/in"
+    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def partials(d):
+        return (
+            d.join(F.broadcast(dim), "user_id")
+            .groupBy("n_name", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias(
+                    "sum_value"
+                ),
+            )
+        )
+
+    q = streaming.mv_stream_maintenance(
+        stream,
+        partials,
+        ["n_name", "event_type"],
+        f"{base}/state",
+        f"{base}/ckpt",
+    )
+    q.awaitTermination()
+    mv = streaming.load_state(spark, f"{base}/state")
+    return mv.select(
+        "n_name",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("decimal(28,2)").alias("sum_value"),
+    )
+
+
+_STREAM_STATIC_ENRICH_SQL = """
+SELECT n_name, event_type, COUNT(*)::BIGINT AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
 _STREAM_NEARDUP_INDEX_SQL = """
 WITH sh AS (
   SELECT DISTINCT doc_id, substr(text, i, 8) AS s
@@ -7593,6 +7665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topq_per_source": quality_topq_per_source,  # new in r6
         "cross_source_dups": cross_source_dups,  # new in r6
         "streaming_neardup_index": streaming_neardup_index,  # new in r6
+        "streaming_static_enrich": streaming_static_enrich,  # new in r6
         "priors_logp": priors_logp,
         "sql_udf_surface": sql_udf_surface,
         "heavy_hitters_users": heavy_hitters_users,
@@ -7790,6 +7863,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_percentile_price": _WEIGHTED_PCT_SQL,
         "streaming_dedup_index": _STREAM_DEDUP_INDEX_SQL,
         "streaming_neardup_index": _STREAM_NEARDUP_INDEX_SQL,
+        "streaming_static_enrich": _STREAM_STATIC_ENRICH_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,
