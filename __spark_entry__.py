@@ -7656,9 +7656,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver-coverage rotation (round 6) ---
         # The driver samples the FIRST 50 entries for its DuckDB oracle
-        # check. 47 registry entries had no driver row in rounds 1-5;
-        # all 47 are front-loaded here, padded to 50 with the three
-        # entries whose last driver row is oldest (round 1).
+        # check. 54 entries have no driver row from rounds 1-5 (47
+        # carried + 7 new in r6): the 7 new oracle-checked queries and
+        # the 43 strongest never-checked entries fill the window; the 4
+        # that defer to round 7 (kmeans_embeddings, semantic_dedup_emb,
+        # pca_embeddings, bpe_train_encode) are rows-only training
+        # queries whose real check is the pytest suite, so the driver
+        # row they miss is the weak rows-only one.
         "dsir_select_docs": dsir_select_docs,  # new in r6, never checked
         "dedup_containment": dedup_containment,  # new in r6, never checked
         "curriculum_order_docs": curriculum_order_docs,  # new in r6

@@ -767,13 +767,19 @@ def cross_source_duplicates(
         toks = F.filter(
             F.split(F.col(text_col), " "), lambda t: t != F.lit("")
         )
-        spans = F.transform(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.size(toks) - (shingle_words - 1), F.lit(0)),
+        # guard short docs: sequence(1, 0) auto-DESCENDS to [1, 0] and
+        # slice(toks, 0, n) then aborts the job — a doc with fewer than
+        # shingle_words tokens must contribute an EMPTY span list (the
+        # SQL oracle's range(1, n+1) does exactly that)
+        spans = F.when(
+            F.size(toks) >= shingle_words,
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.size(toks) - (shingle_words - 1)
+                ),
+                lambda i: F.array_join(F.slice(toks, i, shingle_words), " "),
             ),
-            lambda i: F.array_join(F.slice(toks, i, shingle_words), " "),
-        )
+        ).otherwise(F.array().cast("array<string>"))
         pairs = (
             base.select(
                 F.explode(spans).alias("__span"),
@@ -789,8 +795,11 @@ def cross_source_duplicates(
         ).distinct()
     a = pairs.select(F.col("__fp"), F.col("__src").alias("src_a"))
     b = pairs.select(F.col("__fp").alias("__fp_b"), F.col("__src").alias("src_b"))
+    # plain count, not countDistinct: the (fp, src) pairs are distinct
+    # before the join, so each (src_a, src_b, fp) row is already unique
+    # and a map-side-combinable count gives the same result
     return (
         a.join(b, (a["__fp"] == b["__fp_b"]) & (a["src_a"] < b["src_b"]))
         .groupBy("src_a", "src_b")
-        .agg(F.countDistinct("__fp").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )

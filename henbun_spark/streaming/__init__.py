@@ -751,17 +751,24 @@ def mv_stream_maintenance_partitioned(
         if not touched:
             return
         if os.path.exists(state_dir):
-            # mergeSchema: after a partial upgrade the state dir holds a
-            # MIX of pre-stamp and stamped files (the first post-upgrade
-            # batch rewrites only its touched partitions); a single-
-            # footer schema would either drop the stamp column for
-            # everyone (resetting real stamps to -1, breaking replay
-            # idempotence) or surface NULL stamps that crash `s >
-            # batch_id`. Merge the schemas and treat a missing/NULL
-            # stamp as -1 (pre-history).
-            prev = spark.read.option("mergeSchema", "true").parquet(
-                state_dir
-            ).where(F.col(partition_col).isin(touched))
+            # After a partial upgrade the state dir can hold a MIX of
+            # pre-stamp and stamped files (each batch rewrites only its
+            # touched partitions). A plain read whose sampled footer HAS
+            # the stamp column handles the mix for free: parquet fills
+            # the column with NULL for pre-stamp files, coalesced to -1
+            # below. Only when the sampled footer LACKS the column is
+            # the dir ambiguous (all-pre-stamp vs unlucky sample of a
+            # mixed dir) — fall back to mergeSchema for THAT read alone.
+            # The fallback reads every file's footer, so paying it on
+            # every batch would break the documented
+            # O(|batch| + |touched partitions|) per-batch cost; steady
+            # state (stamped footers) never pays it.
+            prev = spark.read.parquet(state_dir)
+            if prev.columns and "__last_batch" not in prev.columns:
+                prev = spark.read.option("mergeSchema", "true").parquet(
+                    state_dir
+                )
+            prev = prev.where(F.col(partition_col).isin(touched))
             if prev.columns and "__last_batch" not in prev.columns:
                 prev = prev.withColumn("__last_batch", F.lit(-1))
             elif "__last_batch" in prev.columns:
