@@ -1389,13 +1389,17 @@ def _hist_percentile(hist, p):
     return (float(hi - 1) - pos) * vlo + (pos - float(lo - 1)) * vhi
 
 
-def _value_histograms(df, kcols, value_col, cap):
+def _value_histograms(df, kcols, value_col, cap, weight_col=None):
     """(key, value) -> count histogram collect for the exact percentile
     family's one-job fast path: a single map-side-combinable aggregate
     whose shuffle is bounded by |distinct (key, value) pairs| (NOT
     rows). Returns {key tuple: ascending [(value, count)]} when the
     histogram fits under ``cap``, else None (continuous-value regime —
-    caller falls back to the cell-pruned path).
+    caller falls back to the cell-pruned path). With ``weight_col`` the
+    per-value count is the WEIGHT SUM (positive integer weights; rows
+    with NULL value or non-positive weight ignored, like the builtin
+    `percentile(v, p, freq)`) — `_hist_percentile`'s cumulative walk
+    then implements exactly the builtin's weighted multiset ranks.
 
     Guarded by a SHUFFLE-FREE `approx_count_distinct` probe first (one
     scan, sketch-merge partials, ONE row to the driver): without it, a
@@ -1409,9 +1413,18 @@ def _value_histograms(df, kcols, value_col, cap):
     import math
 
     global LAST_SCAFFOLD_CELLS
-    vals = df.select(
-        *kcols, F.col(value_col).cast("double").alias("__v")
-    ).where(F.col("__v").isNotNull())
+    if weight_col is None:
+        vals = df.select(
+            *kcols, F.col(value_col).cast("double").alias("__v")
+        ).where(F.col("__v").isNotNull())
+        agg_n = F.count(F.lit(1))
+    else:
+        vals = df.select(
+            *kcols,
+            F.col(value_col).cast("double").alias("__v"),
+            F.col(weight_col).cast("long").alias("__w"),
+        ).where(F.col("__v").isNotNull() & (F.col("__w") > 0))
+        agg_n = F.sum("__w")
     est = vals.agg(
         F.approx_count_distinct(F.struct(*kcols, "__v")).alias("__d")
     ).collect()[0]["__d"]
@@ -1420,7 +1433,7 @@ def _value_histograms(df, kcols, value_col, cap):
         return None
     rows = (
         vals.groupBy(*kcols, "__v")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(agg_n.alias("__n"))
         .limit(cap + 1)
         .collect()
     )
@@ -1928,6 +1941,7 @@ def keyed_weighted_percentiles_exact(
     weight_col: str,
     ps: list,
     n_partitions: int | None = None,
+    histogram_cap: int | None = None,
 ) -> DataFrame:
     """EXACT per-key WEIGHTED percentiles — `percentile(value, p, freq)`
     semantics (each row counts `weight` times in the multiset) on the
@@ -1949,10 +1963,36 @@ def keyed_weighted_percentiles_exact(
     Weights must be positive integers (rows with NULL value or
     non-positive weight are ignored, like the builtin); NaN values
     raise. Returns (*key_cols, p, value) long format.
+
+    Duplicate-heavy value columns take the same one-job histogram fast
+    path as the plain variant (``histogram_cap``, shuffle-free
+    approx-distinct probe first, 0 disables): per-value WEIGHT SUMS
+    collected once, every target resolved by `_hist_percentile`'s
+    cumulative-weight walk — bitwise the builtin's multiset ranks.
     """
     ps = _require_percentages(ps, "keyed_weighted_percentiles_exact")
     _require_integer_weight(df, weight_col, "keyed_weighted_percentiles_exact")
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if histogram_cap is None:
+        histogram_cap = SCAFFOLD_MAX_CELLS
+    if histogram_cap:
+        hists = _value_histograms(
+            df, kcols, value_col, histogram_cap, weight_col=weight_col
+        )
+        if hists is not None:
+            out = [
+                (*key, p, _hist_percentile(hist, p))
+                for key, hist in hists.items()
+                for p in ps
+            ]
+            schema = T.StructType(
+                [T.StructField(k, df.schema[k].dataType) for k in kcols]
+                + [
+                    T.StructField("p", T.DoubleType()),
+                    T.StructField("value", T.DoubleType()),
+                ]
+            )
+            return df.sparkSession.createDataFrame(out, schema)
     vals = df.select(
         *kcols,
         F.col(value_col).cast("double").alias("__v"),
