@@ -2560,6 +2560,128 @@ FROM r WHERE rk > n - CEIL(0.3 * n)
 """
 
 
+def vocab_coverage_curve(spark, sf_dir):
+    """Tokenizer-design analytic: what fraction of all corpus token
+    OCCURRENCES is covered by the top-N vocabulary, at N in {100, 1000,
+    5000}? Token frequencies are one map-side-combinable groupBy
+    (shuffle bounded by |vocab|, not tokens); the frequency rank comes
+    from the IN-PLAN GLOBAL binned rank over (-freq, token) — web-scale
+    vocabularies are exactly the table a partition-less `row_number()`
+    window would sort in one task — and coverage is a conditional sum
+    per cutoff (exact integer sums; the ratio floor-quantizes to 1e-6
+    so the boundary is engine-identical)."""
+    from henbun_spark.operators import relational
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = relational.binned_keyed_ranks(
+        vocab.withColumn("negf", -F.col("freq")),
+        [],
+        "negf",
+        ["token"],
+        "rk",
+    )
+    cutoffs = [100, 1000, 5000]
+    agg = ranked.agg(
+        F.sum("freq").alias("tot"),
+        *[
+            F.sum(F.when(F.col("rk") <= c, F.col("freq")).otherwise(0)).alias(
+                f"c{c}"
+            )
+            for c in cutoffs
+        ],
+    )
+    rows = [
+        agg.select(
+            F.lit(c).cast("int").alias("rank_cutoff"),
+            (
+                F.floor(
+                    F.col(f"c{c}") / F.col("tot") * F.lit(1e6) + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("coverage"),
+        )
+        for c in cutoffs
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_VOCAB_COVERAGE_SQL = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+f AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1),
+r AS (
+  SELECT freq,
+    row_number() OVER (ORDER BY -freq, token) AS rk
+  FROM f),
+c(rank_cutoff) AS (SELECT unnest([100, 1000, 5000])),
+t AS (SELECT SUM(freq) AS tot FROM r)
+SELECT CAST(rank_cutoff AS INT) AS rank_cutoff,
+  floor(SUM(CASE WHEN rk <= rank_cutoff THEN freq ELSE 0 END) / MAX(t.tot)
+        * 1000000.0 + 0.5) / 1000000.0 AS coverage
+FROM r CROSS JOIN c CROSS JOIN t
+GROUP BY rank_cutoff
+"""
+
+
+def dedup_yield_curve(spark, sf_dir):
+    """Dedup threshold-tuning analytic: pair counts per Jaccard bucket
+    (floor(j * 10) / 10, from 0.1 up) over the same inverted-index
+    candidate generation and max_df skew cap as `dedup_jaccard` — the
+    yield curve that answers "how many pairs would a 0.5 vs 0.7
+    threshold drop" BEFORE committing to a full dedup pass. Bucket
+    boundaries are exact in both engines: jaccard is the same integer
+    division in IEEE doubles, so floor(j * 10) cannot disagree."""
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.1, max_df=100
+    )
+    return (
+        pairs.withColumn(
+            "bucket", F.floor(F.col("jaccard") * 10) / F.lit(10.0)
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+_DEDUP_YIELD_SQL = """
+WITH sh0 AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, greatest(length(text)-4, 1))) AS i
+        FROM documents)
+), rare AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 100),
+sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (s)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT c::DOUBLE / (za.sz + zb.sz - c) AS jaccard
+  FROM common
+  JOIN sz za ON za.doc_id = id_a
+  JOIN sz zb ON zb.doc_id = id_b
+  WHERE c::DOUBLE / (za.sz + zb.sz - c) >= 0.1
+)
+SELECT floor(jaccard * 10) / 10.0 AS bucket, COUNT(*)::BIGINT AS n_pairs
+FROM jac GROUP BY 1
+"""
+
+
 def cross_source_dups(spark, sf_dir):
     """Cross-source duplicate overlap matrix ("how much of dump B is
     already in dump A"): distinct (8-token-span md5, source) pairs,
@@ -7670,6 +7792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": cross_source_dups,  # new in r6
         "streaming_neardup_index": streaming_neardup_index,  # new in r6
         "streaming_static_enrich": streaming_static_enrich,  # new in r6
+        "vocab_coverage_curve": vocab_coverage_curve,  # new in r6
+        "dedup_yield_curve": dedup_yield_curve,  # new in r6
         "priors_logp": priors_logp,
         "sql_udf_surface": sql_udf_surface,
         "heavy_hitters_users": heavy_hitters_users,
@@ -7868,6 +7992,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_index": _STREAM_DEDUP_INDEX_SQL,
         "streaming_neardup_index": _STREAM_NEARDUP_INDEX_SQL,
         "streaming_static_enrich": _STREAM_STATIC_ENRICH_SQL,
+        "vocab_coverage_curve": _VOCAB_COVERAGE_SQL,
+        "dedup_yield_curve": _DEDUP_YIELD_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,

@@ -164,6 +164,8 @@ HEADLINE = [
     "curriculum_order_docs",
     "quality_topq_per_source",
     "cross_source_dups",
+    "vocab_coverage_curve",
+    "dedup_yield_curve",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
     # at any SF; they stay on the CORRECTNESS board.
