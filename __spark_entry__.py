@@ -7778,13 +7778,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver-coverage rotation (round 6) ---
         # The driver samples the FIRST 50 entries for its DuckDB oracle
-        # check. 54 entries have no driver row from rounds 1-5 (47
-        # carried + 7 new in r6): the 7 new oracle-checked queries and
-        # the 43 strongest never-checked entries fill the window; the 4
-        # that defer to round 7 (kmeans_embeddings, semantic_dedup_emb,
-        # pca_embeddings, bpe_train_encode) are rows-only training
-        # queries whose real check is the pytest suite, so the driver
-        # row they miss is the weak rows-only one.
+        # check. 56 entries have no driver row from rounds 1-5 (47
+        # carried + 9 new in r6): the 9 new oracle-checked queries and
+        # the 41 strongest never-checked entries fill the window; the 6
+        # that defer to round 7 (audio_dedup_fp, ann_topk_ivf,
+        # kmeans_embeddings, semantic_dedup_emb, pca_embeddings,
+        # bpe_train_encode) are rows-only training/multimodal queries
+        # whose real check is the pytest suite, so the driver row they
+        # miss is the weak rows-only one.
         "dsir_select_docs": dsir_select_docs,  # new in r6, never checked
         "dedup_containment": dedup_containment,  # new in r6, never checked
         "curriculum_order_docs": curriculum_order_docs,  # new in r6
