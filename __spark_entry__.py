@@ -2560,6 +2560,51 @@ FROM r WHERE rk > n - CEIL(0.3 * n)
 """
 
 
+def source_kl_matrix(spark, sf_dir):
+    """Pairwise source-domain KL divergence over hashed-unigram models
+    (the mixing-decision similarity matrix — DSIR's modeling applied
+    source-vs-source): add-one smoothing, exact decimal term sums with
+    the (T_a + B) division factored out so the bucket sum is
+    order-independent and bit-reproducible, one corpus read."""
+    from henbun_spark.operators import selection
+
+    docs = _load(spark, sf_dir, "documents")
+    return selection.source_kl_matrix(docs, "text", "source")
+
+
+def _source_kl_sql() -> str:
+    h = "md5('srcsim|' || g)"
+    idx6 = " + ".join(
+        f"((instr('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) * {16 ** (5 - j)})"
+        for j in range(6)
+    )
+    return f"""
+WITH toks AS (
+  SELECT source AS src,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents),
+grams AS (SELECT src, g FROM toks, UNNEST(tk) AS u(g)),
+cnt AS (
+  SELECT src, ({idx6}) % 4096 AS b, COUNT(*)::BIGINT AS c
+  FROM grams GROUP BY 1, 2),
+tot AS (SELECT src, SUM(c)::BIGINT AS t FROM cnt GROUP BY 1),
+grid AS (
+  SELECT tot.src, gb.b, tot.t, COALESCE(cnt.c, 0) AS c
+  FROM tot CROSS JOIN (SELECT unnest(range(4096)) AS b) gb
+  LEFT JOIN cnt ON cnt.src = tot.src AND cnt.b = gb.b),
+lp AS (
+  SELECT src, b, t, c + 1 AS c1,
+    CAST(floor((ln(c + 1) - ln(t + 4096)) * 1000000.0 + 0.5) / 1000000.0
+         AS DECIMAL(38,6)) AS lp
+  FROM grid)
+SELECT a.src AS src_a, b.src AS src_b,
+  floor(CAST(SUM(a.c1 * (a.lp - b.lp)) AS DOUBLE) / (MAX(a.t) + 4096)
+        * 1000000.0 + 0.5) / 1000000.0 AS kl
+FROM lp a JOIN lp b ON a.b = b.b AND a.src <> b.src
+GROUP BY 1, 2
+"""
+
+
 def vocab_coverage_curve(spark, sf_dir):
     """Tokenizer-design analytic: what fraction of all corpus token
     OCCURRENCES is covered by the top-N vocabulary, at N in {100, 1000,
@@ -7794,6 +7839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup_index": streaming_neardup_index,  # new in r6
         "streaming_static_enrich": streaming_static_enrich,  # new in r6
         "vocab_coverage_curve": vocab_coverage_curve,  # new in r6
+        "source_kl_matrix": source_kl_matrix,  # new in r6
         "dedup_yield_curve": dedup_yield_curve,  # new in r6
         "priors_logp": priors_logp,
         "sql_udf_surface": sql_udf_surface,
@@ -7994,6 +8040,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_neardup_index": _STREAM_NEARDUP_INDEX_SQL,
         "streaming_static_enrich": _STREAM_STATIC_ENRICH_SQL,
         "vocab_coverage_curve": _VOCAB_COVERAGE_SQL,
+        "source_kl_matrix": _source_kl_sql(),
         "dedup_yield_curve": _DEDUP_YIELD_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,

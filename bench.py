@@ -166,6 +166,7 @@ HEADLINE = [
     "cross_source_dups",
     "vocab_coverage_curve",
     "dedup_yield_curve",
+    "source_kl_matrix",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
     # at any SF; they stay on the CORRECTNESS board.

@@ -197,3 +197,101 @@ def dsir_select(
     """
     w = dsir_weights(df, text_col, id_col, is_target, n_buckets=n_buckets)
     return w.orderBy(F.col("weight").desc(), F.col(id_col).asc()).limit(k)
+
+
+def source_kl_matrix(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    n_buckets: int = 4096,
+    salt: str = "srcsim",
+) -> DataFrame:
+    """Pairwise KL divergence between the sources' hashed-unigram
+    distributions — the domain-similarity matrix behind mixing /
+    upsampling decisions ("is this new crawl redundant with source X,
+    or genuinely new mass?"). Same fixed-size hashed bag-of-ngrams
+    modeling as `dsir_weights` (md5 bucketing, add-one smoothing).
+
+    KL(a||b) = sum_buckets p_a * (ln p_a - ln p_b) with smoothed
+    p_s(b) = (c_sb + 1) / (T_s + B). Portability shape: the division by
+    (T_a + B) factors OUT of the sum, so the summed term is the exact
+    decimal product (c_ab + 1) * (L_a - L_b) with L_s the 1e-6
+    floor-quantized log-probability — integer x decimal products and a
+    decimal sum are order-independent, making the matrix
+    bit-reproducible at any parallelism and DuckDB-mirrorable. The
+    single double division and final quantize happen once per pair.
+
+    Scale: one map-side-combinable (source, bucket) count (shuffle
+    bounded by |sources| x B, never corpus-sized), a dense
+    |sources| x B grid via a broadcast range join, and a bucket-keyed
+    self-join producing |sources|^2 x B intermediate rows — fine for
+    realistic source counts (thousands); the corpus itself is read
+    once. Returns (src_a, src_b, kl) for all ordered pairs a != b,
+    kl quantized to 1e-6.
+    """
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(source_col).alias("__src"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        ).alias("__g"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col("__g"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    cnt = toks.select("__src", bucket.alias("__b")).groupBy(
+        "__src", "__b"
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    tot = cnt.groupBy("__src").agg(F.sum("__c").alias("__t"))
+    grid = (
+        tot.crossJoin(F.broadcast(spark.range(n_buckets).select(F.col("id").alias("__b"))))
+        .join(cnt, ["__src", "__b"], "left")
+        .select(
+            "__src",
+            "__b",
+            "__t",
+            F.coalesce(F.col("__c"), F.lit(0)).alias("__c"),
+        )
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    lp = grid.select(
+        "__src",
+        "__b",
+        "__t",
+        (F.col("__c") + 1).alias("__c1"),
+        q6(F.log(F.col("__c") + 1) - F.log(F.col("__t") + F.lit(n_buckets)))
+        .cast("decimal(38,6)")
+        .alias("__lp"),
+    )
+    a = lp.select(
+        F.col("__src").alias("src_a"),
+        F.col("__b").alias("__ba"),
+        F.col("__t").alias("__ta"),
+        F.col("__c1").alias("__ca"),
+        F.col("__lp").alias("__la"),
+    )
+    b = lp.select(
+        F.col("__src").alias("src_b"),
+        F.col("__b").alias("__bb"),
+        F.col("__lp").alias("__lb"),
+    )
+    return (
+        a.join(b, (a["__ba"] == b["__bb"]) & (a["src_a"] != b["src_b"]))
+        .groupBy("src_a", "src_b", "__ta")
+        .agg(F.sum(F.col("__ca") * (F.col("__la") - F.col("__lb"))).alias("__s"))
+        .select(
+            "src_a",
+            "src_b",
+            q6(
+                F.col("__s").cast("double")
+                / (F.col("__ta") + F.lit(n_buckets))
+            ).alias("kl"),
+        )
+    )
