@@ -2560,6 +2560,61 @@ FROM r WHERE rk > n - CEIL(0.3 * n)
 """
 
 
+def robust_scale_value(spark, sf_dir):
+    """Robust (median/MAD) feature scaling per event_type — the
+    outlier-immune standardization tree models and monitoring pipelines
+    use where mean/std would be dragged by the tails: z = (v - med) /
+    (1.4826 * MAD), both statistics from ONE `keyed_median_mad`
+    histogram job, floor-quantized at each stage so the scaled value is
+    engine-identical. Groups with MAD = 0 (constant-value types) are
+    excluded in both engines rather than emitting infinities."""
+    import math
+
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+
+    def q(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    mm = relational.keyed_median_mad(
+        ev,
+        "event_type",
+        "value",
+        med_transform=lambda m: math.floor(m * 1e6 + 0.5) / 1e6,
+    ).select("event_type", "med", q(F.col("mad")).alias("mad"))
+    return (
+        ev.join(F.broadcast(mm), "event_type")
+        .where(F.col("mad") > 0)
+        .select(
+            "event_id",
+            "event_type",
+            q(
+                (F.col("value") - F.col("med"))
+                / (F.lit(1.4826) * F.col("mad"))
+            ).alias("z"),
+        )
+    )
+
+
+_ROBUST_SCALE_SQL = """
+WITH med AS (
+  SELECT event_type,
+    floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS med
+  FROM events GROUP BY 1),
+mad AS (
+  SELECT events.event_type, MAX(med) AS med,
+    floor(quantile_cont(abs(value - med), 0.5) * 1000000.0 + 0.5)
+      / 1000000.0 AS mad
+  FROM events JOIN med USING (event_type)
+  GROUP BY events.event_type)
+SELECT event_id, events.event_type,
+  floor((value - med) / (1.4826 * mad) * 1000000.0 + 0.5) / 1000000.0 AS z
+FROM events JOIN mad USING (event_type)
+WHERE mad > 0
+"""
+
+
 def source_kl_matrix(spark, sf_dir):
     """Pairwise source-domain KL divergence over hashed-unigram models
     (the mixing-decision similarity matrix — DSIR's modeling applied
@@ -7823,14 +7878,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver-coverage rotation (round 6) ---
         # The driver samples the FIRST 50 entries for its DuckDB oracle
-        # check. 56 entries have no driver row from rounds 1-5 (47
-        # carried + 9 new in r6): the 9 new oracle-checked queries and
-        # the 41 strongest never-checked entries fill the window; the 6
-        # that defer to round 7 (audio_dedup_fp, ann_topk_ivf,
-        # kmeans_embeddings, semantic_dedup_emb, pca_embeddings,
-        # bpe_train_encode) are rows-only training/multimodal queries
-        # whose real check is the pytest suite, so the driver row they
-        # miss is the weak rows-only one.
+        # check. 58 entries have no driver row from rounds 1-5 (47
+        # carried + 11 new in r6): the 11 new oracle-checked queries
+        # and the 39 strongest never-checked entries fill the window;
+        # the 8 that defer to round 7 (image_dedup_ahash/phash,
+        # audio_dedup_fp, ann_topk_ivf, kmeans_embeddings,
+        # semantic_dedup_emb, pca_embeddings, bpe_train_encode) are
+        # rows-only training/multimodal queries whose real check is the
+        # pytest suite, so the driver row they miss is the weak
+        # rows-only one.
         "dsir_select_docs": dsir_select_docs,  # new in r6, never checked
         "dedup_containment": dedup_containment,  # new in r6, never checked
         "curriculum_order_docs": curriculum_order_docs,  # new in r6
@@ -7840,6 +7896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_static_enrich": streaming_static_enrich,  # new in r6
         "vocab_coverage_curve": vocab_coverage_curve,  # new in r6
         "source_kl_matrix": source_kl_matrix,  # new in r6
+        "robust_scale_value": robust_scale_value,  # new in r6
         "dedup_yield_curve": dedup_yield_curve,  # new in r6
         "priors_logp": priors_logp,
         "sql_udf_surface": sql_udf_surface,
@@ -8041,6 +8098,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_static_enrich": _STREAM_STATIC_ENRICH_SQL,
         "vocab_coverage_curve": _VOCAB_COVERAGE_SQL,
         "source_kl_matrix": _source_kl_sql(),
+        "robust_scale_value": _ROBUST_SCALE_SQL,
         "dedup_yield_curve": _DEDUP_YIELD_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
