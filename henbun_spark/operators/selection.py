@@ -229,7 +229,6 @@ def source_kl_matrix(
     once. Returns (src_a, src_b, kl) for all ordered pairs a != b,
     kl quantized to 1e-6.
     """
-    spark = df.sparkSession
     toks = df.select(
         F.col(source_col).alias("__src"),
         F.explode(
@@ -250,8 +249,15 @@ def source_kl_matrix(
         "__src", "__b"
     ).agg(F.count(F.lit(1)).alias("__c"))
     tot = cnt.groupBy("__src").agg(F.sum("__c").alias("__t"))
+    # dense |sources| x B grid via a MAP-SIDE sequence explode on the
+    # tiny totals table — no join (a crossJoin against a range would
+    # plan as a BroadcastNestedLoopJoin the audit flags)
     grid = (
-        tot.crossJoin(F.broadcast(spark.range(n_buckets).select(F.col("id").alias("__b"))))
+        tot.withColumn(
+            "__bi", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1)))
+        )
+        .withColumn("__b", F.col("__bi").cast("long"))
+        .drop("__bi")
         .join(cnt, ["__src", "__b"], "left")
         .select(
             "__src",
