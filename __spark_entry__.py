@@ -2696,22 +2696,27 @@ def vocab_coverage_curve(spark, sf_dir):
             for c in cutoffs
         ],
     )
-    rows = [
-        agg.select(
-            F.lit(c).cast("int").alias("rank_cutoff"),
-            (
-                F.floor(
-                    F.col(f"c{c}") / F.col("tot") * F.lit(1e6) + F.lit(0.5)
-                )
-                / 1e6
-            ).alias("coverage"),
-        )
-        for c in cutoffs
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # one explode over a struct array, not a per-cutoff union: a union
+    # would plan the whole rank/agg subtree once per cutoff
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).cast("int").alias("rank_cutoff"),
+                        (
+                            F.floor(
+                                F.col(f"c{c}") / F.col("tot") * F.lit(1e6)
+                                + F.lit(0.5)
+                            )
+                            / 1e6
+                        ).alias("coverage"),
+                    )
+                    for c in cutoffs
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
 
 
 _VOCAB_COVERAGE_SQL = """

@@ -28,6 +28,12 @@ def char_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> Data
     substring semantics are shared by Spark and DuckDB (1-based, truncating
     at the string end), keeping oracles exact.
 
+    NULL texts yield NO shingles (substr(NULL) explodes into a NULL
+    element, and Spark's groupBy/window would treat NULL as a SHARED
+    bucket — pairing every NULL-text doc with every other — while the
+    SQL oracles' equality joins drop NULL shingles; filtering them out
+    keeps both engines on the join semantics).
+
     The explode multiplies each doc into ~|text| rows, so the input is
     widened to cluster parallelism first (no-op on already-wide scans).
     """
@@ -36,6 +42,7 @@ def char_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> Data
     grams = F.transform(seq, lambda i: F.col(text_col).substr(i, F.lit(n)))
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .where(F.col("shingle").isNotNull())
     )
 
 

@@ -1303,19 +1303,7 @@ def keyed_percentiles_exact(
     if histogram_cap:
         hists = _value_histograms(df, kcols, value_col, histogram_cap)
         if hists is not None:
-            out = [
-                (*key, p, _hist_percentile(hist, p))
-                for key, hist in hists.items()
-                for p in ps
-            ]
-            schema = T.StructType(
-                [T.StructField(k, df.schema[k].dataType) for k in kcols]
-                + [
-                    T.StructField("p", T.DoubleType()),
-                    T.StructField("value", T.DoubleType()),
-                ]
-            )
-            return df.sparkSession.createDataFrame(out, schema)
+            return _hist_fastpath_frame(df, kcols, ps, hists)
     vals = df.select(
         *kcols, F.col(value_col).cast("double").alias("__v")
     ).where(F.col("__v").isNotNull())
@@ -1454,6 +1442,26 @@ def _value_histograms(df, kcols, value_col, cap, weight_col=None):
     for hist in hists.values():
         hist.sort(key=lambda t: t[0])
     return hists
+
+
+def _hist_fastpath_frame(df, kcols, ps, hists):
+    """Materialize the histogram fast path's percentile results as the
+    (*key_cols, p, value) long-format frame both exact-percentile
+    variants return — one shared block so the output shape cannot
+    drift between the weighted and unweighted paths."""
+    out = [
+        (*key, p, _hist_percentile(hist, p))
+        for key, hist in hists.items()
+        for p in ps
+    ]
+    schema = T.StructType(
+        [T.StructField(k, df.schema[k].dataType) for k in kcols]
+        + [
+            T.StructField("p", T.DoubleType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, schema)
 
 
 def keyed_median_mad(
@@ -1980,19 +1988,7 @@ def keyed_weighted_percentiles_exact(
             df, kcols, value_col, histogram_cap, weight_col=weight_col
         )
         if hists is not None:
-            out = [
-                (*key, p, _hist_percentile(hist, p))
-                for key, hist in hists.items()
-                for p in ps
-            ]
-            schema = T.StructType(
-                [T.StructField(k, df.schema[k].dataType) for k in kcols]
-                + [
-                    T.StructField("p", T.DoubleType()),
-                    T.StructField("value", T.DoubleType()),
-                ]
-            )
-            return df.sparkSession.createDataFrame(out, schema)
+            return _hist_fastpath_frame(df, kcols, ps, hists)
     vals = df.select(
         *kcols,
         F.col(value_col).cast("double").alias("__v"),
