@@ -2560,6 +2560,35 @@ FROM r WHERE rk > n - CEIL(0.3 * n)
 """
 
 
+def length_quantiles_by_source(spark, sf_dir):
+    """Per-source document-length quantiles (p10/p50/p90 of n_chars) —
+    the drift report curation runs per ingest to catch a source whose
+    length profile shifted (truncation bugs, boilerplate floods).
+    n_chars is the canonical duplicate-heavy integer column, so this
+    rides `keyed_percentiles_exact`'s ONE-JOB histogram fast path
+    (per-value counts bounded by |distinct lengths| x |sources|, driver
+    order-statistics math, bitwise quantile_cont interpolation)."""
+    from henbun_spark.operators import relational
+
+    docs = _load(spark, sf_dir, "documents")
+    return relational.keyed_percentiles_exact(
+        docs, "source", "n_chars", [0.1, 0.5, 0.9]
+    ).select("source", "p", F.col("value").alias("q_chars"))
+
+
+_LENGTH_QUANTILES_SQL = """
+WITH q AS (
+  SELECT source,
+    quantile_cont(n_chars, 0.1) AS q10,
+    quantile_cont(n_chars, 0.5) AS q50,
+    quantile_cont(n_chars, 0.9) AS q90
+  FROM documents GROUP BY source)
+SELECT source, 0.1 AS p, q10 AS q_chars FROM q
+UNION ALL SELECT source, 0.5, q50 FROM q
+UNION ALL SELECT source, 0.9, q90 FROM q
+"""
+
+
 def robust_scale_value(spark, sf_dir):
     """Robust (median/MAD) feature scaling per event_type — the
     outlier-immune standardization tree models and monitoring pipelines
@@ -7883,15 +7912,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver-coverage rotation (round 6) ---
         # The driver samples the FIRST 50 entries for its DuckDB oracle
-        # check. 58 entries have no driver row from rounds 1-5 (47
-        # carried + 11 new in r6): the 11 new oracle-checked queries
-        # and the 39 strongest never-checked entries fill the window;
-        # the 8 that defer to round 7 (image_dedup_ahash/phash,
-        # audio_dedup_fp, ann_topk_ivf, kmeans_embeddings,
-        # semantic_dedup_emb, pca_embeddings, bpe_train_encode) are
-        # rows-only training/multimodal queries whose real check is the
-        # pytest suite, so the driver row they miss is the weak
-        # rows-only one.
+        # check. 59 entries have no driver row from rounds 1-5 (47
+        # carried + 12 new in r6): the 12 new oracle-checked queries
+        # and the 38 strongest never-checked entries fill the window;
+        # the 9 that defer to round 7 (vi_staged_training,
+        # image_dedup_ahash/phash, audio_dedup_fp, ann_topk_ivf,
+        # kmeans_embeddings, semantic_dedup_emb, pca_embeddings,
+        # bpe_train_encode) are rows-only training/multimodal queries
+        # whose real check is the pytest suite, so the driver row they
+        # miss is the weak rows-only one.
         "dsir_select_docs": dsir_select_docs,  # new in r6, never checked
         "dedup_containment": dedup_containment,  # new in r6, never checked
         "curriculum_order_docs": curriculum_order_docs,  # new in r6
@@ -7902,6 +7931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_curve": vocab_coverage_curve,  # new in r6
         "source_kl_matrix": source_kl_matrix,  # new in r6
         "robust_scale_value": robust_scale_value,  # new in r6
+        "length_quantiles_by_source": length_quantiles_by_source,  # r6
         "dedup_yield_curve": dedup_yield_curve,  # new in r6
         "priors_logp": priors_logp,
         "sql_udf_surface": sql_udf_surface,
@@ -8104,6 +8134,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage_curve": _VOCAB_COVERAGE_SQL,
         "source_kl_matrix": _source_kl_sql(),
         "robust_scale_value": _ROBUST_SCALE_SQL,
+        "length_quantiles_by_source": _LENGTH_QUANTILES_SQL,
         "dedup_yield_curve": _DEDUP_YIELD_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,

@@ -168,6 +168,7 @@ HEADLINE = [
     "dedup_yield_curve",
     "source_kl_matrix",
     "robust_scale_value",
+    "length_quantiles_by_source",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
     # at any SF; they stay on the CORRECTNESS board.
