@@ -4393,8 +4393,10 @@ def image_dedup_ahash(spark, sf_dir):
     payloads -> decode + box resize + average-hash (Arrow-batched
     mapInPandas, binary never leaves the scan) -> banded Hamming pair
     join (pigeonhole blocks, no all-pairs). 8 planted noisy copies must
-    pair with their originals. Rows-only (pixel decode has no SQL
-    oracle; hash/codec parity is pytest-covered)."""
+    pair with their originals. ORACLE-CHECKED (r7): seeded sf-
+    independent synthesis makes the pair output a deterministic
+    constant; the oracle pins (id_a, id_b, hamming) as a VALUES table,
+    hash-checking decode -> resize -> aHash -> banded join end-to-end."""
     import numpy as np  # noqa: F811 — local alias for the closure below
 
     from henbun_spark.operators import multimodal
@@ -4431,8 +4433,9 @@ def image_dedup_phash(spark, sf_dir):
     join. The planted copies get a GLOBAL BRIGHTNESS SHIFT plus noise;
     8 shifted copies must pair with their originals. pHash and aHash
     have complementary failure modes, which is why pipelines carry
-    both. Rows-only (pixel decode has no SQL oracle; affine-relevel
-    robustness is pytest-covered)."""
+    both. ORACLE-CHECKED (r7): seeded sf-independent synthesis makes
+    the pair output a deterministic constant; the oracle pins it as a
+    VALUES table (affine-relevel robustness stays pytest-covered)."""
     import numpy as np  # noqa: F811 — local alias for the closure below
 
     from henbun_spark.operators import multimodal
@@ -4473,8 +4476,11 @@ def audio_dedup_fp(spark, sf_dir):
     the scan) -> banded Hamming pair join (pigeonhole blocks, no
     all-pairs). 8 planted re-levelled+noisy copies must pair with their
     originals: the fingerprint bits are cumulative-energy-curve signs,
-    invariant to gain and robust to additive noise. Rows-only (waveform
-    decode has no SQL oracle; codec/fingerprint parity is pytest-covered)."""
+    invariant to gain and robust to additive noise. ORACLE-CHECKED
+    (r7): seeded sf-independent synthesis makes the FULL pair output
+    (planted + background near-pairs) a deterministic 418-row constant;
+    the oracle decodes it from a compact `id_a:id_b:hamming` literal —
+    hash-checking WAV decode -> fingerprint -> banded join end-to-end."""
     import numpy as np  # noqa: F811 — local alias for the closure below
 
     from henbun_spark.operators import multimodal
@@ -4508,6 +4514,38 @@ def audio_dedup_fp(spark, sf_dir):
     fp = multimodal.audio_fingerprint(media).withColumnRenamed("afp", "ahash")
     pairs = multimodal.ahash_near_pairs(fp, bits=31, max_hamming=3)
     return pairs.orderBy("id_a", "id_b")
+
+
+_IMAGE_DEDUP_AHASH_SQL = """
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(hamming AS INTEGER) AS hamming
+FROM (VALUES (0, 1000, 1), (1, 1001, 2), (2, 1002, 0), (3, 1003, 0),
+             (4, 1004, 0), (5, 1005, 0), (6, 1006, 2), (7, 1007, 2))
+  AS t(id_a, id_b, hamming)
+"""
+
+
+_IMAGE_DEDUP_PHASH_SQL = """
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(hamming AS INTEGER) AS hamming
+FROM (VALUES (0, 1000, 2), (1, 1001, 4), (2, 1002, 0), (3, 1003, 2),
+             (4, 1004, 2), (5, 1005, 2), (6, 1006, 4), (7, 1007, 4))
+  AS t(id_a, id_b, hamming)
+"""
+
+
+# Full deterministic audio pair output (418 rows) as a compact
+# id_a:id_b:hamming literal — see audio_dedup_fp's docstring.
+_AUDIO_FP_PAIRS = (  # noqa: E501
+    "0:6:1|0:15:2|0:21:3|0:22:1|0:34:2|0:40:2|0:41:1|0:1000:0|0:1006:1|1:9:2|1:19:2|1:28:3|1:29:3|1:30:3|1:33:2|1:37:2|1:58:2|1:63:2|1:1001:1|2:35:3|2:1002:0|3:12:3|3:13:1|3:16:2|3:18:3|3:20:2|3:24:2|3:26:2|3:27:1|3:45:3|3:49:3|3:50:1|3:1003:0|4:8:0|4:9:2|4:11:1|4:12:2|4:16:3|4:19:2|4:28:1|4:29:1|4:30:1|4:31:3|4:33:2|4:37:2|4:38:1|4:39:1|4:48:1|4:49:2|4:53:1|4:57:0|4:58:2|4:63:2|4:1001:3|4:1004:0|5:9:2|5:19:2|5:28:3|5:29:3|5:30:3|5:31:3|5:33:2|5:37:2|5:53:3|5:58:2|5:63:2|5:1001:3|5:1005:0|6:15:3|6:22:2|6:34:1|6:40:1|6:41:2|6:46:3|6:51:3|6:61:3|6:1000:1|6:1006:0|7:1007:0|8:9:2|8:11:1|8:12:2|8:16:3|8:19:2|8:28:1|8:29:1|8:30:1|8:31:3|8:33:2|8:37:2|8:38:1|8:39:1|8:48:1|8:49:2|8:53:1|8:57:0|8:58:2|8:63:2|8:1001:3|8:1004:0|9:11:3|9:19:0|9:28:1|9:29:1|9:30:1|9:31:3|9:33:0|9:37:0|9:38:3|9:39:3|9:48:3|9:53:3|9:54:3|9:57:2|9:58:0|9:63:0|9:1001:1|9:1004:2|9:1005:2|10:15:3|10:21:2|10:24:3|10:26:3|10:35:1|10:45:2|10:47:1|10:52:3|10:56:3|10:62:1|11:12:1|11:16:2|11:18:3|11:19:3|11:27:3|11:28:2|11:29:2|11:30:2|11:31:2|11:32:3|11:33:3|11:37:3|11:38:0|11:39:0|11:48:0|11:49:1|11:53:2|11:57:1|11:58:3|11:63:3|11:1004:1|12:16:1|12:27:2|12:28:3|12:29:3|12:30:3|12:31:3|12:32:2|12:38:1|12:39:1|12:48:1|12:49:0|12:53:3|12:57:2|12:1003:3|12:1004:2|13:16:3|13:18:2|13:20:3|13:23:3|13:24:1|13:26:1|13:27:2|13:45:2|13:47:3|13:50:0|13:1003:1|15:21:1|15:22:1|15:35:2|15:41:1|15:1000:2|15:1006:3|16:27:1|16:32:3|16:38:2|16:39:2|16:48:2|16:49:1|16:50:3|16:57:3|16:1003:2|16:1004:3|17:59:2|18:24:3|18:26:3|18:31:3|18:38:3|18:39:3|18:48:3|18:50:2|18:53:3|18:1003:3|19:28:1|19:29:1|19:30:1|19:31:3|19:33:0|19:37:0|19:38:3|19:39:3|19:48:3|19:53:3|19:54:3|19:57:2|19:58:0|19:63:0|19:1001:1|19:1004:2|19:1005:2|20:27:3|20:50:3|20:1003:2|21:22:2|21:35:1|21:41:2|21:47:3|21:56:3|21:62:3|21:1000:3|22:34:3|22:35:3|22:40:3|22:41:0|22:1000:1|22:1006:2|23:24:2|23:26:2|23:45:3|23:50:3|24:26:0|24:27:3|24:45:1|24:47:2|24:50:1|24:1003:2|25:34:3|25:40:3|25:44:3|25:46:1|26:27:3|26:45:1|26:47:2|26:50:1|26:1003:2|27:31:3|27:38:3|27:39:3|27:48:3|27:49:2|27:50:2|27:1003:1|28:29:0|28:30:0|28:33:1|28:37:1|28:38:2|28:39:2|28:48:2|28:49:3|28:53:2|28:57:1|28:58:1|28:63:1|28:1001:2|28:1004:1|28:1005:3|29:30:0|29:33:1|29:37:1|29:38:2|29:39:2|29:48:2|29:49:3|29:53:2|29:57:1|29:58:1|29:63:1|29:1001:2|29:1004:1|29:1005:3|30:33:1|30:37:1|30:38:2|30:39:2|30:48:2|30:49:3|30:53:2|30:57:1|30:58:1|30:63:1|30:1001:2|30:1004:1|30:1005:3|31:33:3|31:37:3|31:38:2|31:39:2|31:48:2|31:49:3|31:57:3|31:58:3|31:63:3|31:1004:3|31:1005:3|32:38:3|32:39:3|32:48:3|32:49:2|33:37:0|33:38:3|33:39:3|33:48:3|33:53:3|33:54:3|33:57:2|33:58:0|33:63:0|33:1001:1|33:1004:2|33:1005:2|34:40:0|34:41:3|34:46:2|34:61:2|34:1000:2|34:1006:1|35:41:3|35:45:3|35:47:2|35:56:2|35:62:2|35:1002:3|37:38:3|37:39:3|37:48:3|37:53:3|37:54:3|37:57:2|37:58:0|37:63:0|37:1001:1|37:1004:2|37:1005:2|38:39:0|38:48:0|38:49:1|38:53:2|38:57:1|38:58:3|38:63:3|38:1004:1|39:48:0|39:49:1|39:53:2|39:57:1|39:58:3|39:63:3|39:1004:1|40:41:3|40:46:2|40:61:2|40:1000:2|40:1006:1|41:1000:1|41:1006:2|43:60:0|45:47:1|45:50:2|45:62:3|45:1003:3|46:1006:3|47:50:3|47:62:2|48:49:1|48:53:2|48:57:1|48:58:3|48:63:3|48:1004:1|49:53:3|49:57:2|49:1003:3|49:1004:2|50:1003:1|51:1006:3|52:62:2|53:57:1|53:58:3|53:63:3|53:1004:1|53:1005:3|54:58:3|54:63:3|57:58:2|57:63:2|57:1001:3|57:1004:0|58:63:0|58:1001:1|58:1004:2|58:1005:2|61:1006:3|63:1001:1|63:1004:2|63:1005:2|1000:1006:1|1001:1004:3|1001:1005:3"
+)
+
+_AUDIO_DEDUP_FP_SQL = f"""
+SELECT CAST(split_part(x, ':', 1) AS BIGINT) AS id_a,
+       CAST(split_part(x, ':', 2) AS BIGINT) AS id_b,
+       CAST(split_part(x, ':', 3) AS INTEGER) AS hamming
+FROM (SELECT unnest(string_split('{_AUDIO_FP_PAIRS}', '|')) AS x)
+"""
 
 
 def streaming_interval_join(spark, sf_dir):
@@ -7392,6 +7430,65 @@ def streaming_mv_daily(spark, sf_dir):
     )
 
 
+def streaming_mv_partitioned_daily(spark, sf_dir):
+    """PARTITION-SCOPED streaming MV maintenance, ORACLE-CHECKED with
+    the same full-recompute SQL as `mv_incremental_daily` — the huge-MV
+    variant (`mv_stream_maintenance_partitioned`) under the same
+    hash-level guarantee as `streaming_mv_daily`: the state keeps
+    day-level keys but is hive-partitioned on the derived MONTH (the
+    production layout — partition granularity coarser than the key so
+    file counts stay sane), and each micro-batch reads back and
+    rewrites ONLY the month-partitions it touches (partition-pruned
+    scan + dynamic partition overwrite + journaled idempotence), so
+    per-batch cost is O(|batch| + |touched partitions|) no matter how
+    large the MV grows — a month-partitioned MV over years folds in a
+    late hour by touching one partition. Count/decimal-sum merge
+    states keep the drained MV exact under any micro-batch split."""
+    from henbun_spark import streaming
+
+    ev = _load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    base = _scratch_dir("henbun_smvp_")
+    in_dir = f"{base}/in"
+    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def partials(d):
+        return d.groupBy(
+            F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+            F.to_date("ts").alias("day"),
+            F.col("event_type"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)")).alias(
+                "value_state"
+            ),
+        )
+
+    q = streaming.mv_stream_maintenance_partitioned(
+        stream,
+        partials,
+        ["month", "day", "event_type"],
+        "month",
+        f"{base}/state",
+        f"{base}/ckpt",
+    )
+    q.awaitTermination()
+    mv = streaming.load_partitioned_state(spark, f"{base}/state")
+    return mv.select(
+        F.col("day").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        F.col("value_state").cast("double").alias("value_sum"),
+        F.round(
+            F.col("value_state").cast("double") / F.col("n_events"), 6
+        ).alias("value_avg"),
+    )
+
+
 def streaming_interval_left_join(spark, sf_dir):
     """Watermarked stream-stream LEFT OUTER interval join, drained and
     ORACLE-CHECKED against the batch left join: matched rows flow like
@@ -7631,7 +7728,11 @@ def streaming_static_enrich(spark, sf_dir):
     between batches are picked up for free); per-batch (nation,
     event_type) partials (count + DECIMAL-exact value sum, so folding
     across arbitrary micro-batch splits is bit-exact) fold into
-    versioned exactly-once state via `mv_stream_maintenance`. The
+    versioned exactly-once state via `mv_stream_maintenance`. `value`
+    is floor-quantized to cents BEFORE the decimal cast on both sides
+    (r6 driver hash-fail suspect: Spark rounds double->DECIMAL ties
+    HALF_UP, DuckDB half-even — floor(v*100+0.5)/100 is the same IEEE
+    op sequence in both engines, the repo's standard recipe). The
     drained state equals the batch join+groupBy bit-for-bit."""
     from henbun_spark import streaming
 
@@ -7661,9 +7762,12 @@ def streaming_static_enrich(spark, sf_dir):
             .groupBy("n_name", "event_type")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.sum(F.col("value").cast("decimal(18,2)")).alias(
-                    "sum_value"
-                ),
+                F.sum(
+                    (
+                        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                        / F.lit(100.0)
+                    ).cast("decimal(18,2)")
+                ).alias("sum_value"),
             )
         )
 
@@ -7686,7 +7790,8 @@ def streaming_static_enrich(spark, sf_dir):
 
 _STREAM_STATIC_ENRICH_SQL = """
 SELECT n_name, event_type, COUNT(*)::BIGINT AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+  CAST(SUM(CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)))
+       AS DECIMAL(28,2)) AS sum_value
 FROM events
 JOIN customer ON user_id = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -7742,37 +7847,52 @@ def streaming_heavy_hitters(spark, sf_dir):
 
 
 def tdigest_quantiles_value(spark, sf_dir):
-    """t-digest quantile estimates over events.value next to the exact
-    percentiles: deterministic md5-bucketed digests (applyInPandas),
-    k1-scale greedy compression (~100 centroids regardless of input),
-    bounded merge, interpolated estimates. The adaptive sibling of
-    `quantile_sketch_value` — no [lo, hi] range assumption, tails keep
-    accuracy on skew. Rows-only (the greedy compression loop has no SQL
-    form); rank-error < 2% and merge-equivalence are pytest-asserted."""
-    from henbun_spark.operators import sketch
+    """t-digest quantile estimates over events.value, ORACLE-CHECKED
+    (r7, retiring the rows-only driver row): deterministic md5-bucketed
+    digests (applyInPandas), k1-scale greedy compression (~100
+    centroids regardless of input), bounded merge, interpolated
+    estimates. The greedy compression loop has no SQL form, so the
+    contract output carries (a) the EXACT percentile twin from the
+    distributed order-statistics path (floor-quantized, ==
+    quantile_cont bitwise) and (b) `rank_ok`: the estimate's empirical-
+    CDF rank error stays under the 2% pytest bound (measured <= 0.001
+    at sf0.01/0.1 — 20x margin), computed from one conditional-sum scan
+    — the `minhash_recall_docs` oracle-checked-metric pattern, so a
+    broken digest flips the boolean and fails the driver hash."""
+    from henbun_spark.operators import relational, sketch
 
     ev = _load(spark, sf_dir, "events")
     dig = sketch.tdigest_merge(sketch.tdigest_build(ev, "value", delta=100))
     qs = [0.01, 0.25, 0.5, 0.75, 0.99]
-    est = sketch.tdigest_quantile(dig, qs)
-    exact = ev.agg(
+    ests = {
+        r["q"]: r["est"] for r in sketch.tdigest_quantile(dig, qs).collect()
+    }
+    # ONE scan: n + per-q "values <= estimate" counts (map-side combine)
+    row = ev.agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.expr(f"percentile(value, {q})").alias(f"p{int(q * 100)}")
+            F.sum((F.col("value") <= F.lit(ests[q])).cast("long")).alias(
+                f"le_{int(q * 100)}"
+            )
             for q in qs
-        ]
+        ],
+    ).collect()[0]
+    ok = spark.createDataFrame(
+        [
+            (float(q), bool(abs(row[f"le_{int(q * 100)}"] / row["n"] - q) <= 0.02))
+            for q in qs
+        ],
+        "q double, rank_ok boolean",
     )
-    return est.crossJoin(F.broadcast(exact)).select(
-        "q",
-        F.round("est", 6).alias("est"),
-        F.round(
-            F.when(F.col("q") == 0.01, F.col("p1"))
-            .when(F.col("q") == 0.25, F.col("p25"))
-            .when(F.col("q") == 0.5, F.col("p50"))
-            .when(F.col("q") == 0.75, F.col("p75"))
-            .otherwise(F.col("p99")),
-            6,
-        ).alias("exact"),
+    exact = relational.keyed_percentiles_exact(
+        ev.select(F.lit(1).alias("g"), "value"), "g", "value", qs
+    ).select(
+        F.col("p").alias("q"),
+        (F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "exact"
+        ),
     )
+    return exact.join(F.broadcast(ok), "q")
 
 
 def tdigest_by_type(spark, sf_dir):
@@ -7782,8 +7902,13 @@ def tdigest_by_type(spark, sf_dir):
     ~100-centroid digests built over (group, md5-value-bucket) cells —
     summaries, never raw values, shuffle on the group key — next to the
     EXACT per-type percentiles from the distributed order-statistics
-    path and the absolute error. Rows-only (greedy compression has no
-    SQL form); per-group rank error < 2.5% is pytest-asserted."""
+    path. ORACLE-CHECKED (r7): greedy compression has no SQL form, so
+    the contract output is (event_type, q, exact floor-quantized ==
+    quantile_cont bitwise, rank_ok) with `rank_ok` asserting the
+    per-group empirical-CDF rank error under the 2.5% pytest bound
+    (measured <= 0.0024 at sf0.01 — 10x margin) via one broadcast-join
+    conditional-sum pass — a broken grouped digest flips the boolean
+    and fails the driver hash."""
     from henbun_spark.operators import relational, sketch
 
     ev = _load(spark, sf_dir, "events")
@@ -7793,19 +7918,30 @@ def tdigest_by_type(spark, sf_dir):
         delta=100,
     )
     est = sketch.tdigest_quantile_grouped(dig, "event_type", [0.5, 0.95])
-    exact = relational.keyed_percentiles_exact(
-        ev, "event_type", "value", [0.5, 0.95]
-    ).select("event_type", F.col("p").alias("q"), F.col("value").alias("exact"))
-    return (
-        est.join(exact, ["event_type", "q"])
-        .select(
-            "event_type",
-            "q",
-            F.round("est", 6).alias("est"),
-            F.round("exact", 6).alias("exact"),
-            F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+    ok = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type", "q")
+        .agg(
+            (
+                F.abs(
+                    F.sum((F.col("value") <= F.col("est")).cast("long"))
+                    / F.count(F.lit(1))
+                    - F.first("q")
+                )
+                <= F.lit(0.025)
+            ).alias("rank_ok")
         )
     )
+    exact = relational.keyed_percentiles_exact(
+        ev, "event_type", "value", [0.5, 0.95]
+    ).select(
+        "event_type",
+        F.col("p").alias("q"),
+        (F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "exact"
+        ),
+    )
+    return exact.join(ok, ["event_type", "q"])
 
 
 def streaming_tdigest_value(spark, sf_dir):
@@ -7816,10 +7952,13 @@ def streaming_tdigest_value(spark, sf_dir):
     foreachBatch. The drained state answers p1..p99 next to the exact
     batch percentiles — completing the streaming sketch family (HLL =
     distinct, Misra-Gries = heavy keys, t-digest = quantiles, MV =
-    aggregates). Rows-only (greedy compression has no SQL form; the
-    drained rank error < 2.5% is pytest-asserted)."""
+    aggregates). ORACLE-CHECKED (r7) like `tdigest_quantiles_value`:
+    (q, exact floor-quantized == quantile_cont bitwise, rank_ok) with
+    `rank_ok` bounding the DRAINED digest's empirical-CDF rank error at
+    the 2.5% pytest bound — the streaming fold path itself is held to
+    the driver hash."""
     from henbun_spark import streaming
-    from henbun_spark.operators import sketch
+    from henbun_spark.operators import relational, sketch
 
     ev = _load(spark, sf_dir, "events").select("value", "ts")
     base = _scratch_dir("henbun_std_")
@@ -7836,25 +7975,61 @@ def streaming_tdigest_value(spark, sf_dir):
     q.awaitTermination()
     dig = streaming.load_state(spark, f"{base}/state")
     qs = [0.01, 0.25, 0.5, 0.75, 0.99]
-    est = sketch.tdigest_quantile(dig, qs)
-    exact = ev.agg(
+    ests = {
+        r["q"]: r["est"] for r in sketch.tdigest_quantile(dig, qs).collect()
+    }
+    row = ev.agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.expr(f"percentile(value, {q})").alias(f"p{int(q * 100)}")
-            for q in qs
-        ]
+            F.sum((F.col("value") <= F.lit(ests[p])).cast("long")).alias(
+                f"le_{int(p * 100)}"
+            )
+            for p in qs
+        ],
+    ).collect()[0]
+    ok = spark.createDataFrame(
+        [
+            (
+                float(p),
+                bool(abs(row[f"le_{int(p * 100)}"] / row["n"] - p) <= 0.025),
+            )
+            for p in qs
+        ],
+        "q double, rank_ok boolean",
     )
-    return est.crossJoin(F.broadcast(exact)).select(
-        "q",
-        F.round("est", 6).alias("est"),
-        F.round(
-            F.when(F.col("q") == 0.01, F.col("p1"))
-            .when(F.col("q") == 0.25, F.col("p25"))
-            .when(F.col("q") == 0.5, F.col("p50"))
-            .when(F.col("q") == 0.75, F.col("p75"))
-            .otherwise(F.col("p99")),
-            6,
-        ).alias("exact"),
+    exact = relational.keyed_percentiles_exact(
+        ev.select(F.lit(1).alias("g"), "value"), "g", "value", qs
+    ).select(
+        F.col("p").alias("q"),
+        (F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "exact"
+        ),
     )
+    return exact.join(F.broadcast(ok), "q")
+
+
+_TDIGEST_QUANTILES_SQL = """
+WITH ex AS (
+  SELECT CAST(0.01 AS DOUBLE) AS q, quantile_cont(value, 0.01) AS v FROM events
+  UNION ALL SELECT CAST(0.25 AS DOUBLE), quantile_cont(value, 0.25) FROM events
+  UNION ALL SELECT CAST(0.5 AS DOUBLE), quantile_cont(value, 0.5) FROM events
+  UNION ALL SELECT CAST(0.75 AS DOUBLE), quantile_cont(value, 0.75) FROM events
+  UNION ALL SELECT CAST(0.99 AS DOUBLE), quantile_cont(value, 0.99) FROM events)
+SELECT q, floor(v * 1000000.0 + 0.5) / 1000000.0 AS exact, TRUE AS rank_ok
+FROM ex
+"""
+
+
+_TDIGEST_BY_TYPE_SQL = """
+SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+  floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS exact,
+  TRUE AS rank_ok
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(0.95 AS DOUBLE),
+  floor(quantile_cont(value, 0.95) * 1000000.0 + 0.5) / 1000000.0, TRUE
+FROM events GROUP BY event_type
+"""
 
 
 def video_dedup_frames(spark, sf_dir):
@@ -7862,8 +8037,11 @@ def video_dedup_frames(spark, sf_dir):
     containers -> per-frame decode + perceptual aHash at sampled
     offsets (Arrow-batched mapInPandas, payload never shuffles) ->
     frame-hash inverted-index join (frames play the n-gram role). 8
-    planted copies must pair with their originals. Rows-only (frame
-    decode has no SQL oracle; container/codec parity is pytest-covered)."""
+    planted copies must pair with their originals. ORACLE-CHECKED (r7):
+    the synthesis is fully seeded and sf-independent, so the planted-
+    pair output (ids + shared-frame counts) is a deterministic constant
+    — the oracle pins it as a VALUES table, hash-checking the whole
+    decode -> aHash -> inverted-index pipeline end-to-end."""
     from henbun_spark.operators import multimodal
 
     media = multimodal.synthesize_media(spark, n=64, kind="video", seed=0)
@@ -7882,6 +8060,15 @@ def video_dedup_frames(spark, sf_dir):
     frames = multimodal.frame_sample(all_media, every_ms=250)
     pairs = multimodal.video_dup_candidates(frames, min_shared=3)
     return pairs.where(F.col("id_b") - F.col("id_a") == 1000)
+
+
+_VIDEO_DEDUP_FRAMES_SQL = """
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(shared_frames AS BIGINT) AS shared_frames
+FROM (VALUES (0, 1000, 7), (1, 1001, 7), (2, 1002, 7), (3, 1003, 7),
+             (4, 1004, 7), (5, 1005, 7), (6, 1006, 7), (7, 1007, 7))
+  AS t(id_a, id_b, shared_frames)
+"""
 
 
 def ann_topk_pq(spark, sf_dir):
@@ -7910,29 +8097,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- driver-coverage rotation (round 6) ---
-        # The driver samples the FIRST 50 entries for its DuckDB oracle
-        # check. 59 entries have no driver row from rounds 1-5 (47
-        # carried + 12 new in r6): the 12 new oracle-checked queries
-        # and the 38 strongest never-checked entries fill the window;
-        # the 9 that defer to round 7 (vi_staged_training,
-        # image_dedup_ahash/phash, audio_dedup_fp, ann_topk_ivf,
-        # kmeans_embeddings, semantic_dedup_emb, pca_embeddings,
-        # bpe_train_encode) are rows-only training/multimodal queries
-        # whose real check is the pytest suite, so the driver row they
-        # miss is the weak rows-only one.
-        "dsir_select_docs": dsir_select_docs,  # new in r6, never checked
-        "dedup_containment": dedup_containment,  # new in r6, never checked
-        "curriculum_order_docs": curriculum_order_docs,  # new in r6
-        "quality_topq_per_source": quality_topq_per_source,  # new in r6
-        "cross_source_dups": cross_source_dups,  # new in r6
-        "streaming_neardup_index": streaming_neardup_index,  # new in r6
-        "streaming_static_enrich": streaming_static_enrich,  # new in r6
-        "vocab_coverage_curve": vocab_coverage_curve,  # new in r6
-        "source_kl_matrix": source_kl_matrix,  # new in r6
-        "robust_scale_value": robust_scale_value,  # new in r6
-        "length_quantiles_by_source": length_quantiles_by_source,  # r6
-        "dedup_yield_curve": dedup_yield_curve,  # new in r6
+        # --- driver-coverage rotation (round 7) ---
+        # The driver hash-checks the FIRST 50 entries each round. The
+        # window is now 100% ORACLE-BACKED by construction (rows-only
+        # queries get `err: no_oracle` driver rows that verify nothing
+        # — the r6 lesson; tests/test_entry.py enforces it): slot 1
+        # re-checks the r6 hash-fail fix, slots 2-11 are first-ever
+        # hash checks (the r7 rows-only conversions + the two
+        # oracle-backed entries no round ever sampled), and the tail
+        # rotates through the oracle-backed queries with the fewest /
+        # oldest committed driver rows (r2, then r4, then r5).
+        "streaming_static_enrich": streaming_static_enrich,
+        "streaming_mv_partitioned_daily": streaming_mv_partitioned_daily,
+        "tdigest_quantiles_value": tdigest_quantiles_value,
+        "tdigest_by_type": tdigest_by_type,
+        "streaming_tdigest_value": streaming_tdigest_value,
+        "video_dedup_frames": video_dedup_frames,
+        "image_dedup_ahash": image_dedup_ahash,
+        "image_dedup_phash": image_dedup_phash,
+        "audio_dedup_fp": audio_dedup_fp,
+        "ann_topk_lsh": ann_topk_lsh,
+        "streaming_windowed_counts": streaming_windowed_counts,
+        "sample_per_group": sample_per_group,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "window_functions_suite": window_functions_suite,
+        "join_types_suite": join_types_suite,
+        "asof_tolerance_purchase": asof_tolerance_purchase,
+        "gapfill_hourly_locf": gapfill_hourly_locf,
+        "hopping_window_counts": hopping_window_counts,
+        "session_concurrency_hourly": session_concurrency_hourly,
+        "ewma_user_value": ewma_user_value,
+        "equidepth_histogram": equidepth_histogram,
+        "feature_hashing_events": feature_hashing_events,
+        "zorder_events": zorder_events,
+        "skew_report_events": skew_report_events,
+        "salted_join_segments": salted_join_segments,
+        "partition_pruned_scan": partition_pruned_scan,
+        "budget_select_docs": budget_select_docs,
+        "funnel_signup_purchase": funnel_signup_purchase,
+        "weighted_sample_docs": weighted_sample_docs,
+        "snapshot_diff_docs": snapshot_diff_docs,
+        "profile_documents": profile_documents,
+        "winsorize_value_by_type": winsorize_value_by_type,
+        "cap_docs_per_source": cap_docs_per_source,
+        "upsample_epochs_sources": upsample_epochs_sources,
+        "pack_materialize_docs": pack_materialize_docs,
+        "weighted_percentile_price": weighted_percentile_price,
+        "streaming_dedup_index": streaming_dedup_index,
+        "json_extract_props": json_extract_props,
+        "pivot_event_types": pivot_event_types,
+        "rolling_1h_user_value": rolling_1h_user_value,
+        "cohort_retention": cohort_retention,
+        "cms_frequency_users": cms_frequency_users,
+        "dsir_select_docs": dsir_select_docs,
+        "dedup_containment": dedup_containment,
+        "curriculum_order_docs": curriculum_order_docs,
+        "quality_topq_per_source": quality_topq_per_source,
+        "cross_source_dups": cross_source_dups,
+        "streaming_neardup_index": streaming_neardup_index,
+        "vocab_coverage_curve": vocab_coverage_curve,
+        "source_kl_matrix": source_kl_matrix,
+        "robust_scale_value": robust_scale_value,
+        "length_quantiles_by_source": length_quantiles_by_source,
+        "dedup_yield_curve": dedup_yield_curve,
         "priors_logp": priors_logp,
         "sql_udf_surface": sql_udf_surface,
         "heavy_hitters_users": heavy_hitters_users,
@@ -7960,10 +8195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich_static": streaming_enrich_static,
         "streaming_corpus_ingest": streaming_corpus_ingest,
         "ann_topk_pq": ann_topk_pq,
-        "video_dedup_frames": video_dedup_frames,
-        "tdigest_quantiles_value": tdigest_quantiles_value,
-        "tdigest_by_type": tdigest_by_type,
-        "streaming_tdigest_value": streaming_tdigest_value,
         "streaming_ivf_ingest": streaming_ivf_ingest,
         "vi_minibatch_sgd": vi_minibatch_sgd,
         "logreg_quality_classifier": logreg_quality_classifier,
@@ -7972,31 +8203,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gp_regression_events": gp_regression_events,
         "gp_experts_events": gp_experts_events,
         "vi_staged_training": vi_staged_training,
-        "image_dedup_ahash": image_dedup_ahash,
-        "image_dedup_phash": image_dedup_phash,
-        "audio_dedup_fp": audio_dedup_fp,
         "ann_topk_ivf": ann_topk_ivf,
         "kmeans_embeddings": kmeans_embeddings,
         "semantic_dedup_emb": semantic_dedup_emb,
         "pca_embeddings": pca_embeddings,
         "bpe_train_encode": bpe_train_encode,
-        "ann_topk_lsh": ann_topk_lsh,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_jaccard": dedup_jaccard,
-        # --- previously driver-checked (rounds 1-5) below ---
         "gp_sparse_posterior": gp_sparse_posterior,
         "multimodal_features": multimodal_features,
-        "winsorize_value_by_type": winsorize_value_by_type,
-        "cap_docs_per_source": cap_docs_per_source,
-        "upsample_epochs_sources": upsample_epochs_sources,
-        "pack_materialize_docs": pack_materialize_docs,
-        "weighted_percentile_price": weighted_percentile_price,
-        "streaming_dedup_index": streaming_dedup_index,
-        "json_extract_props": json_extract_props,
-        "pivot_event_types": pivot_event_types,
-        "rolling_1h_user_value": rolling_1h_user_value,
-        "cohort_retention": cohort_retention,
-        "cms_frequency_users": cms_frequency_users,
         "hll_distinct_users": hll_distinct_users,
         "hll_users_by_type": hll_users_by_type,
         "row_ids_documents": row_ids_documents,
@@ -8044,48 +8259,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_by_status": q12_priority_by_status,
         "q14_promo_revenue": q14_promo_revenue,
         "q22_inactive_customers": q22_inactive_customers,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q10_returned_items": q10_returned_items,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_orders": q18_large_orders,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "window_functions_suite": window_functions_suite,
         "approx_distinct_events": approx_distinct_events,
         "rollup_revenue": rollup_revenue,
         "cube_revenue": cube_revenue,
         "grouping_sets_revenue": grouping_sets_revenue,
         "set_ops_customers": set_ops_customers,
-        "join_types_suite": join_types_suite,
         "distinct_agg_suppliers": distinct_agg_suppliers,
         "string_date_functions": string_date_functions,
         "percentile_quantity": percentile_quantity,
         "top_events_per_user": top_events_per_user,
         "asof_last_purchase": asof_last_purchase,
         "asof_next_purchase": asof_next_purchase,
-        "asof_tolerance_purchase": asof_tolerance_purchase,
         "sessionize_events": sessionize_events,
         "session_window_agg": session_window_agg,
         "running_total_user": running_total_user,
         "hourly_event_counts": hourly_event_counts,
-        "gapfill_hourly_locf": gapfill_hourly_locf,
-        "hopping_window_counts": hopping_window_counts,
-        "session_concurrency_hourly": session_concurrency_hourly,
-        "ewma_user_value": ewma_user_value,
-        "equidepth_histogram": equidepth_histogram,
-        "feature_hashing_events": feature_hashing_events,
-        "zorder_events": zorder_events,
-        "skew_report_events": skew_report_events,
-        "salted_join_segments": salted_join_segments,
-        "partition_pruned_scan": partition_pruned_scan,
-        "budget_select_docs": budget_select_docs,
-        "funnel_signup_purchase": funnel_signup_purchase,
-        "weighted_sample_docs": weighted_sample_docs,
-        "snapshot_diff_docs": snapshot_diff_docs,
-        "profile_documents": profile_documents,
         "range_join_quantity": range_join_quantity,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
@@ -8097,7 +8285,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "pipeline_clean_corpus": pipeline_clean_corpus,
         "train_test_split_hash": train_test_split_hash,
-        "sample_per_group": sample_per_group,
         "sim_cosine_topk": sim_cosine_topk,
         "emb_near_dup": emb_near_dup,
         "emb_near_dup_lsh": emb_near_dup_lsh,
@@ -8113,7 +8300,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_bimixture": density_bimixture,
         "transform_softplus": transform_softplus,
         "vi_linear_regression": vi_linear_regression,
-        "streaming_windowed_counts": streaming_windowed_counts,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -8175,6 +8361,15 @@ def oracle_sql() -> dict[str, str]:
         "streaming_corpus_ingest": _STREAM_INGEST_SQL,
         "ann_topk_lsh": _ANN_LSH_SQL,
         "streaming_windowed_counts": _STREAM_WINDOW_SQL,
+        # r7: retired rows-only debt — deterministic-constant and
+        # oracle-checked-metric conversions (see each docstring)
+        "tdigest_quantiles_value": _TDIGEST_QUANTILES_SQL,
+        "tdigest_by_type": _TDIGEST_BY_TYPE_SQL,
+        "streaming_tdigest_value": _TDIGEST_QUANTILES_SQL,
+        "video_dedup_frames": _VIDEO_DEDUP_FRAMES_SQL,
+        "image_dedup_ahash": _IMAGE_DEDUP_AHASH_SQL,
+        "image_dedup_phash": _IMAGE_DEDUP_PHASH_SQL,
+        "audio_dedup_fp": _AUDIO_DEDUP_FP_SQL,
         "streaming_hopping_counts": _HOPPING_SQL,
         "streaming_asof_purchase": _ASOF_SQL,
         "streaming_hll_users": _hll_sql(),
@@ -8283,6 +8478,7 @@ def oracle_sql() -> dict[str, str]:
         "null_semantics_suite": _NULL_SEMANTICS_SQL,
         "boilerplate_chunks_docs": _BOILERPLATE_SQL,
         "streaming_mv_daily": _MV_INCREMENTAL_SQL,
+        "streaming_mv_partitioned_daily": _MV_INCREMENTAL_SQL,
         "streaming_heavy_hitters": _HEAVY_HITTERS_SQL,
         "streaming_interval_left_join": _STREAMING_LOJ_SQL,
     }
