@@ -114,6 +114,15 @@ def connected_components(
     driver union-find fast path instead of iterating: the count is free
     on the already-checkpointed edges, and one collect replaces
     O(diameter) shuffle rounds. Same (node, min-id comp) contract.
+
+    Dirty edge lists: an edge with a NULL endpoint is dropped by the
+    ``u != v`` guard BEFORE either path sees it (NULL-safe by SQL
+    three-valued logic — the comparison is NULL, so WHERE drops the
+    row), exactly like a self-loop: neither carries connectivity
+    information. The fast path's Python ``<`` min-label comparison can
+    therefore never meet a None, and both paths agree on dirty inputs
+    (pytest-pinned). Nodes that appear ONLY in NULL/self edges are
+    absent from the output in both paths.
     """
     # eager checkpoint: the edge pipeline (often an expensive near-dup
     # candidate generator) is computed once and truncated out of every

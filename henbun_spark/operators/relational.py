@@ -8,6 +8,8 @@ operator ladder (built-in composition > pandas UDF > mapPartitions).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -527,6 +529,28 @@ def release_scaffold_caches() -> int:
     return n
 
 
+@contextmanager
+def scaffold_scope():
+    """Context-manager lifecycle for the scaffold caches, so library
+    callers in long-lived sessions cannot leak them silently:
+
+        with relational.scaffold_scope():
+            ranked = relational.assign_keyed_ranks(df, ...)
+            ranked.write.parquet(out)          # materialize INSIDE
+        # caches created in the block are unpersisted here
+
+    Only the caches registered inside the block are released (LIFO), so
+    nesting and interleaving with an outer scope is safe. The same
+    materialize-before-exit contract as `release_scaffold_caches`
+    applies to the block body."""
+    marker = len(_SCAFFOLD_CACHES)
+    try:
+        yield
+    finally:
+        while len(_SCAFFOLD_CACHES) > marker:
+            _SCAFFOLD_CACHES.pop().unpersist(blocking=False)
+
+
 def assign_row_ids(
     df: DataFrame,
     order_by: list,
@@ -683,6 +707,8 @@ def _keyed_offset_scaffold(
     LAST_SCAFFOLD_CELLS = len(per_cell)
     if len(per_cell) > SCAFFOLD_MAX_CELLS:
         parted.unpersist(blocking=False)
+        if parted in _SCAFFOLD_CACHES:  # keep the registry honest
+            _SCAFFOLD_CACHES.remove(parted)
         raise ValueError(
             f"_keyed_offset_scaffold: more than {SCAFFOLD_MAX_CELLS} "
             f"(partition, key) cells for key {kcols} — this key is too "
@@ -823,9 +849,7 @@ def md5_bucketed_prefix_sum(
         # local session, p=3/4096 at a 200..32k-partition cluster
         # config). The output is bitwise identical for ANY p — the
         # prefix only changes how the order-aligned cells are grouped.
-        parts = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
+        parts = _shuffle_width(df.sparkSession)
         prefix_chars = 1
         while 16**prefix_chars < 8 * parts and prefix_chars < 12:
             prefix_chars += 1
@@ -880,21 +904,49 @@ def md5_bucketed_prefix_sum(
     return out.select(*df.columns, out_name)
 
 
+#: Upper clamp for derived bin counts: each bin adds a CASE node to the
+#: binary-search bin expression, so an unclamped 32k-partition cluster
+#: config would inflate the plan to ~64k expression nodes (codegen
+#: falls back to interpreted past 65535 JVM bytecode limits). 4096 bins
+#: keeps the tree at 12 comparisons/row and the cells table tiny while
+#: still giving every executor thousands of independent slices.
+MAX_VALUE_BINS = 4096
+
+
+def _shuffle_width(spark) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, defensively: managed
+    runtimes can set it to a non-numeric sentinel (e.g. "auto" under an
+    external AQE coordinator), where a bare ``int()`` raises at PLAN
+    time. Fall back to Spark's default 200."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):
+        return 200
+
+
 def _sampled_value_bounds(df, vexpr, n_bins):
     """Interior ~equi-depth bin boundaries of ``vexpr`` (already double)
-    via `approxQuantile` over the non-NULL, non-NaN values only — one
-    scan, Greenwald-Khanna sketch merged driver-side, NO data movement.
-    NaN must be excluded here: it would poison the GK sketch before any
-    downstream NaN check fires. Returns a sorted deduplicated list
-    (possibly empty). Shared by `_binned_cells` and
-    `_percentile_value_cells` so the bin definition cannot drift."""
+    via a `percentile_approx` AGGREGATE over the non-NULL, non-NaN
+    values — ONE whole-stage-codegen job with map-side sketch partials
+    and no data movement. Deliberately NOT `df.stat.approxQuantile`:
+    that walks the RDD path outside codegen and pays a heavy first-use
+    conversion (measured 2.0s cold / 0.5s warm vs 0.65s / 0.35s for the
+    aggregate at sf0.1 — the r6->r7 `rank_gauss_value` drift was mostly
+    this). accuracy=100 bounds rank error at ~1%, which only affects
+    bin BALANCE, never correctness. NaN must be excluded here: it would
+    poison the sketch before any downstream NaN check fires. Returns a
+    sorted deduplicated list (possibly empty). Shared by `_binned_cells`
+    and `_percentile_value_cells` so the bin definition cannot drift."""
     qsrc = df.select(vexpr.alias("__v")).where(
         F.col("__v").isNotNull() & ~F.isnan("__v")
     )
     probs = [i / n_bins for i in range(1, n_bins)]
     if not probs:
         return []
-    return sorted(set(qsrc.stat.approxQuantile("__v", probs, 0.01)))
+    row = qsrc.agg(
+        F.percentile_approx("__v", probs, 100).alias("__qs")
+    ).collect()[0]
+    return sorted(set(row["__qs"] or []))
 
 
 def _bin_expr_from_bounds(bounds, vd):
@@ -986,9 +1038,7 @@ def _percentile_value_cells(vals, kcols, n_partitions, weighted: bool):
     meaningful percentile.
     """
     spark = vals.sparkSession
-    n_bins = n_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n_bins = min(n_partitions or _shuffle_width(spark), MAX_VALUE_BINS)
     bounds = _sampled_value_bounds(vals, F.col("__v"), n_bins)
     bin_expr = _bin_expr_from_bounds(bounds, F.col("__v"))
     agg_total = F.sum(F.col("__w")) if weighted else F.count(F.lit(1))
@@ -1161,9 +1211,7 @@ def _binned_cells(df, kcols, value_col, wcol, n_bins, descending):
     and the broadcast in-plan offsets table. Returns
     (df + __bin, offsets [kcols, __bin, __boff exclusive, __btot])."""
     spark = df.sparkSession
-    n_bins = n_bins or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n_bins = min(n_bins or _shuffle_width(spark), MAX_VALUE_BINS)
     vd = F.col(value_col).cast("double")
     bounds = _sampled_value_bounds(df, vd, n_bins)
     bin_asc = _bin_expr_from_bounds(bounds, vd)
