@@ -456,72 +456,37 @@ def ewma_last(
     )
 
 
-#: Persisted range-partitioned frames created by the two-pass prefix
-#: scaffolds (`assign_row_ids`, `_keyed_offset_scaffold`), awaiting
-#: `release_scaffold_caches()`. The persist is CORRECTNESS-critical,
-#: not a speed hint — see `_persisted_range_partition`.
+#: COMPATIBILITY registry for persisted scaffold frames. Since r7 the
+#: prefix/rank primitives are fully in-plan (order-aligned bins — see
+#: `_leading_sort_bins`) and REGISTER NOTHING here: the two-pass
+#: persisted range-partition scaffold this registry existed to pin is
+#: gone. The registry + `release_scaffold_caches()` + `scaffold_scope()`
+#: stay as public no-op-safe API (bench.py / tools call release after
+#: every query), and remain the lifecycle hook if a future primitive
+#: ever needs a pinned cache again.
 _SCAFFOLD_CACHES: list = []
 
-#: Loud cap on the scaffold's driver collect (per-(partition, key)
-#: cells). The collect is bounded by n_partitions + n_keys ONLY in the
-#: documented low-cardinality regime; a misuse on user_id/doc_id would
-#: silently pull millions of rows to the driver. ~200k cells is a few
-#: MB — far past any sane use, well short of driver OOM.
+#: Loud cap on driver-side cell ingestion for the percentile family's
+#: cells pass (per-(bin, key) cells) and the histogram fast path. The
+#: collect is bounded by |bins| + |keys| ONLY in the documented
+#: low-cardinality regime; a misuse on user_id/doc_id would silently
+#: pull millions of rows to the driver. ~200k cells is a few MB — far
+#: past any sane use, well short of driver OOM.
 SCAFFOLD_MAX_CELLS = 200_000
 
-#: Diagnostic: per-(partition, key) cell count of the most recent
-#: scaffold counts collect. tools/scale_probe.py reads it to show the
-#: driver-collect staying flat (≈ n_partitions + n_keys) as SF grows —
-#: the boundedness claim behind the 100 TB story, measured not asserted.
+#: Diagnostic: cell count of the most recent driver cells collect
+#: (percentile family). tools/scale_probe.py reads it to show the
+#: driver ingestion staying flat as SF grows — the boundedness claim
+#: behind the 100 TB story, measured not asserted.
 LAST_SCAFFOLD_CELLS = 0
 
 
-def _persisted_range_partition(df: DataFrame, sort_cols: list) -> DataFrame:
-    """Range-repartition + `spark_partition_id()`, PERSISTED so that the
-    counts job and the offset-join job observe the SAME partitioning.
-
-    Why this is a correctness requirement, not an optimization: the two-
-    pass prefix scaffolds execute the range shuffle from two different
-    query executions (the per-cell counts collect, then the downstream
-    rank/offset join). `RangePartitioner.sketch` seeds its reservoir
-    sampling with the RDD id (core/Partitioner.scala — `shift = rdd.id`,
-    `seed = byteswap32(idx ^ (shift << 16))`), and each query execution
-    plans fresh RDDs, so the two executions sample with DIFFERENT seeds
-    and may pick different range boundaries. At toy scale every
-    partition fits inside the per-partition sample so the boundaries
-    coincide; at 100-TB scale they diverge and the `_pid` equi-join
-    silently misaligns offsets — corrupted ranks with no error.
-    Persisting the partitioned frame (MEMORY_AND_DISK) pins the
-    partition ids: the counts collect materializes the cache, the
-    downstream job reads it. Even a cache-miss recompute (executor
-    loss) stays deterministic — the lineage re-runs through the SAME
-    `ShuffleDependency`, whose RangePartitioner object holds the
-    already-computed bounds.
-
-    Lifecycle: the frame is registered in `_SCAFFOLD_CACHES`; callers
-    running many scaffold-backed queries in one session should call
-    `release_scaffold_caches()` AFTER materializing each query
-    (bench.py and tools/check_oracle.py do). Caches are never evicted
-    implicitly: unpersisting before a derived frame's first action
-    would replan WITHOUT the cache and void the contract — a leak is
-    recoverable, silent corruption is not.
-    """
-    parted = (
-        df.repartitionByRange(*sort_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    _SCAFFOLD_CACHES.append(parted)
-    return parted
-
-
 def release_scaffold_caches() -> int:
-    """Unpersist every scaffold cache created since the last release and
-    return how many were dropped. ONLY call once all DataFrames derived
-    from `assign_row_ids` / `assign_keyed_ranks` / `keyed_prefix_sum` /
-    the percentile family have been fully materialized (collected /
-    written): a not-yet-run derived frame re-plans without the cache
-    and loses the pinned-partition-id guarantee."""
+    """Unpersist every frame registered in `_SCAFFOLD_CACHES` and return
+    how many were dropped. Since r7 the shipped primitives register
+    nothing (all prefix/rank paths are in-plan), so this is normally a
+    no-op kept for API compatibility — harness code (bench.py,
+    tools/check_oracle.py) calls it after materializing each query."""
     n = 0
     while _SCAFFOLD_CACHES:
         _SCAFFOLD_CACHES.pop().unpersist(blocking=False)
@@ -531,24 +496,166 @@ def release_scaffold_caches() -> int:
 
 @contextmanager
 def scaffold_scope():
-    """Context-manager lifecycle for the scaffold caches, so library
-    callers in long-lived sessions cannot leak them silently:
-
-        with relational.scaffold_scope():
-            ranked = relational.assign_keyed_ranks(df, ...)
-            ranked.write.parquet(out)          # materialize INSIDE
-        # caches created in the block are unpersisted here
-
-    Only the caches registered inside the block are released (LIFO), so
-    nesting and interleaving with an outer scope is safe. The same
-    materialize-before-exit contract as `release_scaffold_caches`
-    applies to the block body."""
+    """Context-manager lifecycle for `_SCAFFOLD_CACHES`: caches
+    registered inside the block are unpersisted on exit (LIFO; outer
+    registrations untouched, so nesting is safe). Normally a no-op
+    since r7 — the shipped primitives are in-plan and register nothing
+    — but it remains the leak-proof hook for any future pinned cache."""
     marker = len(_SCAFFOLD_CACHES)
     try:
         yield
     finally:
         while len(_SCAFFOLD_CACHES) > marker:
             _SCAFFOLD_CACHES.pop().unpersist(blocking=False)
+
+
+def _unwrap_sort(entry):
+    """Decompose an ``order_by`` entry into
+    ``(leading Column | None, descending, nulls_first)``.
+
+    Strings and plain Columns are ascending (Spark's `orderBy`
+    default, ASC NULLS FIRST). Sort expressions (`F.desc(c)`,
+    `col.asc_nulls_last()`, ...) are unwrapped through the classic-mode
+    internal ColumnNode (`SortOrder.child` / `sortDirection` /
+    `nullOrdering`). If that private surface is unavailable (Spark
+    Connect, future internals), the except arm returns ``(None, ...)``
+    and callers degrade to the SINGLE-BIN plan — correctness-neutral
+    (one cell per key == the plain keyed window), never a wrong rank.
+    """
+    if isinstance(entry, str):
+        return F.col(entry), False, True
+    try:
+        node = entry._jc.node()
+        if not node.getClass().getName().endswith(".SortOrder"):
+            return entry, False, True
+        from pyspark.sql import SparkSession
+        from pyspark.sql.classic.column import Column as _ClassicColumn
+
+        jvm = SparkSession.getActiveSession()._jvm
+        child = _ClassicColumn(jvm.org.apache.spark.sql.Column(node.child()))
+        desc = "Descending" in node.sortDirection().toString()
+        nulls_first = "NullsFirst" in node.nullOrdering().toString()
+        return child, desc, nulls_first
+    except Exception:
+        return None, False, True
+
+
+def _sampled_string_bounds(df, sexpr, n_bins):
+    """Interior lexicographic bin boundaries for a STRING sort key: a
+    deterministic hash sample (`xxhash64 % 61 == 0`, ~1.6%, capped at
+    50k rows — bounded driver ingestion by construction) sorted on the
+    driver, equi-spaced order statistics as bounds. Python str
+    comparison is code-point order == Spark's UTF8 binary collation
+    (UTF-8 preserves code-point ordering), so the bounds sort
+    identically on both sides. A thin/empty sample just yields fewer
+    bins — balance only, never correctness."""
+    samp = (
+        df.select(sexpr.alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .where(F.pmod(F.xxhash64(F.col("__v")), F.lit(61)) == F.lit(0))
+        .limit(50_000)
+        .collect()
+    )
+    vals = sorted({r["__v"] for r in samp})
+    if len(vals) < 2:
+        return []
+    return sorted(
+        {vals[min(len(vals) - 1, (i * len(vals)) // n_bins)]
+         for i in range(1, n_bins)}
+    )
+
+
+def _leading_sort_bins(df, order_by, n_bins):
+    """Order-aligned bin id for the GENERALIZED in-plan offset
+    primitives: ``(bin_expr, descending)`` where ``bin_expr`` is a pure
+    function of the LEADING sort expression, ascending in the value
+    (direction is applied by ordering the OFFSETS walk, not the bin
+    id). The leading expression dominates the total order, so rows
+    sort as (bin, rest-of-order) and each (key, bin) cell is one
+    contiguous slice of the key's output — with boundary-equal values
+    binned LOW, a leading-value class never splits across cells and
+    within-cell `row_number` over the FULL ordering reproduces the
+    window bitwise.
+
+    Bin sources by leading dtype (bin quality affects balance only,
+    never correctness):
+      numeric/boolean   sampled ~equi-depth bounds on a double cast
+      date / timestamp  same, through unix_date / unix_micros (monotone)
+      string            hash-sampled lexicographic bounds
+      anything else     single bin (== plain keyed window, documented)
+
+    NULL placement mirrors the window's nulls ordering: ASC NULLS FIRST
+    falls through the CASE tree to bin 0 (nulls sort before values
+    inside the shared cell); the other three combinations give NULL a
+    dedicated bin beyond the value bins on the correct side of the
+    offsets walk. NaN needs no casing: it is a VALUE (greatest) — the
+    tree's right spine sends it to the top bin, and the offsets walk
+    direction puts that cell exactly where the window puts NaN.
+    """
+    child, desc, nulls_first = _unwrap_sort(order_by[0])
+    if child is None:
+        return F.lit(0), False
+    dtype = df.select(child.alias("__lv")).schema[0].dataType
+    lit_cast = float
+    if isinstance(dtype, (T.NumericType, T.BooleanType)):
+        probe = child.cast("double")
+        bounds = _sampled_value_bounds(df, probe, n_bins)
+    elif isinstance(dtype, T.DateType):
+        probe = F.unix_date(child).cast("double")
+        bounds = _sampled_value_bounds(df, probe, n_bins)
+    elif isinstance(dtype, T.TimestampType):
+        probe = F.unix_micros(child).cast("double")
+        bounds = _sampled_value_bounds(df, probe, n_bins)
+    elif isinstance(dtype, T.StringType):
+        probe = child
+        bounds = _sampled_string_bounds(df, child, n_bins)
+        lit_cast = None
+    else:
+        return F.lit(0), desc
+    if not bounds:
+        return F.lit(0), desc
+    tree = _bin_expr_from_bounds(bounds, probe, lit_cast)
+    if desc and nulls_first:
+        null_bin = len(bounds) + 1  # offsets walk DESC -> first
+    elif desc:
+        null_bin = -1  # offsets walk DESC -> last
+    elif not nulls_first:
+        null_bin = len(bounds) + 1  # offsets walk ASC -> last
+    else:
+        return tree, desc  # ASC NULLS FIRST: tree falls to bin 0
+    return F.when(child.isNull(), F.lit(null_bin)).otherwise(tree), desc
+
+
+def _generic_binned_offsets(df, kcols, order_by, wcol, n_bins):
+    """`_binned_cells` generalized to an arbitrary ``order_by`` leading
+    expression: (df + __bin, offsets [kcols, __bin, __boff exclusive,
+    __btot]) — cells aggregate map-side, offsets come from a window
+    over the tiny cells table, everything stays in-plan."""
+    n_bins = min(n_bins or _shuffle_width(df.sparkSession), MAX_VALUE_BINS)
+    bin_expr, desc = _leading_sort_bins(df, order_by, n_bins)
+    b = df.withColumn("__bin", bin_expr)
+    cells = b.groupBy(*kcols, "__bin").agg(F.sum(wcol).alias("__bn"))
+    return b, _offsets_from_cells(cells, kcols, desc)
+
+
+def _offsets_from_cells(cells, kcols, descending):
+    """Exclusive per-key bin offsets + per-key totals from the tiny
+    (key, bin, weight) cells table — one window over cells, broadcast
+    back by the caller. Shared by `_binned_cells` (numeric value
+    binning) and `_generic_binned_offsets` (arbitrary leading sort)."""
+    border = F.col("__bin").desc() if descending else F.col("__bin").asc()
+    wb = (
+        Window.partitionBy(*kcols)
+        .orderBy(border)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy(*kcols)
+    return cells.select(
+        *kcols,
+        "__bin",
+        F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__boff"),
+        F.sum("__bn").over(wt).alias("__btot"),
+    )
 
 
 def assign_row_ids(
@@ -561,36 +668,31 @@ def assign_row_ids(
     the single-reducer global window (`row_number() OVER (ORDER BY ...)`
     with no partition key funnels 100 TB through one task).
 
-    Two-pass distributed prefix count: range-repartition on the ordering
-    key (persisted across the two passes — see
-    `_persisted_range_partition` for why that is load-bearing); per-
-    partition row counts to the driver (one row per partition); within-
-    partition row_number (parallel window keyed by partition id) +
-    broadcast exclusive offset. The ordering must be total (include a
+    IN-PLAN since r7 (the two-pass persisted range-partition scaffold is
+    gone): order-aligned bins over the leading sort expression
+    (`_leading_sort_bins` — numeric, string, date, timestamp, boolean;
+    other types degrade to the plain window), per-bin counts via a
+    map-side-combinable aggregate, exclusive offsets from a window over
+    the tiny cells table, within-bin `row_number` over the FULL
+    ordering + broadcast offset. Nothing partition-id-dependent, no
+    persisted state, no driver offset round-trip — bin membership is a
+    pure function of the leading value, so the plan is deterministic
+    across any re-execution. The ordering must be total (include a
     tiebreak column) for the ids to be deterministic.
 
     `order_by` takes Column expressions (e.g. ``[F.desc("score"),
     F.asc("doc_id")]``) or column-name strings (ascending).
+    ``n_partitions`` (optional) overrides the bin count.
     """
-    cols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
-    parted = _persisted_range_partition(
-        df, [*([n_partitions] if n_partitions else []), *cols]
+    ocols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
+    b, off = _generic_binned_offsets(
+        df, [], order_by, F.lit(1).cast("long"), n_partitions
     )
-    totals = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
-    offsets, acc = {}, 0
-    for row in sorted(totals, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = acc
-        acc += row["_n"]
-    off_df = F.broadcast(
-        parted.sparkSession.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
-        )
-    )
-    w = Window.partitionBy("_pid").orderBy(*cols)
+    w = Window.partitionBy("__bin").orderBy(*ocols)
     return (
-        parted.join(off_df, "_pid")
-        .withColumn(id_name, F.row_number().over(w) + F.col("_off"))
-        .drop("_pid", "_off")
+        _join_binned_offsets(b, off, [])
+        .withColumn(id_name, F.row_number().over(w) + F.col("__boff"))
+        .select(*df.columns, id_name)
     )
 
 
@@ -608,40 +710,61 @@ def assign_keyed_ranks(
     `row_number() OVER (PARTITION BY k ORDER BY ...)` puts each key's
     ENTIRE row set into one task; for a low-cardinality key (event_type,
     language, shard) that is ~1/|keys| of the table sorted — and spilled
-    — by a single task at 100 TB. This is the keyed generalization of
-    `assign_row_ids`' two-pass distributed prefix count:
+    — by a single task at 100 TB.
 
-    1. range-repartition on (key, order) — each partition holds a
-       contiguous slice of the (key, order) space, a big key simply
-       spans several partitions;
-    2. per-(partition, key) counts to the driver: bounded by
-       n_partitions + n_keys rows (each key adds at most one extra
-       boundary partition), never by data;
-    3. exclusive per-key prefix offsets broadcast back; within-partition
-       `row_number` over (partition, key) — a parallel window whose
-       partitions are the range slices — plus the offset.
+    IN-PLAN since r7 — the arbitrary-ordering generalization of
+    `binned_keyed_ranks` (which remains the lean path when the leading
+    key is a bare numeric column):
 
+    1. order-aligned bins over the LEADING sort expression
+       (`_leading_sort_bins`: numeric/date/timestamp through sampled
+       ~equi-depth value bounds, strings through hash-sampled
+       lexicographic bounds, direction and nulls ordering honored;
+       a leading-value class never splits across bins);
+    2. per-(key, bin) counts via a map-side-combinable aggregate (the
+       only extra shuffle is these tiny cell rows); exclusive per-key
+       bin offsets AND per-key totals from a window over the cells
+       table — in-plan, broadcast back (NULL-SAFE key join: NULL-key
+       rows are ranked, matching the window's NULL partition);
+    3. within-(key, bin) `row_number` over the FULL ordering + offset:
+       ONE shuffle of the data, each window partition
+       ~1/(|keys| x |bins|) of it.
+
+    No driver round-trip, no persisted two-pass partitioning to pin,
+    nothing partition-id-dependent — bin membership is a pure function
+    of the leading value (pytest asserts bitwise equality with the
+    `row_number()` window, including under forced-aggressive AQE
+    coalescing). Bin quality affects balance only, never correctness.
     The ordering must be total per key (include a tiebreak column) for
-    deterministic ranks, and key columns must be non-null (the offset
-    equi-join drops null keys).
+    deterministic ranks.
 
-    Regime: this targets LOW/MODERATE key cardinality — the counts
-    collect is n_partitions + n_keys rows, and that is exactly the
-    regime where the keyed window dies. For HIGH-cardinality keys
-    (user_id, doc_id) use the plain `row_number()` window: each key's
-    partition is small, the sort parallelizes fine, and this
-    primitive's driver rows would grow with |keys| for no benefit.
+    Regime: this targets LOW/MODERATE key cardinality — the offsets
+    broadcast is |keys| x |bins| rows, and that is exactly the regime
+    where the keyed window dies. For HIGH-cardinality keys (user_id,
+    doc_id) use the plain `row_number()` window: each key's partition
+    is small, the sort parallelizes fine, and the offsets table would
+    grow with |keys| for no benefit.
 
     `total_name` (optional) also attaches each key's TOTAL row count as
-    a column — for free: the totals fall out of the same per-(partition,
-    key) counts the offset pass already collected, so consumers that
-    need (rank, n) pairs (ntile, rank-gauss u = (rk-0.5)/n, percentile
-    positions) skip a whole extra scan + aggregate + broadcast join.
+    a column — for free: the totals ride the same offsets broadcast, so
+    consumers that need (rank, n) pairs (ntile, rank-gauss
+    u = (rk-0.5)/n, percentile positions) skip a whole extra
+    scan + aggregate + broadcast join.
     """
-    ranked, _totals = _keyed_ranks_with_totals(
-        df, key_cols, order_by, rank_name, n_partitions, total_name
+    kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ocols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
+    b, off = _generic_binned_offsets(
+        df, kcols, order_by, F.lit(1).cast("long"), n_partitions
     )
-    return ranked
+    wc = Window.partitionBy(*kcols, "__bin").orderBy(*ocols)
+    out = _join_binned_offsets(b, off, kcols).withColumn(
+        rank_name, F.row_number().over(wc) + F.col("__boff")
+    )
+    extra = []
+    if total_name:
+        out = out.withColumn(total_name, F.col("__btot"))
+        extra = [total_name]
+    return out.select(*df.columns, rank_name, *extra)
 
 
 def _require_integer_weight(df: DataFrame, weight_col: str, fn: str) -> None:
@@ -657,111 +780,6 @@ def _require_integer_weight(df: DataFrame, weight_col: str, fn: str) -> None:
         )
 
 
-def _keyed_offset_scaffold(
-    df: DataFrame,
-    key_cols,
-    order_by: list,
-    n_partitions: int | None,
-    weight_col: str | None = None,
-    total_name: str | None = None,
-):
-    """The shared two-pass core: range-repartition on (key, order),
-    per-(partition, key) count-or-weight totals to the driver, exclusive
-    per-key prefix offsets broadcast back. Returns
-    (parted, off_df, kcols, ocols, {key tuple: total}). A rank is just
-    a prefix sum of 1s, so ranks (weight_col None) and weighted prefix
-    sums share everything up to the final window expression.
-
-    The range-partitioned frame is PERSISTED across the counts pass and
-    the offset join (see `_persisted_range_partition`: the two passes
-    are separate query executions, and unpinned range boundaries are
-    re-sampled with per-execution seeds — silent offset misalignment at
-    scale). Call `release_scaffold_caches()` after materializing the
-    consuming query. The driver collect is capped at
-    `SCAFFOLD_MAX_CELLS` per-(partition, key) cells — beyond that the
-    key is high-cardinality and the plain keyed window (or
-    `md5_bucketed_prefix_sum` for md5-ordered flows) is the right tool.
-    """
-    kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    ocols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
-    agg = (
-        F.count(F.lit(1))
-        if weight_col is None
-        else F.sum(F.col(weight_col).cast("long"))
-    )
-    parted = _persisted_range_partition(
-        df,
-        [
-            *([n_partitions] if n_partitions else []),
-            *[F.col(k) for k in kcols],
-            *ocols,
-        ],
-    )
-    per_cell = (
-        parted.groupBy("_pid", *kcols)
-        .agg(agg.alias("_n"))
-        .limit(SCAFFOLD_MAX_CELLS + 1)
-        .collect()
-    )
-    global LAST_SCAFFOLD_CELLS
-    LAST_SCAFFOLD_CELLS = len(per_cell)
-    if len(per_cell) > SCAFFOLD_MAX_CELLS:
-        parted.unpersist(blocking=False)
-        if parted in _SCAFFOLD_CACHES:  # keep the registry honest
-            _SCAFFOLD_CACHES.remove(parted)
-        raise ValueError(
-            f"_keyed_offset_scaffold: more than {SCAFFOLD_MAX_CELLS} "
-            f"(partition, key) cells for key {kcols} — this key is too "
-            "high-cardinality for the driver-offset scaffold (the "
-            "collect would grow with |keys|). Use the plain keyed "
-            "window (each key's partition is small at high cardinality) "
-            "or md5_bucketed_prefix_sum for md5-ordered flows."
-        )
-    acc: dict = {}
-    rows = []
-    for r in sorted(per_cell, key=lambda r: r["_pid"]):
-        key = tuple(r[k] for k in kcols)
-        rows.append([int(r["_pid"]), *key, int(acc.get(key, 0))])
-        acc[key] = acc.get(key, 0) + int(r["_n"] or 0)
-    fields = (
-        [T.StructField("_pid", T.IntegerType())]
-        + [T.StructField(k, df.schema[k].dataType) for k in kcols]
-        + [T.StructField("_off", T.LongType())]
-    )
-    if total_name:
-        fields.append(T.StructField(total_name, T.LongType()))
-        for row in rows:
-            row.append(int(acc[tuple(row[1 : 1 + len(kcols)])]))
-    schema = T.StructType(fields)
-    off_df = F.broadcast(
-        parted.sparkSession.createDataFrame([tuple(r) for r in rows], schema)
-    )
-    return parted, off_df, kcols, ocols, acc
-
-
-def _keyed_ranks_with_totals(
-    df: DataFrame,
-    key_cols,
-    order_by: list,
-    rank_name: str,
-    n_partitions: int | None,
-    total_name: str | None = None,
-):
-    """(ranked DataFrame, {key tuple: total}); input column order is
-    preserved, with rank (and total) appended."""
-    parted, off_df, kcols, ocols, acc = _keyed_offset_scaffold(
-        df, key_cols, order_by, n_partitions, None, total_name
-    )
-    w = Window.partitionBy("_pid", *kcols).orderBy(*ocols)
-    extra = [total_name] if total_name else []
-    ranked = (
-        parted.join(off_df, ["_pid", *kcols])
-        .withColumn(rank_name, F.row_number().over(w) + F.col("_off"))
-        .select(*df.columns, rank_name, *extra)
-    )
-    return ranked, acc
-
-
 def keyed_prefix_sum(
     df: DataFrame,
     key_cols,
@@ -772,31 +790,33 @@ def keyed_prefix_sum(
 ) -> DataFrame:
     """EXCLUSIVE per-key running sum of an integer ``weight_col`` in
     `order_by` order — the prefix-sum sibling of `assign_keyed_ranks`
-    (same `_keyed_offset_scaffold`, weighted), for the same
+    (same in-plan binned offsets, weighted), for the same
     low-cardinality-key regime where `sum() OVER (PARTITION BY k ORDER
     BY ...)` funnels each key through one task: sequence packing
     offsets per source shard, byte offsets per file group, token
     budgets per language. For md5-ordered flows prefer
-    `md5_bucketed_prefix_sum` (no driver round-trip).
+    `md5_bucketed_prefix_sum`; for a bare numeric leading key,
+    `binned_prefix_sum`.
 
     Integer weights make the sum exact under any grouping, so the
     result is bitwise the window's. Ordering must be total per key;
-    keys must be non-null. Input column order is preserved, with
-    ``out_name`` appended.
+    NULL-key rows are kept (null-safe offset join), matching the
+    window. Input column order is preserved, with ``out_name``
+    appended.
     """
     _require_integer_weight(df, weight_col, "keyed_prefix_sum")
-    parted, off_df, kcols, ocols, _acc = _keyed_offset_scaffold(
-        df, key_cols, order_by, n_partitions, weight_col
-    )
+    kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ocols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
     wcol = F.col(weight_col).cast("long")
+    b, off = _generic_binned_offsets(df, kcols, order_by, wcol, n_partitions)
     w = (
-        Window.partitionBy("_pid", *kcols)
+        Window.partitionBy(*kcols, "__bin")
         .orderBy(*ocols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        parted.join(off_df, ["_pid", *kcols])
-        .withColumn(out_name, F.sum(wcol).over(w) - wcol + F.col("_off"))
+        _join_binned_offsets(b, off, kcols)
+        .withColumn(out_name, F.sum(wcol).over(w) - wcol + F.col("__boff"))
         .select(*df.columns, out_name)
     )
 
@@ -949,9 +969,12 @@ def _sampled_value_bounds(df, vexpr, n_bins):
     return sorted(set(row["__qs"] or []))
 
 
-def _bin_expr_from_bounds(bounds, vd):
+def _bin_expr_from_bounds(bounds, vd, lit_cast=float):
     """Ascending bin id for value ``vd`` against the literal sorted
-    ``bounds``: the count of bounds strictly below the value —
+    ``bounds`` (``lit_cast`` coerces each bound literal — float for the
+    numeric paths, None/identity for string bounds, whose lexicographic
+    `>` is the same code-point order both sides): the count of bounds
+    strictly below the value —
     boundary-equal values go LOW, so bin membership is a pure function
     of the value and a value class never splits across bins. NULL ->
     bin 0 (`v > b` is NULL -> indicator 0, nulls-first like an ASC
@@ -982,9 +1005,10 @@ def _bin_expr_from_bounds(bounds, vd):
         if lo == hi:
             return F.lit(lo)
         mid = (lo + hi) // 2
-        return F.when(
-            vd > F.lit(float(bounds[mid])), tree(mid + 1, hi)
-        ).otherwise(tree(lo, mid))
+        b = lit_cast(bounds[mid]) if lit_cast is not None else bounds[mid]
+        return F.when(vd > F.lit(b), tree(mid + 1, hi)).otherwise(
+            tree(lo, mid)
+        )
 
     return tree(0, len(bounds))
 
@@ -1154,13 +1178,13 @@ def binned_keyed_ranks(
 ) -> DataFrame:
     """Per-key 1-based rank in ``(value ASC, *tiebreaks ASC)`` order
     with IN-PLAN offsets — the arbitrary-numeric-value generalization
-    of `md5_bucketed_prefix_sum`, and the preferred replacement for the
-    driver-offset `assign_keyed_ranks` whenever the primary sort key is
-    a single numeric column:
+    of `md5_bucketed_prefix_sum`, and the lean single-numeric-column
+    path beside the fully general `assign_keyed_ranks` (r7: itself
+    in-plan over `_leading_sort_bins`):
 
     1. sampled ~equi-depth bin boundaries over the value column
-       (`approxQuantile`: one scan, Greenwald-Khanna sketch, NO data
-       movement) — bins are ORDER-ALIGNED contiguous slices of the
+       (`percentile_approx`: one codegen aggregate, NO data movement)
+       — bins are ORDER-ALIGNED contiguous slices of the
        value axis, and a value class never splits across bins;
     2. per-(key, bin) counts via a map-side-combinable aggregate (the
        only extra shuffle is these tiny cell rows); exclusive per-key
@@ -1224,20 +1248,7 @@ def _binned_cells(df, kcols, value_col, wcol, n_bins, descending):
         bin_expr = bin_asc  # NULL -> bin 0, nulls-first like ASC
     b = df.withColumn("__bin", bin_expr)
     cells = b.groupBy(*kcols, "__bin").agg(F.sum(wcol).alias("__bn"))
-    border = F.col("__bin").desc() if descending else F.col("__bin").asc()
-    wb = (
-        Window.partitionBy(*kcols)
-        .orderBy(border)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wt = Window.partitionBy(*kcols)
-    off = cells.select(
-        *kcols,
-        "__bin",
-        F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__boff"),
-        F.sum("__bn").over(wt).alias("__btot"),
-    )
-    return b, off
+    return b, _offsets_from_cells(cells, kcols, descending)
 
 
 def binned_prefix_sum(
@@ -1256,10 +1267,11 @@ def binned_prefix_sum(
     ``(value ASC|DESC, *tiebreaks ASC)`` order, with IN-PLAN offsets:
     the prefix-sum sibling of `binned_keyed_ranks` (same sampled
     equi-depth value bins, same tiny in-plan cells/offsets table, same
-    single data shuffle) and the scale-safe replacement for BOTH the
-    global running-sum window (single reducer) and the two-pass
-    driver-offset scaffolds (whose re-executed range shuffle must be
-    persisted to stay deterministic — nothing here crosses jobs).
+    single data shuffle) and the scale-safe replacement for the
+    global running-sum window (single reducer); like every in-plan
+    binned primitive, nothing here crosses jobs or depends on
+    partition ids (the retired two-pass scaffolds needed a persist pin
+    for exactly that).
 
     ``descending=True`` reverses the VALUE order only (tiebreaks stay
     ascending), with the window's NULL placement (ASC nulls first,
@@ -2003,7 +2015,7 @@ def keyed_weighted_percentiles_exact(
     semantics (each row counts `weight` times in the multiset) on the
     bounded-memory distributed path: the builtin buffers a value->count
     map per group (unbounded in distinct values), while this runs one
-    weighted `_keyed_offset_scaffold` pass. Each row covers the weighted
+    weighted cell-pruned cells pass. Each row covers the weighted
     rank interval (cum - w, cum]; a percentile target at 0-based position p*(W-1)
     picks the covering rows (1-based ranks floor+1 / ceil+1), and interpolation between the floor/ceil
     target values reproduces the builtin bit-for-bit.

@@ -9,13 +9,13 @@ codegen warmup). Exponent = log(t_hi/t_lo) / log(10) between adjacent
 SFs (testdata SFs are decades apart).
 
 Usage: python tools/scale_probe.py [query ...]   (default: heavy set)
-       python tools/scale_probe.py --big [query ...]
+       python tools/scale_probe.py --big [--factors=2,4] [query ...]
          (default: keyed-primitive consumers) — also probes synthetic
-         sf0.2 / sf0.4 built by replicating the driver's sf0.1 parquet
-         with id-shifted copies (PERFORMANCE ONLY — correctness stays
-         on the driver testdata), and prints the scaffold's
-         driver-collect cell count per SF, which must stay flat
-         (≈ n_partitions + n_keys) while rows double.
+         sf0.2 / sf0.4 (and sf1 with --factors=2,4,10) built by
+         replicating the driver's sf0.1 parquet with id-shifted copies
+         (PERFORMANCE ONLY — correctness stays on the driver testdata),
+         and prints the driver-collect cell count per SF, which must
+         stay flat (≈ n_partitions + n_keys) while rows double.
 """
 
 from __future__ import annotations
@@ -72,6 +72,11 @@ BIG_DEFAULT = [
     "anomaly_mad_events",        # two percentile passes
     "pack_materialize_docs",     # md5_bucketed_prefix_sum (documents)
     "cap_docs_per_source",       # distributed rank quota
+    # r7 additions (VERDICT item 8): the r6 fast paths at larger SFs
+    "robust_scale_value",        # keyed_median_mad one-job histogram
+    "budget_select_docs",        # binned_prefix_sum (take_budget)
+    "row_ids_documents",         # binned_prefix_sum global rank mode
+    "source_kl_matrix",          # factored-KL decimal bucket sums
 ]
 
 #: tables the BIG_DEFAULT queries read; replicated into the synthetic SFs
@@ -154,12 +159,17 @@ def main():
     args = sys.argv[1:]
     big = "--big" in args
     args = [a for a in args if a != "--big"]
+    factors = (2, 4)
+    for a in list(args):
+        if a.startswith("--factors="):
+            factors = tuple(int(x) for x in a.split("=", 1)[1].split(","))
+            args.remove(a)
     spark = sources.get_spark("henbun-scale-probe")
     qs = entry_mod.queries()
     if big:
         names = args or BIG_DEFAULT
         dirs = ["/root/testdata/sf0.1"]
-        for factor in (2, 4):
+        for factor in factors:
             print(f"# building synthetic sf{0.1 * factor:g} ...")
             dirs.append(build_big_sf(spark, factor))
         # doubling SFs: linear scaling shows time ratio ~2 per step and
