@@ -6161,6 +6161,38 @@ FROM documents
 """
 
 
+def corpus_layout_order(spark, sf_dir):
+    """Reproducible corpus layout for training determinism: a STABLE
+    global ordering (source ASC, doc_id ASC) -> consecutive ordinal ->
+    round-robin shard id, so re-running data prep on re-ingested data
+    yields byte-identical shard assignment. The ordinal comes from the
+    r7 GENERALIZED in-plan `assign_row_ids` with a STRING leading sort
+    key (`_leading_sort_bins`: hash-sampled lexicographic bounds,
+    order-aligned bins, in-plan offsets — no global window, no
+    persisted scaffold, nothing partition-id dependent); the oracle is
+    the naive `row_number() OVER (ORDER BY source, doc_id)`."""
+    from henbun_spark.operators import relational
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    out = relational.assign_row_ids(
+        docs, [F.asc("source"), F.asc("doc_id")], "ord"
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "ord",
+        F.pmod(F.col("ord") - 1, F.lit(20)).cast("int").alias("shard"),
+    )
+
+
+_CORPUS_LAYOUT_SQL = """
+SELECT doc_id, source,
+  row_number() OVER (ORDER BY source, doc_id)::BIGINT AS ord,
+  ((row_number() OVER (ORDER BY source, doc_id) - 1) % 20)::INT AS shard
+FROM documents
+"""
+
+
 def merge_upsert_docs(spark, sf_dir):
     """CDC MERGE/upsert (`relational.apply_changes`): a deterministic
     change log (updates for doc_id%7==0 at v2, tombstones for
@@ -8109,6 +8141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oldest committed driver rows (r2, then r4, then r5).
         "streaming_static_enrich": streaming_static_enrich,
         "streaming_mv_partitioned_daily": streaming_mv_partitioned_daily,
+        "corpus_layout_order": corpus_layout_order,
         "tdigest_quantiles_value": tdigest_quantiles_value,
         "tdigest_by_type": tdigest_by_type,
         "streaming_tdigest_value": streaming_tdigest_value,
@@ -8479,6 +8512,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_chunks_docs": _BOILERPLATE_SQL,
         "streaming_mv_daily": _MV_INCREMENTAL_SQL,
         "streaming_mv_partitioned_daily": _MV_INCREMENTAL_SQL,
+        "corpus_layout_order": _CORPUS_LAYOUT_SQL,
         "streaming_heavy_hitters": _HEAVY_HITTERS_SQL,
         "streaming_interval_left_join": _STREAMING_LOJ_SQL,
     }
