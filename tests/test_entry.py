@@ -25,8 +25,6 @@ ROWS_ONLY = {
     "gp_experts_events",
     "vi_staged_training",
     "multimodal_features",
-    "ann_topk_ivf",
-    "ann_topk_pq",
     "streaming_ivf_ingest",
     "approx_distinct_events",
     "kmeans_embeddings",
