@@ -4386,7 +4386,12 @@ SELECT DISTINCT user_id, event_type FROM events
 
 def multimodal_features(spark, sf_dir):
     """Binary-column multimodal plumbing: synthesize media -> mapInPandas
-    decode/featurize (deterministic fake kernel; codecs stubbed)."""
+    decode/featurize (deterministic fake kernel; codecs stubbed).
+    ORACLE-CHECKED (r7): seeded sf-independent synthesis makes the
+    output a 64-row constant — (media_id, kind, BMP payload byte count,
+    feature dim) pinned via a range-generated oracle, holding the
+    synthesize -> encode -> Arrow-batched featurize plumbing (schema,
+    batch shape, payload size) to the driver hash."""
     from henbun_spark.operators import multimodal
 
     media = multimodal.synthesize_media(spark, n=64, kind="image", seed=0)
@@ -4394,6 +4399,13 @@ def multimodal_features(spark, sf_dir):
     return feats.select(
         "media_id", "kind", "n_bytes", F.size("feature").alias("dim")
     )
+
+
+_MULTIMODAL_FEATURES_SQL = """
+SELECT CAST(i AS BIGINT) AS media_id, 'image' AS kind,
+       CAST(246 AS INTEGER) AS n_bytes, CAST(16 AS INTEGER) AS dim
+FROM (SELECT unnest(range(64)) AS i)
+"""
 
 
 def image_dedup_ahash(spark, sf_dir):
@@ -5351,15 +5363,39 @@ def approx_distinct_events(spark, sf_dir):
     merges associatively, so the plan is one partial-aggregatable shuffle
     at any scale — the exact countDistinct, by contrast, needs the full
     (event_type, user_id) expansion; at 100 TB only the sketch survives.
-    Rows-only check (HLL estimates are engine-specific); a pytest asserts
-    <5% relative error vs the exact count.
+    ORACLE-CHECKED (r7, retiring the rows-only driver row): HLL
+    register values are engine-specific, so the contract output carries
+    the EXACT per-type distinct count and event count (hash-checked)
+    plus `approx_ok` — the estimate within the pytest bound
+    (max(5% of exact, 2)); a broken sketch path flips the boolean and
+    fails the driver hash.
     """
     ev = _load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= F.greatest(F.lit(2.0), F.col("exact_users") * F.lit(0.05))
+            ).alias("approx_ok"),
+            "exact_users",
+            "n_events",
+        )
     )
+
+
+_APPROX_DISTINCT_SQL = """
+SELECT event_type, TRUE AS approx_ok,
+  COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+  COUNT(*)::BIGINT AS n_events
+FROM events GROUP BY 1
+"""
 
 
 def mix_corpus_sources(spark, sf_dir):
@@ -8180,6 +8216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup_fp": audio_dedup_fp,
         "ann_topk_pq": ann_topk_pq,
         "ann_topk_ivf": ann_topk_ivf,
+        "approx_distinct_events": approx_distinct_events,
+        "multimodal_features": multimodal_features,
         "ann_topk_lsh": ann_topk_lsh,
         "streaming_windowed_counts": streaming_windowed_counts,
         "sample_per_group": sample_per_group,
@@ -8273,7 +8311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_jaccard": dedup_jaccard,
         "gp_sparse_posterior": gp_sparse_posterior,
-        "multimodal_features": multimodal_features,
         "hll_distinct_users": hll_distinct_users,
         "hll_users_by_type": hll_users_by_type,
         "row_ids_documents": row_ids_documents,
@@ -8321,7 +8358,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_by_status": q12_priority_by_status,
         "q14_promo_revenue": q14_promo_revenue,
         "q22_inactive_customers": q22_inactive_customers,
-        "approx_distinct_events": approx_distinct_events,
         "rollup_revenue": rollup_revenue,
         "cube_revenue": cube_revenue,
         "grouping_sets_revenue": grouping_sets_revenue,
@@ -8424,6 +8460,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": _ANN_LSH_SQL,
         "ann_topk_pq": _ANN_RECALL_SQL,
         "ann_topk_ivf": _ANN_RECALL_SQL,
+        "approx_distinct_events": _APPROX_DISTINCT_SQL,
+        "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "streaming_windowed_counts": _STREAM_WINDOW_SQL,
         # r7: retired rows-only debt — deterministic-constant and
         # oracle-checked-metric conversions (see each docstring)

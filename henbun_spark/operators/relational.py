@@ -542,17 +542,22 @@ def _unwrap_sort(entry):
 
 def _sampled_string_bounds(df, sexpr, n_bins):
     """Interior lexicographic bin boundaries for a STRING sort key: a
-    deterministic hash sample (`xxhash64 % 61 == 0`, ~1.6%, capped at
-    50k rows — bounded driver ingestion by construction) sorted on the
+    seeded ROW-level Bernoulli sample (2%, capped at 50k rows — bounded
+    driver ingestion by construction; deliberately NOT a value-hash
+    filter, which is all-or-nothing per DISTINCT value and returns
+    nothing on low-cardinality keys like `source`) sorted on the
     driver, equi-spaced order statistics as bounds. Python str
     comparison is code-point order == Spark's UTF8 binary collation
     (UTF-8 preserves code-point ordering), so the bounds sort
-    identically on both sides. A thin/empty sample just yields fewer
-    bins — balance only, never correctness."""
+    identically on both sides. Partition-layout changes can vary the
+    sample — balance only, never correctness: the collected bounds are
+    frozen as plan literals before any consumer runs. A thin/empty
+    sample just yields fewer bins (degenerate single-bin handled by
+    the callers)."""
     samp = (
         df.select(sexpr.alias("__v"))
         .where(F.col("__v").isNotNull())
-        .where(F.pmod(F.xxhash64(F.col("__v")), F.lit(61)) == F.lit(0))
+        .sample(fraction=0.02, seed=7)
         .limit(50_000)
         .collect()
     )
@@ -594,7 +599,7 @@ def _leading_sort_bins(df, order_by, n_bins):
     """
     child, desc, nulls_first = _unwrap_sort(order_by[0])
     if child is None:
-        return F.lit(0), False
+        return F.lit(0), False, True
     dtype = df.select(child.alias("__lv")).schema[0].dataType
     lit_cast = float
     if isinstance(dtype, (T.NumericType, T.BooleanType)):
@@ -611,9 +616,9 @@ def _leading_sort_bins(df, order_by, n_bins):
         bounds = _sampled_string_bounds(df, child, n_bins)
         lit_cast = None
     else:
-        return F.lit(0), desc
+        return F.lit(0), desc, True
     if not bounds:
-        return F.lit(0), desc
+        return F.lit(0), desc, True
     tree = _bin_expr_from_bounds(bounds, probe, lit_cast)
     if desc and nulls_first:
         null_bin = len(bounds) + 1  # offsets walk DESC -> first
@@ -622,20 +627,31 @@ def _leading_sort_bins(df, order_by, n_bins):
     elif not nulls_first:
         null_bin = len(bounds) + 1  # offsets walk ASC -> last
     else:
-        return tree, desc  # ASC NULLS FIRST: tree falls to bin 0
-    return F.when(child.isNull(), F.lit(null_bin)).otherwise(tree), desc
+        return tree, desc, False  # ASC NULLS FIRST: tree falls to bin 0
+    return (
+        F.when(child.isNull(), F.lit(null_bin)).otherwise(tree),
+        desc,
+        False,
+    )
 
 
 def _generic_binned_offsets(df, kcols, order_by, wcol, n_bins):
     """`_binned_cells` generalized to an arbitrary ``order_by`` leading
-    expression: (df + __bin, offsets [kcols, __bin, __boff exclusive,
-    __btot]) — cells aggregate map-side, offsets come from a window
-    over the tiny cells table, everything stays in-plan."""
+    expression: (df + __bin, offsets, degenerate) — cells aggregate
+    map-side, offsets come from a window over the tiny cells table,
+    everything stays in-plan. ``degenerate`` is True when binning was
+    unavailable (empty sample / exotic type / unwrap failure): `__bin`
+    is then a CONSTANT, so a constant==constant join clause would
+    constant-fold away — with no key columns left that degrades the
+    broadcast HASH join to a BroadcastNestedLoopJoin (audit-banned).
+    Callers with kcols=[] must skip the join on degenerate input (the
+    offsets are all zero anyway); keyed callers keep it (the key
+    equality clauses preserve the hash join)."""
     n_bins = min(n_bins or _shuffle_width(df.sparkSession), MAX_VALUE_BINS)
-    bin_expr, desc = _leading_sort_bins(df, order_by, n_bins)
+    bin_expr, desc, degenerate = _leading_sort_bins(df, order_by, n_bins)
     b = df.withColumn("__bin", bin_expr)
     cells = b.groupBy(*kcols, "__bin").agg(F.sum(wcol).alias("__bn"))
-    return b, _offsets_from_cells(cells, kcols, desc)
+    return b, _offsets_from_cells(cells, kcols, desc), degenerate
 
 
 def _offsets_from_cells(cells, kcols, descending):
@@ -685,10 +701,17 @@ def assign_row_ids(
     ``n_partitions`` (optional) overrides the bin count.
     """
     ocols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
-    b, off = _generic_binned_offsets(
+    b, off, degenerate = _generic_binned_offsets(
         df, [], order_by, F.lit(1).cast("long"), n_partitions
     )
     w = Window.partitionBy("__bin").orderBy(*ocols)
+    if degenerate:
+        # single constant bin: every offset is 0 and a join on a
+        # constant key would fold to a BNLJ — this IS the plain global
+        # window, the documented tiny-data / exotic-type fallback
+        return b.withColumn(id_name, F.row_number().over(w)).select(
+            *df.columns, id_name
+        )
     return (
         _join_binned_offsets(b, off, [])
         .withColumn(id_name, F.row_number().over(w) + F.col("__boff"))
@@ -753,9 +776,19 @@ def assign_keyed_ranks(
     """
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     ocols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
-    b, off = _generic_binned_offsets(
+    b, off, degenerate = _generic_binned_offsets(
         df, kcols, order_by, F.lit(1).cast("long"), n_partitions
     )
+    if degenerate and not kcols:
+        w = Window.partitionBy("__bin").orderBy(*ocols)
+        out = b.withColumn(rank_name, F.row_number().over(w))
+        if total_name:
+            out = out.withColumn(
+                total_name, F.count(F.lit(1)).over(Window.partitionBy("__bin"))
+            )
+        return out.select(
+            *df.columns, rank_name, *([total_name] if total_name else [])
+        )
     wc = Window.partitionBy(*kcols, "__bin").orderBy(*ocols)
     out = _join_binned_offsets(b, off, kcols).withColumn(
         rank_name, F.row_number().over(wc) + F.col("__boff")
@@ -808,12 +841,18 @@ def keyed_prefix_sum(
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     ocols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
     wcol = F.col(weight_col).cast("long")
-    b, off = _generic_binned_offsets(df, kcols, order_by, wcol, n_partitions)
+    b, off, degenerate = _generic_binned_offsets(
+        df, kcols, order_by, wcol, n_partitions
+    )
     w = (
         Window.partitionBy(*kcols, "__bin")
         .orderBy(*ocols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    if degenerate and not kcols:
+        return b.withColumn(out_name, F.sum(wcol).over(w) - wcol).select(
+            *df.columns, out_name
+        )
     return (
         _join_binned_offsets(b, off, kcols)
         .withColumn(out_name, F.sum(wcol).over(w) - wcol + F.col("__boff"))

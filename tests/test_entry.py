@@ -24,9 +24,7 @@ ROWS_ONLY = {
     "gp_regression_events",
     "gp_experts_events",
     "vi_staged_training",
-    "multimodal_features",
     "streaming_ivf_ingest",
-    "approx_distinct_events",
     "kmeans_embeddings",
     "pca_embeddings",
     "bpe_train_encode",
@@ -36,15 +34,15 @@ ROWS_ONLY = {
 
 
 def test_approx_distinct_events_tracks_exact(spark, sf_dir):
-    """The rows-only contract query carries its own ground truth: the HLL
-    estimate must stay within the configured 2% rsd (5% slack) of the
-    exact countDistinct computed in the same row."""
+    """The contract query carries its own ground truth (r7: as an
+    oracle-checked boolean): the HLL estimate must stay within the
+    configured 2% rsd (5% slack, min 2) of the exact countDistinct —
+    approx_ok must be TRUE for every type, and the exact side real."""
     rows = entry_mod.queries()["approx_distinct_events"](spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert abs(r["approx_users"] - r["exact_users"]) <= max(
-            0.05 * r["exact_users"], 2
-        ), r
+        assert r["approx_ok"] is True, r
+        assert r["exact_users"] > 0 and r["n_events"] >= r["exact_users"], r
 
 
 def test_query_oracle_keys_consistent():
