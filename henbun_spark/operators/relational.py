@@ -600,7 +600,13 @@ def _leading_sort_bins(df, order_by, n_bins):
     child, desc, nulls_first = _unwrap_sort(order_by[0])
     if child is None:
         return F.lit(0), False, True
-    dtype = df.select(child.alias("__lv")).schema[0].dataType
+    try:
+        dtype = df.select(child.alias("__lv")).schema[0].dataType
+    except Exception:
+        # an unprojectable leading entry (e.g. F.expr("x DESC") parsed
+        # oddly) — degrade to the single-bin plan; the within-cell
+        # window still applies the caller's exact ordering
+        return F.lit(0), False, True
     lit_cast = float
     if isinstance(dtype, (T.NumericType, T.BooleanType)):
         probe = child.cast("double")
