@@ -8199,11 +8199,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window is now 100% ORACLE-BACKED by construction (rows-only
         # queries get `err: no_oracle` driver rows that verify nothing
         # — the r6 lesson; tests/test_entry.py enforces it): slot 1
-        # re-checks the r6 hash-fail fix, slots 2-11 are first-ever
-        # hash checks (the r7 rows-only conversions + the two
-        # oracle-backed entries no round ever sampled), and the tail
-        # rotates through the oracle-backed queries with the fewest /
-        # oldest committed driver rows (r2, then r4, then r5).
+        # re-checks the r6 hash-fail fix, the next ~16 slots are
+        # FIRST-EVER hash checks (the two r7-new queries, the eleven
+        # r7 rows-only->oracle conversions, and the two oracle-backed
+        # entries no round ever sampled), and the tail rotates through
+        # the oracle-backed queries with the fewest / oldest committed
+        # driver rows (r2, then r4, then r5).
         "streaming_static_enrich": streaming_static_enrich,
         "streaming_mv_partitioned_daily": streaming_mv_partitioned_daily,
         "corpus_layout_order": corpus_layout_order,
