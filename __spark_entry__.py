@@ -6223,10 +6223,12 @@ def corpus_layout_order(spark, sf_dir):
     round-robin shard id, so re-running data prep on re-ingested data
     yields byte-identical shard assignment. The ordinal comes from the
     r7 GENERALIZED in-plan `assign_row_ids` with a STRING leading sort
-    key (`_leading_sort_bins`: hash-sampled lexicographic bounds,
-    order-aligned bins, in-plan offsets — no global window, no
-    persisted scaffold, nothing partition-id dependent); the oracle is
-    the naive `row_number() OVER (ORDER BY source, doc_id)`."""
+    key — and because `source` is LOW-cardinality, the COMPOSITE path
+    engages: cells are keyed by the exact source value x doc_id value
+    bins (|sources| x |bins| parallel slices), not one near-global
+    sort task per source. No global window, no persisted scaffold,
+    nothing partition-id dependent; the oracle is the naive
+    `row_number() OVER (ORDER BY source, doc_id)`."""
     from henbun_spark.operators import relational
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "source")

@@ -572,7 +572,8 @@ def _sampled_string_bounds(df, sexpr, n_bins):
 
 def _leading_sort_bins(df, order_by, n_bins):
     """Order-aligned bin id for the GENERALIZED in-plan offset
-    primitives: ``(bin_expr, descending)`` where ``bin_expr`` is a pure
+    primitives: ``(bin_expr, descending, degenerate, n_bounds)`` where
+    ``bin_expr`` is a pure
     function of the LEADING sort expression, ascending in the value
     (direction is applied by ordering the OFFSETS walk, not the bin
     id). The leading expression dominates the total order, so rows
@@ -599,14 +600,14 @@ def _leading_sort_bins(df, order_by, n_bins):
     """
     child, desc, nulls_first = _unwrap_sort(order_by[0])
     if child is None:
-        return F.lit(0), False, True
+        return F.lit(0), False, True, 0
     try:
         dtype = df.select(child.alias("__lv")).schema[0].dataType
     except Exception:
         # an unprojectable leading entry (e.g. F.expr("x DESC") parsed
         # oddly) — degrade to the single-bin plan; the within-cell
         # window still applies the caller's exact ordering
-        return F.lit(0), False, True
+        return F.lit(0), False, True, 0
     lit_cast = float
     if isinstance(dtype, (T.NumericType, T.BooleanType)):
         probe = child.cast("double")
@@ -622,22 +623,24 @@ def _leading_sort_bins(df, order_by, n_bins):
         bounds = _sampled_string_bounds(df, child, n_bins)
         lit_cast = None
     else:
-        return F.lit(0), desc, True
+        return F.lit(0), desc, True, 0
     if not bounds:
-        return F.lit(0), desc, True
+        return F.lit(0), desc, True, 0
     tree = _bin_expr_from_bounds(bounds, probe, lit_cast)
+    nb = len(bounds)
     if desc and nulls_first:
-        null_bin = len(bounds) + 1  # offsets walk DESC -> first
+        null_bin = nb + 1  # offsets walk DESC -> first
     elif desc:
         null_bin = -1  # offsets walk DESC -> last
     elif not nulls_first:
-        null_bin = len(bounds) + 1  # offsets walk ASC -> last
+        null_bin = nb + 1  # offsets walk ASC -> last
     else:
-        return tree, desc, False  # ASC NULLS FIRST: tree falls to bin 0
+        return tree, desc, False, nb  # ASC NULLS FIRST: tree -> bin 0
     return (
         F.when(child.isNull(), F.lit(null_bin)).otherwise(tree),
         desc,
         False,
+        nb,
     )
 
 
@@ -654,26 +657,69 @@ def _generic_binned_offsets(df, kcols, order_by, wcol, n_bins):
     offsets are all zero anyway); keyed callers keep it (the key
     equality clauses preserve the hash join)."""
     n_bins = min(n_bins or _shuffle_width(df.sparkSession), MAX_VALUE_BINS)
-    bin_expr, desc, degenerate = _leading_sort_bins(df, order_by, n_bins)
+    bin_expr, desc, degenerate, n_bounds = _leading_sort_bins(
+        df, order_by, n_bins
+    )
+    if (
+        not degenerate
+        and n_bounds < LOW_CARD_LEAD_BOUNDS
+        and len(order_by) >= 2
+    ):
+        # LOW-CARDINALITY leading key (source, lang, event_type...): a
+        # handful of bins means each cell still sorts ~n/|values| rows
+        # in ONE task — the composite path re-bins on the SECOND order
+        # entry, keying cells by the EXACT leading value (always
+        # order-contiguous, unlike a composite of two coarse bins) so
+        # parallelism becomes |values| x |bins|. The offsets walk
+        # orders by (leading sort entry, bin2 direction), reproducing
+        # the total order over cells exactly.
+        bin2, desc2, degen2, _nb2 = _leading_sort_bins(
+            df, order_by[1:], n_bins
+        )
+        if not degen2:
+            child1, desc1, nf1 = _unwrap_sort(order_by[0])
+            lead = F.col("__lead")
+            if desc1:
+                border1 = (
+                    lead.desc_nulls_first() if nf1 else lead.desc_nulls_last()
+                )
+            else:
+                border1 = (
+                    lead.asc_nulls_first() if nf1 else lead.asc_nulls_last()
+                )
+            b = df.withColumn("__lead", child1).withColumn("__bin", bin2)
+            cells = b.groupBy(*kcols, "__lead", "__bin").agg(
+                F.sum(wcol).alias("__bn")
+            )
+            off = _offsets_from_cells(
+                cells, kcols, desc2, pre_order=[border1],
+                extra_cols=("__lead",),
+            )
+            return b, off, [*kcols, "__lead"], False
     b = df.withColumn("__bin", bin_expr)
     cells = b.groupBy(*kcols, "__bin").agg(F.sum(wcol).alias("__bn"))
-    return b, _offsets_from_cells(cells, kcols, desc), degenerate
+    return b, _offsets_from_cells(cells, kcols, desc), list(kcols), degenerate
 
 
-def _offsets_from_cells(cells, kcols, descending):
+def _offsets_from_cells(cells, kcols, descending, pre_order=None, extra_cols=()):
     """Exclusive per-key bin offsets + per-key totals from the tiny
-    (key, bin, weight) cells table — one window over cells, broadcast
-    back by the caller. Shared by `_binned_cells` (numeric value
-    binning) and `_generic_binned_offsets` (arbitrary leading sort)."""
+    (key[, lead], bin, weight) cells table — one window over cells,
+    broadcast back by the caller. ``pre_order`` prepends sort columns
+    (the composite path's exact leading value, with its direction and
+    nulls placement) before the bin walk; ``extra_cols`` carries those
+    columns through to the offsets output. Shared by `_binned_cells`
+    (numeric value binning) and `_generic_binned_offsets` (arbitrary
+    leading sort, one- or two-level)."""
     border = F.col("__bin").desc() if descending else F.col("__bin").asc()
     wb = (
         Window.partitionBy(*kcols)
-        .orderBy(border)
+        .orderBy(*list(pre_order or []), border)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     wt = Window.partitionBy(*kcols)
     return cells.select(
         *kcols,
+        *extra_cols,
         "__bin",
         F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__boff"),
         F.sum("__bn").over(wt).alias("__btot"),
@@ -707,10 +753,10 @@ def assign_row_ids(
     ``n_partitions`` (optional) overrides the bin count.
     """
     ocols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
-    b, off, degenerate = _generic_binned_offsets(
+    b, off, cell_keys, degenerate = _generic_binned_offsets(
         df, [], order_by, F.lit(1).cast("long"), n_partitions
     )
-    w = Window.partitionBy("__bin").orderBy(*ocols)
+    w = Window.partitionBy(*cell_keys, "__bin").orderBy(*ocols)
     if degenerate:
         # single constant bin: every offset is 0 and a join on a
         # constant key would fold to a BNLJ — this IS the plain global
@@ -719,7 +765,7 @@ def assign_row_ids(
             *df.columns, id_name
         )
     return (
-        _join_binned_offsets(b, off, [])
+        _join_binned_offsets(b, off, cell_keys)
         .withColumn(id_name, F.row_number().over(w) + F.col("__boff"))
         .select(*df.columns, id_name)
     )
@@ -782,7 +828,7 @@ def assign_keyed_ranks(
     """
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     ocols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
-    b, off, degenerate = _generic_binned_offsets(
+    b, off, cell_keys, degenerate = _generic_binned_offsets(
         df, kcols, order_by, F.lit(1).cast("long"), n_partitions
     )
     if degenerate and not kcols:
@@ -795,8 +841,8 @@ def assign_keyed_ranks(
         return out.select(
             *df.columns, rank_name, *([total_name] if total_name else [])
         )
-    wc = Window.partitionBy(*kcols, "__bin").orderBy(*ocols)
-    out = _join_binned_offsets(b, off, kcols).withColumn(
+    wc = Window.partitionBy(*cell_keys, "__bin").orderBy(*ocols)
+    out = _join_binned_offsets(b, off, cell_keys).withColumn(
         rank_name, F.row_number().over(wc) + F.col("__boff")
     )
     extra = []
@@ -847,11 +893,11 @@ def keyed_prefix_sum(
     kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     ocols = [F.asc(c) if isinstance(c, str) else c for c in order_by]
     wcol = F.col(weight_col).cast("long")
-    b, off, degenerate = _generic_binned_offsets(
+    b, off, cell_keys, degenerate = _generic_binned_offsets(
         df, kcols, order_by, wcol, n_partitions
     )
     w = (
-        Window.partitionBy(*kcols, "__bin")
+        Window.partitionBy(*cell_keys, "__bin")
         .orderBy(*ocols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -860,7 +906,7 @@ def keyed_prefix_sum(
             *df.columns, out_name
         )
     return (
-        _join_binned_offsets(b, off, kcols)
+        _join_binned_offsets(b, off, cell_keys)
         .withColumn(out_name, F.sum(wcol).over(w) - wcol + F.col("__boff"))
         .select(*df.columns, out_name)
     )
@@ -976,6 +1022,13 @@ def md5_bucketed_prefix_sum(
 #: keeps the tree at 12 comparisons/row and the cells table tiny while
 #: still giving every executor thousands of independent slices.
 MAX_VALUE_BINS = 4096
+
+#: Composite-binning trigger: a leading sort key whose sampled bounds
+#: dedupe below this is low-cardinality — one bin per value class would
+#: leave each cell a ~n/|values| single-task sort, so the generalized
+#: primitives re-bin on the SECOND order entry within exact leading-
+#: value classes (see _generic_binned_offsets).
+LOW_CARD_LEAD_BOUNDS = 32
 
 
 def _shuffle_width(spark) -> int:
