@@ -3010,6 +3010,82 @@ GROUP BY 1
 """
 
 
+def split_leakage_report(spark, sf_dir):
+    """Eval-set DECONTAMINATION report — the check every training
+    pipeline owes its benchmarks: after the deterministic 90/10 hash
+    split, which near-duplicate pairs CROSS the split (a train doc
+    near-duplicating a held-out doc leaks the eval set into training)?
+    Composition of two proven primitives: `sampling.hash_split` (pure
+    md5 membership, stable under growth) x `dedup.minhash_lsh_pairs`
+    (banded candidates, no all-pairs). Output: per-source (of the
+    EVAL-side doc) crossing-pair count and distinct leaked eval docs —
+    the table that decides whether to re-split or drop. Scale shape ==
+    the LSH pass + two broadcast-joinable flag lookups; the split
+    predicate is a pure Column, so nothing new shuffles."""
+    from henbun_spark.operators import dedup, sampling
+
+    docs = _load(spark, sf_dir, "documents")
+    flags = sampling.hash_split(docs, "doc_id", test_pct=10).select(
+        "doc_id", "source", "is_test"
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=8, bands=4)
+    crossed = (
+        pairs.join(
+            flags.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("is_test").alias("test_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            flags.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("is_test").alias("test_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "id_b",
+        )
+        .where(F.col("test_a") != F.col("test_b"))
+    )
+    eval_id = F.when(F.col("test_a"), F.col("id_a")).otherwise(F.col("id_b"))
+    eval_src = F.when(F.col("test_a"), F.col("src_a")).otherwise(
+        F.col("src_b")
+    )
+    return (
+        crossed.select(eval_id.alias("eval_id"), eval_src.alias("source"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_cross_pairs"),
+            F.countDistinct("eval_id").alias("n_leaked_eval_docs"),
+        )
+    )
+
+
+def _split_leakage_sql() -> str:
+    return f"""
+WITH pairs AS ({_MINHASH_SQL.strip()}),
+fl AS (
+  SELECT doc_id, source,
+    ({_md5_prefix_sql('doc_id', 'split')} % 100) < 10 AS is_test
+  FROM documents),
+x AS (
+  SELECT p.id_a, p.id_b, a.is_test AS ta, b.is_test AS tb,
+         a.source AS sa, b.source AS sb
+  FROM pairs p
+  JOIN fl a ON p.id_a = a.doc_id
+  JOIN fl b ON p.id_b = b.doc_id
+  WHERE a.is_test <> b.is_test),
+e AS (
+  SELECT CASE WHEN ta THEN id_a ELSE id_b END AS eval_id,
+         CASE WHEN ta THEN sa ELSE sb END AS source
+  FROM x)
+SELECT source, COUNT(*)::BIGINT AS n_cross_pairs,
+  COUNT(DISTINCT eval_id)::BIGINT AS n_leaked_eval_docs
+FROM e GROUP BY 1
+"""
+
+
 def sample_per_group(spark, sf_dir):
     """Deterministic k-per-group sample of events by md5 order — every
     run/engine picks identical rows (no RNG, one shuffle)."""
@@ -8210,6 +8286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_static_enrich": streaming_static_enrich,
         "streaming_mv_partitioned_daily": streaming_mv_partitioned_daily,
         "corpus_layout_order": corpus_layout_order,
+        "split_leakage_report": split_leakage_report,
         "tdigest_quantiles_value": tdigest_quantiles_value,
         "tdigest_by_type": tdigest_by_type,
         "streaming_tdigest_value": streaming_tdigest_value,
@@ -8585,6 +8662,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_mv_daily": _MV_INCREMENTAL_SQL,
         "streaming_mv_partitioned_daily": _MV_INCREMENTAL_SQL,
         "corpus_layout_order": _CORPUS_LAYOUT_SQL,
+        "split_leakage_report": _split_leakage_sql(),
         "streaming_heavy_hitters": _HEAVY_HITTERS_SQL,
         "streaming_interval_left_join": _STREAMING_LOJ_SQL,
     }
