@@ -36,10 +36,11 @@ def sf_dir():
 
 @pytest.fixture(autouse=True)
 def _release_scaffold_caches():
-    """Drop any persisted two-pass-scaffold frames after each test (every
-    test materializes its derived frames before returning, so the
-    release is safe) — keeps the session-scoped JVM's cache footprint
-    flat across the suite."""
+    """Drop anything registered in the scaffold-cache registry after
+    each test — normally a no-op since r7 (the shipped primitives are
+    in-plan and register nothing), but it keeps hand-registered test
+    caches and any future pinned cache from leaking across the
+    session-scoped JVM."""
     yield
     from henbun_spark.operators import relational
 
