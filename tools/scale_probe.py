@@ -16,6 +16,15 @@ Usage: python tools/scale_probe.py [query ...]   (default: heavy set)
          (PERFORMANCE ONLY — correctness stays on the driver testdata),
          and prints the driver-collect cell count per SF, which must
          stay flat (≈ n_partitions + n_keys) while rows double.
+
+CAVEAT — never --big-probe NEAR-DUP queries: the id-shifted replicas
+make every document a TRUE near-duplicate of its 2/4/10 copies, so the
+candidate-pair OUTPUT itself grows quadratically in the copy factor by
+construction (measured: split_leakage_report 4.4 -> 421s at factor 10
+on replicas, vs a sub-linear +0.43 exponent per 10x on the REAL
+sf0.001/0.01/0.1 ladder). Replica probing measures duplicate-count
+growth, not engine scaling; use the default real-SF probe for any
+dedup/similarity query.
 """
 
 from __future__ import annotations
