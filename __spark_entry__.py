@@ -3021,7 +3021,11 @@ def split_leakage_report(spark, sf_dir):
     EVAL-side doc) crossing-pair count and distinct leaked eval docs —
     the table that decides whether to re-split or drop. Scale shape ==
     the LSH pass + two broadcast-joinable flag lookups; the split
-    predicate is a pure Column, so nothing new shuffles."""
+    predicate is a pure Column, so nothing new shuffles. At 100 TB run
+    `exact_dedup` first and pass `max_bucket` (mass-duplicated
+    boilerplate puts k copies in one bucket per band = k^2 pairs — see
+    `minhash_lsh_pairs`); the contract query keeps the exact/oracle
+    mode on the pre-deduped testdata."""
     from henbun_spark.operators import dedup, sampling
 
     docs = _load(spark, sf_dir, "documents")
