@@ -1,6 +1,7 @@
 """End-to-end corpus pipeline on the custom `synthetic_docs` source —
 no input files at all: generate a deterministic corpus on the executors,
-dedup it, quality-filter it, and pack it into training sequences.
+dedup it, quality-filter it, split it, audit the split for near-dup
+leakage, and pack the train side into training sequences.
 
 Run:  PYTHONPATH=/root/repo python examples/synthetic_pipeline.py
 """
@@ -55,6 +56,41 @@ def build_corpus(spark, rows: int = 5000):
     )
     n_seqs = packed.select("source", "bin").distinct().count()
     return n_gen, n_dedup, n_quality, n_seqs
+
+
+def split_and_audit(spark, rows: int = 5000):
+    """The benchmark-integrity tail of the pipeline: deterministic 90/10
+    hash split + cross-split near-dup LEAKAGE audit (a train doc
+    near-duplicating a held-out doc leaks the eval set into training —
+    the same composition as the `split_leakage_report` contract query).
+    Returns (n_train, n_eval, n_crossing_pairs)."""
+    from henbun_spark.operators import dedup, sampling
+    from henbun_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    docs = (
+        spark.read.format("synthetic_docs")
+        .option("rows", rows)
+        .option("partitions", 8)
+        .load()
+    )
+    flags = sampling.hash_split(docs, "doc_id", test_pct=10)
+    n_eval = flags.where(F.col("is_test")).count()
+    n_train = flags.count() - n_eval
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=8, bands=4)
+    crossing = (
+        pairs.join(
+            flags.select(F.col("doc_id").alias("id_a"), F.col("is_test").alias("ta")),
+            "id_a",
+        )
+        .join(
+            flags.select(F.col("doc_id").alias("id_b"), F.col("is_test").alias("tb")),
+            "id_b",
+        )
+        .where(F.col("ta") != F.col("tb"))
+        .count()
+    )
+    return n_train, n_eval, crossing
 
 
 if __name__ == "__main__":

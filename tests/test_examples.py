@@ -26,3 +26,13 @@ def test_synthetic_pipeline(spark):
     assert 0 < n_dedup < n_gen  # planted duplicates removed
     assert 0 < n_quality <= n_dedup
     assert 0 < n_seqs < n_quality  # packing coalesces docs into sequences
+
+    n_train, n_eval, crossing = synthetic_pipeline.split_and_audit(
+        spark, rows=2000
+    )
+    assert n_train + n_eval == 2000
+    assert 0 < n_eval < n_train  # ~10% held out
+    # the generator plants ~3% duplicates and the split ignores content,
+    # so SOME duplicate pairs must cross the split — the audit's reason
+    # to exist
+    assert crossing > 0
