@@ -4903,7 +4903,8 @@ def ann_topk_ivf(spark, sf_dir):
     exact = similarity.cosine_topk(emb, queries, k=3)
     eset = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     aset = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
-    ok = len(eset & aset) / len(eset) >= (1.0 / 3.0)
+    # empty query set -> exact frame is empty, the boolean is unread
+    ok = (not eset) or len(eset & aset) / len(eset) >= (1.0 / 3.0)
     return exact.withColumn("recall_ok", F.lit(bool(ok)))
 
 
@@ -8034,6 +8035,10 @@ def tdigest_quantiles_value(spark, sf_dir):
     ev = _load(spark, sf_dir, "events")
     dig = sketch.tdigest_merge(sketch.tdigest_build(ev, "value", delta=100))
     qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    if not dig.head(1):  # empty input: schema-stable empty result
+        return spark.createDataFrame(
+            [], "q double, exact double, rank_ok boolean"
+        )
     ests = {
         r["q"]: r["est"] for r in sketch.tdigest_quantile(dig, qs).collect()
     }
@@ -8145,6 +8150,10 @@ def streaming_tdigest_value(spark, sf_dir):
     q.awaitTermination()
     dig = streaming.load_state(spark, f"{base}/state")
     qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    if not dig.head(1):  # empty input: schema-stable empty result
+        return spark.createDataFrame(
+            [], "q double, exact double, rank_ok boolean"
+        )
     ests = {
         r["q"]: r["est"] for r in sketch.tdigest_quantile(dig, qs).collect()
     }
@@ -8261,7 +8270,8 @@ def ann_topk_pq(spark, sf_dir):
     exact = similarity.cosine_topk(emb, queries, k=3)
     eset = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     aset = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
-    ok = len(eset & aset) / len(eset) >= 0.4
+    # empty query set -> exact frame is empty, the boolean is unread
+    ok = (not eset) or len(eset & aset) / len(eset) >= 0.4
     return exact.withColumn("recall_ok", F.lit(bool(ok)))
 
 

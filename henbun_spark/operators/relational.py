@@ -537,6 +537,16 @@ def _unwrap_sort(entry):
         nulls_first = "NullsFirst" in node.nullOrdering().toString()
         return child, desc, nulls_first
     except Exception:
+        import warnings
+
+        warnings.warn(
+            "henbun_spark: SortOrder introspection unavailable on this "
+            "runtime — in-plan rank/prefix primitives degrade to the "
+            "single-bin (plain window) plan. Expect single-task sorts "
+            "at scale.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return None, False, True
 
 
@@ -644,6 +654,31 @@ def _leading_sort_bins(df, order_by, n_bins):
     )
 
 
+#: Hard ceiling for the composite path's exact-leading-value cells: the
+#: offsets table is |lead values| x |bins| rows and gets BROADCAST, so
+#: the trigger must distinguish a genuinely low-cardinality key from a
+#: MASS-SKEWED high-cardinality one (97% one value + millions of tail
+#: values also dedupes its equi-depth bounds below 32).
+LOW_CARD_LEAD_MAX_DISTINCT = 256
+
+
+def _lead_confirmed_low_card(df, entry) -> bool:
+    """One shuffle-free-cheap aggregate (HLL++ partials) confirming the
+    leading sort expression really has few distinct values before the
+    composite path keys cells by the exact value. Runs ONLY when the
+    sampled bounds already deduped below `LOW_CARD_LEAD_BOUNDS`."""
+    child, _desc, _nf = _unwrap_sort(entry)
+    if child is None:
+        return False
+    try:
+        n = df.agg(
+            F.approx_count_distinct(child, 0.05).alias("__c")
+        ).collect()[0]["__c"]
+    except Exception:
+        return False
+    return n <= LOW_CARD_LEAD_MAX_DISTINCT
+
+
 def _generic_binned_offsets(df, kcols, order_by, wcol, n_bins):
     """`_binned_cells` generalized to an arbitrary ``order_by`` leading
     expression: (df + __bin, offsets, degenerate) — cells aggregate
@@ -664,6 +699,7 @@ def _generic_binned_offsets(df, kcols, order_by, wcol, n_bins):
         not degenerate
         and n_bounds < LOW_CARD_LEAD_BOUNDS
         and len(order_by) >= 2
+        and _lead_confirmed_low_card(df, order_by[0])
     ):
         # LOW-CARDINALITY leading key (source, lang, event_type...): a
         # handful of bins means each cell still sorts ~n/|values| rows
@@ -676,8 +712,8 @@ def _generic_binned_offsets(df, kcols, order_by, wcol, n_bins):
         bin2, desc2, degen2, _nb2 = _leading_sort_bins(
             df, order_by[1:], n_bins
         )
-        if not degen2:
-            child1, desc1, nf1 = _unwrap_sort(order_by[0])
+        child1, desc1, nf1 = _unwrap_sort(order_by[0])
+        if not degen2 and child1 is not None:
             lead = F.col("__lead")
             if desc1:
                 border1 = (
@@ -761,9 +797,9 @@ def assign_row_ids(
         # single constant bin: every offset is 0 and a join on a
         # constant key would fold to a BNLJ — this IS the plain global
         # window, the documented tiny-data / exotic-type fallback
-        return b.withColumn(id_name, F.row_number().over(w)).select(
-            *df.columns, id_name
-        )
+        return b.withColumn(
+            id_name, F.row_number().over(w).cast("long")
+        ).select(*df.columns, id_name)
     return (
         _join_binned_offsets(b, off, cell_keys)
         .withColumn(id_name, F.row_number().over(w) + F.col("__boff"))
@@ -833,7 +869,7 @@ def assign_keyed_ranks(
     )
     if degenerate and not kcols:
         w = Window.partitionBy("__bin").orderBy(*ocols)
-        out = b.withColumn(rank_name, F.row_number().over(w))
+        out = b.withColumn(rank_name, F.row_number().over(w).cast("long"))
         if total_name:
             out = out.withColumn(
                 total_name, F.count(F.lit(1)).over(Window.partitionBy("__bin"))
@@ -1061,8 +1097,13 @@ def _sampled_value_bounds(df, vexpr, n_bins):
     probs = [i / n_bins for i in range(1, n_bins)]
     if not probs:
         return []
+    # accuracy must outrun the requested resolution: at accuracy A the
+    # sketch only resolves ~1/A rank steps, so a fixed 100 would cap
+    # distinct bounds near 100 no matter how many bins a large cluster
+    # config asks for (and push skewed columns into the composite
+    # trigger spuriously)
     row = qsrc.agg(
-        F.percentile_approx("__v", probs, 100).alias("__qs")
+        F.percentile_approx("__v", probs, max(100, 2 * n_bins)).alias("__qs")
     ).collect()[0]
     return sorted(set(row["__qs"] or []))
 

@@ -154,9 +154,11 @@ def test_driver_sampled_window_rotation_invariant():
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         with open(path) as f:
             for name, rec in json.load(f).items():
-                # err rows (no_oracle / crashes) verified nothing —
-                # they don't count as coverage
-                if rec.get("err") is None:
+                # err rows (no_oracle / crashes) verified nothing, and a
+                # FAILED hash check is a red row, not coverage — a red
+                # query must be able to hold its window slot for the
+                # re-check after a fix
+                if rec.get("err") is None and rec.get("hash_match") is not False:
                     greens[name] = greens.get(name, 0) + 1
     never_checked_outside = [
         n
