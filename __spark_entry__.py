@@ -5774,23 +5774,74 @@ def kmeans_embeddings(spark, sf_dir):
 def semantic_dedup_emb(spark, sf_dir):
     """SemDeDup-style semantic dedup (SURVEY §2.11): k-means clusters as
     the blocking stage, within-cluster cosine pairs >= 0.95, transitive
-    closure, one keeper per semantic group. Rows-only check (k-means is
-    iterative); the pytest plants exact + noisy duplicates and checks
-    group recovery. Returns per-cluster group/keep summary."""
+    closure, one keeper per semantic group.
+
+    ORACLE-CHECKED (r8, retiring the rows-only driver row): the test
+    embeddings have NO natural pairs at cosine >= 0.90 (measured at
+    sf0.01 and sf0.1), so planted near-dup copies fully determine the
+    duplicate groups. Twelve seeded copies (deterministic multiplicative
+    perturbation, |eps| <= 3e-4 per element -> cosine >= 0.999999 vs the
+    original, >= 0.95 margin on both sides of the threshold regardless
+    of float32 rounding) are unioned in: vec_id 0-3 get TWO copies each
+    (3-member components — transitive closure genuinely exercised:
+    copy-copy pairs close through the original), 4-11 one copy each.
+    The oracle pins the dup components as a VALUES table and the
+    singleton count as COUNT(*)-12, so a blocking recall miss (a planted
+    pair split across k-means cells), a broken closure, or a keeper bug
+    each flips the hash. The k-means path stays REAL and corpus-sized —
+    the bench cost is unchanged in kind."""
     from henbun_spark.operators import dedup
 
-    emb = _load(spark, sf_dir, "embeddings")
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def _plant(n_copies, offset):
+        # perturbation keyed by the NEW id so the two copies of the same
+        # original differ from each other; pure integer arithmetic, no
+        # libm, so it is deterministic on any engine/platform
+        nid = F.col("vec_id") + F.lit(offset)
+        pert = F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, j: x * (1.0 + ((nid * 31 + j) % 7 - 3) * 1e-4),
+        )
+        return emb.where(F.col("vec_id") < n_copies).select(
+            nid.alias("vec_id"), pert.cast("array<float>").alias("embedding")
+        )
+
+    aug = emb.unionByName(_plant(12, 1_000_000)).unionByName(
+        _plant(4, 2_000_000)
+    )
     # SemDeDup scales cluster count with corpus size (the paper uses
     # k ~ n/160): blocking cost is sum(cluster^2) ~ n^2/k, so a fixed k
     # degrades quadratically as the corpus grows
     k = max(8, emb.count() // 300)
     labeled = dedup.semantic_dedup(
-        emb, "embedding", "vec_id", k=k, threshold=0.95
+        aug, "embedding", "vec_id", k=k, threshold=0.95
     )
-    return labeled.groupBy("component").agg(
+    grp = labeled.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
     )
+    dups = grp.where(F.col("n_members") >= 2)
+    singles = grp.where(F.col("n_members") == 1).agg(
+        F.count(F.lit(1)).alias("n_singletons")
+    )
+    # bounded 1-row broadcast cross join (the skew_report_events shape)
+    return dups.crossJoin(F.broadcast(singles))
+
+
+#: r8 semantic-dedup oracle: planted dup components are a deterministic
+#: constant (see semantic_dedup_emb docstring); singletons = N - 12.
+_SEMANTIC_DEDUP_SQL = """
+SELECT CAST(t.component AS BIGINT) AS component,
+       CAST(t.n_members AS BIGINT) AS n_members,
+       CAST(1 AS BIGINT) AS n_kept,
+       s.n_singletons
+FROM (VALUES (0, 3), (1, 3), (2, 3), (3, 3),
+             (4, 2), (5, 2), (6, 2), (7, 2),
+             (8, 2), (9, 2), (10, 2), (11, 2)) AS t(component, n_members)
+CROSS JOIN (SELECT (COUNT(*) - 12)::BIGINT AS n_singletons
+            FROM embeddings) s
+"""
 
 
 def bpe_train_encode(spark, sf_dir):
@@ -6329,6 +6380,49 @@ SELECT doc_id, source,
   row_number() OVER (ORDER BY source, doc_id)::BIGINT AS ord,
   ((row_number() OVER (ORDER BY source, doc_id) - 1) % 20)::INT AS shard
 FROM documents
+"""
+
+
+def corpus_layout_desc(spark, sf_dir):
+    """`corpus_layout_order`'s DESC + NULLS edge (r8, closing the r7
+    verdict's item 6): the r7 generalized `_leading_sort_bins` NULL
+    placement matrix (relational.py:603) was pytest-covered but no
+    CONTRACT query ordered by a nullable string DESCENDING — this one
+    pins the `DESC NULLS LAST` null-bin arithmetic (NULL -> bin -1, the
+    far end of the DESC offsets walk) to the driver hash. NULLs are
+    injected deterministically (every 17th doc) because the test data
+    has none; the leading key is therefore a COMPUTED nullable string,
+    which also exercises the composite low-card path's expression (not
+    bare-column) handling. Oracle is the naive global window."""
+    from henbun_spark.operators import relational
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0, F.lit(None))
+        .otherwise(F.col("source"))
+        .alias("src"),
+    )
+    out = relational.assign_row_ids(
+        docs, [F.desc_nulls_last("src"), F.asc("doc_id")], "ord"
+    )
+    return out.select(
+        "doc_id",
+        "src",
+        "ord",
+        F.pmod(F.col("ord") - 1, F.lit(20)).cast("int").alias("shard"),
+    )
+
+
+_CORPUS_LAYOUT_DESC_SQL = """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 17 = 0 THEN NULL ELSE source END AS src
+  FROM documents)
+SELECT doc_id, src,
+  row_number() OVER (ORDER BY src DESC NULLS LAST, doc_id)::BIGINT AS ord,
+  ((row_number() OVER (ORDER BY src DESC NULLS LAST, doc_id) - 1) % 20)::INT
+    AS shard
+FROM d
 """
 
 
@@ -8286,18 +8380,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- driver-coverage rotation (round 7) ---
-        # The driver hash-checks the FIRST 50 entries each round. The
-        # window is now 100% ORACLE-BACKED by construction (rows-only
-        # queries get `err: no_oracle` driver rows that verify nothing
-        # — the r6 lesson; tests/test_entry.py enforces it): slot 1
-        # re-checks the r6 hash-fail fix, the next ~16 slots are
-        # FIRST-EVER hash checks (the two r7-new queries, the eleven
-        # r7 rows-only->oracle conversions, and the two oracle-backed
-        # entries no round ever sampled), and the tail rotates through
-        # the oracle-backed queries with the fewest / oldest committed
-        # driver rows (r2, then r4, then r5).
+        # --- driver-coverage rotation (round 8) ---
+        # The driver hash-checks the FIRST 50 entries each round. All 50
+        # are oracle-backed (tests/test_entry.py enforces it): slot 1 is
+        # streaming_static_enrich — fixed at HEAD of r7 but the driver's
+        # r7 row was evaluated against round-start code, so it is still
+        # the only oracle-backed query with no green driver row; slots
+        # 2-3 are FIRST-EVER hash checks (the r8 rows-only->oracle
+        # conversion of semantic_dedup_emb and the new corpus_layout_desc
+        # DESC+NULLS contract); the remaining 47 rotate through the
+        # oracle-backed queries with the OLDEST last-green driver round
+        # (all 27 last green in r3, then 20 of the 22 last green in r4 —
+        # string_date_functions and top_events_per_user roll to r9).
         "streaming_static_enrich": streaming_static_enrich,
+        "semantic_dedup_emb": semantic_dedup_emb,
+        "corpus_layout_desc": corpus_layout_desc,
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_jaccard": dedup_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "density_bernoulli": density_bernoulli,
+        "density_beta": density_beta,
+        "density_bimixture": density_bimixture,
+        "density_exponential": density_exponential,
+        "density_gamma": density_gamma,
+        "density_gaussian": density_gaussian,
+        "density_laplace": density_laplace,
+        "density_lognormal": density_lognormal,
+        "density_poisson": density_poisson,
+        "density_student_t": density_student_t,
+        "emb_near_dup": emb_near_dup,
+        "emb_near_dup_lsh": emb_near_dup_lsh,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
+        "range_join_quantity": range_join_quantity,
+        "sim_cosine_topk": sim_cosine_topk,
+        "simhash_near_pairs": simhash_near_pairs,
+        "text_langid": text_langid,
+        "text_quality": text_quality,
+        "text_repetition": text_repetition,
+        "text_stats": text_stats,
+        "text_tfidf": text_tfidf,
+        "train_test_split_hash": train_test_split_hash,
+        "transform_softplus": transform_softplus,
+        "asof_last_purchase": asof_last_purchase,
+        "asof_next_purchase": asof_next_purchase,
+        "cube_revenue": cube_revenue,
+        "distinct_agg_suppliers": distinct_agg_suppliers,
+        "grouping_sets_revenue": grouping_sets_revenue,
+        "hourly_event_counts": hourly_event_counts,
+        "percentile_quantity": percentile_quantity,
+        "q12_priority_by_status": q12_priority_by_status,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q22_inactive_customers": q22_inactive_customers,
+        "q3_top_orders": q3_top_orders,
+        "q4_late_shipment_priority": q4_late_shipment_priority,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "rollup_revenue": rollup_revenue,
+        "running_total_user": running_total_user,
+        "session_window_agg": session_window_agg,
+        "sessionize_events": sessionize_events,
+        "set_ops_customers": set_ops_customers,
         "streaming_mv_partitioned_daily": streaming_mv_partitioned_daily,
         "corpus_layout_order": corpus_layout_order,
         "split_leakage_report": split_leakage_report,
@@ -8399,11 +8543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gp_experts_events": gp_experts_events,
         "vi_staged_training": vi_staged_training,
         "kmeans_embeddings": kmeans_embeddings,
-        "semantic_dedup_emb": semantic_dedup_emb,
         "pca_embeddings": pca_embeddings,
         "bpe_train_encode": bpe_train_encode,
-        "dedup_exact_groups": dedup_exact_groups,
-        "dedup_jaccard": dedup_jaccard,
         "gp_sparse_posterior": gp_sparse_posterior,
         "hll_distinct_users": hll_distinct_users,
         "hll_users_by_type": hll_users_by_type,
@@ -8444,53 +8585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs_overlap": chunk_docs_overlap,
         "quantile_sketch_value": quantile_sketch_value,
         "transform_exp": transform_exp,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_orders": q3_top_orders,
-        "q5_nation_revenue": q5_nation_revenue,
-        "q4_late_shipment_priority": q4_late_shipment_priority,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q12_priority_by_status": q12_priority_by_status,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q22_inactive_customers": q22_inactive_customers,
-        "rollup_revenue": rollup_revenue,
-        "cube_revenue": cube_revenue,
-        "grouping_sets_revenue": grouping_sets_revenue,
-        "set_ops_customers": set_ops_customers,
-        "distinct_agg_suppliers": distinct_agg_suppliers,
         "string_date_functions": string_date_functions,
-        "percentile_quantity": percentile_quantity,
         "top_events_per_user": top_events_per_user,
-        "asof_last_purchase": asof_last_purchase,
-        "asof_next_purchase": asof_next_purchase,
-        "sessionize_events": sessionize_events,
-        "session_window_agg": session_window_agg,
-        "running_total_user": running_total_user,
-        "hourly_event_counts": hourly_event_counts,
-        "range_join_quantity": range_join_quantity,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_simhash": dedup_simhash,
-        "simhash_near_pairs": simhash_near_pairs,
-        "text_stats": text_stats,
-        "text_quality": text_quality,
-        "text_langid": text_langid,
-        "text_tfidf": text_tfidf,
-        "text_repetition": text_repetition,
-        "pipeline_clean_corpus": pipeline_clean_corpus,
-        "train_test_split_hash": train_test_split_hash,
-        "sim_cosine_topk": sim_cosine_topk,
-        "emb_near_dup": emb_near_dup,
-        "emb_near_dup_lsh": emb_near_dup_lsh,
-        "density_gaussian": density_gaussian,
-        "density_poisson": density_poisson,
-        "density_student_t": density_student_t,
-        "density_lognormal": density_lognormal,
-        "density_bernoulli": density_bernoulli,
-        "density_exponential": density_exponential,
-        "density_gamma": density_gamma,
-        "density_beta": density_beta,
-        "density_laplace": density_laplace,
-        "density_bimixture": density_bimixture,
-        "transform_softplus": transform_softplus,
         "vi_linear_regression": vi_linear_regression,
     }
 
@@ -8676,6 +8772,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_mv_daily": _MV_INCREMENTAL_SQL,
         "streaming_mv_partitioned_daily": _MV_INCREMENTAL_SQL,
         "corpus_layout_order": _CORPUS_LAYOUT_SQL,
+        "corpus_layout_desc": _CORPUS_LAYOUT_DESC_SQL,
+        # r8: retired rows-only debt — planted-constant dup components
+        # (see semantic_dedup_emb's docstring)
+        "semantic_dedup_emb": _SEMANTIC_DEDUP_SQL,
         "split_leakage_report": _split_leakage_sql(),
         "streaming_heavy_hitters": _HEAVY_HITTERS_SQL,
         "streaming_interval_left_join": _STREAMING_LOJ_SQL,

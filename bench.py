@@ -170,6 +170,7 @@ HEADLINE = [
     "robust_scale_value",
     "length_quantiles_by_source",
     "corpus_layout_order",
+    "corpus_layout_desc",
     "split_leakage_report",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates

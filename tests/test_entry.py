@@ -29,7 +29,6 @@ ROWS_ONLY = {
     "pca_embeddings",
     "bpe_train_encode",
     "vi_amortized_encoder",
-    "semantic_dedup_emb",
 }
 
 

@@ -7,9 +7,12 @@ gate only ran manually. This test runs the same audit over every
 row-at-a-time BatchEvalPython, or un-whitelisted BNLJ fails the suite.
 
 Queries that execute work at build time (training loops, streaming
-drains, k-means fits) are skipped here for suite-speed; the full audit —
-including those — remains `python tools/explain_audit.py` (documented as
-a local gate in README.md) and is still the authority.
+drains, k-means fits) are audited by `test_plan_audit_eager_green`
+below — parametrized per query so one training loop flagging doesn't
+hide the rest (round-8 hardening: in r7 the standalone tool went red on
+exactly the two queries this module skipped, so "skipped in-suite" must
+never again mean "audited by nobody"). `python tools/explain_audit.py`
+remains the one-shot local gate over the whole registry.
 """
 
 from __future__ import annotations
@@ -27,22 +30,25 @@ import __spark_entry__ as entry_mod
 import explain_audit
 
 # Eager at build time (training / streaming drains / driver-side fits):
-# audited by the standalone tool, skipped in-suite.
+# audited per-query by test_plan_audit_eager_green, skipped in the fast
+# batch test. Membership was verified empirically in r8 (statusTracker
+# job counts at build time, sf0.001): every name here runs >=1 Spark job
+# at build; `audio_dedup_fp` and `multimodal_features` were removed
+# because they build fully lazily (0 jobs) and belong in the fast batch.
 EAGER_PREFIXES = ("streaming_", "vi_", "gp_")
 EAGER = {
-    "kmeans_embeddings",
-    "semantic_dedup_emb",
-    "pca_embeddings",
-    "bpe_train_encode",
-    "logreg_quality_classifier",
-    "ann_topk_ivf",
-    "ann_topk_pq",
-    "tdigest_quantiles_value",
-    "mv_incremental_daily",
-    "image_dedup_ahash",
-    "audio_dedup_fp",
-    "video_dedup_frames",
-    "multimodal_features",
+    "kmeans_embeddings",        # driver-side Lloyd's iterations
+    "semantic_dedup_emb",       # k-means fit + in-cluster pair jobs
+    "pca_embeddings",           # Gram-matrix collect for eigenvectors
+    "bpe_train_encode",         # merge-rule training loop
+    "logreg_quality_classifier",  # SGD epochs
+    "ann_topk_ivf",             # coarse-centroid fit
+    "ann_topk_pq",              # subspace-codebook fit
+    "tdigest_quantiles_value",  # digest build (treeAggregate)
+    "mv_incremental_daily",     # day-1 state materialization
+    "image_dedup_ahash",        # decode-probe job
+    "image_dedup_phash",        # decode-probe job
+    "video_dedup_frames",       # decode-probe job
 }
 
 
@@ -51,6 +57,14 @@ def _plan_only_names():
         n
         for n in entry_mod.queries()
         if not n.startswith(EAGER_PREFIXES) and n not in EAGER
+    ]
+
+
+def _eager_names():
+    return [
+        n
+        for n in entry_mod.queries()
+        if n.startswith(EAGER_PREFIXES) or n in EAGER
     ]
 
 
@@ -69,6 +83,29 @@ def test_plan_audit_green(spark, sf_dir):
         if hard:
             failures.append(f"{name}: {hard}")
     assert not failures, "plan audit red at HEAD:\n" + "\n".join(failures)
+
+
+@pytest.mark.parametrize("name", sorted(set(_eager_names())))
+def test_plan_audit_eager_green(spark, sf_dir, name):
+    """Audit the queries that execute work at build time (the r7 hole:
+    the standalone tool was the only thing auditing these, and it wasn't
+    being run). Parametrized so each training loop / streaming drain is
+    its own test and a single flag names its query directly."""
+    plan = explain_audit.plan_of(entry_mod.queries()[name](spark, sf_dir))
+    hard = [f for f in explain_audit.audit(name, plan) if not f.startswith("warn:")]
+    assert not hard, f"{name}: {hard}"
+
+
+def test_eager_plus_plan_only_covers_registry():
+    # The two audit tests must partition the registry exactly — a query
+    # in neither set is audited by nobody (the r7 failure mode).
+    qs = set(entry_mod.queries())
+    both = set(_plan_only_names()) & set(_eager_names())
+    neither = qs - set(_plan_only_names()) - set(_eager_names())
+    assert not both and not neither, f"both={sorted(both)} neither={sorted(neither)}"
+    # And every hand-listed EAGER name must still be a registered query.
+    stale = sorted(n for n in EAGER if n not in qs)
+    assert not stale, f"stale EAGER entries: {stale}"
 
 
 def test_bnlj_whitelist_entries_still_exist():

@@ -69,7 +69,19 @@ from henbun_spark import sources
 #  - dsir_select_docs: the 1-row totals-constant aggregate (log
 #    (Tr+B)/(Tt+B)) crossed onto the per-doc weight aggregate — same
 #    bounded 1-row-broadcast shape as lm_score_docs' totals.
+#  - ann_topk_pq / ann_topk_ivf: the r7 oracle conversion added an
+#    exact-top-3 payload via similarity.cosine_topk — <=5 broadcast
+#    query vectors crossed onto one corpus scan, the identical bounded
+#    brute-force shape already whitelisted for sim_cosine_topk and
+#    hard_negatives_emb (linear in the corpus; the broadcast side is a
+#    filtered constant). The ANN candidate path itself is hash-joined.
+#  - semantic_dedup_emb: the r8 oracle conversion appends the 1-row
+#    singleton-count aggregate onto the (bounded, 12-row) dup-component
+#    table — the skew_report_events shape.
 BNLJ_OK = {
+    "semantic_dedup_emb",
+    "ann_topk_pq",
+    "ann_topk_ivf",
     "dsir_select_docs",
     "hard_negatives_emb",
     "streaming_tdigest_value",
