@@ -1051,13 +1051,22 @@ def md5_bucketed_prefix_sum(
     return out.select(*df.columns, out_name)
 
 
-#: Upper clamp for derived bin counts: each bin adds a CASE node to the
-#: binary-search bin expression, so an unclamped 32k-partition cluster
-#: config would inflate the plan to ~64k expression nodes (codegen
-#: falls back to interpreted past 65535 JVM bytecode limits). 4096 bins
-#: keeps the tree at 12 comparisons/row and the cells table tiny while
-#: still giving every executor thousands of independent slices.
+#: Upper clamp for derived bin counts: bounds the cells-table size
+#: (|keys| x bins rows, broadcast) and the bounds-aggregate cost
+#: (percentile_approx with n_bins-1 probs at accuracy 2*n_bins). 4096
+#: bins gives every executor thousands of independent slices on even
+#: the widest sane cluster config.
 MAX_VALUE_BINS = 4096
+
+#: Representation switch for the bin expression: up to this many bounds
+#: the binary-search CASE tree stays comfortably inside one generated
+#: JVM method (measured r8: 255 bounds ~15 KB compiles; 1022 bounds
+#: trips janino's "Code grows beyond 64 KB" and the WHOLE enclosing
+#: stage falls back to interpreted eval — a measured 3-4x per-row tax
+#: that is pure overhead at any data size). Past it, the bin id comes
+#: from an Arrow-vectorized np.searchsorted instead: O(log bins)/row in
+#: C, O(1) generated code, identical strict-below semantics.
+CODEGEN_SAFE_BOUNDS = 256
 
 #: Composite-binning trigger: a leading sort key whose sampled bounds
 #: dedupe below this is low-cardinality — one bin per value class would
@@ -1133,9 +1142,18 @@ def _bin_expr_from_bounds(bounds, vd, lit_cast=float):
     (measured ~2x faster at 200 bins). NULL comparisons are NULL, so
     every WHEN falls through to its `otherwise` and NULL descends the
     left spine to bin 0 (nulls-first); Spark's NaN-greatest comparison
-    semantics send NaN down the right spine to the top bin."""
+    semantics send NaN down the right spine to the top bin.
+
+    Past `CODEGEN_SAFE_BOUNDS` the tree's generated code would trip the
+    JVM's 64 KB method limit and drag the whole stage to interpreted
+    eval (the r8 clamp-edge probe, SCALING.md), so large bound sets
+    switch to `_searchsorted_bin_expr` — an Arrow-vectorized binary
+    search with the same NULL/NaN/boundary contract, pytest-pinned
+    bitwise against this tree."""
     if not bounds:
         return F.lit(0)
+    if len(bounds) > CODEGEN_SAFE_BOUNDS:
+        return _searchsorted_bin_expr(bounds, vd, lit_cast)
 
     def tree(lo, hi):
         # bin ids [lo..hi]; bounds[lo..hi-1] separate them; invariant:
@@ -1150,6 +1168,57 @@ def _bin_expr_from_bounds(bounds, vd, lit_cast=float):
         )
 
     return tree(0, len(bounds))
+
+
+def _searchsorted_bin_expr(bounds, vd, lit_cast=float):
+    """Large-bound-set twin of `_bin_expr_from_bounds`'s CASE tree: the
+    bin id (count of bounds strictly below the value, boundary-equal
+    LOW) via one Arrow-vectorized `np.searchsorted(side="left")` —
+    O(log bins) per row in C and O(1) generated code, so a 4096-bin
+    big-cluster config no longer trips janino's 64 KB method limit and
+    de-codegens the whole stage (measured 3-4x per-row tax; r8
+    clamp-edge probe, SCALING.md).
+
+    Contract parity with the tree, pytest-pinned bitwise:
+    * boundary-equal LOW — `side="left"` returns the strictly-below
+      count, same as the tree's `v > bound` descent;
+    * NULL -> bin 0 — intercepted by a plain `when(isNull, 0)` wrapper
+      BEFORE the UDF (inside the batch a double NULL is
+      indistinguishable from NaN); the UDF's value for those rows is
+      computed and discarded, never surfaced;
+    * NaN -> top bin — numpy sorts NaN greatest, same as Spark;
+    * strings compare as code points both sides (numpy object-array
+      `searchsorted` uses Python `<`; Spark's UTF8 binary order is the
+      same order).
+
+    This is a pandas UDF, not a HOF lambda — its value reference is an
+    ordinary attribute that self-join/set-op dedup rewrites correctly,
+    so the CASE-tree's raison d'etre (the NamedLambdaVariable rewrite
+    bug above) does not bite here."""
+    import numpy as np
+    import pandas as pd
+
+    if lit_cast is float:
+        barr = np.asarray([float(b) for b in bounds], dtype=np.float64)
+    else:
+        barr = np.asarray(list(bounds), dtype=object)
+
+    def _bin(v):
+        if barr.dtype == object:
+            # placeholder for NULL rows (result discarded by the
+            # isNull wrapper); object-dtype search uses Python `<`
+            vals = v.fillna(str(barr[0])).to_numpy(dtype=object)
+        else:
+            vals = v.to_numpy(dtype=np.float64)  # NULL -> NaN -> top
+        idx = np.searchsorted(barr, vals, side="left")
+        return pd.Series(idx.astype(np.int32))
+
+    # real class annotations (not strings): under `from __future__
+    # import annotations` inline hints stringify and defeat pandas_udf's
+    # hint-based eval-type inference
+    _bin.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    bin_udf = F.pandas_udf(_bin, T.IntegerType())
+    return F.when(vd.isNull(), F.lit(0)).otherwise(bin_udf(vd))
 
 
 def _join_binned_offsets(b, off, kcols):

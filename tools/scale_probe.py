@@ -169,11 +169,22 @@ def main():
     big = "--big" in args
     args = [a for a in args if a != "--big"]
     factors = (2, 4)
+    partitions = None
     for a in list(args):
         if a.startswith("--factors="):
             factors = tuple(int(x) for x in a.split("=", 1)[1].split(","))
             args.remove(a)
-    spark = sources.get_spark("henbun-scale-probe")
+        elif a.startswith("--partitions="):
+            # clamp-edge probing: a big-cluster shuffle width (e.g. 8192)
+            # drives the binned primitives' n_bins request past
+            # MAX_VALUE_BINS, exercising the 4096-bin clamp + the
+            # accuracy=max(100, 2*n_bins) percentile_approx scaling
+            partitions = int(a.split("=", 1)[1])
+            args.remove(a)
+    spark = sources.get_spark(
+        "henbun-scale-probe",
+        **({"shuffle_partitions": partitions} if partitions else {}),
+    )
     qs = entry_mod.queries()
     if big:
         names = args or BIG_DEFAULT
