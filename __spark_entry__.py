@@ -6349,6 +6349,34 @@ FROM documents
 """
 
 
+def row_ids_wide_bins(spark, sf_dir):
+    """`row_ids_documents` at a BIG-CLUSTER bin width (r8): 512
+    requested bins over a high-cardinality double pushes the bin
+    expression past `CODEGEN_SAFE_BOUNDS`, so this query rides the
+    Arrow-vectorized searchsorted bin path (`relational.
+    _searchsorted_bin_expr`) — the representation large shuffle-width
+    clusters get, where the binary-search CASE tree would trip the JVM
+    64 KB codegen limit (SCALING.md r8 clamp-edge probe). Driver-hash-
+    pins that path end-to-end: same ids as the naive global window, an
+    ArrowEvalPython bin stage instead of 511 CASE nodes."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", F.col("value").cast("double").alias("value")
+    )
+    out = relational.assign_row_ids(
+        ev, [F.asc("value"), F.asc("event_id")], "ord", n_partitions=512
+    )
+    return out.select("event_id", "value", "ord")
+
+
+_ROW_IDS_WIDE_SQL = """
+SELECT event_id, value::DOUBLE AS value,
+  row_number() OVER (ORDER BY value, event_id)::BIGINT AS ord
+FROM events
+"""
+
+
 def corpus_layout_order(spark, sf_dir):
     """Reproducible corpus layout for training determinism: a STABLE
     global ordering (source ASC, doc_id ASC) -> consecutive ordinal ->
@@ -8387,14 +8415,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 row was evaluated against round-start code, so it is still
         # the only oracle-backed query with no green driver row; slots
         # 2-3 are FIRST-EVER hash checks (the r8 rows-only->oracle
-        # conversion of semantic_dedup_emb and the new corpus_layout_desc
-        # DESC+NULLS contract); the remaining 47 rotate through the
+        # conversion of semantic_dedup_emb, the new corpus_layout_desc
+        # DESC+NULLS contract, and row_ids_wide_bins pinning the r8
+        # searchsorted bin path); the remaining 46 rotate through the
         # oracle-backed queries with the OLDEST last-green driver round
-        # (all 27 last green in r3, then 20 of the 22 last green in r4 —
-        # string_date_functions and top_events_per_user roll to r9).
+        # (all 27 last green in r3, then 19 of the 22 last green in r4 —
+        # set_ops_customers, string_date_functions and top_events_per_user
+        # roll to r9).
         "streaming_static_enrich": streaming_static_enrich,
         "semantic_dedup_emb": semantic_dedup_emb,
         "corpus_layout_desc": corpus_layout_desc,
+        "row_ids_wide_bins": row_ids_wide_bins,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -8441,7 +8472,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total_user": running_total_user,
         "session_window_agg": session_window_agg,
         "sessionize_events": sessionize_events,
-        "set_ops_customers": set_ops_customers,
         "streaming_mv_partitioned_daily": streaming_mv_partitioned_daily,
         "corpus_layout_order": corpus_layout_order,
         "split_leakage_report": split_leakage_report,
@@ -8585,6 +8615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs_overlap": chunk_docs_overlap,
         "quantile_sketch_value": quantile_sketch_value,
         "transform_exp": transform_exp,
+        "set_ops_customers": set_ops_customers,
         "string_date_functions": string_date_functions,
         "top_events_per_user": top_events_per_user,
         "vi_linear_regression": vi_linear_regression,
@@ -8691,6 +8722,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users": _hll_sql(),
         "hll_users_by_type": _hll_sql(group_col="event_type"),
         "row_ids_documents": _ROW_IDS_SQL,
+        "row_ids_wide_bins": _ROW_IDS_WIDE_SQL,
         "fuzzy_match_titles": _FUZZY_SQL,
         "unpivot_pricing_metrics": _UNPIVOT_SQL,
         "corr_lineitem_metrics": _corr_sql(),

@@ -171,6 +171,7 @@ HEADLINE = [
     "length_quantiles_by_source",
     "corpus_layout_order",
     "corpus_layout_desc",
+    "row_ids_wide_bins",
     "split_leakage_report",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
