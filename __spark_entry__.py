@@ -5746,29 +5746,66 @@ GROUP BY 1
 
 
 def kmeans_embeddings(spark, sf_dir):
-    """Distributed Lloyd's k-means on the embeddings table (SURVEY §2.11):
-    3 iterations, k=8, deterministic xxhash-min init.  Per iteration: one
-    mapInPandas assignment scan + treeAggregate reduction (driver sees
-    k x dim doubles only); final assignment is pure-Column codegen.
-    Rows-only check (iterative — not SQL-expressible); the pytest replays
-    the identical algorithm in single-process numpy and matches centroids
-    to 1e-8."""
+    """Distributed Lloyd's k-means (SURVEY §2.11): deterministic
+    xxhash-min init, mapInPandas assignment scan + treeAggregate
+    reduction per iteration (driver sees k x dim doubles only), final
+    assignment as pure-Column codegen.
+
+    ORACLE-CHECKED (r8, retiring the rows-only driver row): the fit runs
+    on PLANTED data — 256 synthesized points in 4 well-separated
+    clusters (centers 200 apart on coordinate 0, per-point offsets
+    <= 0.47), cluster map `(id*25) % 256 // 64` chosen so the four
+    xxhash-min init seeds land in four DISTINCT planted clusters, making
+    Lloyd's recovery of the exact planted partition deterministic. All
+    values are dyadic rationals, so every float sum is EXACT and
+    summation order (partitioning, treeAggregate shape) cannot move a
+    bit: the oracle recomputes per-true-cluster (n_vecs, mean_x0) with
+    plain SQL arithmetic over the same synthesis formula. Output drops
+    the arbitrary init-dependent cluster LABEL (rows compare
+    order-insensitively on the value columns). A mis-init, a broken
+    Lloyd's update, or one misassigned point flips counts and fails the
+    hash. Corpus-scale k-means stays oracle-pinned via
+    `semantic_dedup_emb` and the `ann_topk_ivf`/`ann_topk_pq` coarse
+    quantizers, and numpy-parity pytests keep the 1e-8 centroid check."""
     from henbun_spark.operators import clustering
 
-    emb = _load(spark, sf_dir, "embeddings")
-    centroids, _ = clustering.kmeans_fit(
-        emb, "embedding", "vec_id", k=8, max_iter=3
+    off = lambda j: (
+        ((F.col("id") * 37 + j * 11) % 16).cast("double") - 7.5
+    ) / 16.0
+    cl = F.expr("CAST(((id*25) % 256) DIV 64 AS INT)")
+    pts = spark.range(256).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *([(cl.cast("double") * 200.0 + off(0))] + [off(j) for j in range(1, 8)])
+        ).alias("embedding"),
     )
-    assigned = clustering.kmeans_assign(emb, "embedding", centroids)
+    centroids, _ = clustering.kmeans_fit(
+        pts, "embedding", "vec_id", k=4, max_iter=3
+    )
+    assigned = clustering.kmeans_assign(pts, "embedding", centroids)
     x0 = F.col("embedding").cast("array<double>")[0]
     return (
         assigned.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(_dsum(x0, "_s0"), 4).alias("sum_x0"),
+            F.avg(x0).alias("mean_x0"),
         )
-        .select("cluster", "n_vecs", "sum_x0")
+        .select("n_vecs", "mean_x0")
     )
+
+
+#: r8 planted-kmeans oracle: same synthesis arithmetic, grouped by the
+#: TRUE cluster — equal to the recovered grouping iff Lloyd's recovers
+#: the planted partition exactly (see kmeans_embeddings docstring).
+_KMEANS_PLANTED_SQL = """
+WITH pts AS (
+  SELECT i AS id,
+    ((i*25) % 256) // 64 AS cl,
+    (((i*25) % 256) // 64) * 200.0 + (((i*37) % 16) - 7.5)/16.0 AS x0
+  FROM (SELECT unnest(range(256)) AS i))
+SELECT COUNT(*)::BIGINT AS n_vecs, AVG(x0) AS mean_x0
+FROM pts GROUP BY cl
+"""
 
 
 def semantic_dedup_emb(spark, sf_dir):
@@ -5861,21 +5898,58 @@ def bpe_train_encode(spark, sf_dir):
 
 def pca_embeddings(spark, sf_dir):
     """Distributed PCA (SURVEY §2.11): one mapInPandas pass reduces the
-    corpus to (n, sum, Gram) sufficient statistics via treeAggregate
+    input to (n, sum, Gram) sufficient statistics via treeAggregate
     (driver sees one dim x dim matrix), driver eigendecomposes, and the
     projection runs as pure-Column codegen with literal coefficients.
-    Rows-only check (eigendecomposition is not SQL-expressible); the
-    pytest matches a single-process numpy PCA to 1e-8."""
+
+    ORACLE-CHECKED (r8, retiring the rows-only driver row): the fit runs
+    on PLANTED axis-aligned data — 64 points in dim 8 where coordinate
+    k<4 is `a_k * s_k(id)` with Walsh signs `s_k(id) = 1 - 2*bit_k(id)`
+    (exactly balanced and pairwise orthogonal over id in [0,64)) and
+    scales a = (8,4,2,1); coordinates 4-7 are zero. Every Gram
+    cross-moment is a sum of exactly cancelling dyadic terms and every
+    mean is exactly 0, so the distributed covariance is EXACTLY diagonal
+    regardless of partitioning or summation order; eigh of an exactly
+    diagonal matrix returns the axes exactly, the distinct variances
+    (64*a_k^2/63) fix the order, and pca_fit's sign canonicalization
+    (largest-|coeff| positive) fixes the signs. The projection is then
+    exactly `pc_k(id) = a_k * s_k(id)` — plain SQL bit arithmetic, no
+    eigendecomposition needed in the oracle. A broken Gram reduction,
+    eig ordering, sign canonicalization, or projection literal flips
+    the hash. The algorithm is input-agnostic (one pass + O(dim^3)
+    driver eig); the corpus-shaped numpy-parity pytest (1e-8) keeps the
+    non-planted check."""
     from henbun_spark.operators import decomposition
 
-    emb = _load(spark, sf_dir, "embeddings")
-    comps, _, mu = decomposition.pca_fit(emb, "embedding", k=4)
+    scales = (8.0, 4.0, 2.0, 1.0)
+    sign = lambda k: 1.0 - 2.0 * F.shiftright(F.col("id"), k).bitwiseAND(
+        F.lit(1)
+    ).cast("double")
+    pts = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *([F.lit(a) * sign(k) for k, a in enumerate(scales)]
+              + [F.lit(0.0) for _ in range(4)])
+        ).alias("embedding"),
+    )
+    comps, _, mu = decomposition.pca_fit(pts, "embedding", k=4)
     proj = decomposition.pca_project(
-        emb.select("vec_id", "embedding"), "embedding", comps, mu
+        pts.select("vec_id", "embedding"), "embedding", comps, mu
     )
-    return proj.select(
-        "vec_id", *[F.round(F.col(f"pc{i}"), 6).alias(f"pc{i}") for i in (1, 2, 3, 4)]
-    )
+    return proj.select("vec_id", "pc1", "pc2", "pc3", "pc4")
+
+
+#: r8 planted-PCA oracle: pc_k = a_k * (1 - 2*bit_k(id)) exactly (see
+#: pca_embeddings docstring — the planted covariance is exactly
+#: diagonal, so the projection is pure bit arithmetic).
+_PCA_PLANTED_SQL = """
+SELECT i::BIGINT AS vec_id,
+  8.0*(1 - 2*((i >> 0) & 1)) AS pc1,
+  4.0*(1 - 2*((i >> 1) & 1)) AS pc2,
+  2.0*(1 - 2*((i >> 2) & 1)) AS pc3,
+  1.0*(1 - 2*((i >> 3) & 1)) AS pc4
+FROM (SELECT unnest(range(64)) AS i)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -8415,17 +8489,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 row was evaluated against round-start code, so it is still
         # the only oracle-backed query with no green driver row; slots
         # 2-3 are FIRST-EVER hash checks (the r8 rows-only->oracle
-        # conversion of semantic_dedup_emb, the new corpus_layout_desc
-        # DESC+NULLS contract, and row_ids_wide_bins pinning the r8
-        # searchsorted bin path); the remaining 46 rotate through the
-        # oracle-backed queries with the OLDEST last-green driver round
-        # (all 27 last green in r3, then 19 of the 22 last green in r4 —
-        # set_ops_customers, string_date_functions and top_events_per_user
-        # roll to r9).
+        # conversions of semantic_dedup_emb / kmeans_embeddings /
+        # pca_embeddings, the new corpus_layout_desc DESC+NULLS
+        # contract, and row_ids_wide_bins pinning the r8 searchsorted
+        # bin path); the remaining 44 rotate through the oracle-backed
+        # queries with the OLDEST last-green driver round (all 27 last
+        # green in r3, then 17 of the 22 last green in r4 —
+        # session_window_agg, sessionize_events, set_ops_customers,
+        # string_date_functions and top_events_per_user roll to r9).
         "streaming_static_enrich": streaming_static_enrich,
         "semantic_dedup_emb": semantic_dedup_emb,
         "corpus_layout_desc": corpus_layout_desc,
         "row_ids_wide_bins": row_ids_wide_bins,
+        "kmeans_embeddings": kmeans_embeddings,
+        "pca_embeddings": pca_embeddings,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -8470,8 +8547,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "rollup_revenue": rollup_revenue,
         "running_total_user": running_total_user,
-        "session_window_agg": session_window_agg,
-        "sessionize_events": sessionize_events,
         "streaming_mv_partitioned_daily": streaming_mv_partitioned_daily,
         "corpus_layout_order": corpus_layout_order,
         "split_leakage_report": split_leakage_report,
@@ -8572,8 +8647,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gp_regression_events": gp_regression_events,
         "gp_experts_events": gp_experts_events,
         "vi_staged_training": vi_staged_training,
-        "kmeans_embeddings": kmeans_embeddings,
-        "pca_embeddings": pca_embeddings,
         "bpe_train_encode": bpe_train_encode,
         "gp_sparse_posterior": gp_sparse_posterior,
         "hll_distinct_users": hll_distinct_users,
@@ -8615,6 +8688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs_overlap": chunk_docs_overlap,
         "quantile_sketch_value": quantile_sketch_value,
         "transform_exp": transform_exp,
+        "session_window_agg": session_window_agg,
+        "sessionize_events": sessionize_events,
         "set_ops_customers": set_ops_customers,
         "string_date_functions": string_date_functions,
         "top_events_per_user": top_events_per_user,
@@ -8723,6 +8798,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_by_type": _hll_sql(group_col="event_type"),
         "row_ids_documents": _ROW_IDS_SQL,
         "row_ids_wide_bins": _ROW_IDS_WIDE_SQL,
+        # r8: retired rows-only debt — planted deterministic structure
+        # (see each docstring)
+        "kmeans_embeddings": _KMEANS_PLANTED_SQL,
+        "pca_embeddings": _PCA_PLANTED_SQL,
         "fuzzy_match_titles": _FUZZY_SQL,
         "unpivot_pricing_metrics": _UNPIVOT_SQL,
         "corr_lineitem_metrics": _corr_sql(),

@@ -10,12 +10,13 @@ import __spark_entry__ as entry_mod
 from henbun_spark import sources
 
 ROWS_ONLY = {
-    # r7 retired 7 of these into oracle_sql(): the t-digest family
-    # (exact-percentile twin + rank_ok bound booleans) and the four
-    # media dedups (deterministic seeded synthesis -> constant-output
-    # VALUES oracles). What remains is trained/iterative state with no
-    # SQL form (VI/GP posteriors, k-means/PCA/IVF/PQ codebooks, BPE
-    # merges) — each pytest-bounded instead.
+    # r7 retired the t-digest family + media dedups into oracle_sql();
+    # r8 retired semantic_dedup_emb (planted dup components),
+    # kmeans_embeddings (planted clusters, exact dyadic sums) and
+    # pca_embeddings (planted Walsh axes, exactly diagonal covariance).
+    # What remains is genuinely trained/iterative state with no SQL form
+    # (VI/GP posteriors, the streaming IVF index, BPE merges, SGD
+    # classifiers) — each pytest-bounded instead.
     "vi_linear_regression",
     "vi_minibatch_sgd",
     "logreg_quality_classifier",
@@ -25,8 +26,6 @@ ROWS_ONLY = {
     "gp_experts_events",
     "vi_staged_training",
     "streaming_ivf_ingest",
-    "kmeans_embeddings",
-    "pca_embeddings",
     "bpe_train_encode",
     "vi_amortized_encoder",
 }
