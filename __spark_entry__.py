@@ -1496,6 +1496,47 @@ def budget_select_docs(spark, sf_dir):
     return out.select("doc_id", "n_chars", "n_tokens", "cum_weight")
 
 
+def diverse_select_emb(spark, sf_dir):
+    """Greedy k-center diverse-coreset selection (Gonzalez 1985; the
+    "pick k maximally spread examples" sampler in training-data
+    assembly — new in r8, beyond the SURVEY checklist). Runs
+    `selection.kcenter_select` (k scans, centers as plan-time literals,
+    TakeOrdered(1) argmax per round — no global sort, no data shuffle).
+
+    ORACLE-CHECKED via planted structure: 64 points at quadratically
+    spaced positions id^2 on one axis — all pairwise squared distances
+    are distinct exact integers (max ~1.6e7, far inside float53), so
+    the greedy pick sequence and its min_dist2 certificate values are
+    a deterministic constant regardless of partitioning; the oracle
+    pins all 8 (rank, vec_id, min_dist2) rows as VALUES. A broken
+    argmax, tie-break, distance fold, or exclusion of already-selected
+    ids changes the sequence and fails the hash. The 2-approx coverage
+    certificate on RANDOM data is pytest-enforced
+    (test_kcenter_certificate)."""
+    from henbun_spark.operators import selection
+
+    pts = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *([(F.col("id") * F.col("id")).cast("double")]
+              + [F.lit(0.0) for _ in range(7)])
+        ).alias("embedding"),
+    )
+    return selection.kcenter_select(pts, "embedding", "vec_id", k=8)
+
+
+#: r8 planted k-center oracle: the greedy sequence over id^2 positions
+#: (replayed single-process, all distances distinct exact integers).
+_KCENTER_PLANTED_SQL = """
+SELECT rank::INT AS rank, vec_id::BIGINT AS vec_id,
+       min_dist2::DOUBLE AS min_dist2
+FROM (VALUES
+  (1, 0, NULL), (2, 63, 15752961.0), (3, 45, 3779136.0),
+  (4, 32, 1002001.0), (5, 55, 891136.0), (6, 39, 247009.0),
+  (7, 23, 245025.0), (8, 50, 225625.0)) AS t(rank, vec_id, min_dist2)
+"""
+
+
 def dsir_select_docs(spark, sf_dir):
     """DSIR data selection (Xie et al. 2023): the 100 most English-like
     docs from the raw pool by hashed-n-gram importance weight, with
@@ -8488,13 +8529,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming_static_enrich — fixed at HEAD of r7 but the driver's
         # r7 row was evaluated against round-start code, so it is still
         # the only oracle-backed query with no green driver row; slots
-        # 2-3 are FIRST-EVER hash checks (the r8 rows-only->oracle
+        # 2-7 are FIRST-EVER hash checks (the r8 rows-only->oracle
         # conversions of semantic_dedup_emb / kmeans_embeddings /
         # pca_embeddings, the new corpus_layout_desc DESC+NULLS
-        # contract, and row_ids_wide_bins pinning the r8 searchsorted
-        # bin path); the remaining 44 rotate through the oracle-backed
-        # queries with the OLDEST last-green driver round (all 27 last
-        # green in r3, then 17 of the 22 last green in r4 —
+        # contract, row_ids_wide_bins pinning the r8 searchsorted bin
+        # path, and the new diverse_select_emb k-center coreset);
+        # the remaining 43 rotate through the oracle-backed queries
+        # with the OLDEST last-green driver round (all 27 last green in
+        # r3, then 16 of the 22 last green in r4 — running_total_user,
         # session_window_agg, sessionize_events, set_ops_customers,
         # string_date_functions and top_events_per_user roll to r9).
         "streaming_static_enrich": streaming_static_enrich,
@@ -8503,6 +8545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_ids_wide_bins": row_ids_wide_bins,
         "kmeans_embeddings": kmeans_embeddings,
         "pca_embeddings": pca_embeddings,
+        "diverse_select_emb": diverse_select_emb,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -8546,7 +8589,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": q5_nation_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
         "rollup_revenue": rollup_revenue,
-        "running_total_user": running_total_user,
         "streaming_mv_partitioned_daily": streaming_mv_partitioned_daily,
         "corpus_layout_order": corpus_layout_order,
         "split_leakage_report": split_leakage_report,
@@ -8688,6 +8730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs_overlap": chunk_docs_overlap,
         "quantile_sketch_value": quantile_sketch_value,
         "transform_exp": transform_exp,
+        "running_total_user": running_total_user,
         "session_window_agg": session_window_agg,
         "sessionize_events": sessionize_events,
         "set_ops_customers": set_ops_customers,
@@ -8802,6 +8845,8 @@ def oracle_sql() -> dict[str, str]:
         # (see each docstring)
         "kmeans_embeddings": _KMEANS_PLANTED_SQL,
         "pca_embeddings": _PCA_PLANTED_SQL,
+        # r8 NEW operator beyond the checklist: greedy k-center coreset
+        "diverse_select_emb": _KCENTER_PLANTED_SQL,
         "fuzzy_match_titles": _FUZZY_SQL,
         "unpivot_pricing_metrics": _UNPIVOT_SQL,
         "corr_lineitem_metrics": _corr_sql(),

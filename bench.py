@@ -172,6 +172,7 @@ HEADLINE = [
     "corpus_layout_order",
     "corpus_layout_desc",
     "row_ids_wide_bins",
+    "diverse_select_emb",
     "split_leakage_report",
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates

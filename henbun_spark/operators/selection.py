@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["take_budget", "dsir_weights", "dsir_select"]
+__all__ = ["take_budget", "dsir_weights", "dsir_select", "kcenter_select"]
 
 
 def take_budget(
@@ -300,4 +300,81 @@ def source_kl_matrix(
                 / (F.col("__ta") + F.lit(n_buckets))
             ).alias("kl"),
         )
+    )
+
+
+def kcenter_select(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Greedy k-center (farthest-point / Gonzalez) selection over an
+    embedding column — the standard diverse-coreset sampler for
+    training-data assembly ("pick k maximally spread examples"), with
+    the classic 2-approximation guarantee on the coverage radius.
+
+    Deterministic: the seed is the row with the MINIMUM id; each round
+    picks the point with the MAXIMUM distance to the selected set, ties
+    broken by the lowest id. Distances are squared euclidean (monotone
+    in euclidean, so the selection and the certificate are identical).
+
+    Scale shape (100 TB stance): each of the k rounds is ONE
+    whole-stage-codegen scan — the selected centers are plan-time
+    LITERALS (like `clustering.kmeans_assign`), the per-row min-distance
+    is pure Column math, and the round's argmax is a
+    TakeOrderedAndProject(1) (no global sort, no shuffle of the data).
+    The scan recomputes the min over ALL i selected centers in round i,
+    so total work is O(k^2/2) distance evals per row — the stateless
+    in-plan trade (nothing persisted, nothing partition-dependent);
+    for k in the hundreds-plus, checkpoint the running min-distance
+    column instead (documented, not needed for coreset-scale k).
+
+    Returns (rank, id, min_dist2): selection order (1-based), the
+    selected id, and the squared distance to the previously selected
+    set at pick time (rank 1 gets NULL — it has no predecessor set).
+    Greedy certificate: after k picks, every remaining point lies
+    within sqrt(last pick's min_dist2) of some selected center — each
+    round picked the farthest point, so no unpicked point can be
+    farther (pytest-enforced on random data); that radius is at most
+    2x the optimal k-center radius (Gonzalez 1985).
+    """
+    vec = F.col(emb_col).cast("array<double>")
+    seed = (
+        df.select(F.col(id_col).alias("_id"), vec.alias("_v"))
+        .orderBy(F.asc("_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    selected = [(int(seed["_id"]), [float(x) for x in seed["_v"]])]
+    base = df.select(F.col(id_col).alias("_id"), vec.alias("_v"))
+
+    def dist2_to(center):
+        arr = F.array(*[F.lit(float(c)) for c in center])
+        return F.aggregate(
+            F.zip_with(F.col("_v"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    out_rows = [(1, selected[0][0], None)]
+    for rank in range(2, k + 1):
+        mind = dist2_to(selected[0][1])
+        for _sid, c in selected[1:]:
+            mind = F.least(mind, dist2_to(c))
+        pick = (
+            base.where(~F.col("_id").isin([s for s, _ in selected]))
+            .select("_id", "_v", mind.alias("_d"))
+            .orderBy(F.col("_d").desc(), F.col("_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        r = pick[0]
+        selected.append((int(r["_id"]), [float(x) for x in r["_v"]]))
+        out_rows.append((rank, int(r["_id"]), float(r["_d"])))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out_rows, f"rank INT, {id_col} BIGINT, min_dist2 DOUBLE"
     )

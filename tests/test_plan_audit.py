@@ -49,6 +49,7 @@ EAGER = {
     "image_dedup_ahash",        # decode-probe job
     "image_dedup_phash",        # decode-probe job
     "video_dedup_frames",       # decode-probe job
+    "diverse_select_emb",       # k greedy rounds (TakeOrdered collects)
 }
 
 
