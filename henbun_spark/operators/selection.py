@@ -340,12 +340,15 @@ def kcenter_select(
     2x the optimal k-center radius (Gonzalez 1985).
     """
     vec = F.col(emb_col).cast("array<double>")
-    seed = (
+    seeds = (
         df.select(F.col(id_col).alias("_id"), vec.alias("_v"))
         .orderBy(F.asc("_id"))
         .limit(1)
-        .collect()[0]
+        .collect()
     )
+    if not seeds:
+        raise ValueError("kcenter_select: empty input")
+    seed = seeds[0]
     selected = [(int(seed["_id"]), [float(x) for x in seed["_v"]])]
     base = df.select(F.col(id_col).alias("_id"), vec.alias("_v"))
 
