@@ -4372,6 +4372,46 @@ def streaming_hll_users(spark, sf_dir):
     return est.crossJoin(exact)
 
 
+def streaming_pca_gram(spark, sf_dir):
+    """Incremental PCA sufficient-statistics maintenance on a stream
+    (r8, NEW streaming path): each micro-batch (4-file source, one file
+    per trigger) reduces to one (n, sum, Gram) row that foreachBatch
+    ADDS into a persistent 1-row parquet state under the versioned
+    exactly-once commit machinery; after the drain the state is
+    eigendecomposed (`decomposition.eig_from_stats`) and the planted
+    rows are projected with the streamed-fit components.
+
+    ORACLE-CHECKED with the SAME SQL as `pca_embeddings`: the input is
+    the `_walsh_planted` dyadic design, where every float sum is exact,
+    so stats addition is batch-split-independent bit-for-bit and the
+    streamed fit must equal the batch fit must equal the analytic
+    answer (pc_k = a_k * Walsh sign — plain bit arithmetic). A dropped
+    or double-folded micro-batch, a broken commit/replay guard, or a
+    stats-merge bug changes the Gram and fails the hash."""
+    from henbun_spark import streaming
+    from henbun_spark.operators import decomposition
+
+    pts = _walsh_planted(spark)
+    base = _scratch_dir("henbun_spca_")
+    in_dir = f"{base}/in"
+    pts.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(pts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.pca_stream_maintenance(
+        stream, "embedding", f"{base}/state", f"{base}/ckpt"
+    )
+    q.awaitTermination()
+    r = streaming.load_state(spark, f"{base}/state").collect()[0]
+    comps, _, mu = decomposition.eig_from_stats(r["n"], r["s"], r["g"], 4)
+    proj = decomposition.pca_project(
+        pts.select("vec_id", "embedding"), "embedding", comps, mu
+    )
+    return proj.select("vec_id", "pc1", "pc2", "pc3", "pc4")
+
+
 def streaming_hopping_counts(spark, sf_dir):
     """Streaming HOPPING (sliding) windows, ORACLE-CHECKED against the
     batch hopping aggregate: 2-hour windows every hour under a 2-hour
@@ -5937,14 +5977,35 @@ def bpe_train_encode(spark, sf_dir):
     return enc.select("doc_id", "n_tokens")
 
 
+def _walsh_planted(spark):
+    """The planted PCA input shared by `pca_embeddings` and
+    `streaming_pca_gram`: 64 points, dim 8, coordinate k<4 equal to
+    a_k * (1 - 2*bit_k(id)) with a = (8,4,2,1), coordinates 4-7 zero.
+    Walsh signs are exactly balanced and pairwise orthogonal over
+    id in [0,64), and every value is a small dyadic rational — all
+    float sums over this data are EXACT (see pca_embeddings)."""
+    scales = (8.0, 4.0, 2.0, 1.0)
+    sign = lambda k: 1.0 - 2.0 * F.shiftright(F.col("id"), k).bitwiseAND(
+        F.lit(1)
+    ).cast("double")
+    return spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *([F.lit(a) * sign(k) for k, a in enumerate(scales)]
+              + [F.lit(0.0) for _ in range(4)])
+        ).alias("embedding"),
+    )
+
+
 def pca_embeddings(spark, sf_dir):
     """Distributed PCA (SURVEY §2.11): one mapInPandas pass reduces the
     input to (n, sum, Gram) sufficient statistics via treeAggregate
     (driver sees one dim x dim matrix), driver eigendecomposes, and the
     projection runs as pure-Column codegen with literal coefficients.
 
-    ORACLE-CHECKED (r8, retiring the rows-only driver row): the fit runs
-    on PLANTED axis-aligned data — 64 points in dim 8 where coordinate
+    ORACLE-CHECKED (r8, retiring the rows-only driver row): the fit
+    runs on the PLANTED axis-aligned data of `_walsh_planted` — 64
+    points in dim 8 where coordinate
     k<4 is `a_k * s_k(id)` with Walsh signs `s_k(id) = 1 - 2*bit_k(id)`
     (exactly balanced and pairwise orthogonal over id in [0,64)) and
     scales a = (8,4,2,1); coordinates 4-7 are zero. Every Gram
@@ -5962,17 +6023,7 @@ def pca_embeddings(spark, sf_dir):
     non-planted check."""
     from henbun_spark.operators import decomposition
 
-    scales = (8.0, 4.0, 2.0, 1.0)
-    sign = lambda k: 1.0 - 2.0 * F.shiftright(F.col("id"), k).bitwiseAND(
-        F.lit(1)
-    ).cast("double")
-    pts = spark.range(64).select(
-        F.col("id").alias("vec_id"),
-        F.array(
-            *([F.lit(a) * sign(k) for k, a in enumerate(scales)]
-              + [F.lit(0.0) for _ in range(4)])
-        ).alias("embedding"),
-    )
+    pts = _walsh_planted(spark)
     comps, _, mu = decomposition.pca_fit(pts, "embedding", k=4)
     proj = decomposition.pca_project(
         pts.select("vec_id", "embedding"), "embedding", comps, mu
@@ -8533,10 +8584,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # conversions of semantic_dedup_emb / kmeans_embeddings /
         # pca_embeddings, the new corpus_layout_desc DESC+NULLS
         # contract, row_ids_wide_bins pinning the r8 searchsorted bin
-        # path, and the new diverse_select_emb k-center coreset);
-        # the remaining 43 rotate through the oracle-backed queries
-        # with the OLDEST last-green driver round (all 27 last green in
-        # r3, then 16 of the 22 last green in r4 — running_total_user,
+        # path, the new diverse_select_emb k-center coreset, and the
+        # new streaming_pca_gram maintenance path); the remaining 42
+        # rotate through the oracle-backed queries with the OLDEST
+        # last-green driver round (all 27 last green in r3, then 15 of
+        # the 22 last green in r4 — rollup_revenue, running_total_user,
         # session_window_agg, sessionize_events, set_ops_customers,
         # string_date_functions and top_events_per_user roll to r9).
         "streaming_static_enrich": streaming_static_enrich,
@@ -8546,6 +8598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": kmeans_embeddings,
         "pca_embeddings": pca_embeddings,
         "diverse_select_emb": diverse_select_emb,
+        "streaming_pca_gram": streaming_pca_gram,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -8588,7 +8641,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_nation_revenue": q5_nation_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
-        "rollup_revenue": rollup_revenue,
         "streaming_mv_partitioned_daily": streaming_mv_partitioned_daily,
         "corpus_layout_order": corpus_layout_order,
         "split_leakage_report": split_leakage_report,
@@ -8730,6 +8782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs_overlap": chunk_docs_overlap,
         "quantile_sketch_value": quantile_sketch_value,
         "transform_exp": transform_exp,
+        "rollup_revenue": rollup_revenue,
         "running_total_user": running_total_user,
         "session_window_agg": session_window_agg,
         "sessionize_events": sessionize_events,
@@ -8847,6 +8900,8 @@ def oracle_sql() -> dict[str, str]:
         "pca_embeddings": _PCA_PLANTED_SQL,
         # r8 NEW operator beyond the checklist: greedy k-center coreset
         "diverse_select_emb": _KCENTER_PLANTED_SQL,
+        # r8 NEW streaming path: exact dyadic stats -> same analytic SQL
+        "streaming_pca_gram": _PCA_PLANTED_SQL,
         "fuzzy_match_titles": _FUZZY_SQL,
         "unpivot_pricing_metrics": _UNPIVOT_SQL,
         "corr_lineitem_metrics": _corr_sql(),

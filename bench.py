@@ -174,6 +174,9 @@ HEADLINE = [
     "row_ids_wide_bins",
     "diverse_select_emb",
     "split_leakage_report",
+    # NOT timed: streaming_pca_gram — like streaming_hll_users, its 4
+    # foreachBatch commits are fixed micro-batch machinery at any SF;
+    # it stays on the CORRECTNESS board.
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
     # at any SF; they stay on the CORRECTNESS board.

@@ -32,16 +32,18 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pca_fit", "pca_project"]
+__all__ = ["pca_fit", "pca_project", "suff_stats", "eig_from_stats"]
 
 
-def pca_fit(
-    df: DataFrame, emb_col: str, k: int = 4
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (components k x dim, explained_variance k, mean dim).
-
-    Covariance = (G - n * mu mu^T) / (n - 1) from the tree-aggregated
-    (n, sum, G) sufficient statistics.
+def suff_stats(
+    df: DataFrame, emb_col: str
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """The (n, sum vector, Gram matrix flat) sufficient statistics of
+    ``df[emb_col]`` — ONE mapInPandas pass + treeAggregate; the driver
+    receives a single dim + dim^2 float vector regardless of row count.
+    Addition-mergeable (associative + commutative), which is what makes
+    the streaming maintenance (`streaming.pca_stream_maintenance`)
+    batch-split-independent.
     """
     import pandas as pd
 
@@ -83,11 +85,29 @@ def pca_fit(
         return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
 
     n, s, g = part_df.rdd.treeAggregate((0, None, None), seq, comb, depth=2)
+    if n == 0:
+        raise ValueError("suff_stats: empty input")
+    return int(n), np.asarray(s, dtype=np.float64), np.asarray(
+        g, dtype=np.float64
+    ).ravel()
+
+
+def eig_from_stats(
+    n: int, s: np.ndarray, g: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(components k x dim, explained_variance k, mean dim) from the
+    (n, sum, Gram) sufficient statistics — the driver-side half of
+    PCA, shared by the batch fit and the streaming-state drain.
+    Covariance = (G - n * mu mu^T) / (n - 1); eigenvector signs are
+    canonicalized (largest-|coefficient| entry positive) so the fit is
+    deterministic."""
     if n < 2:
         raise ValueError(f"PCA needs >= 2 rows, got {n}")
+    s = np.asarray(s, dtype=np.float64)
     dim = s.shape[0]
+    g = np.asarray(g, dtype=np.float64).reshape(dim, dim)
     mu = s / n
-    cov = (g.reshape(dim, dim) - n * np.outer(mu, mu)) / (n - 1)
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order].T  # k x dim
@@ -96,6 +116,16 @@ def pca_fit(
     flip[flip == 0] = 1.0
     comps = comps * flip[:, None]
     return comps, evals[order], mu
+
+
+def pca_fit(
+    df: DataFrame, emb_col: str, k: int = 4
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (components k x dim, explained_variance k, mean dim):
+    `suff_stats` (one distributed pass) + `eig_from_stats` (driver
+    O(dim^3))."""
+    n, s, g = suff_stats(df, emb_col)
+    return eig_from_stats(n, s, g, k)
 
 
 def pca_project(

@@ -643,6 +643,59 @@ def tdigest_stream_maintenance(
     )
 
 
+def pca_stream_maintenance(
+    stream: DataFrame,
+    emb_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Incremental PCA sufficient statistics over a stream (r8): every
+    micro-batch reduces to ONE (n, sum, Gram) row
+    (`decomposition.suff_stats` — mapInPandas partials + treeAggregate,
+    the driver sees dim + dim^2 doubles), and foreachBatch ADDS it into
+    a persistent 1-row parquet state under the same versioned-snapshot
+    exactly-once commit machinery as the sketch/MV maintenance sinks.
+
+    Vector addition is associative and commutative, so the drained
+    state — and the eigendecomposition computed from it
+    (`decomposition.eig_from_stats`) — does not depend on how rows
+    split into micro-batches (bit-identical whenever the inputs keep
+    float sums exact, e.g. the planted dyadic contract data; within
+    ~1e-15 reassociation noise otherwise). Read the state back with
+    `streaming.load_state`; returns the StreamingQuery.
+    """
+    import numpy as np
+
+    from henbun_spark.operators import decomposition
+
+    def fold_batch(bdf: DataFrame, batch_id: int):
+        spark = bdf.sparkSession
+        prev, committed = _read_state(spark, state_dir)
+        if _should_skip_batch(batch_id, committed, state_dir):
+            return
+        try:
+            n, s, g = decomposition.suff_stats(bdf, emb_col)
+        except ValueError:
+            return  # empty micro-batch: nothing to fold
+        if prev is not None:
+            r = prev.collect()[0]  # 1-row state: bounded driver read
+            n += int(r["n"])
+            s = s + np.asarray(r["s"], dtype=np.float64)
+            g = g + np.asarray(r["g"], dtype=np.float64)
+        out = spark.createDataFrame(
+            [(int(n), [float(x) for x in s], [float(x) for x in g])],
+            "n long, s array<double>, g array<double>",
+        )
+        _commit_state(out, state_dir, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def mv_stream_maintenance(
     stream: DataFrame,
     partials_fn,

@@ -335,6 +335,54 @@ def test_mg_stream_maintenance_covers_hot_keys(spark, tmp_path):
     assert "424242" in set(got["key"])
 
 
+def test_pca_stream_maintenance_split_independent(spark, tmp_path):
+    """Drained streaming PCA sufficient statistics are identical across
+    different micro-batch splits (1-file vs 5-file drains of the same
+    dyadic data — vector addition of exactly-representable values is
+    order-free bit-for-bit), equal the one-shot batch stats, and the
+    eigendecomposition from the state matches the batch fit exactly."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from henbun_spark import streaming
+    from henbun_spark.operators import decomposition
+
+    df = spark.range(48).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double") - 3.0,
+            ((F.col("id") * 3) % 5).cast("double") / 4.0,
+            ((F.col("id") * 5) % 9).cast("double") - 4.0,
+        ).alias("emb"),
+    )
+    states = []
+    for nfiles in (1, 5):
+        in_dir = str(tmp_path / f"in{nfiles}")
+        df.repartition(nfiles).write.mode("overwrite").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = streaming.pca_stream_maintenance(
+            stream, "emb", str(tmp_path / f"state{nfiles}"),
+            str(tmp_path / f"ckpt{nfiles}"),
+        )
+        q.awaitTermination()
+        r = streaming.load_state(spark, str(tmp_path / f"state{nfiles}")).collect()[0]
+        states.append((r["n"], list(r["s"]), list(r["g"])))
+    assert states[0] == states[1], "micro-batch split changed the state"
+    n, s, g = decomposition.suff_stats(df, "emb")
+    assert states[0] == (n, list(s), list(g))
+    got = decomposition.eig_from_stats(
+        states[0][0], np.array(states[0][1]), np.array(states[0][2]), 2
+    )
+    exp = decomposition.pca_fit(df, "emb", k=2)
+    for a, b in zip(got, exp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_mv_stream_maintenance_exact_merge(spark, tmp_path):
     """Drained streaming MV == batch aggregation (count + decimal sum
     merge is exact across arbitrary micro-batch splits)."""
