@@ -8036,9 +8036,19 @@ def streaming_ivf_ingest(spark, sf_dir):
     """Incremental ANN index maintenance on a stream: arriving vectors
     are cell-assigned (Column math, centroid literals) and APPENDED to
     a cell-partitioned parquet index — no rewrite, no state; serving
-    prunes the scan to the probed cells' partition directories. Rows-
-    only check; pytest asserts the streamed index serves IDENTICAL
-    results to the batch `ivf_topk` under the same quantizer."""
+    prunes the scan to the probed cells' partition directories.
+
+    ORACLE-CHECKED (r8, retiring the rows-only driver row — the
+    `ann_topk_ivf` recipe): the streamed-and-served candidate sets have
+    no SQL form, so the contract output is the EXACT cosine top-3 (the
+    `sim_cosine_topk` oracle, bitwise) plus `recall_ok`: the STREAMED
+    index's recall@3 against that exact set must stay >= 1/3 (same
+    quantizer/seed/nprobe as `ann_topk_ivf`, which measures 0.40-0.73
+    across SFs — chance at nprobe=2 of 8 cells would be ~0.25). A
+    dropped micro-batch, a broken cell assignment at ingest, or a
+    partition-pruning bug at serve time flips the boolean and fails the
+    driver hash. The pytest additionally pins streamed == batch
+    `ivf_topk` EXACTLY under the same quantizer."""
     from henbun_spark.operators import similarity
 
     emb = _load(spark, sf_dir, "embeddings")
@@ -8058,9 +8068,14 @@ def streaming_ivf_ingest(spark, sf_dir):
     )
     q.awaitTermination()
     queries = emb.where(F.col("vec_id") < 5)
-    return similarity.ivf_index_search(
+    approx = similarity.ivf_index_search(
         spark, f"{base}/index", centroids, queries, k=3, nprobe=2
     )
+    exact = similarity.cosine_topk(emb, queries, k=3)
+    eset = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    aset = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    ok = (not eset) or len(eset & aset) / len(eset) >= (1.0 / 3.0)
+    return exact.withColumn("recall_ok", F.lit(bool(ok)))
 
 
 def streaming_dedup_index(spark, sf_dir):
@@ -8584,11 +8599,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # conversions of semantic_dedup_emb / kmeans_embeddings /
         # pca_embeddings, the new corpus_layout_desc DESC+NULLS
         # contract, row_ids_wide_bins pinning the r8 searchsorted bin
-        # path, the new diverse_select_emb k-center coreset, and the
-        # new streaming_pca_gram maintenance path); the remaining 42
-        # rotate through the oracle-backed queries with the OLDEST
-        # last-green driver round (all 27 last green in r3, then 15 of
-        # the 22 last green in r4 — rollup_revenue, running_total_user,
+        # path, the new diverse_select_emb k-center coreset, the new
+        # streaming_pca_gram maintenance path, and the r8-converted
+        # streaming_ivf_ingest); the remaining 41 rotate through the
+        # oracle-backed queries with the OLDEST last-green driver round
+        # (all 27 last green in r3, then 14 of the 22 last green in r4
+        # — q6_forecast_revenue, rollup_revenue, running_total_user,
         # session_window_agg, sessionize_events, set_ops_customers,
         # string_date_functions and top_events_per_user roll to r9).
         "streaming_static_enrich": streaming_static_enrich,
@@ -8599,6 +8615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_embeddings": pca_embeddings,
         "diverse_select_emb": diverse_select_emb,
         "streaming_pca_gram": streaming_pca_gram,
+        "streaming_ivf_ingest": streaming_ivf_ingest,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -8640,7 +8657,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": q3_top_orders,
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_nation_revenue": q5_nation_revenue,
-        "q6_forecast_revenue": q6_forecast_revenue,
         "streaming_mv_partitioned_daily": streaming_mv_partitioned_daily,
         "corpus_layout_order": corpus_layout_order,
         "split_leakage_report": split_leakage_report,
@@ -8782,6 +8798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs_overlap": chunk_docs_overlap,
         "quantile_sketch_value": quantile_sketch_value,
         "transform_exp": transform_exp,
+        "q6_forecast_revenue": q6_forecast_revenue,
         "rollup_revenue": rollup_revenue,
         "running_total_user": running_total_user,
         "session_window_agg": session_window_agg,
@@ -8902,6 +8919,8 @@ def oracle_sql() -> dict[str, str]:
         "diverse_select_emb": _KCENTER_PLANTED_SQL,
         # r8 NEW streaming path: exact dyadic stats -> same analytic SQL
         "streaming_pca_gram": _PCA_PLANTED_SQL,
+        # r8: retired rows-only debt via the ann_topk_ivf recipe
+        "streaming_ivf_ingest": _ANN_RECALL_SQL,
         "fuzzy_match_titles": _FUZZY_SQL,
         "unpivot_pricing_metrics": _UNPIVOT_SQL,
         "corr_lineitem_metrics": _corr_sql(),

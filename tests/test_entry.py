@@ -14,9 +14,10 @@ ROWS_ONLY = {
     # r8 retired semantic_dedup_emb (planted dup components),
     # kmeans_embeddings (planted clusters, exact dyadic sums) and
     # pca_embeddings (planted Walsh axes, exactly diagonal covariance).
-    # What remains is genuinely trained/iterative state with no SQL form
-    # (VI/GP posteriors, the streaming IVF index, BPE merges, SGD
-    # classifiers) — each pytest-bounded instead.
+    # (r8 also converted streaming_ivf_ingest via the ann_topk_ivf
+    # exact-payload + recall-bound recipe.) What remains is genuinely
+    # trained/iterative state with no SQL form (VI/GP posteriors, BPE
+    # merges, SGD classifiers) — each pytest-bounded instead.
     "vi_linear_regression",
     "vi_minibatch_sgd",
     "logreg_quality_classifier",
@@ -25,7 +26,6 @@ ROWS_ONLY = {
     "gp_regression_events",
     "gp_experts_events",
     "vi_staged_training",
-    "streaming_ivf_ingest",
     "bpe_train_encode",
     "vi_amortized_encoder",
 }

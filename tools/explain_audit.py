@@ -75,6 +75,9 @@ from henbun_spark import sources
 #    brute-force shape already whitelisted for sim_cosine_topk and
 #    hard_negatives_emb (linear in the corpus; the broadcast side is a
 #    filtered constant). The ANN candidate path itself is hash-joined.
+#  - streaming_ivf_ingest: the r8 oracle conversion gives it the SAME
+#    exact-top-3 payload as ann_topk_ivf (<=5 broadcast query vectors
+#    onto one corpus scan); the streamed index path is partition-pruned.
 #  - semantic_dedup_emb: the r8 oracle conversion appends the 1-row
 #    singleton-count aggregate onto the (bounded, 12-row) dup-component
 #    table — the skew_report_events shape.
@@ -82,6 +85,7 @@ BNLJ_OK = {
     "semantic_dedup_emb",
     "ann_topk_pq",
     "ann_topk_ivf",
+    "streaming_ivf_ingest",
     "dsir_select_docs",
     "hard_negatives_emb",
     "streaming_tdigest_value",
