@@ -3800,8 +3800,18 @@ def logreg_quality_classifier(spark, sf_dir):
     materializes a probability, so no log(0) at confident scores).
     Features are pure Column math; serving/accuracy is a second
     pure-Column pass with the fitted weights folded in as literals — at
-    100 TB both passes are map-only scans. Rows-only (stochastic
-    training has no SQL twin)."""
+    100 TB both passes are map-only scans.
+
+    ORACLE-CHECKED (r8, retiring the rows-only driver row — the
+    bound-boolean recipe): the trained weights have no SQL form, but
+    the TEACHER LABELS do (the same quality arithmetic the bitwise-green
+    `text_quality` oracle replicates), and the training outcome is
+    checkable as a bound. Output = per-label doc counts (exact ints,
+    recomputed by the oracle from `documents`) plus `acc_ok`: the
+    fitted student's training accuracy must reach 0.9 (measured 0.97 at
+    sf0.01 AND sf0.1 against a ~0.5 base rate — a broken feature
+    column, gradient, Adam update, or serving pass lands near chance
+    and flips the boolean; a broken label rule shifts the counts)."""
     import henbun_spark as hb
     from henbun_spark import autodiff as ad
     from henbun_spark.operators.text import PUNCT_CHARS, STOPWORDS, _tokens
@@ -3857,24 +3867,39 @@ def logreg_quality_classifier(spark, sf_dir):
         + F.lit(w2) * F.col("x2")
         + F.lit(w3) * F.col("x3")
     )
-    m = feats.agg(
+    acc = feats.agg(
         F.avg(
             F.when((score > 0) == (F.col("y") == 1.0), 1.0).otherwise(0.0)
-        ).alias("a"),
-        F.avg("y").alias("b"),
-    ).collect()[0]
-    acc, base = m["a"], m["b"]
-    return spark.createDataFrame(
-        [
-            ("w_bias", w0),
-            ("w_length", w1),
-            ("w_punct", w2),
-            ("w_stopword", w3),
-            ("train_accuracy", float(acc)),
-            ("base_rate", float(base)),
-        ],
-        "param string, value double",
+        ).alias("a")
+    ).collect()[0]["a"]
+    return (
+        feats.groupBy(F.col("y").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("acc_ok", F.lit(bool(acc >= 0.9)))
     )
+
+
+_LOGREG_LABELS_SQL = """
+WITH t AS (
+  SELECT text,
+    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+    length(text) AS n_chars
+  FROM documents),
+lab AS (
+  SELECT CASE WHEN (
+    0.4 * least(n_chars / 500.0, 1.0)
+    + 0.3 * (1 - (n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                  / greatest(n_chars, 1))
+    + 0.3 * least(
+        len(list_filter(toks,
+          x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
+        / greatest(len(toks), 1) / 0.5, 1.0)
+  ) > 0.58 THEN 1.0 ELSE 0.0 END AS label
+  FROM t)
+SELECT label::DOUBLE AS label, COUNT(*)::BIGINT AS n_docs,
+       TRUE AS acc_ok
+FROM lab GROUP BY label
+"""
 
 
 def vi_amortized_encoder(spark, sf_dir):
@@ -8601,10 +8626,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract, row_ids_wide_bins pinning the r8 searchsorted bin
         # path, the new diverse_select_emb k-center coreset, the new
         # streaming_pca_gram maintenance path, and the r8-converted
-        # streaming_ivf_ingest); the remaining 41 rotate through the
-        # oracle-backed queries with the OLDEST last-green driver round
-        # (all 27 last green in r3, then 14 of the 22 last green in r4
-        # — q6_forecast_revenue, rollup_revenue, running_total_user,
+        # streaming_ivf_ingest + logreg_quality_classifier); the
+        # remaining 40 rotate through the oracle-backed queries with
+        # the OLDEST last-green driver round (all 27 last green in r3,
+        # then 13 of the 22 last green in r4 — q5_nation_revenue,
+        # q6_forecast_revenue, rollup_revenue, running_total_user,
         # session_window_agg, sessionize_events, set_ops_customers,
         # string_date_functions and top_events_per_user roll to r9).
         "streaming_static_enrich": streaming_static_enrich,
@@ -8616,6 +8642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diverse_select_emb": diverse_select_emb,
         "streaming_pca_gram": streaming_pca_gram,
         "streaming_ivf_ingest": streaming_ivf_ingest,
+        "logreg_quality_classifier": logreg_quality_classifier,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -8656,7 +8683,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_inactive_customers": q22_inactive_customers,
         "q3_top_orders": q3_top_orders,
         "q4_late_shipment_priority": q4_late_shipment_priority,
-        "q5_nation_revenue": q5_nation_revenue,
         "streaming_mv_partitioned_daily": streaming_mv_partitioned_daily,
         "corpus_layout_order": corpus_layout_order,
         "split_leakage_report": split_leakage_report,
@@ -8798,6 +8824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs_overlap": chunk_docs_overlap,
         "quantile_sketch_value": quantile_sketch_value,
         "transform_exp": transform_exp,
+        "q5_nation_revenue": q5_nation_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
         "rollup_revenue": rollup_revenue,
         "running_total_user": running_total_user,
@@ -8921,6 +8948,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_pca_gram": _PCA_PLANTED_SQL,
         # r8: retired rows-only debt via the ann_topk_ivf recipe
         "streaming_ivf_ingest": _ANN_RECALL_SQL,
+        # r8: retired rows-only debt via the bound-boolean recipe
+        "logreg_quality_classifier": _LOGREG_LABELS_SQL,
         "fuzzy_match_titles": _FUZZY_SQL,
         "unpivot_pricing_metrics": _UNPIVOT_SQL,
         "corr_lineitem_metrics": _corr_sql(),

@@ -15,12 +15,12 @@ ROWS_ONLY = {
     # kmeans_embeddings (planted clusters, exact dyadic sums) and
     # pca_embeddings (planted Walsh axes, exactly diagonal covariance).
     # (r8 also converted streaming_ivf_ingest via the ann_topk_ivf
-    # exact-payload + recall-bound recipe.) What remains is genuinely
+    # exact-payload + recall-bound recipe, and logreg via teacher-label
+    # counts + an accuracy-bound boolean.) What remains is genuinely
     # trained/iterative state with no SQL form (VI/GP posteriors, BPE
-    # merges, SGD classifiers) — each pytest-bounded instead.
+    # merges) — each pytest-bounded instead.
     "vi_linear_regression",
     "vi_minibatch_sgd",
-    "logreg_quality_classifier",
     "streaming_vi_training",
     "gp_sparse_posterior",
     "gp_regression_events",

@@ -229,13 +229,15 @@ def test_gp_regression_trains_distributed(spark):
 
 def test_logreg_classifier_separates(spark, sf_dir):
     """The distilled quality classifier must learn the teacher's linear
-    boundary: train accuracy far above the base rate."""
+    boundary: `acc_ok` (train accuracy >= 0.9, the r8 oracle bound) must
+    hold, and the bound must be MEANINGFUL — both teacher classes
+    populated, neither above 90% base rate (else 0.9 accuracy would be
+    reachable by a constant classifier)."""
     import __spark_entry__ as entry_mod
 
-    rows = {
-        r["param"]: r["value"]
-        for r in entry_mod.logreg_quality_classifier(spark, sf_dir).collect()
-    }
-    base = max(rows["base_rate"], 1.0 - rows["base_rate"])
-    assert rows["train_accuracy"] >= 0.85
-    assert rows["train_accuracy"] >= base + 0.15
+    rows = entry_mod.logreg_quality_classifier(spark, sf_dir).collect()
+    assert {r["label"] for r in rows} == {0.0, 1.0}
+    assert all(r["acc_ok"] is True for r in rows), rows
+    total = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        assert 0.1 * total <= r["n_docs"] <= 0.9 * total, rows
