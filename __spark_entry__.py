@@ -1515,7 +1515,7 @@ def diverse_select_emb(spark, sf_dir):
     (test_kcenter_certificate)."""
     from henbun_spark.operators import selection
 
-    pts = spark.range(64).select(
+    pts = spark.range(0, 64, 1, 4).select(
         F.col("id").alias("vec_id"),
         F.array(
             *([(F.col("id") * F.col("id")).cast("double")]
@@ -5879,7 +5879,11 @@ def kmeans_embeddings(spark, sf_dir):
         ((F.col("id") * 37 + j * 11) % 16).cast("double") - 7.5
     ) / 16.0
     cl = F.expr("CAST(((id*25) % 256) DIV 64 AS INT)")
-    pts = spark.range(256).select(
+    # 4 slices, not the 32-core default: 256 rows across 32 Arrow tasks
+    # per Lloyd's iteration is pure python-worker startup overhead
+    # (measured 3.0 -> 1.3s best-of-3 at 4 slices, byte-identical output
+    # — the sums are exact dyadics, partitioning cannot move a bit)
+    pts = spark.range(0, 256, 1, 4).select(
         F.col("id").alias("vec_id"),
         F.array(
             *([(cl.cast("double") * 200.0 + off(0))] + [off(j) for j in range(1, 8)])
@@ -6008,12 +6012,14 @@ def _walsh_planted(spark):
     a_k * (1 - 2*bit_k(id)) with a = (8,4,2,1), coordinates 4-7 zero.
     Walsh signs are exactly balanced and pairwise orthogonal over
     id in [0,64), and every value is a small dyadic rational — all
-    float sums over this data are EXACT (see pca_embeddings)."""
+    float sums over this data are EXACT (see pca_embeddings). 4 slices
+    (64 rows over the 32-core default is pure task overhead; exact sums
+    make partitioning bit-irrelevant)."""
     scales = (8.0, 4.0, 2.0, 1.0)
     sign = lambda k: 1.0 - 2.0 * F.shiftright(F.col("id"), k).bitwiseAND(
         F.lit(1)
     ).cast("double")
-    return spark.range(64).select(
+    return spark.range(0, 64, 1, 4).select(
         F.col("id").alias("vec_id"),
         F.array(
             *([F.lit(a) * sign(k) for k, a in enumerate(scales)]
