@@ -93,8 +93,40 @@ def split_and_audit(spark, rows: int = 5000):
     return n_train, n_eval, crossing
 
 
+def pick_review_exemplars(spark, rows: int = 5000, k: int = 8):
+    """Diversity stage (r8): hash-featurize each doc into a small stats
+    vector and greedy-k-center select k maximally spread exemplars —
+    the "what should a human look at first" / seed-annotation sampler
+    (`selection.kcenter_select`, the same operator behind the
+    `diverse_select_emb` contract query). Returns the selected doc_ids
+    in pick order."""
+    from henbun_spark.operators import selection, text
+    from henbun_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    docs = (
+        spark.read.format("synthetic_docs")
+        .option("rows", rows)
+        .option("partitions", 8)
+        .load()
+    )
+    stats = text.token_stats(docs.select("doc_id", "text"), "text")
+    feats = stats.select(
+        "doc_id",
+        F.array(
+            F.least(F.col("n_tokens") / 200.0, F.lit(2.0)),
+            F.col("avg_token_len").cast("double"),
+            (F.col("n_distinct_tokens")
+             / F.greatest(F.col("n_tokens"), F.lit(1))).cast("double"),
+        ).alias("fv"),
+    )
+    picks = selection.kcenter_select(feats, "fv", "doc_id", k=k)
+    return [r["doc_id"] for r in picks.orderBy("rank").collect()]
+
+
 if __name__ == "__main__":
     from henbun_spark import sources
 
     spark = sources.get_spark("synthetic-pipeline", master="local[4]")
     print(build_corpus(spark))
+    print(pick_review_exemplars(spark))

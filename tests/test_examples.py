@@ -36,3 +36,6 @@ def test_synthetic_pipeline(spark):
     # so SOME duplicate pairs must cross the split — the audit's reason
     # to exist
     assert crossing > 0
+
+    picks = synthetic_pipeline.pick_review_exemplars(spark, rows=2000, k=5)
+    assert len(picks) == 5 and len(set(picks)) == 5  # k distinct exemplars
