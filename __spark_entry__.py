@@ -5995,15 +5995,46 @@ def bpe_train_encode(spark, sf_dir):
     """Distributed BPE tokenizer training (SURVEY §2.11): one corpus pass
     builds the word-frequency table; each merge round is pure-Column
     pair-counting + argmax + fold-rewrite ON THE VOCAB TABLE only.
-    Returns per-doc token counts under the learned 16-merge tokenizer.
-    Rows-only check (iterative argmax is not SQL-expressible); the pytest
-    matches single-process reference BPE merges exactly."""
+
+    ORACLE-CHECKED (r8, retiring the rows-only driver row — the
+    bound-boolean recipe, training kept REAL and corpus-sized): the
+    learned merge rules are iterative-argmax state with no SQL form
+    (their exactness stays pinned by the reference-parity pytest), but
+    the tokenizer's defining INVARIANT is checkable per document:
+    encoding must be LOSSLESS. `roundtrip_ok` decodes the token
+    sequence in-plan (concatenate tokens, `</w>` end-markers back to
+    spaces — the corpus contains no literal angle brackets, so the
+    marker cannot collide) and compares it to the whitespace-normalized
+    text; a corrupted merge table, a fold-rewrite bug that garbles a
+    symbol, or an encoder that drops tokens flips the boolean. The
+    payload (doc_id, n_chars) is recomputed exactly by the oracle, so
+    the scan/coverage side is hash-pinned too."""
     from henbun_spark.operators import bpe
 
     docs = _load(spark, sf_dir, "documents")
     merges = bpe.bpe_train(docs, "text", n_merges=16)
     enc = bpe.bpe_encode(docs, "text", "doc_id", merges)
-    return enc.select("doc_id", "n_tokens")
+    norm = F.array_join(
+        F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != F.lit("")),
+        " ",
+    )
+    decoded = F.trim(
+        F.regexp_replace(F.array_join(F.col("tokens"), ""), "</w>", " ")
+    )
+    return (
+        enc.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            (decoded == norm).alias("roundtrip_ok"),
+        )
+    )
+
+
+_BPE_ROUNDTRIP_SQL = """
+SELECT doc_id, length(text)::INT AS n_chars, TRUE AS roundtrip_ok
+FROM documents
+"""
 
 
 def _walsh_planted(spark):
@@ -8632,10 +8663,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract, row_ids_wide_bins pinning the r8 searchsorted bin
         # path, the new diverse_select_emb k-center coreset, the new
         # streaming_pca_gram maintenance path, and the r8-converted
-        # streaming_ivf_ingest + logreg_quality_classifier); the
-        # remaining 40 rotate through the oracle-backed queries with
-        # the OLDEST last-green driver round (all 27 last green in r3,
-        # then 13 of the 22 last green in r4 — q5_nation_revenue,
+        # streaming_ivf_ingest + logreg_quality_classifier +
+        # bpe_train_encode); the remaining 39 rotate through the
+        # oracle-backed queries with the OLDEST last-green driver round
+        # (all 27 last green in r3, then 12 of the 22 last green in r4
+        # — q4_late_shipment_priority, q5_nation_revenue,
         # q6_forecast_revenue, rollup_revenue, running_total_user,
         # session_window_agg, sessionize_events, set_ops_customers,
         # string_date_functions and top_events_per_user roll to r9).
@@ -8649,6 +8681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_pca_gram": streaming_pca_gram,
         "streaming_ivf_ingest": streaming_ivf_ingest,
         "logreg_quality_classifier": logreg_quality_classifier,
+        "bpe_train_encode": bpe_train_encode,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -8688,7 +8721,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q22_inactive_customers": q22_inactive_customers,
         "q3_top_orders": q3_top_orders,
-        "q4_late_shipment_priority": q4_late_shipment_priority,
         "streaming_mv_partitioned_daily": streaming_mv_partitioned_daily,
         "corpus_layout_order": corpus_layout_order,
         "split_leakage_report": split_leakage_report,
@@ -8830,6 +8862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs_overlap": chunk_docs_overlap,
         "quantile_sketch_value": quantile_sketch_value,
         "transform_exp": transform_exp,
+        "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_nation_revenue": q5_nation_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
         "rollup_revenue": rollup_revenue,
@@ -8956,6 +8989,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_ivf_ingest": _ANN_RECALL_SQL,
         # r8: retired rows-only debt via the bound-boolean recipe
         "logreg_quality_classifier": _LOGREG_LABELS_SQL,
+        "bpe_train_encode": _BPE_ROUNDTRIP_SQL,
         "fuzzy_match_titles": _FUZZY_SQL,
         "unpivot_pricing_metrics": _UNPIVOT_SQL,
         "corr_lineitem_metrics": _corr_sql(),

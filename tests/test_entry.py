@@ -15,10 +15,10 @@ ROWS_ONLY = {
     # kmeans_embeddings (planted clusters, exact dyadic sums) and
     # pca_embeddings (planted Walsh axes, exactly diagonal covariance).
     # (r8 also converted streaming_ivf_ingest via the ann_topk_ivf
-    # exact-payload + recall-bound recipe, and logreg via teacher-label
-    # counts + an accuracy-bound boolean.) What remains is genuinely
-    # trained/iterative state with no SQL form (VI/GP posteriors, BPE
-    # merges) — each pytest-bounded instead.
+    # exact-payload + recall-bound recipe, logreg via teacher-label
+    # counts + an accuracy-bound boolean, and bpe via the lossless
+    # roundtrip invariant.) What remains is genuinely trained VI/GP
+    # posterior state with no SQL form — each pytest-bounded instead.
     "vi_linear_regression",
     "vi_minibatch_sgd",
     "streaming_vi_training",
@@ -26,7 +26,6 @@ ROWS_ONLY = {
     "gp_regression_events",
     "gp_experts_events",
     "vi_staged_training",
-    "bpe_train_encode",
     "vi_amortized_encoder",
 }
 
