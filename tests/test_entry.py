@@ -16,12 +16,12 @@ ROWS_ONLY = {
     # pca_embeddings (planted Walsh axes, exactly diagonal covariance).
     # (r8 also converted streaming_ivf_ingest via the ann_topk_ivf
     # exact-payload + recall-bound recipe, logreg via teacher-label
-    # counts + an accuracy-bound boolean, and bpe via the lossless
-    # roundtrip invariant.) What remains is genuinely trained VI/GP
+    # counts + an accuracy-bound boolean, bpe via the lossless roundtrip
+    # invariant, and streaming_vi_training via the exact decimal target
+    # + contraction bound.) What remains is genuinely trained VI/GP
     # posterior state with no SQL form — each pytest-bounded instead.
     "vi_linear_regression",
     "vi_minibatch_sgd",
-    "streaming_vi_training",
     "gp_sparse_posterior",
     "gp_regression_events",
     "gp_experts_events",
