@@ -8839,15 +8839,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_keys": streaming_dedup_keys,
         "streaming_enrich_static": streaming_enrich_static,
         "streaming_corpus_ingest": streaming_corpus_ingest,
-        "streaming_ivf_ingest": streaming_ivf_ingest,
         "vi_minibatch_sgd": vi_minibatch_sgd,
-        "logreg_quality_classifier": logreg_quality_classifier,
-        "streaming_vi_training": streaming_vi_training,
         "vi_amortized_encoder": vi_amortized_encoder,
         "gp_regression_events": gp_regression_events,
         "gp_experts_events": gp_experts_events,
         "vi_staged_training": vi_staged_training,
-        "bpe_train_encode": bpe_train_encode,
         "gp_sparse_posterior": gp_sparse_posterior,
         "hll_distinct_users": hll_distinct_users,
         "hll_users_by_type": hll_users_by_type,

@@ -49,6 +49,26 @@ def test_query_oracle_keys_consistent():
     assert qs - oracles == ROWS_ONLY
 
 
+def test_queries_dict_has_no_duplicate_keys():
+    """The registry is a literal dict: a duplicate key is silently dead
+    (first occurrence wins) but misleading — a rotation edit that
+    deletes the first-50 occurrence while trusting a visible tail
+    duplicate would silently shift the hash-checked window (the r8
+    self-review found four such leftovers). Parse the source so
+    duplicates can't hide behind dict semantics."""
+    import ast
+
+    src = open("/root/repo/__spark_entry__.py").read()
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.FunctionDef) and node.name == "queries":
+            d = node.body[-1].value
+            keys = [k.value for k in d.keys]
+            dupes = sorted({k for k in keys if keys.count(k) > 1})
+            assert not dupes, f"duplicate queries() keys: {dupes}"
+            return
+    raise AssertionError("queries() literal not found")
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
