@@ -8287,14 +8287,19 @@ def streaming_static_enrich(spark, sf_dir):
     common production streaming shape — no state, no watermark: the
     static side is re-broadcast per micro-batch, so dimension updates
     between batches are picked up for free); per-batch (nation,
-    event_type) partials (count + DECIMAL-exact value sum, so folding
+    event_type) partials (count + exact INTEGER-CENTS sum, so folding
     across arbitrary micro-batch splits is bit-exact) fold into
-    versioned exactly-once state via `mv_stream_maintenance`. `value`
-    is floor-quantized to cents BEFORE the decimal cast on both sides
-    (r6 driver hash-fail suspect: Spark rounds double->DECIMAL ties
-    HALF_UP, DuckDB half-even — floor(v*100+0.5)/100 is the same IEEE
-    op sequence in both engines, the repo's standard recipe). The
-    drained state equals the batch join+groupBy bit-for-bit."""
+    versioned exactly-once state via `mv_stream_maintenance`.
+
+    r9 representation change: the hashed result carries `sum_cents`
+    as BIGINT — `SUM(CAST(floor(value*100.0+0.5) AS BIGINT))` on both
+    sides — instead of the r7 `decimal(28,2)` column. The r6-r8 driver
+    rows were rows-green/schema-green/hash-red while the local oracle
+    check was bitwise-exact, i.e. the VALUES agreed but the driver's
+    hash protocol rendered the decimal differently; pure BIGINTs leave
+    nothing representation-dependent to hash (the floor-quantize is the
+    same IEEE op sequence in both engines, the repo's standard recipe).
+    The drained state equals the batch join+groupBy bit-for-bit."""
     from henbun_spark import streaming
 
     ev = _load(spark, sf_dir, "events").select(
@@ -8324,11 +8329,10 @@ def streaming_static_enrich(spark, sf_dir):
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
                 F.sum(
-                    (
-                        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
-                        / F.lit(100.0)
-                    ).cast("decimal(18,2)")
-                ).alias("sum_value"),
+                    F.floor(
+                        F.col("value") * F.lit(100.0) + F.lit(0.5)
+                    ).cast("long")
+                ).alias("sum_cents"),
             )
         )
 
@@ -8345,14 +8349,14 @@ def streaming_static_enrich(spark, sf_dir):
         "n_name",
         "event_type",
         "n_events",
-        F.col("sum_value").cast("decimal(28,2)").alias("sum_value"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
     )
 
 
 _STREAM_STATIC_ENRICH_SQL = """
 SELECT n_name, event_type, COUNT(*)::BIGINT AS n_events,
-  CAST(SUM(CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)))
-       AS DECIMAL(28,2)) AS sum_value
+  CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_cents
 FROM events
 JOIN customer ON user_id = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
