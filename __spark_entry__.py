@@ -3655,35 +3655,117 @@ _SQL_UDF_SQL = _sql_udf_oracle()
 # (driver records rows-only checks for these)
 # ---------------------------------------------------------------------------
 
+def _ols_from_moments(row):
+    """Closed-form OLS (a, b) for y ~ a + b*x from exact moments."""
+    n, sx, sy, sxx, sxy = (
+        float(row["n_events"]), float(row["sx"]), float(row["sy"]),
+        float(row["sxx"]), float(row["sxy"]),
+    )
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (sy - b * sx) / n, b
+
+
+def _reg_moments(ev):
+    """One-scan decimal-exact regression moments over (x, y) — the same
+    `_dsum` recipe the oracle-green `linreg_value_by_hour` uses."""
+    x, y = F.col("x"), F.col("y")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(x, "sx"),
+        _dsum(y, "sy"),
+        _dsum(x * x, "sxx"),
+        _dsum(x * y, "sxy"),
+    )
+
+
+_REG_MOMENTS_SQL = f"""
+  COUNT(*)::BIGINT AS n_events,
+  {_sql_dsum('CAST(hour(ts) AS DOUBLE)', 'sx')},
+  {_sql_dsum('value', 'sy')},
+  {_sql_dsum('CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE)', 'sxx')},
+  {_sql_dsum('CAST(hour(ts) AS DOUBLE) * value', 'sxy')}
+"""
+
+
+class _HourValueReg:
+    """Shared model for the VI regression flagships: value ~ a*100 + b*hour.
+
+    The intercept is carried in units of 100 (`ab[0] * 100.0`) — the same
+    scale trick as `streaming_vi_training`'s `mu * 100.0` and the standard
+    feature/target scaling any practitioner applies before first-order
+    optimization: events.value has mean ~50 while Adam moves each raw
+    parameter by at most ~lr per step, so an unscaled intercept would need
+    ~1000 steps to leave the N(0,1) init basin. In internal units the
+    optimum is ~0.49, reachable (and measured reached, within 10%) in 30
+    steps at lr=0.05."""
+
+    def build(self):
+        import henbun_spark as hb
+        from henbun_spark.spark_exec import ColumnData
+
+        class Reg(hb.Model):
+            def setUp(self):
+                self.x = ColumnData("x")
+                self.y = ColumnData("y")
+                self.ab = hb.Variable([2])
+
+            def local_objective(self):
+                pred = self.ab[0] * 100.0 + self.ab[1] * self.x
+                return hb.densities.gaussian(self.y, pred, 1.0)
+
+        return Reg()
+
+
 def vi_linear_regression(spark, sf_dir):
     """End-to-end distributed VI slice (SURVEY §7 M2): probabilistic linear
     regression value ~ a + b*hour trained with broadcast-params ->
-    mapInPandas grads -> driver Adam. Returns the fitted parameters."""
+    mapInPandas grads -> driver Adam (reference Model/Variable lifecycle,
+    `model.py:113-263`, distributed).
+
+    ORACLE-CHECKED (r9, retiring the rows-only driver row — the r8
+    bound-boolean recipe): the Adam trajectory has no SQL form, but the
+    convex objective's optimum IS the closed-form OLS fit, and the exact
+    regression moments it derives from are order-independent decimal sums
+    the oracle recomputes. Output = (n, sum x, sum y, sum x^2, sum x*y)
+    plus `fit_a_ok` (fitted intercept within 20% of the OLS intercept —
+    measured 9.7%/8.4% at sf0.01/sf0.1), `fit_b_ok` (fitted slope within
+    0.5 ABSOLUTE of the OLS slope — the true slope is ~0, so a relative
+    bound is ill-posed; measured <=0.09, and the seeded init starts at
+    ~0.93, so a trainer that fails to move flips the boolean), and
+    `improved_ok` (objective strictly improved). A broken gradient,
+    broadcast, fold, or Adam update leaves the params near the N(0,1)
+    init and flips a bound; exact-trajectory detail stays pytest-covered."""
     import henbun_spark as hb
-    from henbun_spark.spark_exec import ColumnData, SparkTrainer
+    from henbun_spark.spark_exec import SparkTrainer
 
     ev = _load(spark, sf_dir, "events").select(
         F.hour("ts").cast("double").alias("x"),
         F.col("value").alias("y"),
     )
-
-    class Reg(hb.Model):
-        def setUp(self):
-            self.x = ColumnData("x")
-            self.y = ColumnData("y")
-            self.ab = hb.Variable([2])
-
-        def local_objective(self):
-            pred = self.ab[0] + self.ab[1] * self.x
-            return hb.densities.gaussian(self.y, pred, 1.0)
-
-    trainer = SparkTrainer(Reg(), ev, optimizer=hb.Adam(learning_rate=0.05))
-    trainer.fit(maxiter=12)
-    a, b = trainer.model.ab.value
-    return spark.createDataFrame(
-        [("a", float(a)), ("b", float(b)), ("loss_final", float(trainer.history[-1]))],
-        "param string, value double",
+    trainer = SparkTrainer(
+        _HourValueReg().build(), ev, optimizer=hb.Adam(learning_rate=0.05)
     )
+    trainer.fit(maxiter=30)
+    a_int, b = [float(v) for v in trainer.model.ab.value]
+    a = a_int * 100.0
+    moments = _reg_moments(ev)
+    a_ols, b_ols = _ols_from_moments(moments.collect()[0])
+    fit_a_ok = abs(a - a_ols) <= 0.2 * abs(a_ols)
+    fit_b_ok = abs(b - b_ols) <= 0.5
+    improved = trainer.history[-1] > trainer.history[0]
+    return moments.select(
+        "n_events", "sx", "sy", "sxx", "sxy",
+        F.lit(bool(fit_a_ok)).alias("fit_a_ok"),
+        F.lit(bool(fit_b_ok)).alias("fit_b_ok"),
+        F.lit(bool(improved)).alias("improved_ok"),
+    )
+
+
+_VI_LINREG_SQL = f"""
+SELECT {_REG_MOMENTS_SQL},
+  TRUE AS fit_a_ok, TRUE AS fit_b_ok, TRUE AS improved_ok
+FROM events
+"""
 
 
 def vi_minibatch_sgd(spark, sf_dir):
@@ -3691,38 +3773,51 @@ def vi_minibatch_sgd(spark, sf_dir):
     mechanism (MinibatchData, `param.py:716-739`) distributed: each Adam
     step samples a deterministic per-step fraction of the frame
     (seed = f(step), retry-safe), gradients rescale by 1/fraction so
-    they stay unbiased for the full objective. Recovers the same
-    regression fit as the full-batch `vi_linear_regression` at a fifth
-    of the per-step rows. Rows-only."""
+    they stay unbiased for the full objective.
+
+    ORACLE-CHECKED (r9, retiring the rows-only driver row): same exact
+    regression moments + OLS-proximity bounds as the full-batch
+    `vi_linear_regression` — landing inside the SAME bounds while seeing
+    only a fifth of the rows per step is precisely the unbiased-gradient
+    claim (a biased minibatch estimator converges to the WRONG optimum
+    and flips `fit_a_ok`/`fit_b_ok`; measured 8.3%/6.6% intercept error
+    at sf0.01/sf0.1, slope error <=0.08). `steps_ok` additionally pins
+    that all 40 sampled steps actually ran (a sampler that yields an
+    empty frame short-circuits the step count)."""
     import henbun_spark as hb
-    from henbun_spark.spark_exec import ColumnData, SparkTrainer
+    from henbun_spark.spark_exec import SparkTrainer
 
     ev = _load(spark, sf_dir, "events").select(
         F.hour("ts").cast("double").alias("x"),
         F.col("value").alias("y"),
     )
-
-    class Reg(hb.Model):
-        def setUp(self):
-            self.x = ColumnData("x")
-            self.y = ColumnData("y")
-            self.ab = hb.Variable([2])
-
-        def local_objective(self):
-            pred = self.ab[0] + self.ab[1] * self.x
-            return hb.densities.gaussian(self.y, pred, 1.0)
-
-    trainer = SparkTrainer(Reg(), ev, optimizer=hb.Adam(learning_rate=0.05))
-    trainer.fit(maxiter=25, minibatch_fraction=0.2)
-    a, b = trainer.model.ab.value
-    return spark.createDataFrame(
-        [
-            ("a", float(a)),
-            ("b", float(b)),
-            ("loss_final", float(trainer.history[-1])),
-        ],
-        "param string, value double",
+    trainer = SparkTrainer(
+        _HourValueReg().build(), ev, optimizer=hb.Adam(learning_rate=0.05)
     )
+    trainer.fit(maxiter=40, minibatch_fraction=0.2)
+    a_int, b = [float(v) for v in trainer.model.ab.value]
+    a = a_int * 100.0
+    moments = _reg_moments(ev)
+    a_ols, b_ols = _ols_from_moments(moments.collect()[0])
+    fit_a_ok = abs(a - a_ols) <= 0.2 * abs(a_ols)
+    fit_b_ok = abs(b - b_ols) <= 0.5
+    steps_ok = (
+        trainer.step_count == 40
+        and trainer.history[-1] > trainer.history[0]
+    )
+    return moments.select(
+        "n_events", "sx", "sy", "sxx", "sxy",
+        F.lit(bool(fit_a_ok)).alias("fit_a_ok"),
+        F.lit(bool(fit_b_ok)).alias("fit_b_ok"),
+        F.lit(bool(steps_ok)).alias("steps_ok"),
+    )
+
+
+_VI_MINIBATCH_SQL = f"""
+SELECT {_REG_MOMENTS_SQL},
+  TRUE AS fit_a_ok, TRUE AS fit_b_ok, TRUE AS steps_ok
+FROM events
+"""
 
 
 def streaming_vi_training(spark, sf_dir):
@@ -4055,7 +4150,19 @@ def vi_staged_training(spark, sf_dir):
     with the location frozen (collection 'scale'). Each stage is its
     own SparkTrainer over the same cached frame; the frozen values are
     bitwise unchanged across the other stage (asserted here via the
-    output). Rows-only (stochastic training has no SQL oracle)."""
+    output).
+
+    ORACLE-CHECKED (r9, retiring the rows-only driver row): the staged
+    trajectory has no SQL form, but the freeze CONTRACT is exactly
+    checkable as booleans — `mu_frozen_s2` / `lnsig_frozen_s1` assert the
+    out-of-collection parameter is BITWISE unchanged across the other
+    stage (the collection-scoping guarantee `spark_exec.py` already
+    asserts internally; a trainer that leaks gradients across collections
+    flips them deterministically) — and the stage-1 target is SQL: `mu`
+    must land within 20% of mean(value)/100 (measured 5.6%/5.9% at
+    sf0.01/sf0.1, from a seeded init ~0.1 — a dead stage 1 flips it).
+    Output = exact (count, decimal-exact sum of value) the oracle
+    recomputes, plus the four contract booleans."""
     import henbun_spark as hb
     from henbun_spark.spark_exec import ColumnData, SparkTrainer
 
@@ -4084,17 +4191,33 @@ def vi_staged_training(spark, sf_dir):
     t2 = SparkTrainer(m, ev, optimizer=hb.Adam(learning_rate=0.1), collection="scale")
     t2.fit(maxiter=12)
     mu_after_s2 = float(np.asarray(m.mu.value).ravel()[0])
-    return spark.createDataFrame(
-        [
-            ("mu_fitted", mu_after_s1),
-            ("mu_frozen_in_stage2", float(mu_after_s1 == mu_after_s2)),
-            ("lnsig_frozen_in_stage1", float(lnsig_before == lnsig_after_s1)),
-            ("lnsig_fitted", float(np.asarray(m.lnsig.value).ravel()[0])),
-            ("stage1_improved", float(t1.history[-1] > t1.history[0])),
-            ("stage2_improved", float(t2.history[-1] > t2.history[0])),
-        ],
-        "param string, value double",
+    mean_y = float(ev.agg(F.avg("y")).collect()[0][0])
+    mu_fit_ok = abs(mu_after_s1 - mean_y) <= 0.2 * abs(mean_y)
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(F.col("y") * 100.0, "sum_value"),
+    ).select(
+        "n_events",
+        "sum_value",
+        F.lit(bool(mu_after_s1 == mu_after_s2)).alias("mu_frozen_s2"),
+        F.lit(bool(lnsig_before == lnsig_after_s1)).alias("lnsig_frozen_s1"),
+        F.lit(bool(mu_fit_ok)).alias("mu_fit_ok"),
+        F.lit(
+            bool(
+                t1.history[-1] > t1.history[0]
+                and t2.history[-1] > t2.history[0]
+            )
+        ).alias("stages_improved"),
     )
+
+
+_VI_STAGED_SQL = f"""
+SELECT COUNT(*)::BIGINT AS n_events,
+  {_sql_dsum('value / 100.0 * 100.0', 'sum_value')},
+  TRUE AS mu_frozen_s2, TRUE AS lnsig_frozen_s1,
+  TRUE AS mu_fit_ok, TRUE AS stages_improved
+FROM events
+"""
 
 
 def gp_regression_events(spark, sf_dir):
@@ -6630,6 +6753,50 @@ FROM events
 """
 
 
+def row_ids_string_bins(spark, sf_dir):
+    """`row_ids_wide_bins`' STRING twin (r9, closing the r8 verdict's
+    item 6): a high-cardinality STRING leading key (md5 of the lineitem
+    row key) at a 512-bin big-cluster width drives the object-dtype
+    `np.searchsorted` branch of `relational._searchsorted_bin_expr` —
+    the branch whose correctness rests on Python `<` matching Spark's
+    UTF8 binary collation (code-point order both sides). That contract
+    was pytest-pinned but no driver hash rode it; this query pins it
+    end-to-end. lineitem (not events) so the 2% string-bounds sample
+    yields ~1200 rows -> the full 511 bounds even at sf0.01, far past
+    `CODEGEN_SAFE_BOUNDS` — the path engages with margin at every SF.
+    Oracle is the naive global window; md5 hex is ASCII so the two
+    engines' orders agree trivially, making any divergence attributable
+    to the bin machinery, which is the point."""
+    from henbun_spark.operators import relational
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.md5(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("row_key"),
+    )
+    out = relational.assign_row_ids(
+        li, [F.asc("row_key"), F.asc("l_orderkey")], "ord", n_partitions=512
+    )
+    return out.select("l_orderkey", "l_linenumber", "row_key", "ord")
+
+
+_ROW_IDS_STRING_SQL = """
+SELECT l_orderkey, l_linenumber,
+  md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR) AS row_key,
+  row_number() OVER (
+    ORDER BY md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR),
+             l_orderkey
+  )::BIGINT AS ord
+FROM lineitem
+"""
+
+
 def corpus_layout_order(spark, sf_dir):
     """Reproducible corpus layout for training determinism: a STABLE
     global ordering (source ASC, doc_id ASC) -> consecutive ordinal ->
@@ -8680,28 +8847,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- driver-coverage rotation (round 8) ---
+        # --- driver-coverage rotation (round 9) ---
         # The driver hash-checks the FIRST 50 entries each round. All 50
         # are oracle-backed (tests/test_entry.py enforces it): slot 1 is
-        # streaming_static_enrich — fixed at HEAD of r7 but the driver's
-        # r7 row was evaluated against round-start code, so it is still
-        # the only oracle-backed query with no green driver row; slots
-        # 2-7 are FIRST-EVER hash checks (the r8 rows-only->oracle
-        # conversions of semantic_dedup_emb / kmeans_embeddings /
-        # pca_embeddings, the new corpus_layout_desc DESC+NULLS
-        # contract, row_ids_wide_bins pinning the r8 searchsorted bin
-        # path, the new diverse_select_emb k-center coreset, the new
-        # streaming_pca_gram maintenance path, and the r8-converted
-        # streaming_ivf_ingest + logreg_quality_classifier +
-        # bpe_train_encode + streaming_vi_training); the remaining 38
-        # rotate through the oracle-backed queries with the OLDEST
-        # last-green driver round (all 27 last green in r3, then 11 of
-        # the 22 last green in r4 — q3_top_orders,
-        # q4_late_shipment_priority, q5_nation_revenue,
-        # q6_forecast_revenue, rollup_revenue, running_total_user,
-        # session_window_agg, sessionize_events, set_ops_customers,
-        # string_date_functions and top_events_per_user roll to r9).
+        # streaming_static_enrich — driver-hash-red r6-r8 while locally
+        # bitwise-exact; r9 changes the RESULT REPRESENTATION to pure
+        # BIGINTs (integer cents) so no decimal reaches the driver hash,
+        # and the red query keeps its slot for the re-check; slots 2-5
+        # are FIRST-EVER hash checks (the r9 rows-only->oracle
+        # conversions vi_linear_regression / vi_minibatch_sgd /
+        # vi_staged_training via the bound-boolean recipe, and the new
+        # row_ids_string_bins pinning the object-dtype searchsorted bin
+        # branch); slots 6-16 are the 11 r4-last-green queries the r8
+        # window deferred (q3/q4/q5/q6, rollup, running_total,
+        # session_window_agg, sessionize, set_ops, string_date,
+        # top_events_per_user — all re-greened here); slots 17-50 take
+        # the r5-last-green tier in registry order, 34 of 45 — the
+        # remaining 11 (training_shards_docs, contamination_check,
+        # token_histogram, hard_negatives_emb, emb_quantize,
+        # emb_lsh_recall, minhash_recall_docs, bloom_semi_lineitem,
+        # chunk_docs_overlap, quantile_sketch_value, transform_exp)
+        # roll to r10.
         "streaming_static_enrich": streaming_static_enrich,
+        "vi_linear_regression": vi_linear_regression,
+        "vi_minibatch_sgd": vi_minibatch_sgd,
+        "vi_staged_training": vi_staged_training,
+        "row_ids_string_bins": row_ids_string_bins,
+        "q3_top_orders": q3_top_orders,
+        "q4_late_shipment_priority": q4_late_shipment_priority,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "rollup_revenue": rollup_revenue,
+        "running_total_user": running_total_user,
+        "session_window_agg": session_window_agg,
+        "sessionize_events": sessionize_events,
+        "set_ops_customers": set_ops_customers,
+        "string_date_functions": string_date_functions,
+        "top_events_per_user": top_events_per_user,
+        "streaming_dedup_index": streaming_dedup_index,
+        "json_extract_props": json_extract_props,
+        "pivot_event_types": pivot_event_types,
+        "rolling_1h_user_value": rolling_1h_user_value,
+        "cohort_retention": cohort_retention,
+        "cms_frequency_users": cms_frequency_users,
+        "hll_distinct_users": hll_distinct_users,
+        "hll_users_by_type": hll_users_by_type,
+        "row_ids_documents": row_ids_documents,
+        "fuzzy_match_titles": fuzzy_match_titles,
+        "unpivot_pricing_metrics": unpivot_pricing_metrics,
+        "corr_lineitem_metrics": corr_lineitem_metrics,
+        "linreg_value_by_hour": linreg_value_by_hour,
+        "validate_constraints_events": validate_constraints_events,
+        "merge_upsert_docs": merge_upsert_docs,
+        "scd2_user_intervals": scd2_user_intervals,
+        "array_functions_emb": array_functions_emb,
+        "anomaly_zscore_events": anomaly_zscore_events,
+        "anomaly_mad_events": anomaly_mad_events,
+        "observed_filter_metrics": observed_filter_metrics,
+        "rank_gauss_value": rank_gauss_value,
+        "dedup_components": dedup_components,
+        "dedup_components_star": dedup_components_star,
+        "dedup_canonical_best": dedup_canonical_best,
+        "pagerank_dup_graph": pagerank_dup_graph,
+        "triangle_count_dupgraph": triangle_count_dupgraph,
+        "chunk_dedup_docs": chunk_dedup_docs,
+        "incremental_dedup_new": incremental_dedup_new,
+        "pii_redact": pii_redact,
+        "lm_score_docs": lm_score_docs,
+        "lm_bigram_docs": lm_bigram_docs,
+        "gopher_quality_docs": gopher_quality_docs,
+        "mix_corpus_sources": mix_corpus_sources,
+        "pack_sequences_docs": pack_sequences_docs,
         "semantic_dedup_emb": semantic_dedup_emb,
         "corpus_layout_desc": corpus_layout_desc,
         "row_ids_wide_bins": row_ids_wide_bins,
@@ -8800,12 +9016,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_epochs_sources": upsample_epochs_sources,
         "pack_materialize_docs": pack_materialize_docs,
         "weighted_percentile_price": weighted_percentile_price,
-        "streaming_dedup_index": streaming_dedup_index,
-        "json_extract_props": json_extract_props,
-        "pivot_event_types": pivot_event_types,
-        "rolling_1h_user_value": rolling_1h_user_value,
-        "cohort_retention": cohort_retention,
-        "cms_frequency_users": cms_frequency_users,
         "dsir_select_docs": dsir_select_docs,
         "dedup_containment": dedup_containment,
         "curriculum_order_docs": curriculum_order_docs,
@@ -8843,40 +9053,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_keys": streaming_dedup_keys,
         "streaming_enrich_static": streaming_enrich_static,
         "streaming_corpus_ingest": streaming_corpus_ingest,
-        "vi_minibatch_sgd": vi_minibatch_sgd,
         "vi_amortized_encoder": vi_amortized_encoder,
         "gp_regression_events": gp_regression_events,
         "gp_experts_events": gp_experts_events,
-        "vi_staged_training": vi_staged_training,
         "gp_sparse_posterior": gp_sparse_posterior,
-        "hll_distinct_users": hll_distinct_users,
-        "hll_users_by_type": hll_users_by_type,
-        "row_ids_documents": row_ids_documents,
-        "fuzzy_match_titles": fuzzy_match_titles,
-        "unpivot_pricing_metrics": unpivot_pricing_metrics,
-        "corr_lineitem_metrics": corr_lineitem_metrics,
-        "linreg_value_by_hour": linreg_value_by_hour,
-        "validate_constraints_events": validate_constraints_events,
-        "merge_upsert_docs": merge_upsert_docs,
-        "scd2_user_intervals": scd2_user_intervals,
-        "array_functions_emb": array_functions_emb,
-        "anomaly_zscore_events": anomaly_zscore_events,
-        "anomaly_mad_events": anomaly_mad_events,
-        "observed_filter_metrics": observed_filter_metrics,
-        "rank_gauss_value": rank_gauss_value,
-        "dedup_components": dedup_components,
-        "dedup_components_star": dedup_components_star,
-        "dedup_canonical_best": dedup_canonical_best,
-        "pagerank_dup_graph": pagerank_dup_graph,
-        "triangle_count_dupgraph": triangle_count_dupgraph,
-        "chunk_dedup_docs": chunk_dedup_docs,
-        "incremental_dedup_new": incremental_dedup_new,
-        "pii_redact": pii_redact,
-        "lm_score_docs": lm_score_docs,
-        "lm_bigram_docs": lm_bigram_docs,
-        "gopher_quality_docs": gopher_quality_docs,
-        "mix_corpus_sources": mix_corpus_sources,
-        "pack_sequences_docs": pack_sequences_docs,
         "training_shards_docs": training_shards_docs,
         "contamination_check": contamination_check,
         "token_histogram": token_histogram,
@@ -8888,18 +9068,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs_overlap": chunk_docs_overlap,
         "quantile_sketch_value": quantile_sketch_value,
         "transform_exp": transform_exp,
-        "q3_top_orders": q3_top_orders,
-        "q4_late_shipment_priority": q4_late_shipment_priority,
-        "q5_nation_revenue": q5_nation_revenue,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "rollup_revenue": rollup_revenue,
-        "running_total_user": running_total_user,
-        "session_window_agg": session_window_agg,
-        "sessionize_events": sessionize_events,
-        "set_ops_customers": set_ops_customers,
-        "string_date_functions": string_date_functions,
-        "top_events_per_user": top_events_per_user,
-        "vi_linear_regression": vi_linear_regression,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -9004,6 +9172,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_by_type": _hll_sql(group_col="event_type"),
         "row_ids_documents": _ROW_IDS_SQL,
         "row_ids_wide_bins": _ROW_IDS_WIDE_SQL,
+        # r9: pins the object-dtype (string) searchsorted bin branch
+        "row_ids_string_bins": _ROW_IDS_STRING_SQL,
         # r8: retired rows-only debt — planted deterministic structure
         # (see each docstring)
         "kmeans_embeddings": _KMEANS_PLANTED_SQL,
@@ -9018,6 +9188,11 @@ def oracle_sql() -> dict[str, str]:
         "logreg_quality_classifier": _LOGREG_LABELS_SQL,
         "bpe_train_encode": _BPE_ROUNDTRIP_SQL,
         "streaming_vi_training": _STREAM_VI_SQL,
+        # r9: retired rows-only debt via the bound-boolean recipe —
+        # exact OLS moments / freeze-contract booleans (see docstrings)
+        "vi_linear_regression": _VI_LINREG_SQL,
+        "vi_minibatch_sgd": _VI_MINIBATCH_SQL,
+        "vi_staged_training": _VI_STAGED_SQL,
         "fuzzy_match_titles": _FUZZY_SQL,
         "unpivot_pricing_metrics": _UNPIVOT_SQL,
         "corr_lineitem_metrics": _corr_sql(),

@@ -18,14 +18,14 @@ ROWS_ONLY = {
     # exact-payload + recall-bound recipe, logreg via teacher-label
     # counts + an accuracy-bound boolean, bpe via the lossless roundtrip
     # invariant, and streaming_vi_training via the exact decimal target
-    # + contraction bound.) What remains is genuinely trained VI/GP
-    # posterior state with no SQL form — each pytest-bounded instead.
-    "vi_linear_regression",
-    "vi_minibatch_sgd",
+    # + contraction bound.) r9 retired vi_linear_regression +
+    # vi_minibatch_sgd (exact OLS moments + OLS-proximity bound
+    # booleans) and vi_staged_training (exact payload + freeze-contract
+    # booleans). What remains is genuinely trained VI/GP posterior
+    # state with no SQL form — each pytest-bounded instead.
     "gp_sparse_posterior",
     "gp_regression_events",
     "gp_experts_events",
-    "vi_staged_training",
     "vi_amortized_encoder",
 }
 
