@@ -8294,15 +8294,19 @@ def streaming_ivf_ingest(spark, sf_dir):
 
     ORACLE-CHECKED (r8, retiring the rows-only driver row — the
     `ann_topk_ivf` recipe): the streamed-and-served candidate sets have
-    no SQL form, so the contract output is the EXACT cosine top-3 (the
-    `sim_cosine_topk` oracle, bitwise) plus `recall_ok`: the STREAMED
-    index's recall@3 against that exact set must stay >= 1/3 (same
-    quantizer/seed/nprobe as `ann_topk_ivf`, which measures 0.40-0.73
-    across SFs — chance at nprobe=2 of 8 cells would be ~0.25). A
-    dropped micro-batch, a broken cell assignment at ingest, or a
-    partition-pruning bug at serve time flips the boolean and fails the
-    driver hash. The pytest additionally pins streamed == batch
-    `ivf_topk` EXACTLY under the same quantizer."""
+    no SQL form, so the contract output is the EXACT cosine top-3 for
+    the 5 payload queries (the `sim_cosine_topk` oracle, bitwise) plus
+    `recall_ok`: the STREAMED index's recall@3 must stay >= 0.4 — the
+    SAME bound as the batch `ann_topk_ivf` (r9, closing the advisor's
+    inconsistency note). The recall is measured over a WIDER 25-query
+    set (75 exact pairs) than the hashed payload, so the boolean's
+    granularity is 1/75 and the measured 0.53/0.56 recall at
+    sf0.01/sf0.1 sits 10 discrete steps above the bound (chance at
+    nprobe=2 of 8 cells would be ~0.25) — a benign testdata
+    regeneration cannot plausibly flip it, but a dropped micro-batch,
+    a broken cell assignment at ingest, or a partition-pruning bug at
+    serve time still does. The pytest additionally pins streamed ==
+    batch `ivf_topk` EXACTLY under the same quantizer."""
     from henbun_spark.operators import similarity
 
     emb = _load(spark, sf_dir, "embeddings")
@@ -8321,14 +8325,15 @@ def streaming_ivf_ingest(spark, sf_dir):
         stream, centroids, f"{base}/index", f"{base}/ckpt"
     )
     q.awaitTermination()
-    queries = emb.where(F.col("vec_id") < 5)
+    wide = emb.where(F.col("vec_id") < 25)
     approx = similarity.ivf_index_search(
-        spark, f"{base}/index", centroids, queries, k=3, nprobe=2
+        spark, f"{base}/index", centroids, wide, k=3, nprobe=2
     )
-    exact = similarity.cosine_topk(emb, queries, k=3)
-    eset = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    exact_wide = similarity.cosine_topk(emb, wide, k=3)
+    eset = {(r["query_id"], r["neighbor_id"]) for r in exact_wide.collect()}
     aset = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
-    ok = (not eset) or len(eset & aset) / len(eset) >= (1.0 / 3.0)
+    ok = (not eset) or len(eset & aset) / len(eset) >= 0.4
+    exact = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=3)
     return exact.withColumn("recall_ok", F.lit(bool(ok)))
 
 

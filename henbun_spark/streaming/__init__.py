@@ -673,10 +673,13 @@ def pca_stream_maintenance(
         prev, committed = _read_state(spark, state_dir)
         if _should_skip_batch(batch_id, committed, state_dir):
             return
-        try:
-            n, s, g = decomposition.suff_stats(bdf, emb_col)
-        except ValueError:
+        # explicit emptiness probe (limit-1 scan, negligible next to the
+        # stats pass) — NOT a broad `except ValueError`, which would
+        # also swallow a genuine shape/schema ValueError from
+        # suff_stats and silently drop that batch's data
+        if bdf.isEmpty():
             return  # empty micro-batch: nothing to fold
+        n, s, g = decomposition.suff_stats(bdf, emb_col)
         if prev is not None:
             r = prev.collect()[0]  # 1-row state: bounded driver read
             n += int(r["n"])

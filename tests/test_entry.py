@@ -58,11 +58,16 @@ def test_queries_dict_has_no_duplicate_keys():
     duplicates can't hide behind dict semantics."""
     import ast
 
-    src = open("/root/repo/__spark_entry__.py").read()
+    src = open(entry_mod.__file__).read()
     for node in ast.walk(ast.parse(src)):
         if isinstance(node, ast.FunctionDef) and node.name == "queries":
-            d = node.body[-1].value
-            keys = [k.value for k in d.keys]
+            rets = [
+                n for n in ast.walk(node)
+                if isinstance(n, ast.Return)
+                and isinstance(n.value, ast.Dict)
+            ]
+            assert len(rets) == 1, "queries() should return one dict literal"
+            keys = [k.value for k in rets[0].value.keys]
             dupes = sorted({k for k in keys if keys.count(k) > 1})
             assert not dupes, f"duplicate queries() keys: {dupes}"
             return

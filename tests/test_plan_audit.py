@@ -115,7 +115,56 @@ def test_bnlj_whitelist_entries_still_exist():
     qs = set(entry_mod.queries())
     stale = sorted(
         n
-        for n in explain_audit.BNLJ_OK | explain_audit.PERCENTILE_OK
+        for n in explain_audit.BNLJ_OK
+        | explain_audit.PERCENTILE_OK
+        | explain_audit.GLOBAL_WINDOW_OK
         if n not in qs
     )
     assert not stale, f"stale audit whitelist entries: {stale}"
+
+
+def test_global_window_detector_flags_data_window(spark, sf_dir):
+    """r9 (closing the r8 verdict's audit blind spot): a partition-less
+    window over DATA — the single-reducer shape the binned-offset
+    primitives exist to avoid — must hard-flag, while (a) the same
+    window partitioned and (b) the bucket machineries' bounded
+    __bin-ordered offsets windows must not."""
+    from pyspark.sql import Window, functions as F
+
+    from henbun_spark import sources
+
+    ev = sources.load_table(spark, sf_dir, "events")
+
+    bad = ev.withColumn(
+        "ord", F.row_number().over(Window.orderBy("value", "event_id"))
+    )
+    flags = explain_audit.audit("synthetic", explain_audit.plan_of(bad))
+    assert "global-window" in flags, flags
+
+    good = ev.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("ts")),
+    )
+    flags = explain_audit.audit("synthetic", explain_audit.plan_of(good))
+    assert "global-window" not in flags, flags
+
+    offsets = (
+        ev.groupBy(F.floor(F.col("value") / 10).alias("__bin"))
+        .agg(F.count(F.lit(1)).alias("__btot"))
+        .withColumn(
+            "__boff",
+            F.sum("__btot").over(
+                Window.orderBy("__bin").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+    )
+    flags = explain_audit.audit("synthetic", explain_audit.plan_of(offsets))
+    assert "global-window" not in flags, flags
+
+    # and the whitelist suppresses the flag only for the named query
+    flags = explain_audit.audit(
+        "skew_report_events", explain_audit.plan_of(bad)
+    )
+    assert "global-window" not in flags, flags

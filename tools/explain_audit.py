@@ -133,6 +133,27 @@ LOWCARD_COLS = {
     "o_orderstatus",
     "o_orderpriority",
 }
+# Global (partition-less) windows move ALL their input through ONE task
+# — the classic single-reducer scale killer the repo's binned-offset
+# primitives exist to avoid. The ONLY legitimate shape is a window over
+# one of the bucket machineries' bounded IN-PLAN tables (the offsets
+# walk orders by the internal __bin/__bkt columns and its input is
+# <= MAX_VALUE_BINS+1 rows per key by construction, fine at any scale)
+# — detected structurally by those column names, not per query. Any
+# OTHER partition-less window over data is a hard flag unless the query
+# is whitelisted here with a row-bound justification:
+#  - skew_report_events: the rank window runs AFTER orderBy+limit(10)
+#    (plans as TakeOrderedAndProject), so its input is <= top_k rows by
+#    construction — the comment in relational.skew_report documents the
+#    ordering deliberately.
+#  - quantile_sketch_value: the cumulative-count and quantile-pick
+#    windows run over the AGGREGATED equi-width histogram (<= 256 bins
+#    by construction), whose `bin` column is a plain output name, not
+#    the machineries' __bin marker.
+GLOBAL_WINDOW_OK: set[str] = {
+    "skew_report_events",
+    "quantile_sketch_value",
+}
 # These execute work at build time (training loops, streaming drains) —
 # still audited, just slower to appear.
 HARD = ("CartesianProduct", "BatchEvalPython")
@@ -154,6 +175,21 @@ def audit(name: str, plan: str) -> list[str]:
         flags.append("BroadcastNestedLoopJoin")
     if re.search(r"\bpercentile\(", plan) and name not in PERCENTILE_OK:
         flags.append("buffering-percentile")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = m.group(1)
+        # Partition-less window: the FIRST spec argument is already a
+        # SORT order (trailing ASC/DESC NULLS ...), i.e. the partition
+        # column list is empty — Spark will move the window's ENTIRE
+        # input through one task. Allowed only over the bucket
+        # machineries' bounded in-plan offsets tables (__bin/__bkt/
+        # __boff columns, <= MAX_VALUE_BINS+1 rows by construction) or
+        # for queries whitelisted with a row-bound justification.
+        first_arg = args.split(",", 1)[0].strip()
+        if re.search(r" (ASC|DESC) NULLS (FIRST|LAST)$", first_arg) and not (
+            "__bin" in args or "__bkt" in args or "__boff" in args
+        ):
+            if name not in GLOBAL_WINDOW_OK and "global-window" not in flags:
+                flags.append("global-window")
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         args = m.group(1)
         first = re.match(r"(\w+)#", args)
