@@ -1998,6 +1998,92 @@ FROM flagged GROUP BY doc_id
 """
 
 
+def dedup_substring_spans(spark, sf_dir):
+    """NEW r9 operator: ExactSubstr-style duplicate-span detection (Lee
+    et al. 2021) — every maximal char span whose every 24-char window
+    occurs >= 2 times corpus-wide, via rolling-window digests merged
+    into intervals (`dedup.duplicate_substring_spans`). O(total chars)
+    explode + one map-side-combinable digest groupBy + per-doc interval
+    windows; no pairwise join anywhere, so no max_df skew cap needed."""
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.duplicate_substring_spans(
+        docs, "text", "doc_id", min_len=24
+    )
+
+
+_SUBSTR_SPANS_CTE = """
+pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 23)) AS i
+  FROM documents WHERE length(text) >= 24),
+sh AS (SELECT doc_id, i, md5(substr(text, i, 24)) AS digest FROM pos),
+dups AS (SELECT digest FROM sh GROUP BY digest HAVING COUNT(*) > 1),
+hits AS (SELECT doc_id, i FROM sh JOIN dups USING (digest)),
+marked AS (
+  SELECT doc_id, i,
+    CASE WHEN coalesce(i > max(i + 23) OVER (PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1, TRUE)
+    THEN 1 ELSE 0 END AS nw
+  FROM hits),
+isl AS (
+  SELECT doc_id, i,
+    SUM(nw) OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM marked),
+spans AS (
+  SELECT doc_id, MIN(i)::BIGINT AS span_start,
+    (MAX(i) + 23)::BIGINT AS span_end, COUNT(*)::BIGINT AS n_shingles,
+    (MAX(i) + 23 - MIN(i) + 1)::BIGINT AS span_len
+  FROM isl GROUP BY doc_id, g)
+"""
+
+_SUBSTR_SPANS_SQL = f"""
+WITH {_SUBSTR_SPANS_CTE}
+SELECT doc_id, span_start, span_end, n_shingles, span_len FROM spans
+"""
+
+
+def dedup_substring_removal(spark, sf_dir):
+    """NEW r9 operator, the excision half of the ExactSubstr pass:
+    duplicated spans cut out and documents stitched back together —
+    pure Column functions (lag for the piece before each span,
+    array_sort(collect_list)+transform+concat as the ordered
+    string_agg, substr tail), no UDF, identical arithmetic in the
+    DuckDB oracle. Docs without spans pass through untouched."""
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(docs, "text", "doc_id", min_len=24)
+
+
+_SUBSTR_REMOVAL_SQL = f"""
+WITH {_SUBSTR_SPANS_CTE},
+ordered AS (
+  SELECT doc_id, span_start, span_end,
+    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start),
+             0) AS pe
+  FROM spans),
+stitched AS (
+  SELECT o.doc_id,
+    string_agg(substr(d.text, (o.pe + 1)::INT,
+                      (o.span_start - 1 - o.pe)::INT), ''
+               ORDER BY o.span_start)
+      || substr(d.text, (MAX(o.span_end) + 1)::INT,
+                greatest(length(d.text) - MAX(o.span_end), 0)::INT)
+      AS cleaned,
+    COUNT(*)::BIGINT AS n_spans
+  FROM ordered o JOIN documents d USING (doc_id)
+  GROUP BY o.doc_id, d.text)
+SELECT d.doc_id,
+  CASE WHEN s.doc_id IS NULL THEN d.text ELSE s.cleaned END AS cleaned,
+  length(d.text)::BIGINT AS orig_len,
+  length(CASE WHEN s.doc_id IS NULL THEN d.text ELSE s.cleaned END)::BIGINT
+    AS cleaned_len,
+  coalesce(s.n_spans, 0)::BIGINT AS n_spans
+FROM documents d LEFT JOIN stitched s USING (doc_id)
+"""
+
+
 def _simhash_bits_sql(bits: int) -> str:
     bit_exprs = []
     for j in range(bits):
@@ -8861,23 +8947,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the red query keeps its slot for the re-check; slots 2-5
         # are FIRST-EVER hash checks (the r9 rows-only->oracle
         # conversions vi_linear_regression / vi_minibatch_sgd /
-        # vi_staged_training via the bound-boolean recipe, and the new
+        # vi_staged_training via the bound-boolean recipe, the new
         # row_ids_string_bins pinning the object-dtype searchsorted bin
-        # branch); slots 6-16 are the 11 r4-last-green queries the r8
-        # window deferred (q3/q4/q5/q6, rollup, running_total,
-        # session_window_agg, sessionize, set_ops, string_date,
-        # top_events_per_user — all re-greened here); slots 17-50 take
-        # the r5-last-green tier in registry order, 34 of 45 — the
-        # remaining 11 (training_shards_docs, contamination_check,
-        # token_histogram, hard_negatives_emb, emb_quantize,
-        # emb_lsh_recall, minhash_recall_docs, bloom_semi_lineitem,
-        # chunk_docs_overlap, quantile_sketch_value, transform_exp)
-        # roll to r10.
+        # branch, and the two NEW ExactSubstr operators
+        # dedup_substring_spans / dedup_substring_removal); slots 8-18
+        # are the 11 r4-last-green queries the r8 window deferred
+        # (q3/q4/q5/q6, rollup, running_total, session_window_agg,
+        # sessionize, set_ops, string_date, top_events_per_user — all
+        # re-greened here); slots 19-50 take the r5-last-green tier in
+        # registry order, 32 of 45 — the remaining 13
+        # (mix_corpus_sources, pack_sequences_docs,
+        # training_shards_docs, contamination_check, token_histogram,
+        # hard_negatives_emb, emb_quantize, emb_lsh_recall,
+        # minhash_recall_docs, bloom_semi_lineitem, chunk_docs_overlap,
+        # quantile_sketch_value, transform_exp) roll to r10.
         "streaming_static_enrich": streaming_static_enrich,
         "vi_linear_regression": vi_linear_regression,
         "vi_minibatch_sgd": vi_minibatch_sgd,
         "vi_staged_training": vi_staged_training,
         "row_ids_string_bins": row_ids_string_bins,
+        "dedup_substring_spans": dedup_substring_spans,
+        "dedup_substring_removal": dedup_substring_removal,
         "q3_top_orders": q3_top_orders,
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -8921,6 +9011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_docs": lm_score_docs,
         "lm_bigram_docs": lm_bigram_docs,
         "gopher_quality_docs": gopher_quality_docs,
+        # --- window boundary: entries below are NOT hash-checked in r9
         "mix_corpus_sources": mix_corpus_sources,
         "pack_sequences_docs": pack_sequences_docs,
         "semantic_dedup_emb": semantic_dedup_emb,
@@ -9198,6 +9289,10 @@ def oracle_sql() -> dict[str, str]:
         "vi_linear_regression": _VI_LINREG_SQL,
         "vi_minibatch_sgd": _VI_MINIBATCH_SQL,
         "vi_staged_training": _VI_STAGED_SQL,
+        # r9 NEW operators beyond the checklist: ExactSubstr-style
+        # duplicate-span detection + excision (Lee et al. 2021)
+        "dedup_substring_spans": _SUBSTR_SPANS_SQL,
+        "dedup_substring_removal": _SUBSTR_REMOVAL_SQL,
         "fuzzy_match_titles": _FUZZY_SQL,
         "unpivot_pricing_metrics": _UNPIVOT_SQL,
         "corr_lineitem_metrics": _corr_sql(),

@@ -172,8 +172,11 @@ HEADLINE = [
     "corpus_layout_order",
     "corpus_layout_desc",
     "row_ids_wide_bins",
+    "row_ids_string_bins",
     "diverse_select_emb",
     "split_leakage_report",
+    "dedup_substring_spans",
+    "dedup_substring_removal",
     # NOT timed: streaming_pca_gram — like streaming_hll_users, its 4
     # foreachBatch commits are fixed micro-batch machinery at any SF;
     # it stays on the CORRECTNESS board.

@@ -741,6 +741,156 @@ def boilerplate_chunk_removal(
     )
 
 
+def duplicate_substring_spans(
+    df: DataFrame, text_col: str, id_col: str, min_len: int = 32
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" pass,
+    char-level): every maximal span whose every `min_len`-char window
+    occurs at least TWICE corpus-wide (any position, any doc, including
+    elsewhere in the same doc). The suffix-array construction of the
+    paper is inherently sequential; the distributed re-expression is
+    the standard rolling-window factorization — a duplicated substring
+    of length >= L is exactly a RUN of duplicated L-char windows, so
+    positions of duplicated windows merged into maximal intervals
+    recover the paper's spans.
+
+    Scale design: the explode is O(total chars) rows (the same budget
+    as any shingle pass); duplicated-window detection is one map-side-
+    combinable groupBy on the md5 digest (a boilerplate window repeated
+    in millions of docs combines map-side — no max_df cap needed
+    because nothing ever joins pairwise); the join back is an equi-join
+    AQE can skew-split; interval merging is two windows PARTITIONED BY
+    doc (per-task state bounded by one doc's hit count). No cross
+    join, no global window, no driver state.
+
+    Output: (id, span_start, span_end, span_len, n_shingles), 1-based
+    inclusive char offsets — engine-portable (substr + md5 + windows),
+    DuckDB-oracle-exact.
+    """
+    ln = F.length(F.col(text_col))
+    pos = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .where(ln >= min_len)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(
+                F.sequence(F.lit(1), ln - F.lit(min_len - 1))
+            ).alias("i"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("i"),
+            F.md5(
+                F.col(text_col).substr(F.col("i"), F.lit(min_len))
+            ).alias("digest"),
+        )
+    )
+    dup = (
+        pos.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > 1)
+        .select("digest")
+    )
+    hits = pos.join(dup, "digest").select(id_col, "i")
+    end = F.col("i") + F.lit(min_len - 1)
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(end).over(w_prev)
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        hits.withColumn(
+            "__new",
+            F.when(
+                prev_end.isNull() | (F.col("i") > prev_end + 1), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__isl", F.sum("__new").over(w_run))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("i").cast("long").alias("span_start"),
+            (F.max("i") + F.lit(min_len - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        )
+        .withColumn(
+            "span_len", F.col("span_end") - F.col("span_start") + F.lit(1)
+        )
+        .drop("__isl")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, text_col: str, id_col: str, min_len: int = 32
+) -> DataFrame:
+    """The excision half of the ExactSubstr pass: cut every
+    `duplicate_substring_spans` span out of its document and stitch the
+    remainder back together — entirely in Column functions (no UDF):
+    each span contributes the kept piece BEFORE it ([previous span end
+    + 1, span start - 1], computed with a per-doc lag so pieces are
+    self-contained), pieces reassemble via array_sort(collect_list) +
+    transform + concat (Spark's ordered string_agg), and the tail after
+    the last span closes the doc. Spans are merged/non-overlapping by
+    construction, so piece lengths are never negative and the identical
+    substr arithmetic runs in the DuckDB oracle.
+
+    One extra keyed shuffle over the spans table (groupBy doc; per-group
+    state bounded by the doc's own span count) + a left join back onto
+    the corpus — docs without spans pass through untouched.
+
+    Output: (id, text -> cleaned, orig_len, cleaned_len, n_spans).
+    """
+    spans = duplicate_substring_spans(df, text_col, id_col, min_len)
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    per_doc = (
+        spans.withColumn(
+            "__pe", F.lag("span_end", 1, 0).over(w)
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct("span_start", "__pe", "span_end")
+            ).alias("__ss"),
+            F.max("span_end").alias("__last_end"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+        )
+    )
+    txt = F.col(text_col)
+    head_pieces = F.array_join(
+        F.transform(
+            F.array_sort(F.col("__ss")),
+            lambda s: txt.substr(
+                (s["__pe"] + F.lit(1)).cast("int"),
+                (s["span_start"] - F.lit(1) - s["__pe"]).cast("int"),
+            ),
+        ),
+        "",
+    )
+    tail = txt.substr(
+        (F.col("__last_end") + F.lit(1)).cast("int"),
+        F.greatest(
+            F.length(txt) - F.col("__last_end").cast("int"), F.lit(0)
+        ),
+    )
+    cleaned = F.when(F.col("__ss").isNull(), txt).otherwise(
+        F.concat(head_pieces, tail)
+    )
+    return df.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        cleaned.alias("cleaned"),
+        F.length(txt).cast("long").alias("orig_len"),
+        F.length(cleaned).cast("long").alias("cleaned_len"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+    )
+
+
 def cross_source_duplicates(
     df: DataFrame,
     text_col: str,
