@@ -9,7 +9,8 @@ import pytest
 import __spark_entry__ as entry_mod
 from henbun_spark import sources
 
-ROWS_ONLY = {
+ROWS_ONLY: set = set()  # empty since r9 — see the history below
+HISTORY = """
     # r7 retired the t-digest family + media dedups into oracle_sql();
     # r8 retired semantic_dedup_emb (planted dup components),
     # kmeans_embeddings (planted clusters, exact dyadic sums) and
@@ -18,16 +19,17 @@ ROWS_ONLY = {
     # exact-payload + recall-bound recipe, logreg via teacher-label
     # counts + an accuracy-bound boolean, bpe via the lossless roundtrip
     # invariant, and streaming_vi_training via the exact decimal target
-    # + contraction bound.) r9 retired vi_linear_regression +
-    # vi_minibatch_sgd (exact OLS moments + OLS-proximity bound
-    # booleans) and vi_staged_training (exact payload + freeze-contract
-    # booleans). What remains is genuinely trained VI/GP posterior
-    # state with no SQL form — each pytest-bounded instead.
-    "gp_sparse_posterior",
-    "gp_regression_events",
-    "gp_experts_events",
-    "vi_amortized_encoder",
-}
+    # + contraction bound.) r9 retired the LAST seven: the VI
+    # regression pair via exact OLS moments + OLS-proximity bounds,
+    # staged training via exact payload + freeze-contract booleans,
+    # the GP training flagships via exact payload + noise-damped
+    # improvement and NaN-guard range booleans, the amortized encoder
+    # via exact row count + finite/bounded posterior booleans, and the
+    # deterministic-input sparse-GP posterior via a constant VALUES
+    # oracle + a 6-sigma noise-bound boolean. EVERY registry query is
+    # now oracle-backed; the empty set stays as the guard that it
+    # remains so.
+"""
 
 
 def test_approx_distinct_events_tracks_exact(spark, sf_dir):
