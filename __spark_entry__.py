@@ -8648,6 +8648,79 @@ FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
+def streaming_substr_index(spark, sf_dir):
+    """NEW r9 streaming path: the INCREMENTAL twin of the r9 ExactSubstr
+    operator — a persistent duplicated-WINDOW digest index. Documents
+    stream in as 4-file micro-batches; each batch explodes its own
+    24-char rolling windows (the same factorization as
+    `dedup.duplicate_substring_spans`: a duplicated substring of length
+    >= L is a run of duplicated L-char windows) and folds
+    (digest -> min doc_id, occurrence count) partials into versioned
+    exactly-once state via `mv_stream_maintenance(agg_spec=
+    {canonical_id: min})`. min/count merges are order-independent, so
+    micro-batch splits cannot change the drained state, and the index
+    answers "which windows of this new doc already exist in the lake"
+    at ingest time without rescanning the corpus — the continuous-
+    ingest form of the ExactSubstr pass. ORACLE-CHECKED: drained state
+    == the batch digest groupBy bit-for-bit."""
+    from henbun_spark import streaming
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _scratch_dir("henbun_ssx_")
+    in_dir = f"{base}/in"
+    docs.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def partials(d):
+        ln = F.length("text")
+        pos = d.where(ln >= 24).select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), ln - F.lit(23))).alias("i"),
+        )
+        return (
+            pos.select(
+                "doc_id",
+                F.md5(
+                    F.col("text").substr(F.col("i"), F.lit(24))
+                ).alias("digest"),
+            )
+            .groupBy("digest")
+            .agg(
+                F.min("doc_id").alias("canonical_id"),
+                F.count(F.lit(1)).alias("n_occ"),
+            )
+        )
+
+    q = streaming.mv_stream_maintenance(
+        stream,
+        partials,
+        ["digest"],
+        f"{base}/state",
+        f"{base}/ckpt",
+        agg_spec={"canonical_id": "min"},
+    )
+    q.awaitTermination()
+    idx = streaming.load_state(spark, f"{base}/state")
+    return idx.where(F.col("n_occ") > 1).select(
+        "digest", "canonical_id", F.col("n_occ").cast("long").alias("n_occ")
+    )
+
+
+_STREAM_SUBSTR_INDEX_SQL = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 23)) AS i
+  FROM documents WHERE length(text) >= 24)
+SELECT md5(substr(text, i, 24)) AS digest,
+  MIN(doc_id) AS canonical_id, COUNT(*)::BIGINT AS n_occ
+FROM pos GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
 def streaming_neardup_index(spark, sf_dir):
     """PERSISTENT streaming NEAR-dup index, ORACLE-CHECKED with the
     batch LSH-bucket SQL: documents stream in as 4-file micro-batches;
@@ -9115,15 +9188,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NaN-guard booleans, gp_sparse_posterior via a constant
         # VALUES oracle + 6-sigma noise bound), the new
         # row_ids_string_bins pinning the object-dtype searchsorted bin
-        # branch, and the two NEW ExactSubstr operators
-        # dedup_substring_spans / dedup_substring_removal; slots 12-22
-        # are the 11 r4-last-green queries the r8 window deferred
-        # (q3/q4/q5/q6, rollup, running_total, session_window_agg,
-        # sessionize, set_ops, string_date, top_events_per_user — all
-        # re-greened here); slots 23-50 take the r5-last-green tier in
-        # registry order, 28 of 45 — the remaining 17 (pii_redact,
-        # lm_score_docs, lm_bigram_docs, gopher_quality_docs,
-        # mix_corpus_sources, pack_sequences_docs,
+        # branch, and the three NEW ExactSubstr operators
+        # dedup_substring_spans / dedup_substring_removal /
+        # streaming_substr_index; slots 13-23 are the 11 r4-last-green
+        # queries the r8 window deferred (q3/q4/q5/q6, rollup,
+        # running_total, session_window_agg, sessionize, set_ops,
+        # string_date, top_events_per_user — all re-greened here);
+        # slots 24-50 take the r5-last-green tier in registry order,
+        # 27 of 45 — the remaining 18 (incremental_dedup_new,
+        # pii_redact, lm_score_docs, lm_bigram_docs,
+        # gopher_quality_docs, mix_corpus_sources, pack_sequences_docs,
         # training_shards_docs, contamination_check, token_histogram,
         # hard_negatives_emb, emb_quantize, emb_lsh_recall,
         # minhash_recall_docs, bloom_semi_lineitem, chunk_docs_overlap,
@@ -9139,6 +9213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_ids_string_bins": row_ids_string_bins,
         "dedup_substring_spans": dedup_substring_spans,
         "dedup_substring_removal": dedup_substring_removal,
+        "streaming_substr_index": streaming_substr_index,
         "q3_top_orders": q3_top_orders,
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -9177,8 +9252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dup_graph": pagerank_dup_graph,
         "triangle_count_dupgraph": triangle_count_dupgraph,
         "chunk_dedup_docs": chunk_dedup_docs,
-        "incremental_dedup_new": incremental_dedup_new,
         # --- window boundary: entries below are NOT hash-checked in r9
+        "incremental_dedup_new": incremental_dedup_new,
         "pii_redact": pii_redact,
         "lm_score_docs": lm_score_docs,
         "lm_bigram_docs": lm_bigram_docs,
@@ -9460,6 +9535,8 @@ def oracle_sql() -> dict[str, str]:
         # duplicate-span detection + excision (Lee et al. 2021)
         "dedup_substring_spans": _SUBSTR_SPANS_SQL,
         "dedup_substring_removal": _SUBSTR_REMOVAL_SQL,
+        # r9 NEW streaming path: incremental ExactSubstr window index
+        "streaming_substr_index": _STREAM_SUBSTR_INDEX_SQL,
         # r9: the LAST four rows-only queries retired — bound-boolean
         # recipe for the GP/VI training flagships, constant VALUES +
         # 6-sigma noise bound for the deterministic-input GP posterior

@@ -180,6 +180,9 @@ HEADLINE = [
     # NOT timed: streaming_pca_gram — like streaming_hll_users, its 4
     # foreachBatch commits are fixed micro-batch machinery at any SF;
     # it stays on the CORRECTNESS board.
+    # NOT timed: streaming_substr_index (r9) — same 4-commit
+    # foreachBatch machinery; its batch twin dedup_substring_spans IS
+    # timed above and carries the scale story.
     # NOT timed: streaming_heavy_hitters / streaming_mv_daily — like
     # streaming_hll_users, fixed micro-batch commit machinery dominates
     # at any SF; they stay on the CORRECTNESS board.
