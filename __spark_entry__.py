@@ -9161,6 +9161,160 @@ def ann_topk_pq(spark, sf_dir):
     return exact.withColumn("recall_ok", F.lit(bool(ok)))
 
 
+def streaming_kmeans_update(spark, sf_dir):
+    """Streaming MINI-BATCH K-MEANS sufficient-stats fold (r9, new op):
+    embeddings arrive as 4-file micro-batches; each batch assigns its
+    vectors to the nearest of k=4 FIXED seed centroids (the classic
+    mini-batch-k-means / streaming-EM shape: assignment against the
+    current model, sufficient stats folded incrementally, centroid
+    update = sum/count at read time) and emits per-cluster
+    (count, coordinate-sum) partials into versioned exactly-once state
+    via `mv_stream_maintenance`.  Differs from `streaming_ivf_ingest`
+    (postings-list/index maintenance) in WHAT is maintained: here it is
+    the MODEL's sufficient statistics, i.e. the training-side streaming
+    twin of `kmeans_embeddings`' Lloyd step.
+
+    ORACLE-CHECKED hash-exactly with NO planted data: coordinates are
+    quantized to BIGINT grid units (`clustering.quantize_units`,
+    floor(x*2^10) — exact IEEE ops, bit-identical on any engine), seeds
+    are the vec_id 0-3 unit vectors (recomputable by the oracle from
+    the same table; 4-row bounded collect on the Spark side, plan-time
+    literals thereafter), distances/argmin/sums are pure integer math
+    (`clustering.assign_nearest_units`, ties to the lowest cluster id),
+    and BIGINT count/sum folding is associative — the drained state
+    equals the batch assignment+groupBy bit-for-bit no matter how rows
+    split into micro-batches.  A misrouted vector, a dropped batch, or
+    a broken state merge flips both counts and sums.  At 100 TB:
+    assignment is one map-side expression per batch (k x dim literals,
+    no shuffle, no Python), partials are map-side-combinable to <= k
+    rows, and the state is k rows total."""
+    from henbun_spark import streaming
+    from henbun_spark.operators import clustering
+
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = sorted(
+        clustering.quantize_units(
+            emb.where(F.col("vec_id") < 4), "embedding"
+        )
+        .select("vec_id", "u")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )  # bounded: exactly 4 rows to the driver, then plan-time literals
+    cents = [list(r["u"]) for r in seeds]
+    base = _scratch_dir("henbun_skm_")
+    in_dir = f"{base}/in"
+    emb.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def partials(d):
+        w = clustering.quantize_units(d, "embedding")
+        a = clustering.assign_nearest_units(w, "u", cents)
+        return a.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.aggregate(
+                    "u", F.lit(0).cast("long"), lambda acc, x: acc + x
+                )
+            ).alias("sum_units"),
+            F.sum(F.element_at("u", 1)).alias("sum_u0"),
+        )
+
+    q = streaming.mv_stream_maintenance(
+        stream, partials, ["cluster"], f"{base}/state", f"{base}/ckpt"
+    )
+    q.awaitTermination()
+    mv = streaming.load_state(spark, f"{base}/state")
+    return mv.select("cluster", "n_vecs", "sum_units", "sum_u0")
+
+
+#: r9 streaming-k-means oracle: recomputes the seed centroids, the
+#: integer-unit assignment (same floor(x*1024) quantization, same
+#: lowest-id tie-break via (d, cid) ordering) and the BIGINT
+#: sufficient-stat sums over the whole table in one batch pass —
+#: equal to the drained stream state iff every micro-batch assigned
+#: and folded exactly (see streaming_kmeans_update docstring).
+_STREAM_KMEANS_SQL = """
+WITH w AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS u
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cid, u AS cu FROM w WHERE vec_id < 4
+), dist AS (
+  SELECT w.vec_id, s.cid, w.u,
+    list_aggregate(list_transform(list_zip(w.u, s.cu),
+      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS d
+  FROM w, seeds s
+), assigned AS (
+  SELECT vec_id, u, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM dist
+)
+SELECT CAST(cid AS BIGINT) AS cluster,
+  COUNT(*)::BIGINT AS n_vecs,
+  CAST(SUM(list_aggregate(u, 'sum')) AS BIGINT) AS sum_units,
+  CAST(SUM(u[1]) AS BIGINT) AS sum_u0
+FROM assigned WHERE rn = 1 GROUP BY cid
+"""
+
+
+def emb_label_outliers(spark, sf_dir):
+    """Label-conditional centroid-distance outlier ranking (r9, new op):
+    the label-noise / semantic-outlier pruning step of a training-data
+    pipeline — for every label, the 3 embeddings FARTHEST from their
+    own label centroid (`selection.centroid_outlier_ranks`).  Hash-exact
+    on the REAL embeddings table (no planting): BIGINT grid units plus
+    the count-scaled integer distance n^2*||u - mean||^2 mean no float
+    mean ever exists (recipe + overflow bound in the operator
+    docstring).  Plan: map-side quantize -> one map-side-combinable
+    (label x dim) sum agg (tiny) -> broadcast join back -> map-side
+    distance -> per-label rank window."""
+    from henbun_spark.operators import selection
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return selection.centroid_outlier_ranks(
+        emb, "embedding", "vec_id", "label", top_k=3
+    ).select(
+        F.col("label").cast("long").alias("label"),
+        "vec_id",
+        "dist_units",
+        "rank",
+    )
+
+
+_EMB_LABEL_OUTLIERS_SQL = """
+WITH w AS (
+  SELECT vec_id, label,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS u
+  FROM embeddings
+), e AS (
+  SELECT vec_id, label, i, u[i] AS x
+  FROM w, unnest(generate_series(1, 64)) AS t(i)
+), c AS (
+  SELECT label, COUNT(*) AS n FROM w GROUP BY label
+), s AS (
+  SELECT label, i, SUM(x) AS sx FROM e GROUP BY label, i
+), d AS (
+  SELECT e.vec_id, e.label,
+    CAST(SUM((c.n * e.x - s.sx) * (c.n * e.x - s.sx)) AS BIGINT)
+      AS dist_units
+  FROM e JOIN s USING (label, i) JOIN c USING (label)
+  GROUP BY e.vec_id, e.label
+)
+SELECT CAST(label AS BIGINT) AS label, vec_id, dist_units,
+  CAST(row_number() OVER (PARTITION BY label
+         ORDER BY dist_units DESC, vec_id) AS BIGINT) AS rank
+FROM d
+QUALIFY rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9190,12 +9344,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row_ids_string_bins pinning the object-dtype searchsorted bin
         # branch, and the three NEW ExactSubstr operators
         # dedup_substring_spans / dedup_substring_removal /
-        # streaming_substr_index; slots 13-23 are the 11 r4-last-green
-        # queries the r8 window deferred (q3/q4/q5/q6, rollup,
-        # running_total, session_window_agg, sessionize, set_ops,
-        # string_date, top_events_per_user — all re-greened here);
-        # slots 24-50 take the r5-last-green tier in registry order,
-        # 27 of 45 — the remaining 18 (incremental_dedup_new,
+        # streaming_substr_index; slots 13-14 are the two mid-r9 NEW
+        # ops on their first-ever checks (streaming_kmeans_update —
+        # mini-batch-k-means sufficient-stats fold, integer-exact;
+        # emb_label_outliers — count-scaled integer centroid-distance
+        # ranking on the real table); slots 15-25 are the 11
+        # r4-last-green queries the r8 window deferred (q3/q4/q5/q6,
+        # rollup, running_total, session_window_agg, sessionize,
+        # set_ops, string_date, top_events_per_user — all re-greened
+        # here); slots 26-50 take the r5-last-green tier in registry
+        # order, 25 of 45 — triangle_count_dupgraph and
+        # chunk_dedup_docs (displaced by the two new first-ever slots,
+        # both r5-green already) join the remaining 18
+        # (incremental_dedup_new,
         # pii_redact, lm_score_docs, lm_bigram_docs,
         # gopher_quality_docs, mix_corpus_sources, pack_sequences_docs,
         # training_shards_docs, contamination_check, token_histogram,
@@ -9214,6 +9375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": dedup_substring_spans,
         "dedup_substring_removal": dedup_substring_removal,
         "streaming_substr_index": streaming_substr_index,
+        "streaming_kmeans_update": streaming_kmeans_update,
+        "emb_label_outliers": emb_label_outliers,
         "q3_top_orders": q3_top_orders,
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -9537,6 +9700,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_removal": _SUBSTR_REMOVAL_SQL,
         # r9 NEW streaming path: incremental ExactSubstr window index
         "streaming_substr_index": _STREAM_SUBSTR_INDEX_SQL,
+        # r9 NEW ops (mid-round): integer-exact streaming mini-batch
+        # k-means sufficient stats; label-centroid outlier ranking
+        "streaming_kmeans_update": _STREAM_KMEANS_SQL,
+        "emb_label_outliers": _EMB_LABEL_OUTLIERS_SQL,
         # r9: the LAST four rows-only queries retired — bound-boolean
         # recipe for the GP/VI training flagships, constant VALUES +
         # 6-sigma noise bound for the deterministic-input GP posterior

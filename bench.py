@@ -177,6 +177,11 @@ HEADLINE = [
     "split_leakage_report",
     "dedup_substring_spans",
     "dedup_substring_removal",
+    "emb_label_outliers",
+    # NOT timed: streaming_kmeans_update (r9) — 4-commit foreachBatch
+    # machinery like the other streaming maintenance paths; its
+    # assignment/sufficient-stats math is timed via emb_label_outliers
+    # (same quantize + integer-distance shapes) and kmeans_embeddings.
     # NOT timed: streaming_pca_gram — like streaming_hll_users, its 4
     # foreachBatch commits are fixed micro-batch machinery at any SF;
     # it stays on the CORRECTNESS board.

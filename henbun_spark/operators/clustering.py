@@ -37,7 +37,12 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_fit", "kmeans_assign"]
+__all__ = [
+    "kmeans_fit",
+    "kmeans_assign",
+    "quantize_units",
+    "assign_nearest_units",
+]
 
 
 def _init_centroids(
@@ -161,5 +166,56 @@ def kmeans_assign(
         scored.append(
             F.struct(d2.alias("dist"), F.lit(i).alias("idx"))
         )
+    best = F.array_sort(F.array(*scored))[0]["idx"]
+    return df.withColumn(out, best)
+
+
+def quantize_units(
+    df: DataFrame, emb_col: str, out: str = "u", grid: int = 1024
+) -> DataFrame:
+    """``array<float>`` -> ``array<long>`` integer grid units via
+    ``x -> floor(x * grid)``.  With ``grid`` a power of two the
+    float->double widening and the multiply are both EXACT IEEE ops, so
+    the quantization is bit-identical on any engine/platform — the
+    repo's standard trick for making vector arithmetic hash-checkable:
+    once coordinates are BIGINT units, every distance/sum downstream is
+    integer math with no association-order wobble.  Map-only, stays in
+    codegen (one ``transform`` over the array)."""
+    if grid & (grid - 1):
+        raise ValueError(f"grid must be a power of two, got {grid}")
+    return df.withColumn(
+        out,
+        F.transform(
+            F.col(emb_col).cast("array<double>"),
+            lambda x: F.floor(x * F.lit(float(grid))).cast("long"),
+        ),
+    )
+
+
+def assign_nearest_units(
+    df: DataFrame,
+    units_col: str,
+    centroids_units: list[list[int]],
+    out: str = "cluster",
+) -> DataFrame:
+    """Integer-exact twin of ``kmeans_assign`` for quantized vectors:
+    nearest centroid by squared L2 over BIGINT grid units, centroids as
+    plan-time literals (the mini-batch-k-means / IVF-routing shape — k
+    is small, so k x dim literals cost nothing and the whole assignment
+    is one map-side expression, no shuffle, no Python).  All distances
+    are exact BIGINTs, so the argmin — lexicographic ``array_sort`` on
+    (dist, idx) structs, ties to the lowest cluster index — is fully
+    deterministic and safe to hash-check across engines."""
+    scored = []
+    for i, c in enumerate(centroids_units):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(units_col), arr, lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored.append(F.struct(d2.alias("dist"), F.lit(i).alias("idx")))
     best = F.array_sort(F.array(*scored))[0]["idx"]
     return df.withColumn(out, best)

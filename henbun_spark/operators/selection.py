@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["take_budget", "dsir_weights", "dsir_select", "kcenter_select"]
+__all__ = [
+    "take_budget",
+    "dsir_weights",
+    "dsir_select",
+    "kcenter_select",
+    "centroid_outlier_ranks",
+]
 
 
 def take_budget(
@@ -380,4 +386,80 @@ def kcenter_select(
     spark = df.sparkSession
     return spark.createDataFrame(
         out_rows, f"rank INT, {id_col} BIGINT, min_dist2 DOUBLE"
+    )
+
+
+def centroid_outlier_ranks(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    group_col: str,
+    top_k: int = 3,
+    grid: int = 1024,
+) -> DataFrame:
+    """Label-conditional centroid-distance outlier ranking — the
+    label-noise / semantic-outlier filter of a training-data pipeline:
+    examples far from their own class centroid are mislabeled or
+    off-distribution, and pruning them is the standard prototype-based
+    cleaning step (cf. SemDeDup/SSL-prototype data pruning).  Returns the
+    ``top_k`` farthest examples per group as
+    (group, id, dist_units, rank).
+
+    Hash-exact by construction: coordinates are quantized to BIGINT grid
+    units (``clustering.quantize_units`` — floor(x*2^10), exact IEEE
+    ops), and the distance to the group centroid is the COUNT-SCALED
+    integer form  D_i = sum_d (n*u_id - S_d)^2  = n^2 * ||u_i - mean||^2
+    — pure BIGINT arithmetic on (count, per-dim sum) partials, so no
+    float mean ever exists and summation order cannot move a bit.
+    Overflow bound: |n*u - S| <= 2*n*max|u|, so D <= 4*dim*(n*max|u|)^2
+    — safe in int64 up to ~3e8/max|u| rows PER GROUP at dim=64 (~6e5
+    rows/group at unit norm); beyond that drop to the double-precision
+    ``kmeans_assign`` distance (approximate, same plan shape).
+
+    Plan shape at 100 TB: one map-side quantize, one map-side-combinable
+    (group x dim) sum aggregate (groups x dim rows — tiny), a BROADCAST
+    join of those stats back onto the data, a map-side distance, and one
+    rank window partitioned by group.  The window shuffles by group; at
+    very low group cardinality pre-filter with an approximate per-group
+    distance floor (percentile_approx) before ranking so only the tail
+    shuffles."""
+    from henbun_spark.operators import clustering
+
+    w = clustering.quantize_units(df, emb_col, out="_u", grid=grid)
+    dim = len(
+        w.select(F.col("_u")).first()["_u"]
+    )  # bounded: one row to the driver, schema-level constant
+    stats = (
+        w.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.element_at("_u", i + 1)).alias(f"_s{i}")
+                for i in range(dim)
+            ],
+        )
+        .select(
+            group_col,
+            "_n",
+            F.array(*[f"_s{i}" for i in range(dim)]).alias("_s"),
+        )
+    )
+    n = F.col("_n")
+    dist = F.aggregate(
+        F.zip_with("_u", "_s", lambda a, b: (n * a - b) * (n * a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            F.col("dist_units").desc(), F.col(id_col)
+        )
+    )
+    return (
+        w.join(F.broadcast(stats), group_col)
+        .select(group_col, id_col, dist.alias("dist_units"))
+        .withColumn("rank", rnk.cast("long"))
+        .where(F.col("rank") <= top_k)
     )
