@@ -9315,6 +9315,66 @@ QUALIFY rank <= 3
 """
 
 
+def bucketed_join_revenue(spark, sf_dir):
+    """Bucketed-table CO-LOCATED join (r9, new op): lay out orders and
+    lineitem `bucketBy(8, orderkey)` once (`bucketing.write_bucketed` —
+    one file per bucket via the matching-hash repartition), then join
+    them with ZERO Exchange on either input (`bucketing.bucketed_join`,
+    SortMergeJoin pinned) and aggregate revenue per order priority.
+    The one scale technique the rest of the repo's join surface doesn't
+    cover: the shuffle is paid ONCE at layout time, so every recurring
+    join on the key is exchange-free — at 100 TB this is the difference
+    between re-shuffling the fact table per query and never shuffling
+    it again.  The no-exchange property is pytest-asserted on the
+    physical plan (exactly ONE Exchange in the whole query — the final
+    groupBy — and both scans `Bucketed: true`).
+
+    ORACLE-CHECKED against the plain join+groupBy SQL on the original
+    parquet: bucketing is pure LAYOUT — hash-routing rows to files must
+    not add, drop, or duplicate a single row, which is exactly what a
+    wrong pmod/hash mismatch between repartition and bucketBy would do.
+    Counts + exact decimal sums make the check bitwise."""
+    from henbun_spark.operators import bucketing
+
+    base = _scratch_dir("henbun_bkt_")
+    tag = base.rsplit("henbun_bkt_", 1)[1]  # session-unique catalog names
+    ot, lt = f"hb_bkt_orders_{tag}", f"hb_bkt_lineitem_{tag}"
+    bucketing.write_bucketed(
+        _load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        ot,
+        "o_orderkey",
+        8,
+        f"{base}/orders",
+    )
+    bucketing.write_bucketed(
+        _load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        lt,
+        "l_orderkey",
+        8,
+        f"{base}/lineitem",
+    )
+    j = bucketing.bucketed_join(spark, lt, ot, "l_orderkey", "o_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "sum_revenue",
+        ),
+    )
+
+
+_BUCKETED_JOIN_SQL = f"""
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_items,
+  {_sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_revenue')}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9344,18 +9404,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row_ids_string_bins pinning the object-dtype searchsorted bin
         # branch, and the three NEW ExactSubstr operators
         # dedup_substring_spans / dedup_substring_removal /
-        # streaming_substr_index; slots 13-14 are the two mid-r9 NEW
+        # streaming_substr_index; slots 13-15 are the three mid-r9 NEW
         # ops on their first-ever checks (streaming_kmeans_update —
         # mini-batch-k-means sufficient-stats fold, integer-exact;
         # emb_label_outliers — count-scaled integer centroid-distance
-        # ranking on the real table); slots 15-25 are the 11
+        # ranking on the real table; bucketed_join_revenue — bucketBy
+        # co-located zero-exchange join layout); slots 16-26 are the 11
         # r4-last-green queries the r8 window deferred (q3/q4/q5/q6,
         # rollup, running_total, session_window_agg, sessionize,
         # set_ops, string_date, top_events_per_user — all re-greened
-        # here); slots 26-50 take the r5-last-green tier in registry
-        # order, 25 of 45 — triangle_count_dupgraph and
-        # chunk_dedup_docs (displaced by the two new first-ever slots,
-        # both r5-green already) join the remaining 18
+        # here); slots 27-50 take the r5-last-green tier in registry
+        # order, 24 of 45 — triangle_count_dupgraph, chunk_dedup_docs
+        # and pagerank_dup_graph (displaced by the three new first-ever
+        # slots, all r5-green already) join the remaining 18
         # (incremental_dedup_new,
         # pii_redact, lm_score_docs, lm_bigram_docs,
         # gopher_quality_docs, mix_corpus_sources, pack_sequences_docs,
@@ -9377,6 +9438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_substr_index": streaming_substr_index,
         "streaming_kmeans_update": streaming_kmeans_update,
         "emb_label_outliers": emb_label_outliers,
+        "bucketed_join_revenue": bucketed_join_revenue,
         "q3_top_orders": q3_top_orders,
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -9704,6 +9766,7 @@ def oracle_sql() -> dict[str, str]:
         # k-means sufficient stats; label-centroid outlier ranking
         "streaming_kmeans_update": _STREAM_KMEANS_SQL,
         "emb_label_outliers": _EMB_LABEL_OUTLIERS_SQL,
+        "bucketed_join_revenue": _BUCKETED_JOIN_SQL,
         # r9: the LAST four rows-only queries retired — bound-boolean
         # recipe for the GP/VI training flagships, constant VALUES +
         # 6-sigma noise bound for the deterministic-input GP posterior
