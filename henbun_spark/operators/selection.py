@@ -418,11 +418,15 @@ def centroid_outlier_ranks(
 
     Plan shape at 100 TB: one map-side quantize, one map-side-combinable
     (group x dim) sum aggregate (groups x dim rows — tiny), a BROADCAST
-    join of those stats back onto the data, a map-side distance, and one
-    rank window partitioned by group.  The window shuffles by group; at
-    very low group cardinality pre-filter with an approximate per-group
-    distance floor (percentile_approx) before ranking so only the tail
-    shuffles."""
+    join of those stats back onto the data, a map-side distance, and a
+    TWO-PHASE top-k: a group being a LABEL means its cardinality is
+    tiny, so a single rank window partitioned by group would funnel the
+    whole corpus through |groups| reducers — instead phase 1 ranks
+    within (group, input-partition) — full parallelism, the global
+    top-k per group is always a subset of the per-partition top-k's —
+    and phase 2 ranks only the <= partitions*k survivors per group.
+    The result is independent of the physical partitioning (pytest
+    asserts repartition-invariance)."""
     from henbun_spark.operators import clustering
 
     w = clustering.quantize_units(df, emb_col, out="_u", grid=grid)
@@ -452,14 +456,20 @@ def centroid_outlier_ranks(
     )
     from pyspark.sql import Window
 
-    rnk = F.row_number().over(
-        Window.partitionBy(group_col).orderBy(
-            F.col("dist_units").desc(), F.col(id_col)
-        )
+    scored = w.join(F.broadcast(stats), group_col).select(
+        group_col,
+        id_col,
+        dist.alias("dist_units"),
+        F.spark_partition_id().alias("_pid"),  # pre-shuffle partition
     )
+    order = [F.col("dist_units").desc(), F.col(id_col)]
+    local = F.row_number().over(
+        Window.partitionBy(group_col, "_pid").orderBy(*order)
+    )
+    cand = scored.withColumn("_r1", local).where(F.col("_r1") <= top_k)
+    rnk = F.row_number().over(Window.partitionBy(group_col).orderBy(*order))
     return (
-        w.join(F.broadcast(stats), group_col)
-        .select(group_col, id_col, dist.alias("dist_units"))
+        cand.select(group_col, id_col, "dist_units")
         .withColumn("rank", rnk.cast("long"))
         .where(F.col("rank") <= top_k)
     )
