@@ -206,6 +206,13 @@ def assign_nearest_units(
     are exact BIGINTs, so the argmin — lexicographic ``array_sort`` on
     (dist, idx) structs, ties to the lowest cluster index — is fully
     deterministic and safe to hash-check across engines."""
+    if not centroids_units:
+        raise ValueError("centroids_units must be non-empty")
+    if len({len(c) for c in centroids_units}) != 1:
+        raise ValueError(
+            "centroids_units must share one dimension "
+            f"(got lengths {sorted({len(c) for c in centroids_units})})"
+        )
     scored = []
     for i, c in enumerate(centroids_units):
         arr = F.array(*[F.lit(int(v)).cast("long") for v in c])

@@ -383,6 +383,87 @@ def test_pca_stream_maintenance_split_independent(spark, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_kmeans_stats_stream_split_independent(spark, tmp_path):
+    """Streamed mini-batch-k-means sufficient stats (BIGINT counts +
+    integer-unit coordinate sums per nearest-seed cluster) are identical
+    across micro-batch splits (1-file vs 5-file drains) and equal the
+    one-shot batch assignment+groupBy — integer folding is associative,
+    and assignment depends only on the plan-time literal seeds, never on
+    which batch a row arrived in.  Also pins the guards: empty and
+    ragged centroid lists are refused."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from henbun_spark import streaming
+    from henbun_spark.operators import clustering
+
+    df = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            ((F.col("id") % 7).cast("double") - 3.0) / 8.0,
+            (((F.col("id") * 3) % 5).cast("double") - 2.0) / 4.0,
+            (((F.col("id") * 5) % 9).cast("double") - 4.0) / 16.0,
+        ).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="non-empty"):
+        clustering.assign_nearest_units(df, "u", [])
+    with _pytest.raises(ValueError, match="one dimension"):
+        clustering.assign_nearest_units(df, "u", [[1, 2], [1, 2, 3]])
+    cents = [
+        list(r["u"])
+        for r in clustering.quantize_units(
+            df.where(F.col("vec_id") < 3), "embedding"
+        )
+        .orderBy("vec_id")
+        .select("u")
+        .collect()
+    ]
+
+    def partials(d):
+        w = clustering.quantize_units(d, "embedding")
+        a = clustering.assign_nearest_units(w, "u", cents)
+        return a.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.aggregate(
+                    "u", F.lit(0).cast("long"), lambda acc, x: acc + x
+                )
+            ).alias("sum_units"),
+        )
+
+    drained = []
+    for nfiles in (1, 5):
+        in_dir = str(tmp_path / f"kin{nfiles}")
+        df.repartition(nfiles).write.mode("overwrite").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = streaming.mv_stream_maintenance(
+            stream,
+            partials,
+            ["cluster"],
+            str(tmp_path / f"kstate{nfiles}"),
+            str(tmp_path / f"kckpt{nfiles}"),
+        )
+        q.awaitTermination()
+        rows = sorted(
+            (r["cluster"], r["n_vecs"], r["sum_units"])
+            for r in streaming.load_state(
+                spark, str(tmp_path / f"kstate{nfiles}")
+            ).collect()
+        )
+        drained.append(rows)
+    assert drained[0] == drained[1], "micro-batch split changed the state"
+    batch = sorted(
+        (r["cluster"], r["n_vecs"], r["sum_units"])
+        for r in partials(df).collect()
+    )
+    assert drained[0] == batch
+
+
 def test_mv_stream_maintenance_exact_merge(spark, tmp_path):
     """Drained streaming MV == batch aggregation (count + decimal sum
     merge is exact across arbitrary micro-batch splits)."""
