@@ -6355,9 +6355,14 @@ def semantic_dedup_emb(spark, sf_dir):
     # SemDeDup scales cluster count with corpus size (the paper uses
     # k ~ n/160): blocking cost is sum(cluster^2) ~ n^2/k, so a fixed k
     # degrades quadratically as the corpus grows
-    k = max(8, emb.count() // 300)
+    n = emb.count()
+    k = max(8, n // 300)
+    # blocking-fit parallelism ~n/5000 (see kmeans_fit): at corpus scale
+    # this is full fan-out, locally it stops paying 32 Arrow workers to
+    # each score ~60 rows per Lloyd iteration (measured 4.3 -> 1.7s)
     labeled = dedup.semantic_dedup(
-        aug, "embedding", "vec_id", k=k, threshold=0.95
+        aug, "embedding", "vec_id", k=k, threshold=0.95,
+        fit_slices=max(4, n // 5000),
     )
     grp = labeled.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),

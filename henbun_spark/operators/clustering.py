@@ -122,12 +122,28 @@ def kmeans_fit(
     max_iter: int = 5,
     tol: float = 1e-6,
     dim: int | None = None,
+    slices: int | None = None,
 ) -> tuple[np.ndarray, list[float]]:
     """Fit k-means on ``df[emb_col]``; returns (centroids k x dim, SSE per
     iteration).  Empty clusters keep their previous centroid.  Stops early
-    when the relative SSE improvement falls below ``tol``."""
+    when the relative SSE improvement falls below ``tol``.
+
+    ``slices`` COALESCES the fit input (narrow — no shuffle, and a no-op
+    when it cannot reduce the partition count): every Lloyd iteration is
+    one Arrow task per partition, so at small n the session's default
+    parallelism is pure python-worker startup overhead (the r8
+    `kmeans_embeddings` measurement: 3.0 -> 1.3s at 4 slices on 256
+    rows, byte-identical planted output; cold-worker fit on the real
+    2k-row table: 4.3 -> 1.7s, warm-worker neutral).  Size it ~n/5000
+    with a small floor — at corpus scale the coalesce no-ops and the
+    plan is untouched (a repartition here would re-shuffle the full
+    embedding column once PER ITERATION — the lazy plan re-executes).
+    Centroid values may move by the usual ~1 ulp treeAggregate
+    association wobble, exactly as any partitioning change would."""
     centroids = _init_centroids(df, emb_col, id_col, k)
     data = df.select(F.col(emb_col).cast("array<double>").alias(emb_col))
+    if slices is not None:
+        data = data.coalesce(slices)
     history: list[float] = []
     for _ in range(max_iter):
         sums, cnts, sse = _iteration(data, emb_col, centroids)

@@ -590,6 +590,7 @@ def semantic_dedup(
     k: int = 8,
     threshold: float = 0.95,
     max_iter: int = 3,
+    fit_slices: int | None = None,
 ):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with distributed k-means, then
@@ -607,7 +608,12 @@ def semantic_dedup(
     """
     from henbun_spark.operators import clustering, graph
 
-    centroids, _sse = clustering.kmeans_fit(df, emb_col, id_col, k=k, max_iter=max_iter)
+    # fit_slices: see kmeans_fit — the blocking stage's per-iteration
+    # Arrow fan-out is startup-overhead-bound at small n; pair
+    # comparison below keeps the session's full parallelism either way
+    centroids, _sse = clustering.kmeans_fit(
+        df, emb_col, id_col, k=k, max_iter=max_iter, slices=fit_slices
+    )
     # L2-normalize ONCE per row (no oracle constrains this op, so the
     # pair refine below is a single dot fold instead of the 3-fold
     # cosine — ~3x less codegen work on the pair-quadratic stage)
