@@ -430,9 +430,10 @@ def centroid_outlier_ranks(
     from henbun_spark.operators import clustering
 
     w = clustering.quantize_units(df, emb_col, out="_u", grid=grid)
-    dim = len(
-        w.select(F.col("_u")).first()["_u"]
-    )  # bounded: one row to the driver, schema-level constant
+    probe = w.select(F.col("_u")).first()  # bounded: one row, dim only
+    if probe is None:
+        raise ValueError("centroid_outlier_ranks: input has no rows")
+    dim = len(probe["_u"])
     stats = (
         w.groupBy(group_col)
         .agg(
