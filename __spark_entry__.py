@@ -9300,7 +9300,7 @@ WITH w AS (
   FROM embeddings
 ), e AS (
   SELECT vec_id, label, i, u[i] AS x
-  FROM w, unnest(generate_series(1, 64)) AS t(i)
+  FROM w, unnest(generate_series(1, len(u))) AS t(i)
 ), c AS (
   SELECT label, COUNT(*) AS n FROM w GROUP BY label
 ), s AS (
