@@ -9372,6 +9372,59 @@ def bucketed_join_revenue(spark, sf_dir):
     )
 
 
+def emb_truncated_recall(spark, sf_dir):
+    """Matryoshka-style TRUNCATED-DIMENSION retrieval evaluation (r9,
+    new op): the storage/latency lever of an embedding pipeline — MRL
+    embeddings keep meaning in their prefix, so serving can search the
+    first d dims and pay d/D of the dot-product and index cost.  This
+    op answers "what does truncation cost in retrieval quality" by
+    computing the exact cosine top-3 at d=16 next to the full d=64 for
+    the 5 probe queries; the overlap between the two rank lists per
+    query IS the recall@3 of the truncated index (the rows expose both
+    lists; no float ratio is hashed).
+
+    ORACLE-CHECKED bitwise: both dims ride `similarity.cosine_topk`
+    (the proven fold-order-matched cosine — `sim_cosine_topk`) over
+    `F.slice` prefixes; slicing before the same left-to-right dot fold
+    is IEEE-identical in both engines.  Plan: corpus scanned once per
+    dim, queries broadcast, one rank shuffle — the d-truncation
+    multiplies work by d/D exactly as it would at 100 TB."""
+    from henbun_spark.operators import similarity
+
+    emb = _load(spark, sf_dir, "embeddings")
+    outs = []
+    for d in (16, 64):
+        t = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        outs.append(
+            similarity.cosine_topk(t, t.where(F.col("vec_id") < 5), k=3)
+            .withColumn("dim", F.lit(d).cast("long"))
+        )
+    return outs[0].unionByName(outs[1]).select(
+        "dim", "query_id", "neighbor_id", "cos", "rank"
+    )
+
+
+_EMB_TRUNCATED_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT unnest([16, 64]) AS dim),
+t AS (SELECT dim, vec_id, v[1:dim] AS v FROM e, dims),
+q AS (SELECT dim, vec_id AS query_id, v AS qv FROM t WHERE vec_id < 5),
+scored AS (
+  SELECT t.dim, q.query_id, t.vec_id AS neighbor_id,
+    {_cos_sql('qv', 'v')} AS cos
+  FROM t JOIN q USING (dim) WHERE t.vec_id <> q.query_id)
+SELECT CAST(dim AS BIGINT) AS dim, query_id, neighbor_id, cos,
+       rank::INT AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY dim, query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
 _BUCKETED_JOIN_SQL = f"""
 SELECT o_orderpriority, COUNT(*)::BIGINT AS n_items,
   {_sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_revenue')}
@@ -9409,18 +9462,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row_ids_string_bins pinning the object-dtype searchsorted bin
         # branch, and the three NEW ExactSubstr operators
         # dedup_substring_spans / dedup_substring_removal /
-        # streaming_substr_index; slots 13-15 are the three mid-r9 NEW
+        # streaming_substr_index; slots 13-16 are the four mid-r9 NEW
         # ops on their first-ever checks (streaming_kmeans_update —
         # mini-batch-k-means sufficient-stats fold, integer-exact;
         # emb_label_outliers — count-scaled integer centroid-distance
         # ranking on the real table; bucketed_join_revenue — bucketBy
-        # co-located zero-exchange join layout); slots 16-26 are the 11
-        # r4-last-green queries the r8 window deferred (q3/q4/q5/q6,
-        # rollup, running_total, session_window_agg, sessionize,
-        # set_ops, string_date, top_events_per_user — all re-greened
-        # here); slots 27-50 take the r5-last-green tier in registry
-        # order, 24 of 45 — triangle_count_dupgraph, chunk_dedup_docs
-        # and pagerank_dup_graph (displaced by the three new first-ever
+        # co-located zero-exchange join layout; emb_truncated_recall —
+        # matryoshka truncated-dim retrieval eval). The 13-16 block
+        # means slots 17-27 are the 11 r4-last-green queries the r8
+        # window deferred (q3/q4/q5/q6, rollup, running_total,
+        # session_window_agg, sessionize, set_ops, string_date,
+        # top_events_per_user — all re-greened here); slots 28-50 take
+        # the r5-last-green tier in registry order, 23 of 45 —
+        # triangle_count_dupgraph, chunk_dedup_docs, pagerank_dup_graph
+        # and dedup_canonical_best (displaced by the four new first-ever
         # slots, all r5-green already) join the remaining 18
         # (incremental_dedup_new,
         # pii_redact, lm_score_docs, lm_bigram_docs,
@@ -9444,6 +9499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kmeans_update": streaming_kmeans_update,
         "emb_label_outliers": emb_label_outliers,
         "bucketed_join_revenue": bucketed_join_revenue,
+        "emb_truncated_recall": emb_truncated_recall,
         "q3_top_orders": q3_top_orders,
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -9772,6 +9828,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_kmeans_update": _STREAM_KMEANS_SQL,
         "emb_label_outliers": _EMB_LABEL_OUTLIERS_SQL,
         "bucketed_join_revenue": _BUCKETED_JOIN_SQL,
+        "emb_truncated_recall": _EMB_TRUNCATED_SQL,
         # r9: the LAST four rows-only queries retired — bound-boolean
         # recipe for the GP/VI training flagships, constant VALUES +
         # 6-sigma noise bound for the deterministic-input GP posterior

@@ -179,6 +179,7 @@ HEADLINE = [
     "dedup_substring_removal",
     "emb_label_outliers",
     "bucketed_join_revenue",
+    "emb_truncated_recall",
     # NOT timed: streaming_kmeans_update (r9) — 4-commit foreachBatch
     # machinery like the other streaming maintenance paths; its
     # assignment/sufficient-stats math is timed via emb_label_outliers

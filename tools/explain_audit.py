@@ -81,7 +81,12 @@ from henbun_spark import sources
 #  - semantic_dedup_emb: the r8 oracle conversion appends the 1-row
 #    singleton-count aggregate onto the (bounded, 12-row) dup-component
 #    table — the skew_report_events shape.
+#  - emb_truncated_recall (r9): TWO of the sim_cosine_topk shapes —
+#    the same <=5 broadcast query vectors crossed onto one corpus scan,
+#    once per truncation width (d=16 prefix and the full d=64); linear
+#    in the corpus, broadcast side a filtered constant.
 BNLJ_OK = {
+    "emb_truncated_recall",
     "semantic_dedup_emb",
     "ann_topk_pq",
     "ann_topk_ivf",
