@@ -89,7 +89,11 @@ BIG_DEFAULT = [
 ]
 
 #: tables the BIG_DEFAULT queries read; replicated into the synthetic SFs
-BIG_TABLES = ["events", "lineitem", "documents"]
+#: (orders shifts by the SAME constant as lineitem so the orderkey join
+#: stays 1:1 across copies; embeddings copies are exact-duplicate
+#: vectors under new ids — fine for perf, another reason replicas are
+#: never a correctness input)
+BIG_TABLES = ["events", "lineitem", "documents", "orders", "embeddings"]
 
 
 def force(df):
@@ -114,6 +118,8 @@ def build_big_sf(spark, factor: int, out_root: str = "/tmp/henbun_scale"):
         "events": ("event_id", 10_000_000),
         "lineitem": ("l_orderkey", 10_000_000),
         "documents": ("doc_id", 10_000_000),
+        "orders": ("o_orderkey", 10_000_000),
+        "embeddings": ("vec_id", 10_000_000),
     }
     for t in BIG_TABLES:
         base = sources.load_table(spark, "/root/testdata/sf0.1", t)
