@@ -9,6 +9,7 @@ of cross products, and explicit skew guards.
 
 from henbun_spark.operators import (
     bpe,
+    bucketing,
     clustering,
     decomposition,
     dedup,
