@@ -274,3 +274,54 @@ def test_hist_percentile_matches_numpy_linear(vals, ps):
         # numerically meaningless at any realistic scale
         tol = max(4 * abs(exp) * 2.3e-16, 1e-300)
         assert got == exp or abs(got - exp) <= tol, (p, got, exp)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(width=32, allow_nan=False, allow_infinity=False,
+              min_value=-1e6, max_value=1e6),
+    st.sampled_from([2, 64, 256, 1024, 4096, 65536]),
+)
+def test_quantize_units_multiply_is_exact_property(x, grid):
+    """The integer-units recipe (clustering.quantize_units and every
+    hash-exact vector op on top of it) rests on one IEEE fact: for a
+    float32 value widened to double, multiplying by a power of two is
+    EXACT — floor(x * 2^k) in double equals the true mathematical
+    floor. Fractions are exact rationals, so they are the ground
+    truth; any rounding in the multiply would surface here."""
+    import math
+    from fractions import Fraction
+
+    xf = float(np.float32(x))
+    got = math.floor(np.float64(xf) * np.float64(grid))
+    want = math.floor(Fraction(xf) * grid)
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-2048, max_value=2048),
+                 min_size=3, max_size=3),
+        min_size=1, max_size=12,
+    )
+)
+def test_count_scaled_distance_identity_property(us):
+    """selection.centroid_outlier_ranks' count-scaled BIGINT distance
+    D_i = sum_d (n*u_id - S_d)^2 must equal n^2 * ||u_i - mean||^2
+    computed in exact rational arithmetic — i.e. the integer form
+    really is the squared distance to the (never-materialized) float
+    mean, scaled by a per-group constant that cannot change the
+    ranking."""
+    from fractions import Fraction
+
+    u = np.array(us, dtype=np.int64)
+    n = len(u)
+    s = u.sum(axis=0)
+    d_int = ((n * u - s[None, :]) ** 2).sum(axis=1)
+    for i in range(n):
+        true = (n ** 2) * sum(
+            (Fraction(int(u[i, j])) - Fraction(int(s[j]), n)) ** 2
+            for j in range(u.shape[1])
+        )
+        assert true == d_int[i]
