@@ -131,6 +131,20 @@ def test_readme_counts_match_registry():
     assert b and int(b.group(1)) == len(bench.HEADLINE)
 
 
+def test_bench_headline_names_resolve_and_are_unique():
+    """Every HEADLINE name must be a registered query (a rename or
+    registry edit that orphans a bench entry otherwise only surfaces as
+    a -1 failure in the official per-round bench run), and no name may
+    be timed twice."""
+    import bench
+
+    qs = set(entry_mod.queries())
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"HEADLINE names not in queries(): {missing}"
+    dupes = {n for n in bench.HEADLINE if bench.HEADLINE.count(n) > 1}
+    assert not dupes, f"duplicate HEADLINE entries: {dupes}"
+
+
 def test_bench_stdout_line_fits_driver_capture():
     """Round 4's official bench signal was lost because the stdout JSON
     outgrew the driver's ~2000-char tail capture. Guard: for the full
