@@ -18,9 +18,12 @@ Mechanics worth knowing (encoded below, asserted by pytest):
 
 * Spark's bucket routing is ``murmur3(key) pmod n`` — the SAME hash
   ``repartition(n, key)`` uses, so repartitioning by the bucket key
-  before the write yields exactly ONE file per bucket (each bucket's
-  rows colocate in one task).  One-file-per-bucket keeps the scan's
-  task count == bucket count and makes the layout deterministic.
+  before the write yields at most ONE file per bucket (each bucket's
+  rows colocate in one task; a bucket NO key hashes to — possible when
+  n_buckets exceeds the key's distinct hash images — writes no file at
+  all, which the scan handles as an empty bucket).  One-file-per-
+  nonempty-bucket keeps the scan's task count <= bucket count and makes
+  the layout deterministic.
 * The no-shuffle join requires equal bucket counts on the join key on
   both sides; ``hint("merge")`` pins SortMergeJoin so a small side
   doesn't broadcast away the demonstration (in production you'd LET it
@@ -48,10 +51,11 @@ def write_bucketed(
     sort: bool = True,
 ) -> None:
     """Write ``df`` as an EXTERNAL parquet table bucketed (and by default
-    per-bucket sorted) on ``bucket_col``, one file per bucket via the
-    matching-hash repartition.  ``path`` keeps the data out of the
-    session's managed warehouse (scratch-friendly); ``mode("overwrite")``
-    makes re-layout idempotent."""
+    per-bucket sorted) on ``bucket_col``, at most one file per bucket
+    via the matching-hash repartition (empty buckets write no file —
+    see the module doc).  ``path`` keeps the data out of the session's
+    managed warehouse (scratch-friendly); ``mode("overwrite")`` makes
+    re-layout idempotent."""
     w = (
         df.repartition(n_buckets, bucket_col)
         .write.mode("overwrite")

@@ -197,8 +197,8 @@ def quantize_units(
     once coordinates are BIGINT units, every distance/sum downstream is
     integer math with no association-order wobble.  Map-only, stays in
     codegen (one ``transform`` over the array)."""
-    if grid & (grid - 1):
-        raise ValueError(f"grid must be a power of two, got {grid}")
+    if grid <= 0 or grid & (grid - 1):
+        raise ValueError(f"grid must be a positive power of two, got {grid}")
     return df.withColumn(
         out,
         F.transform(
@@ -229,6 +229,7 @@ def assign_nearest_units(
             "centroids_units must share one dimension "
             f"(got lengths {sorted({len(c) for c in centroids_units})})"
         )
+    dim = len(centroids_units[0])
     scored = []
     for i, c in enumerate(centroids_units):
         arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
@@ -241,4 +242,18 @@ def assign_nearest_units(
         )
         scored.append(F.struct(d2.alias("dist"), F.lit(i).alias("idx")))
     best = F.array_sort(F.array(*scored))[0]["idx"]
-    return df.withColumn(out, best)
+    # a vector whose width differs from the centroids would zip_with
+    # into NULL distances and silently win the argmin as cluster 0 —
+    # fail loudly instead (NullType coerces into the when() branch)
+    checked = F.when(F.size(F.col(units_col)) == dim, best).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "assign_nearest_units: vector dimension mismatch — "
+                    f"centroids are {dim}-dim, row has "
+                ),
+                F.size(F.col(units_col)).cast("string"),
+            )
+        )
+    )
+    return df.withColumn(out, checked)

@@ -396,6 +396,7 @@ def centroid_outlier_ranks(
     group_col: str,
     top_k: int = 3,
     grid: int = 1024,
+    dim: int | None = None,
 ) -> DataFrame:
     """Label-conditional centroid-distance outlier ranking — the
     label-noise / semantic-outlier filter of a training-data pipeline:
@@ -411,10 +412,14 @@ def centroid_outlier_ranks(
     integer form  D_i = sum_d (n*u_id - S_d)^2  = n^2 * ||u_i - mean||^2
     — pure BIGINT arithmetic on (count, per-dim sum) partials, so no
     float mean ever exists and summation order cannot move a bit.
-    Overflow bound: |n*u - S| <= 2*n*max|u|, so D <= 4*dim*(n*max|u|)^2
-    — safe in int64 up to ~3e8/max|u| rows PER GROUP at dim=64 (~6e5
-    rows/group at unit norm); beyond that drop to the double-precision
-    ``kmeans_assign`` distance (approximate, same plan shape).
+    Overflow bound: |n*u - S| <= 2*n*max|u|, so D <= 4*dim*(n*max|u|)^2;
+    solving 4*dim*(n*max|u|)^2 <= 2^63 at dim=64 gives
+    n <= ~1.9e8 / max|u| rows PER GROUP — ~1.8e5 rows/group at the
+    default unit-norm grid (max|u| ~= 1024).  Beyond that drop to the
+    double-precision ``kmeans_assign`` distance (approximate, same plan
+    shape).  ``dim`` skips the one-row dimension probe (which otherwise
+    executes the upstream plan once more) when the caller knows the
+    embedding width — same convention as ``kmeans_fit``.
 
     Plan shape at 100 TB: one map-side quantize, one map-side-combinable
     (group x dim) sum aggregate (groups x dim rows — tiny), a BROADCAST
@@ -430,10 +435,11 @@ def centroid_outlier_ranks(
     from henbun_spark.operators import clustering
 
     w = clustering.quantize_units(df, emb_col, out="_u", grid=grid)
-    probe = w.select(F.col("_u")).first()  # bounded: one row, dim only
-    if probe is None:
-        raise ValueError("centroid_outlier_ranks: input has no rows")
-    dim = len(probe["_u"])
+    if dim is None:
+        probe = w.select(F.col("_u")).first()  # one row, dim only
+        if probe is None:
+            raise ValueError("centroid_outlier_ranks: input has no rows")
+        dim = len(probe["_u"])
     stats = (
         w.groupBy(group_col)
         .agg(
