@@ -9433,6 +9433,245 @@ GROUP BY o_orderpriority
 """
 
 
+def related_docs_tfidf(spark, sf_dir):
+    """Sparse lexical retrieval (r9, new op): top-3 related documents per
+    document by TF-IDF-weighted cosine over word 4-gram shingles
+    (`text.shingle_tfidf_cosine_topk`) — the inverted-index "related
+    docs" RANKER next to the threshold-style minhash/Jaccard dedup
+    family: weighted cosine ranks partial template overlap low and true
+    rewrites high, which is what a curation UI or a hard-negative miner
+    needs.
+
+    Scale shape: posting-list self-join keyed on the shingle with the
+    df <= max_df skew cap (identical guard to the minhash `max_df` — a
+    boilerplate shingle would otherwise put a df^2 blowup on one shuffle
+    key while carrying ~zero IDF weight), per-pair dot products and
+    per-doc L2 norms as quantized decimal partial-aggs (shuffle-order
+    independent, bitwise across engines), one keyed window for the
+    top-k. ORACLE-CHECKED bitwise: the SQL rebuilds the same postings,
+    weights, decimal dot/norm sums and rank."""
+    from henbun_spark.operators import text
+
+    docs = _load(spark, sf_dir, "documents")
+    return text.shingle_tfidf_cosine_topk(
+        docs, "text", "doc_id", n=4, k=3, max_df=100
+    )
+
+
+_RELATED_DOCS_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents),
+postings AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+    AS shingle
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 3)) AS i
+        FROM toks)),
+tf AS (
+  SELECT doc_id, shingle, COUNT(*)::BIGINT AS tf
+  FROM postings GROUP BY doc_id, shingle),
+dfreq AS (
+  SELECT shingle, COUNT(*)::BIGINT AS df_t FROM tf GROUP BY shingle
+  HAVING COUNT(*) <= 100),
+n AS (SELECT COUNT(DISTINCT doc_id)::BIGINT AS n_docs FROM documents),
+weighted AS (
+  SELECT tf.doc_id AS id, tf.shingle,
+    ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df_t + 1.0)) + 1.0), 6) AS w
+  FROM tf JOIN dfreq USING (shingle) CROSS JOIN n),
+norms AS (
+  SELECT id,
+    sqrt(CAST(SUM(CAST(ROUND(w * w, 9) AS DECIMAL(38,9))) AS DOUBLE)) AS norm
+  FROM weighted GROUP BY id),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+    CAST(SUM(CAST(ROUND(a.w * b.w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS dot
+  FROM weighted a JOIN weighted b USING (shingle)
+  WHERE a.id < b.id GROUP BY a.id, b.id),
+cos_pairs AS (
+  SELECT id_a, id_b, ROUND(dot / (na.norm * nb.norm), 6) AS cos
+  FROM dots
+  JOIN norms na ON na.id = id_a
+  JOIN norms nb ON nb.id = id_b
+  WHERE ROUND(dot / (na.norm * nb.norm), 6) >= 0.0),
+sym AS (
+  SELECT id_a AS id, id_b AS neighbor_id, cos FROM cos_pairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS neighbor_id, cos FROM cos_pairs)
+SELECT id AS doc_id, neighbor_id, cos, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY id
+             ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM sym)
+WHERE rank <= 3
+"""
+
+
+def lttb_downsample_events(spark, sf_dir):
+    """LTTB time-series downsampling per user (r9, new op): each user's
+    event series shrinks to 12 points that preserve its visual shape
+    (`relational.lttb_downsample` — Steinarsson's largest-triangle-
+    three-buckets, the hypertable/Grafana decimation operator, in the
+    PARALLEL averaged-anchor variant: anchoring on neighbor-bucket
+    averages instead of the previously SELECTED point removes the
+    sequential chain, so every bucket's argmax distributes).
+
+    Scale shape: every window is partitioned BY USER (no global sort
+    anywhere); anchor averages are exact integer/decimal sums, the
+    triangle cross-product is fixed double arithmetic on those
+    reproducible inputs, ties break on (ts, value). Users with < 12
+    points pass through unchanged. ORACLE-CHECKED bitwise — the
+    selection itself is hash-pinned, not just the plumbing."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    return relational.lttb_downsample(ev, "ts", "user_id", "value", buckets=12)
+
+
+_LTTB_SQL = """
+WITH pts AS (
+  SELECT user_id, epoch_us(ts) AS xx, value AS yy,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), value) AS rnk,
+    COUNT(*) OVER (PARTITION BY user_id) AS nn
+  FROM events),
+small AS (
+  SELECT user_id, CAST(rnk - 1 AS INT) AS bucket, xx AS ts_epoch_us,
+         yy AS value
+  FROM pts WHERE nn < 12),
+binned AS (
+  SELECT user_id, xx, yy,
+    CAST(CASE WHEN rnk = 1 THEN 0
+              WHEN rnk = nn THEN 11
+              ELSE 1 + ((rnk - 2) * 10) // (nn - 2) END AS INT) AS bucket
+  FROM pts WHERE nn >= 12),
+avgs AS (
+  SELECT user_id, bucket,
+    CAST(SUM(xx) AS DOUBLE) / COUNT(*) AS ax,
+    CAST(SUM(CAST(ROUND(yy, 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS ay
+  FROM binned GROUP BY user_id, bucket),
+anchors AS (
+  SELECT user_id, bucket,
+    lag(ax)  OVER (PARTITION BY user_id ORDER BY bucket) AS lx,
+    lag(ay)  OVER (PARTITION BY user_id ORDER BY bucket) AS ly,
+    lead(ax) OVER (PARTITION BY user_id ORDER BY bucket) AS rx,
+    lead(ay) OVER (PARTITION BY user_id ORDER BY bucket) AS ry
+  FROM avgs),
+scored AS (
+  SELECT b.user_id, b.bucket, b.xx, b.yy,
+    CASE WHEN b.bucket = 0 OR b.bucket = 11 THEN 0.0
+         ELSE abs((a.lx - a.rx) * (b.yy - a.ly)
+                  - (a.lx - b.xx) * (a.ry - a.ly)) END AS area2
+  FROM binned b JOIN anchors a USING (user_id, bucket)),
+picked AS (
+  SELECT user_id, bucket, xx AS ts_epoch_us, yy AS value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+               ORDER BY area2 DESC, xx ASC, yy ASC) AS pick
+        FROM scored)
+  WHERE pick = 1)
+SELECT * FROM picked UNION ALL SELECT * FROM small
+"""
+
+
+def twa_value_user(spark, sf_dir):
+    """Time-weighted average value per user (r9, new op): the hypertable
+    `time_weight('Linear')` aggregate (`relational.time_weighted_avg`)
+    — trapezoidal integration between consecutive observations divided
+    by the observed span, so irregular sampling stops biasing the plain
+    AVG toward bursty periods.
+
+    Scale shape: one lead() window partitioned BY USER + one keyed
+    partial-agg; per-trapezoid terms are quantized and summed as
+    decimal(38,12) (shuffle-order independent). Single-point users have
+    no span and drop (the hypertable contract). ORACLE-CHECKED
+    bitwise."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    return relational.time_weighted_avg(ev, "ts", "user_id", "value")
+
+
+_TWA_SQL = """
+WITH stepped AS (
+  SELECT user_id, epoch_us(ts) AS x, value AS v,
+    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), value) AS x1,
+    lead(value) OVER (PARTITION BY user_id
+                      ORDER BY epoch_us(ts), value) AS v1
+  FROM events),
+agg AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_points,
+    CAST(MAX(x) - MIN(x) AS DOUBLE) / 1e6 AS span_secs,
+    CAST(SUM(CAST(ROUND((v + v1) / 2.0 * (CAST(x1 - x AS DOUBLE) / 1e6), 6)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS area
+  FROM stepped GROUP BY user_id)
+SELECT user_id, n_points, ROUND(span_secs, 6) AS span_secs,
+       ROUND(area / span_secs, 6) AS twa
+FROM agg WHERE span_secs > 0
+"""
+
+
+def join_size_estimate_cms(spark, sf_dir):
+    """Join-cardinality estimation from two count-min sketches (r9, new
+    op): |events JOIN customer ON user_id = c_custkey| estimated by the
+    CM inner product (`sketch.cms_inner_product`, Cormode-Muthukrishnan)
+    — per hash row, the dot product of the two counter vectors is an
+    upper bound on the true join size; MIN over the depth rows tightens
+    it. The join-PLANNING primitive: at 100 TB the two 4x256 counter
+    tables (built map-side, one scan each, KBs on the wire) price a
+    fact-to-fact shuffle before you commit to it. The estimate is pure
+    integer arithmetic on md5-deterministic buckets, so it is
+    engine-exact; the true size rides along for the accuracy check.
+    ORACLE-CHECKED bitwise (both columns BIGINT)."""
+    from henbun_spark.operators import sketch
+
+    ev = _load(spark, sf_dir, "events")
+    cust = _load(spark, sf_dir, "customer")
+    cms_e = sketch.cms_build(ev, "user_id", depth=4, width=256)
+    cms_c = sketch.cms_build(cust, "c_custkey", depth=4, width=256)
+    est = sketch.cms_inner_product(cms_e, cms_c, depth=4)
+    exact = ev.join(
+        cust, ev["user_id"] == cust["c_custkey"]
+    ).agg(F.count(F.lit(1)).alias("exact_n"))
+    return est.crossJoin(exact).select(
+        F.col("est").cast("long").alias("est_n"), "exact_n"
+    )
+
+
+def _cms_join_size_sql(depth: int = 4, width: int = 256, salt: str = "cms") -> str:
+    def bucket(d: int, col: str) -> str:
+        h = (
+            f"md5('{salt}' || '|' || '{d}' || '|' || "
+            f"coalesce(CAST({col} AS VARCHAR), chr(0)))"
+        )
+        val6 = " + ".join(
+            f"((instr('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1)"
+            f" * {16 ** (5 - j)})"
+            for j in range(6)
+        )
+        return f"CAST(({val6}) % {width} AS INT)"
+
+    cnt_e = " UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket(d, 'user_id')} AS bucket FROM events"
+        for d in range(depth)
+    )
+    cnt_c = " UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket(d, 'c_custkey')} AS bucket FROM customer"
+        for d in range(depth)
+    )
+    return f"""
+WITH ce AS (
+  SELECT d, bucket, COUNT(*)::BIGINT AS cnt FROM ({cnt_e}) GROUP BY d, bucket),
+cc AS (
+  SELECT d, bucket, COUNT(*)::BIGINT AS cnt FROM ({cnt_c}) GROUP BY d, bucket),
+ip AS (
+  SELECT ce.d, SUM(ce.cnt * cc.cnt) AS ip
+  FROM ce JOIN cc ON ce.d = cc.d AND ce.bucket = cc.bucket
+  GROUP BY ce.d)
+SELECT CAST((SELECT MIN(ip) FROM ip) AS BIGINT) AS est_n,
+       (SELECT COUNT(*) FROM events JOIN customer ON user_id = c_custkey)::BIGINT
+         AS exact_n
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9468,15 +9707,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # emb_label_outliers — count-scaled integer centroid-distance
         # ranking on the real table; bucketed_join_revenue — bucketBy
         # co-located zero-exchange join layout; emb_truncated_recall —
-        # matryoshka truncated-dim retrieval eval). The 13-16 block
-        # means slots 17-27 are the 11 r4-last-green queries the r8
-        # window deferred (q3/q4/q5/q6, rollup, running_total,
-        # session_window_agg, sessionize, set_ops, string_date,
-        # top_events_per_user — all re-greened here); slots 28-50 take
-        # the r5-last-green tier in registry order, 23 of 45 —
+        # matryoshka truncated-dim retrieval eval), and slots 17-20 the
+        # four late-r9 NEW ops (see the inline comment there). The
+        # 13-20 block means slots 21-31 are the 11 r4-last-green
+        # queries the r8 window deferred (q3/q4/q5/q6, rollup,
+        # running_total, session_window_agg, sessionize, set_ops,
+        # string_date, top_events_per_user — all re-greened here);
+        # slots 32-50 take the r5-last-green tier in registry order —
         # triangle_count_dupgraph, chunk_dedup_docs, pagerank_dup_graph
-        # and dedup_canonical_best (displaced by the four new first-ever
-        # slots, all r5-green already) join the remaining 18
+        # and dedup_canonical_best (displaced by the new first-ever
+        # slots, all r5-green already) join the remaining tier
         # (incremental_dedup_new,
         # pii_redact, lm_score_docs, lm_bigram_docs,
         # gopher_quality_docs, mix_corpus_sources, pack_sequences_docs,
@@ -9500,6 +9740,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_outliers": emb_label_outliers,
         "bucketed_join_revenue": bucketed_join_revenue,
         "emb_truncated_recall": emb_truncated_recall,
+        # slots 17-20: late-r9 NEW ops on their first-ever checks —
+        # related_docs_tfidf (shingle TF-IDF cosine top-k retrieval),
+        # lttb_downsample_events (parallel averaged-anchor LTTB),
+        # twa_value_user (trapezoidal time-weighted average),
+        # join_size_estimate_cms (CM-sketch inner-product join
+        # cardinality); they displace dedup_canonical_best /
+        # pagerank_dup_graph / triangle_count_dupgraph /
+        # chunk_dedup_docs (all r5-green already) to the r10 tier.
+        "related_docs_tfidf": related_docs_tfidf,
+        "lttb_downsample_events": lttb_downsample_events,
+        "twa_value_user": twa_value_user,
+        "join_size_estimate_cms": join_size_estimate_cms,
         "q3_top_orders": q3_top_orders,
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -9534,11 +9786,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_gauss_value": rank_gauss_value,
         "dedup_components": dedup_components,
         "dedup_components_star": dedup_components_star,
+        # --- window boundary: entries below are NOT hash-checked in r9
         "dedup_canonical_best": dedup_canonical_best,
         "pagerank_dup_graph": pagerank_dup_graph,
         "triangle_count_dupgraph": triangle_count_dupgraph,
         "chunk_dedup_docs": chunk_dedup_docs,
-        # --- window boundary: entries below are NOT hash-checked in r9
         "incremental_dedup_new": incremental_dedup_new,
         "pii_redact": pii_redact,
         "lm_score_docs": lm_score_docs,
@@ -9829,6 +10081,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_label_outliers": _EMB_LABEL_OUTLIERS_SQL,
         "bucketed_join_revenue": _BUCKETED_JOIN_SQL,
         "emb_truncated_recall": _EMB_TRUNCATED_SQL,
+        "related_docs_tfidf": _RELATED_DOCS_SQL,
+        "lttb_downsample_events": _LTTB_SQL,
+        "twa_value_user": _TWA_SQL,
+        "join_size_estimate_cms": _cms_join_size_sql(),
         # r9: the LAST four rows-only queries retired — bound-boolean
         # recipe for the GP/VI training flagships, constant VALUES +
         # 6-sigma noise bound for the deterministic-input GP posterior

@@ -180,6 +180,10 @@ HEADLINE = [
     "emb_label_outliers",
     "bucketed_join_revenue",
     "emb_truncated_recall",
+    "related_docs_tfidf",
+    "lttb_downsample_events",
+    "twa_value_user",
+    "join_size_estimate_cms",
     # NOT timed: streaming_kmeans_update (r9) — 4-commit foreachBatch
     # machinery like the other streaming maintenance paths; its
     # assignment/sufficient-stats math is timed via emb_label_outliers

@@ -2312,3 +2312,190 @@ def keyed_weighted_percentiles_exact(
         .agg(v_lo.alias("__vlo"), v_hi.alias("__vhi"))
         .select(*kcols, "p", _percentile_interp().alias("value"))
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per key over irregularly sampled points —
+    the hypertable `time_weight('Linear', ...)` aggregate: the value is
+    integrated with trapezoids between consecutive observations and
+    divided by the observed span, so a sensor that reports rarely while
+    steady no longer biases the plain AVG toward its bursty periods.
+
+    Plan shape: one keyed window (lead over event time — the single sort
+    shuffle, partitioned BY KEY so there is no global ordering anywhere)
+    + one keyed partial-agg. Per-trapezoid terms are quantized
+    (ROUND(.., 6)) and summed as decimal(38,12), so the integral is
+    independent of shuffle order and bit-identical across engines.
+
+    Ordering ties (equal timestamps within a key) are totalized by the
+    value to keep lead() deterministic; zero-width trapezoids contribute
+    0 either way. Keys with a single observation have no span and are
+    dropped (the reference hypertable behavior: time_weight needs >= 2
+    points). Output: (key, n_points, span_secs, twa).
+    """
+    x = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("__x").asc(), F.col("__v").asc()
+    )
+    stepped = df.select(
+        F.col(key_col),
+        x.alias("__x"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).select(
+        key_col,
+        "__x",
+        "__v",
+        F.lead("__x").over(w).alias("__x1"),
+        F.lead("__v").over(w).alias("__v1"),
+    )
+    # trapezoid area in (value * seconds), quantized per term
+    area = F.round(
+        (F.col("__v") + F.col("__v1"))
+        / F.lit(2.0)
+        * ((F.col("__x1") - F.col("__x")).cast("double") / F.lit(1e6)),
+        6,
+    ).cast("decimal(38,12)")
+    return (
+        stepped.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            ((F.max("__x") - F.min("__x")).cast("double") / F.lit(1e6)).alias(
+                "span_secs"
+            ),
+            F.sum(area).cast("double").alias("__area"),
+        )
+        .where(F.col("span_secs") > 0)
+        .select(
+            key_col,
+            "n_points",
+            F.round("span_secs", 6).alias("span_secs"),
+            F.round(F.col("__area") / F.col("span_secs"), 6).alias("twa"),
+        )
+    )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    buckets: int = 12,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per key (Steinarsson
+    2013) — the hypertable/visualization decimation operator: each key's
+    series shrinks to exactly `buckets` points that preserve its visual
+    shape (extrema and trend breaks survive; plain bucket-AVG smears
+    them).
+
+    This is the PARALLEL averaged-anchor variant: classic LTTB anchors
+    each bucket's triangle on the point SELECTED in the previous bucket,
+    a sequential dependence that cannot distribute; anchoring BOTH sides
+    on the neighbor buckets' average points (the right anchor already is
+    averaged in the classic algorithm) removes the chain, so every
+    bucket's argmax is independent — the standard trade for distributed/
+    SQL implementations.
+
+    Plan shape: one per-key rank window (partitioned by key — no global
+    window), one bucket partial-agg for the anchor averages, anchor
+    lag/lead over the <= `buckets` rows per key, one broadcast-sized join
+    back to the points, one per-(key,bucket) argmax window. Anchor means
+    use exact integer/decimal sums; the triangle cross product is fixed
+    double arithmetic on those reproducible inputs, and ties break on
+    (ts, value) — deterministic end to end.
+
+    Keys with fewer than `buckets` points pass through unchanged
+    (downsampling is a no-op there, classic LTTB's n <= threshold case).
+    First and last points are always kept (buckets 0 and `buckets`-1).
+    Output: (key, bucket, ts_epoch_us BIGINT, value).
+    """
+    if buckets < 3:
+        raise ValueError("lttb_downsample needs at least 3 buckets")
+    x = F.unix_micros(F.col(ts_col))
+    wrank = Window.partitionBy(key_col).orderBy(
+        F.col("xx").asc(), F.col("yy").asc()
+    )
+    pts = (
+        df.select(
+            F.col(key_col),
+            x.alias("xx"),
+            F.col(value_col).cast("double").alias("yy"),
+        )
+        .withColumn("rnk", F.row_number().over(wrank))
+        .withColumn("nn", F.count(F.lit(1)).over(Window.partitionBy(key_col)))
+    )
+    small = pts.where(F.col("nn") < buckets).select(
+        key_col,
+        (F.col("rnk") - 1).cast("int").alias("bucket"),
+        F.col("xx").alias("ts_epoch_us"),
+        F.col("yy").alias("value"),
+    )
+    big = pts.where(F.col("nn") >= buckets)
+    # first/last pinned; middle ranks 2..n-1 spread over buckets 1..B-2
+    bucket = (
+        F.when(F.col("rnk") == 1, F.lit(0))
+        .when(F.col("rnk") == F.col("nn"), F.lit(buckets - 1))
+        .otherwise(
+            # exact integer division (`div`), never double `/`: a float
+            # quotient landing half-an-ulp under an integer would move a
+            # point across a bucket boundary on one engine only
+            F.lit(1)
+            + F.expr(f"((rnk - 2) * {buckets - 2}) div (nn - 2)")
+        )
+        .cast("int")
+    )
+    binned = big.withColumn("bucket", bucket)
+    avgs = binned.groupBy(key_col, "bucket").agg(
+        # decimal sum: epoch_us values are ~2^50, so a BIGINT sum
+        # overflows around 8k points per bucket; the decimal(38,0) sum
+        # is exact and casts to the same correctly-rounded double as the
+        # oracle's int128 sum
+        (
+            F.sum(F.col("xx").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ax"),
+        (
+            F.sum(F.round(F.col("yy"), 6).cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ay"),
+    )
+    wb = Window.partitionBy(key_col).orderBy("bucket")
+    anchors = avgs.select(
+        key_col,
+        "bucket",
+        F.lag("ax").over(wb).alias("lx"),
+        F.lag("ay").over(wb).alias("ly"),
+        F.lead("ax").over(wb).alias("rx"),
+        F.lead("ay").over(wb).alias("ry"),
+    )
+    # triangle area x2: |(lx-rx)*(y-ly) - (lx-x)*(ry-ly)|
+    area2 = F.abs(
+        (F.col("lx") - F.col("rx")) * (F.col("yy") - F.col("ly"))
+        - (F.col("lx") - F.col("xx")) * (F.col("ry") - F.col("ly"))
+    )
+    warg = Window.partitionBy(key_col, "bucket").orderBy(
+        F.col("area2").desc(), F.col("xx").asc(), F.col("yy").asc()
+    )
+    picked = (
+        binned.join(anchors, [key_col, "bucket"])
+        .withColumn(
+            "area2",
+            F.when(
+                (F.col("bucket") == 0) | (F.col("bucket") == buckets - 1),
+                F.lit(0.0),
+            ).otherwise(area2),
+        )
+        .withColumn("pick", F.row_number().over(warg))
+        .where(F.col("pick") == 1)
+        .select(
+            key_col,
+            "bucket",
+            F.col("xx").alias("ts_epoch_us"),
+            F.col("yy").alias("value"),
+        )
+    )
+    return picked.unionByName(small)

@@ -864,3 +864,31 @@ def tdigest_quantile_grouped(
     return digest.groupBy(group_col).applyInPandas(
         est, f"{group_col} {gtype}, q double, est double"
     )
+
+
+def cms_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Equi-join CARDINALITY ESTIMATE from two count-min sketches built
+    with identical (depth, width, salt): the classic CM inner-product
+    estimator (Cormode-Muthukrishnan 2005, AMS before it) —
+    |A join B| <= min_d sum_b cms_A[d][b] * cms_B[d][b], an upper bound
+    that tightens as width grows.
+
+    This is the join-planning primitive: at 100 TB you estimate the
+    output of a fact-to-fact join from two depth*width counter tables
+    (KBs, built map-side in one pass each) BEFORE committing to a
+    shuffle strategy — the sketches are the only thing that ever moves.
+    Pure integer arithmetic (counter products summed per hash row, MIN
+    across rows), so the estimate is deterministic and engine-exact.
+
+    Returns one row: (est BIGINT).
+    """
+    a = sketch_a.select("d", "bucket", F.col("cnt").alias("cnt_a"))
+    b = sketch_b.select("d", "bucket", F.col("cnt").alias("cnt_b"))
+    per_row = (
+        a.join(b, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").alias("est"))

@@ -508,3 +508,167 @@ def fuzzy_pairs(
         .where(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "distance")
     )
+
+
+def shingle_tfidf_cosine_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 3,
+    max_df: int = 1000,
+    min_cos: float = 0.0,
+) -> DataFrame:
+    """Sparse lexical retrieval: top-k most similar documents per document
+    by TF-IDF-weighted cosine over word n-gram shingles — the classic
+    inverted-index "related documents" / lexical near-dup RANKER (vs the
+    minhash/Jaccard family, which thresholds set overlap, this ranks by
+    weighted cosine, so partial template overlap scores low and true
+    rewrites score high).
+
+    Plan shape for 100 TB (never an all-pairs join):
+    * shingle explode -> (doc, shingle) tf partial-agg (map-side
+      combinable);
+    * doc-frequency agg over the vocabulary; shingles with df > `max_df`
+      are DROPPED — the same skew guard as the minhash `max_df`: a
+      boilerplate shingle shared by millions of docs would otherwise
+      produce a df^2 candidate blowup on one shuffle key, and it carries
+      ~zero IDF weight anyway (candidate volume is bounded by
+      sum_t df_t^2 <= max_df * |postings|);
+    * posting-list self-join keyed on shingle (hash shuffle on the
+      shingle, fan-out bounded per key by the cap), per-pair dot product
+      as a decimal(38,9) partial-agg of ROUND(w_a*w_b, 9) terms — sums
+      of quantized products, so the result is independent of shuffle
+      order and bit-identical across engines;
+    * per-doc L2 norms (same quantized-decimal discipline) joined back
+      keyed on doc id, cosine = dot/(norm_a*norm_b) rounded to 6;
+    * one keyed window for the per-doc top-k (cos DESC, neighbor ASC).
+
+    Weighting matches `tfidf_top_terms`: w = tf * (ln((N+1)/(df+1)) + 1)
+    rounded to 6 (sklearn's smooth_idf). Pairs below `min_cos` are
+    dropped before ranking. Output: (id, neighbor_id, cos, rank).
+    """
+    base = ensure_parallelism(df.select(id_col, text_col))
+    toks = _tokens(text_col)
+    nw = F.size(toks)
+
+    # a window running past the end must vanish, so null-check every part
+    # (try_element_at: out-of-bounds -> NULL even under ANSI mode)
+    def full_gram(i):
+        parts = [F.try_element_at(toks, i + F.lit(j)) for j in range(n)]
+        g = F.concat_ws(" ", *parts)
+        ok = parts[0].isNotNull()
+        for p in parts[1:]:
+            ok = ok & p.isNotNull()
+        return F.when(ok, g)
+
+    grams = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nw - F.lit(n - 1), F.lit(1))),
+            lambda i: full_gram(i),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    postings = base.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("shingle")
+    )
+    tf = postings.groupBy("id", "shingle").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .where(F.col("df_t") <= max_df)
+    )
+    ndocs = base.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    weighted = (
+        tf.join(dfreq, "shingle")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "id",
+            "shingle",
+            "df_t",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df_t") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("w"),
+        )
+    )
+    # four consumers (norms + both self-join sides + the rank join) pull
+    # from `weighted`, and Spark's ReusedExchange does NOT fire across
+    # them (verified: 16 re-executed explode subtrees = 16 corpus scans
+    # without this) — materialize the weighted postings ONCE. Registered
+    # in the shared scaffold-cache registry so bench/oracle harnesses
+    # release it after each query; MEMORY_AND_DISK so a 100 TB posting
+    # table spills instead of evicting (the materialize-once trade every
+    # multi-pass indexer makes).
+    from pyspark.storagelevel import StorageLevel
+
+    from henbun_spark.operators.relational import _SCAFFOLD_CACHES
+
+    weighted = weighted.persist(StorageLevel.MEMORY_AND_DISK)
+    _SCAFFOLD_CACHES.append(weighted)
+    norms = weighted.groupBy("id").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("w") * F.col("w"), 9).cast("decimal(38,9)")
+            ).cast("double")
+        ).alias("norm")
+    )
+    # df=1 shingles contribute to norms but can never form a pair — and
+    # at healthy shingle widths they are most of the vocabulary, so
+    # dropping them before the posting self-join removes the bulk of
+    # the shuffle + join fan-in
+    pairable = weighted.where(F.col("df_t") >= 2)
+    a = pairable.select(
+        F.col("shingle"), F.col("id").alias("id_a"), F.col("w").alias("w_a")
+    )
+    b = pairable.select(
+        F.col("shingle"), F.col("id").alias("id_b"), F.col("w").alias("w_b")
+    )
+    dots = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.round(F.col("w_a") * F.col("w_b"), 9).cast("decimal(38,9)")
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm").alias("norm_b"))
+    cos_pairs = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6).alias(
+                "cos"
+            ),
+        )
+        .where(F.col("cos") >= min_cos)
+    )
+    sym = cos_pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("neighbor_id"), "cos"
+    ).unionByName(
+        cos_pairs.select(
+            F.col("id_b").alias("id"), F.col("id_a").alias("neighbor_id"), "cos"
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "neighbor_id", "cos", "rank")
+    )

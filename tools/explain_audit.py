@@ -111,6 +111,12 @@ BNLJ_OK = {
     "hll_distinct_users",
     "minhash_recall_docs",
     "bloom_semi_lineitem",
+    # 1-row broadcast cross joins only: the n_docs scalar riding the
+    # TF-IDF weighting (same shape as text_tfidf) ...
+    "related_docs_tfidf",
+    # ... and the (est) x (exact_n) scalar pairing — both sides are
+    # single-row aggregates
+    "join_size_estimate_cms",
 }
 # Spark's EXACT `percentile()` aggregate buffers a value->count map per
 # group in executor memory — unbounded in distinct values, an OOM shape
