@@ -9672,6 +9672,173 @@ SELECT CAST((SELECT MIN(ip) FROM ip) AS BIGINT) AS est_n,
 """
 
 
+def counter_delta_user(spark, sf_dir):
+    """Resets-aware counter aggregation per user (r9, new op): the
+    hypertable `counter_agg` / PromQL `increase()` primitive
+    (`relational.counter_delta`) — each user's `value` readings treated
+    as a restartable monotone counter: total increase = sum of positive
+    consecutive deltas, plus the post-reset reading at each reset
+    (where the naive max-min is simply wrong). Scale shape: one lag()
+    window BY USER + one keyed partial-agg, quantized decimal(38,12)
+    increment sums. ORACLE-CHECKED bitwise."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    return relational.counter_delta(ev, "ts", "user_id", "value")
+
+
+_COUNTER_DELTA_SQL = """
+WITH stepped AS (
+  SELECT user_id, value AS v,
+    lag(value) OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), value) AS v0
+  FROM events)
+SELECT user_id, COUNT(*)::BIGINT AS n_points,
+  COALESCE(SUM(CASE WHEN v0 IS NOT NULL AND v < v0 THEN 1 ELSE 0 END),
+           0)::BIGINT AS n_resets,
+  ROUND(COALESCE(CAST(SUM(CAST(ROUND(
+          CASE WHEN v0 IS NULL THEN NULL
+               WHEN v >= v0 THEN v - v0
+               ELSE v END, 6) AS DECIMAL(38,12))) AS DOUBLE), 0.0), 6)
+    AS total_increase
+FROM stepped GROUP BY user_id
+"""
+
+
+def ohlc_hourly_value(spark, sf_dir):
+    """Hourly OHLC candlestick rollup over events.value (r9, new op):
+    the continuous-aggregate staple (`relational.ohlc_bucket`).
+    Open/close are FIRST/LAST BY EVENT TIME under a (ts, value) total
+    order — plain first()/last() is partition-order dependent and
+    engine-divergent. Scale shape: ONE aggregation, no window — the
+    open/close ride min/max over a packed (epoch_us, value) struct
+    (the arg-min trick), so state is two structs per bucket and the
+    whole rollup partial-aggregates map-side. ORACLE-CHECKED bitwise
+    (the oracle computes the same total order via rank windows)."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    return relational.ohlc_bucket(ev, "ts", "value", bucket_secs=3600)
+
+
+_OHLC_SQL = """
+WITH b AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
+         epoch_us(ts) AS x, value AS v
+  FROM events),
+ranked AS (
+  SELECT bucket_epoch, v,
+    row_number() OVER (PARTITION BY bucket_epoch ORDER BY x ASC, v ASC)
+      AS rf,
+    row_number() OVER (PARTITION BY bucket_epoch ORDER BY x DESC, v DESC)
+      AS rl
+  FROM b),
+agg AS (
+  SELECT bucket_epoch, COUNT(*)::BIGINT AS n_points,
+         MAX(v) AS high, MIN(v) AS low
+  FROM b GROUP BY bucket_epoch)
+SELECT a.bucket_epoch, a.n_points, f.v AS open, a.high, a.low, l.v AS close
+FROM agg a
+JOIN (SELECT bucket_epoch, v FROM ranked WHERE rf = 1) f USING (bucket_epoch)
+JOIN (SELECT bucket_epoch, v FROM ranked WHERE rl = 1) l USING (bucket_epoch)
+"""
+
+
+def hll_overlap_segments(spark, sf_dir):
+    """Audience-overlap estimation between two user segments (r9, new
+    op): distinct users who 'click' AND 'purchase', estimated by
+    HLL inclusion-exclusion (`sketch.hll_overlap`) — est(A) + est(B) -
+    est(A u B), with the union estimate coming free from the register
+    MAX-merge. The segment-overlap question answered from two <= 256-row
+    sketches: at 100 TB the per-segment register tables are built
+    map-side in the segments' own scans and only KBs ever move — the
+    exact INTERSECT (which must shuffle both identity sets) rides along
+    for the accuracy story. All register arithmetic is the
+    md5-deterministic recipe, so even the float estimates are
+    engine-exact. ORACLE-CHECKED bitwise."""
+    from henbun_spark.operators import sketch
+
+    ev = _load(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click")
+    b = ev.where(F.col("event_type") == "purchase")
+    regs_a = sketch.hll_registers(a, "user_id", b=8)
+    regs_b = sketch.hll_registers(b, "user_id", b=8)
+    overlap = sketch.hll_overlap(regs_a, regs_b, b=8)
+    exact = (
+        a.select("user_id")
+        .distinct()
+        .intersect(b.select("user_id").distinct())
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return overlap.crossJoin(exact)
+
+
+def _hll_overlap_sql(b: int = 8, salt: str = "hll") -> str:
+    m = 2 ** b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    nib = lambda expr: f"(instr('0123456789abcdef', {expr}) - 1)"  # noqa: E731
+    lz = "length(regexp_extract(tail, '^(0*)', 1))"
+    first_nib = nib(f"substr(tail, {lz} + 1, 1)")
+    return f"""
+WITH hashed AS (
+  SELECT event_type AS seg,
+    md5('{salt}' || '|' || coalesce(CAST(user_id AS VARCHAR), chr(0))) AS h
+  FROM events WHERE event_type IN ('click', 'purchase')),
+parts AS (
+  SELECT seg, {nib("substr(h, 1, 1)")} * 16 + {nib("substr(h, 2, 1)")}
+           AS register,
+         substr(h, 3, 14) AS tail
+  FROM hashed),
+ranked AS (
+  SELECT seg, register,
+    CASE WHEN {lz} = 14 THEN 57
+         ELSE {lz} * 4
+              + (CASE WHEN {first_nib} >= 8 THEN 0
+                      WHEN {first_nib} >= 4 THEN 1
+                      WHEN {first_nib} >= 2 THEN 2
+                      ELSE 3 END) + 1
+    END AS rank
+  FROM parts),
+segregs AS (
+  SELECT seg, register, MAX(rank) AS max_rank
+  FROM ranked GROUP BY seg, register),
+allregs AS (
+  SELECT * FROM segregs
+  UNION ALL
+  SELECT 'u' AS seg, register, MAX(max_rank) AS max_rank
+  FROM segregs GROUP BY register),
+agg AS (
+  SELECT seg, COUNT(*) AS n_hit,
+    CAST(SUM(CAST(1 AS BIGINT) << (57 - max_rank)) AS BIGINT) AS denom_hit
+  FROM allregs GROUP BY seg),
+est AS (
+  SELECT seg,
+    ROUND(CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m} / denom
+                    <= CAST({2.5 * m!r} AS DOUBLE) AND n_hit < {m}
+               THEN CAST({float(m)!r} AS DOUBLE)
+                    * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - n_hit))
+               ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} / denom
+          END, 6) AS hll_est
+  FROM (SELECT seg, n_hit,
+          CAST(denom_hit AS DOUBLE) / {float(2 ** 57)!r}
+            + CAST({m} - n_hit AS DOUBLE) AS denom
+        FROM agg)),
+wide AS (
+  SELECT MAX(CASE WHEN seg = 'click' THEN hll_est END) AS est_a,
+         MAX(CASE WHEN seg = 'purchase' THEN hll_est END) AS est_b,
+         MAX(CASE WHEN seg = 'u' THEN hll_est END) AS est_union
+  FROM est)
+SELECT est_a, est_b, est_union,
+  ROUND(est_a + est_b - est_union, 6) AS est_intersection,
+  (SELECT COUNT(*) FROM
+     (SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase'))::BIGINT
+    AS exact_intersection
+FROM wide
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9752,6 +9919,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample_events": lttb_downsample_events,
         "twa_value_user": twa_value_user,
         "join_size_estimate_cms": join_size_estimate_cms,
+        # slots 21-23: three more late-r9 NEW ops — counter_delta_user
+        # (resets-aware counter increase), ohlc_hourly_value (arg-min
+        # candlesticks), hll_overlap_segments (HLL inclusion-exclusion
+        # audience overlap); they displace rank_gauss_value /
+        # dedup_components / dedup_components_star (all green in
+        # earlier rounds) to the r10 tier.
+        "counter_delta_user": counter_delta_user,
+        "ohlc_hourly_value": ohlc_hourly_value,
+        "hll_overlap_segments": hll_overlap_segments,
         "q3_top_orders": q3_top_orders,
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -9783,10 +9959,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore_events": anomaly_zscore_events,
         "anomaly_mad_events": anomaly_mad_events,
         "observed_filter_metrics": observed_filter_metrics,
+        # --- window boundary: entries below are NOT hash-checked in r9
         "rank_gauss_value": rank_gauss_value,
         "dedup_components": dedup_components,
         "dedup_components_star": dedup_components_star,
-        # --- window boundary: entries below are NOT hash-checked in r9
         "dedup_canonical_best": dedup_canonical_best,
         "pagerank_dup_graph": pagerank_dup_graph,
         "triangle_count_dupgraph": triangle_count_dupgraph,
@@ -10085,6 +10261,9 @@ def oracle_sql() -> dict[str, str]:
         "lttb_downsample_events": _LTTB_SQL,
         "twa_value_user": _TWA_SQL,
         "join_size_estimate_cms": _cms_join_size_sql(),
+        "counter_delta_user": _COUNTER_DELTA_SQL,
+        "ohlc_hourly_value": _OHLC_SQL,
+        "hll_overlap_segments": _hll_overlap_sql(),
         # r9: the LAST four rows-only queries retired — bound-boolean
         # recipe for the GP/VI training flagships, constant VALUES +
         # 6-sigma noise bound for the deterministic-input GP posterior

@@ -184,6 +184,9 @@ HEADLINE = [
     "lttb_downsample_events",
     "twa_value_user",
     "join_size_estimate_cms",
+    "counter_delta_user",
+    "ohlc_hourly_value",
+    "hll_overlap_segments",
     # NOT timed: streaming_kmeans_update (r9) — 4-commit foreachBatch
     # machinery like the other streaming maintenance paths; its
     # assignment/sufficient-stats math is timed via emb_label_outliers

@@ -2499,3 +2499,107 @@ def lttb_downsample(
         )
     )
     return picked.unionByName(small)
+
+
+def counter_delta(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Resets-aware counter aggregation per key — the hypertable
+    `counter_agg` / PromQL `increase()` primitive: for a monotonically
+    increasing counter that occasionally RESETS (process restart), the
+    true increase over the observed span is the sum of positive
+    consecutive deltas plus, at each reset, the post-reset reading (the
+    counter climbed from 0 to it). A plain max-min is wrong the moment
+    one reset occurs.
+
+    Plan shape: one lag() window partitioned BY KEY (the single sort
+    shuffle) + one keyed partial-agg. Per-step increments are quantized
+    (ROUND(.., 6)) and summed as decimal(38,12) — shuffle-order
+    independent, engine-exact. Ties on equal timestamps totalize by the
+    value. Keys with a single observation report zero increase over a
+    zero-length span and are kept (they still carry n_points).
+
+    Output: (key, n_points, n_resets, total_increase).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("__x").asc(), F.col("__v").asc()
+    )
+    stepped = df.select(
+        F.col(key_col),
+        F.unix_micros(F.col(ts_col)).alias("__x"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).select(
+        key_col,
+        "__v",
+        F.lag("__v").over(w).alias("__v0"),
+    )
+    inc = F.when(
+        F.col("__v0").isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.when(F.col("__v") >= F.col("__v0"), F.col("__v") - F.col("__v0"))
+        .otherwise(F.col("__v"))
+    )
+    is_reset = (F.col("__v0").isNotNull() & (F.col("__v") < F.col("__v0"))).cast(
+        "long"
+    )
+    return (
+        stepped.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(is_reset).alias("n_resets"),
+            F.coalesce(
+                F.sum(F.round(inc, 6).cast("decimal(38,12)")).cast("double"),
+                F.lit(0.0),
+            ).alias("__inc"),
+        )
+        .select(
+            key_col,
+            "n_points",
+            "n_resets",
+            F.round("__inc", 6).alias("total_increase"),
+        )
+    )
+
+
+def ohlc_bucket(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_secs: int = 3600,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Per-bucket OHLC (open/high/low/close) candlestick rollup — the
+    continuous-aggregate staple for price/metric series. Open/close are
+    FIRST/LAST BY EVENT TIME with a (ts, value) total order, so ties at
+    the same timestamp resolve identically on every engine (plain
+    first()/last() would be partition-order dependent).
+
+    Plan shape: one aggregation, no window — open/close ride min/max
+    over (epoch_us, value) packed into ONE BIGINT-pair struct, which
+    partial-aggregates map-side like any min/max (the arg-min trick;
+    state is two structs per bucket however large the input).
+    """
+    cols = [F.col(key_col)] if key_col else []
+    bucket = (
+        (F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
+        * bucket_secs
+    ).alias("bucket_epoch")
+    pair = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("x"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    out = (
+        df.select(*cols, bucket, pair.alias("__p"), F.col(value_col).cast("double").alias("__v"))
+        .groupBy(*([key_col] if key_col else []), "bucket_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("__p").getField("v").alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max("__p").getField("v").alias("close"),
+        )
+    )
+    return out

@@ -892,3 +892,47 @@ def cms_inner_product(
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
     )
     return per_row.agg(F.min("ip").alias("est"))
+
+
+def hll_overlap(
+    regs_a: DataFrame, regs_b: DataFrame, b: int = 8
+) -> DataFrame:
+    """Audience-overlap estimation from two HLL register tables built
+    with identical (b, salt): |A union B| comes free from the register
+    MAX-merge (the HLL property that makes per-segment sketches
+    composable), and |A intersect B| follows by inclusion-exclusion —
+    est(A) + est(B) - est(A u B). The classic segment-overlap question
+    ("how many users did both X and Y") answered from two <= 2^b-row
+    sketches, never by joining raw identity sets.
+
+    Inclusion-exclusion error grows as the true intersection shrinks
+    relative to the union (both operand errors land on the difference) —
+    the standard caveat; callers wanting relative-error guarantees on
+    tiny overlaps need MinHash signatures instead. All register
+    arithmetic is the deterministic md5 recipe, and the three estimates
+    are rounded before the subtraction, so the result is engine-exact.
+
+    Returns one row:
+    (est_a, est_b, est_union, est_intersection — doubles, rounded).
+    """
+    est_a = hll_estimate(regs_a, b=b).select(
+        F.col("hll_est").alias("est_a")
+    )
+    est_b = hll_estimate(regs_b, b=b).select(
+        F.col("hll_est").alias("est_b")
+    )
+    est_u = hll_estimate(hll_merge(regs_a, regs_b), b=b).select(
+        F.col("hll_est").alias("est_union")
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 6
+            ).alias("est_intersection"),
+        )
+    )

@@ -117,6 +117,9 @@ BNLJ_OK = {
     # ... and the (est) x (exact_n) scalar pairing — both sides are
     # single-row aggregates
     "join_size_estimate_cms",
+    # 1-row crosses of the three HLL estimates + the exact-intersect
+    # scalar
+    "hll_overlap_segments",
 }
 # Spark's EXACT `percentile()` aggregate buffers a value->count map per
 # group in executor memory — unbounded in distinct values, an OOM shape
