@@ -9839,6 +9839,75 @@ FROM wide
 """
 
 
+def streaming_ohlc_value(spark, sf_dir):
+    """STREAMING OHLC materialized-view maintenance (r9, new streaming
+    path — the candlestick dashboard kept fresh at ingest): events
+    stream in as 4-file micro-batches; each batch aggregates its own
+    per-hour (count, min/max (epoch_us, value) structs, min/max value)
+    partials and folds them into versioned exactly-once state via
+    `mv_stream_maintenance(agg_spec={open/close struct: min/max})`.
+    Every state column is a mergeable extremum or count — min/max of
+    the packed time-value struct is associative AND commutative, so
+    open/close stay exact under ANY micro-batch split, and the drained
+    MV equals the batch `ohlc_hourly_value` rollup bit-for-bit.
+    ORACLE-CHECKED with the SAME SQL as the batch twin."""
+    from henbun_spark import streaming
+
+    ev = _load(spark, sf_dir, "events").select("ts", "value")
+    base = _scratch_dir("henbun_sohlc_")
+    in_dir = f"{base}/in"
+    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def partials(d):
+        pair = F.struct(
+            F.unix_micros(F.col("ts")).alias("x"),
+            F.col("value").cast("double").alias("v"),
+        )
+        bucket = (
+            (F.unix_timestamp(F.col("ts")) / 3600).cast("long") * 3600
+        ).alias("bucket_epoch")
+        return (
+            d.select(bucket, pair.alias("__p"), F.col("value").cast("double").alias("__v"))
+            .groupBy("bucket_epoch")
+            .agg(
+                F.count(F.lit(1)).alias("n_points"),
+                F.min("__p").alias("open_p"),
+                F.max("__v").alias("high"),
+                F.min("__v").alias("low"),
+                F.max("__p").alias("close_p"),
+            )
+        )
+
+    q = streaming.mv_stream_maintenance(
+        stream,
+        partials,
+        ["bucket_epoch"],
+        f"{base}/state",
+        f"{base}/ckpt",
+        agg_spec={
+            "open_p": "min",
+            "high": "max",
+            "low": "min",
+            "close_p": "max",
+        },
+    )
+    q.awaitTermination()
+    mv = streaming.load_state(spark, f"{base}/state")
+    return mv.select(
+        "bucket_epoch",
+        "n_points",
+        F.col("open_p").getField("v").alias("open"),
+        "high",
+        "low",
+        F.col("close_p").getField("v").alias("close"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -9928,6 +9997,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_delta_user": counter_delta_user,
         "ohlc_hourly_value": ohlc_hourly_value,
         "hll_overlap_segments": hll_overlap_segments,
+        # slot 24: the 23rd streaming path — OHLC MV maintenance
+        # (min/max struct merge states), first-ever check; displaces
+        # observed_filter_metrics (green in earlier rounds) to r10.
+        "streaming_ohlc_value": streaming_ohlc_value,
         "q3_top_orders": q3_top_orders,
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -9958,8 +10031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_functions_emb": array_functions_emb,
         "anomaly_zscore_events": anomaly_zscore_events,
         "anomaly_mad_events": anomaly_mad_events,
-        "observed_filter_metrics": observed_filter_metrics,
         # --- window boundary: entries below are NOT hash-checked in r9
+        "observed_filter_metrics": observed_filter_metrics,
         "rank_gauss_value": rank_gauss_value,
         "dedup_components": dedup_components,
         "dedup_components_star": dedup_components_star,
@@ -10264,6 +10337,7 @@ def oracle_sql() -> dict[str, str]:
         "counter_delta_user": _COUNTER_DELTA_SQL,
         "ohlc_hourly_value": _OHLC_SQL,
         "hll_overlap_segments": _hll_overlap_sql(),
+        "streaming_ohlc_value": _OHLC_SQL,
         # r9: the LAST four rows-only queries retired — bound-boolean
         # recipe for the GP/VI training flagships, constant VALUES +
         # 6-sigma noise bound for the deterministic-input GP posterior

@@ -187,6 +187,9 @@ HEADLINE = [
     "counter_delta_user",
     "ohlc_hourly_value",
     "hll_overlap_segments",
+    # NOT timed: streaming_ohlc_value (r9) — same 4-commit foreachBatch
+    # machinery; its batch twin ohlc_hourly_value IS timed above and
+    # carries the scale story (one map-side-combinable aggregation).
     # NOT timed: streaming_kmeans_update (r9) — 4-commit foreachBatch
     # machinery like the other streaming maintenance paths; its
     # assignment/sufficient-stats math is timed via emb_label_outliers

@@ -1016,3 +1016,115 @@ def test_partitioned_mv_journal_recovers_crashed_overwrite(spark, tmp_path):
     assert not os.path.exists(state + "__journal.meta")
     # idempotent no-op when no journal is pending
     assert streaming.recover_partitioned_mv(spark, state, "k") is False
+
+
+def test_ohlc_stream_split_independent(spark, tmp_path):
+    """Streamed OHLC merge states (count + min/max over the packed
+    (epoch_us, value) struct) are identical across micro-batch splits
+    (1-file vs 5-file drains) and equal the one-shot batch rollup —
+    min/max of a lexicographically ordered struct is associative and
+    commutative, so which batch a row arrived in cannot change the
+    open/close election, including ties at the same timestamp."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from henbun_spark import streaming
+    from henbun_spark.operators import relational
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (base + datetime.timedelta(seconds=(i * 977) % 7200), float((i * 31) % 17))
+        for i in range(64)
+    ]
+    # force a same-timestamp tie inside one bucket
+    rows += [(base, -5.0), (base, 99.0)]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    batch = {
+        r["bucket_epoch"]: r
+        for r in relational.ohlc_bucket(df, "ts", "value", 3600).collect()
+    }
+
+    def partials(d):
+        pair = F.struct(
+            F.unix_micros(F.col("ts")).alias("x"),
+            F.col("value").cast("double").alias("v"),
+        )
+        bucket = (
+            (F.unix_timestamp(F.col("ts")) / 3600).cast("long") * 3600
+        ).alias("bucket_epoch")
+        return (
+            d.select(bucket, pair.alias("__p"), F.col("value").cast("double").alias("__v"))
+            .groupBy("bucket_epoch")
+            .agg(
+                F.count(F.lit(1)).alias("n_points"),
+                F.min("__p").alias("open_p"),
+                F.max("__v").alias("high"),
+                F.min("__v").alias("low"),
+                F.max("__p").alias("close_p"),
+            )
+        )
+
+    for nfiles in (1, 5):
+        in_dir = str(tmp_path / f"ohlc{nfiles}")
+        df.repartition(nfiles).write.mode("overwrite").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = streaming.mv_stream_maintenance(
+            stream,
+            partials,
+            ["bucket_epoch"],
+            str(tmp_path / f"ohlc_state{nfiles}"),
+            str(tmp_path / f"ohlc_ckpt{nfiles}"),
+            agg_spec={
+                "open_p": "min",
+                "high": "max",
+                "low": "min",
+                "close_p": "max",
+            },
+        )
+        q.awaitTermination()
+        mv = streaming.load_state(spark, str(tmp_path / f"ohlc_state{nfiles}"))
+        got = {
+            r["bucket_epoch"]: r
+            for r in mv.select(
+                "bucket_epoch",
+                "n_points",
+                F.col("open_p").getField("v").alias("open"),
+                "high",
+                "low",
+                F.col("close_p").getField("v").alias("close"),
+            ).collect()
+        }
+        assert set(got) == set(batch)
+        for k, b in batch.items():
+            g = got[k]
+            assert (
+                g["n_points"],
+                g["open"],
+                g["high"],
+                g["low"],
+                g["close"],
+            ) == (
+                b["n_points"],
+                b["open"],
+                b["high"],
+                b["low"],
+                b["close"],
+            ), k
+    # the tie bucket elected open=-5.0: three rows share the bucket's
+    # earliest timestamp (base) and the (ts, value) total order breaks
+    # the tie toward the smallest value; close belongs to the latest-ts
+    # row of that bucket, computed independently here
+    b0 = int(base.timestamp()) // 3600 * 3600
+    tie = batch[b0]
+    in_bucket = [
+        (int(t.timestamp() * 1_000_000), v)
+        for t, v in rows
+        if b0 <= t.timestamp() < b0 + 3600
+    ]
+    assert tie["open"] == min(in_bucket)[1] == -5.0
+    assert tie["close"] == max(in_bucket)[1]
