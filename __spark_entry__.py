@@ -9665,8 +9665,12 @@ cc AS (
 ip AS (
   SELECT ce.d, SUM(ce.cnt * cc.cnt) AS ip
   FROM ce JOIN cc ON ce.d = cc.d AND ce.bucket = cc.bucket
-  GROUP BY ce.d)
-SELECT CAST((SELECT MIN(ip) FROM ip) AS BIGINT) AS est_n,
+  GROUP BY ce.d),
+daxis AS (SELECT DISTINCT d FROM ce),
+ipf AS (
+  SELECT daxis.d, COALESCE(ip.ip, 0) AS ip
+  FROM daxis LEFT JOIN ip USING (d))
+SELECT CAST((SELECT MIN(ip) FROM ipf) AS BIGINT) AS est_n,
        (SELECT COUNT(*) FROM events JOIN customer ON user_id = c_custkey)::BIGINT
          AS exact_n
 """

@@ -891,7 +891,16 @@ def cms_inner_product(
         .groupBy("d")
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
     )
-    return per_row.agg(F.min("ip").alias("est"))
+    # a hash row with NO shared buckets has inner product 0 — the
+    # tightest bound there is. The inner join drops such rows, so
+    # re-anchor on the full d axis and fill the holes with 0 before
+    # taking the MIN (otherwise disjoint inputs would estimate from the
+    # colliding rows only, or return an empty frame).
+    d_axis = sketch_a.select("d").distinct()
+    filled = d_axis.join(per_row, "d", "left").select(
+        F.coalesce(F.col("ip"), F.lit(0).cast("long")).alias("ip")
+    )
+    return filled.agg(F.min("ip").alias("est"))
 
 
 def hll_overlap(
