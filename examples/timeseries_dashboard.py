@@ -1,0 +1,121 @@
+"""Time-series / hypertable dashboard slice: the continuous-aggregate
+operator family on the events table, end to end.
+
+1. OHLC candlesticks per hour (arg-min/arg-max open/close — one
+   map-side-combinable aggregation, no window).
+2. Per-user downsampled sparklines via parallel averaged-anchor LTTB
+   (12 points per user that keep the series' visual shape).
+3. Time-weighted averages (trapezoidal `time_weight`) — de-biased
+   against irregular sampling.
+4. Resets-aware counter increase (`counter_agg` / PromQL `increase()`).
+5. Hourly gap-filled rollup with LOCF, and the streaming OHLC MV that
+   keeps (1) fresh at ingest via exactly-once min/max struct merges.
+
+Run: python examples/timeseries_dashboard.py [sf_dir]   (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from henbun_spark import sources, streaming
+from henbun_spark.operators import relational
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = sources.get_spark(
+        "timeseries-dashboard", master="local[4]", shuffle_partitions=8
+    )
+    ev = sources.load_table(spark, sf_dir, "events")
+
+    print("== hourly OHLC (first 5 buckets) ==")
+    ohlc = relational.ohlc_bucket(ev, "ts", "value", bucket_secs=3600)
+    ohlc.orderBy("bucket_epoch").show(5)
+
+    print("== LTTB 12-point sparklines (one user) ==")
+    spark_lines = relational.lttb_downsample(
+        ev, "ts", "user_id", "value", buckets=12
+    )
+    uid = ev.select(F.min("user_id")).first()[0]
+    spark_lines.where(F.col("user_id") == uid).orderBy("bucket").show(12)
+
+    print("== time-weighted averages vs plain AVG (5 users) ==")
+    twa = relational.time_weighted_avg(ev, "ts", "user_id", "value")
+    avg = ev.groupBy("user_id").agg(F.round(F.avg("value"), 6).alias("plain_avg"))
+    twa.join(avg, "user_id").orderBy("user_id").show(5)
+
+    print("== resets-aware counter increase (5 users) ==")
+    relational.counter_delta(ev, "ts", "user_id", "value").orderBy(
+        "user_id"
+    ).show(5)
+
+    print("== gap-filled hourly rollup with LOCF (one user, 8 buckets) ==")
+    gf = relational.gapfill_locf(ev, "ts", "user_id", "value", 3600)
+    gf.where(F.col("user_id") == uid).orderBy("bucket_epoch").show(8)
+
+    print("== streaming OHLC MV == batch OHLC ==")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = ev.select("ts", "value")
+        src.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+
+        def partials(d):
+            pair = F.struct(
+                F.unix_micros(F.col("ts")).alias("x"),
+                F.col("value").cast("double").alias("v"),
+            )
+            bucket = (
+                (F.unix_timestamp(F.col("ts")) / 3600).cast("long") * 3600
+            ).alias("bucket_epoch")
+            return (
+                d.select(bucket, pair.alias("__p"), F.col("value").alias("__v"))
+                .groupBy("bucket_epoch")
+                .agg(
+                    F.count(F.lit(1)).alias("n_points"),
+                    F.min("__p").alias("open_p"),
+                    F.max("__v").alias("high"),
+                    F.min("__v").alias("low"),
+                    F.max("__p").alias("close_p"),
+                )
+            )
+
+        q = streaming.mv_stream_maintenance(
+            stream,
+            partials,
+            ["bucket_epoch"],
+            f"{tmp}/state",
+            f"{tmp}/ckpt",
+            agg_spec={
+                "open_p": "min",
+                "high": "max",
+                "low": "min",
+                "close_p": "max",
+            },
+        )
+        q.awaitTermination()
+        mv = streaming.load_state(spark, f"{tmp}/state").select(
+            "bucket_epoch",
+            "n_points",
+            F.col("open_p").getField("v").alias("open"),
+            "high",
+            "low",
+            F.col("close_p").getField("v").alias("close"),
+        )
+        n_match = mv.join(
+            ohlc, ["bucket_epoch", "n_points", "open", "high", "low", "close"]
+        ).count()
+        print(f"streamed MV rows matching batch OHLC exactly: {n_match}/{ohlc.count()}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
