@@ -28,93 +28,115 @@ from henbun_spark import sources, streaming
 from henbun_spark.operators import relational
 
 
+def batch_rollups(spark, sf_dir):
+    """Run the four batch continuous-aggregate shapes; return the
+    result frames keyed by name (all lazily planned)."""
+    ev = sources.load_table(spark, sf_dir, "events")
+    return {
+        "ohlc": relational.ohlc_bucket(ev, "ts", "value", bucket_secs=3600),
+        "lttb": relational.lttb_downsample(
+            ev, "ts", "user_id", "value", buckets=12
+        ),
+        "twa": relational.time_weighted_avg(ev, "ts", "user_id", "value"),
+        "counter": relational.counter_delta(ev, "ts", "user_id", "value"),
+        "gapfill": relational.gapfill_locf(ev, "ts", "user_id", "value", 3600),
+    }
+
+
+def _ohlc_partials(d):
+    pair = F.struct(
+        F.unix_micros(F.col("ts")).alias("x"),
+        F.col("value").cast("double").alias("v"),
+    )
+    bucket = (
+        (F.unix_timestamp(F.col("ts")) / 3600).cast("long") * 3600
+    ).alias("bucket_epoch")
+    return (
+        d.select(bucket, pair.alias("__p"), F.col("value").alias("__v"))
+        .groupBy("bucket_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("__p").alias("open_p"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max("__p").alias("close_p"),
+        )
+    )
+
+
+def streaming_ohlc_matches_batch(spark, sf_dir, tmp_dir):
+    """Drain the streaming OHLC MV over 4 micro-batches and count how
+    many of its rows equal the batch rollup exactly. Returns
+    (n_matching, n_total) — equal when the merge states are correct."""
+    ev = sources.load_table(spark, sf_dir, "events")
+    batch = relational.ohlc_bucket(ev, "ts", "value", bucket_secs=3600)
+    src = ev.select("ts", "value")
+    src.repartition(4).write.mode("overwrite").parquet(f"{tmp_dir}/in")
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_dir}/in")
+    )
+    q = streaming.mv_stream_maintenance(
+        stream,
+        _ohlc_partials,
+        ["bucket_epoch"],
+        f"{tmp_dir}/state",
+        f"{tmp_dir}/ckpt",
+        agg_spec={
+            "open_p": "min",
+            "high": "max",
+            "low": "min",
+            "close_p": "max",
+        },
+    )
+    q.awaitTermination()
+    mv = streaming.load_state(spark, f"{tmp_dir}/state").select(
+        "bucket_epoch",
+        "n_points",
+        F.col("open_p").getField("v").alias("open"),
+        "high",
+        "low",
+        F.col("close_p").getField("v").alias("close"),
+    )
+    n_match = mv.join(
+        batch, ["bucket_epoch", "n_points", "open", "high", "low", "close"]
+    ).count()
+    return n_match, batch.count()
+
+
 def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     spark = sources.get_spark(
         "timeseries-dashboard", master="local[4]", shuffle_partitions=8
     )
-    ev = sources.load_table(spark, sf_dir, "events")
+    frames = batch_rollups(spark, sf_dir)
 
     print("== hourly OHLC (first 5 buckets) ==")
-    ohlc = relational.ohlc_bucket(ev, "ts", "value", bucket_secs=3600)
-    ohlc.orderBy("bucket_epoch").show(5)
+    frames["ohlc"].orderBy("bucket_epoch").show(5)
 
     print("== LTTB 12-point sparklines (one user) ==")
-    spark_lines = relational.lttb_downsample(
-        ev, "ts", "user_id", "value", buckets=12
-    )
+    ev = sources.load_table(spark, sf_dir, "events")
     uid = ev.select(F.min("user_id")).first()[0]
-    spark_lines.where(F.col("user_id") == uid).orderBy("bucket").show(12)
+    frames["lttb"].where(F.col("user_id") == uid).orderBy("bucket").show(12)
 
     print("== time-weighted averages vs plain AVG (5 users) ==")
-    twa = relational.time_weighted_avg(ev, "ts", "user_id", "value")
-    avg = ev.groupBy("user_id").agg(F.round(F.avg("value"), 6).alias("plain_avg"))
-    twa.join(avg, "user_id").orderBy("user_id").show(5)
+    avg = ev.groupBy("user_id").agg(
+        F.round(F.avg("value"), 6).alias("plain_avg")
+    )
+    frames["twa"].join(avg, "user_id").orderBy("user_id").show(5)
 
     print("== resets-aware counter increase (5 users) ==")
-    relational.counter_delta(ev, "ts", "user_id", "value").orderBy(
-        "user_id"
-    ).show(5)
+    frames["counter"].orderBy("user_id").show(5)
 
     print("== gap-filled hourly rollup with LOCF (one user, 8 buckets) ==")
-    gf = relational.gapfill_locf(ev, "ts", "user_id", "value", 3600)
-    gf.where(F.col("user_id") == uid).orderBy("bucket_epoch").show(8)
+    frames["gapfill"].where(F.col("user_id") == uid).orderBy(
+        "bucket_epoch"
+    ).show(8)
 
     print("== streaming OHLC MV == batch OHLC ==")
     with tempfile.TemporaryDirectory() as tmp:
-        src = ev.select("ts", "value")
-        src.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
-        stream = (
-            spark.readStream.schema(src.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp}/in")
-        )
-
-        def partials(d):
-            pair = F.struct(
-                F.unix_micros(F.col("ts")).alias("x"),
-                F.col("value").cast("double").alias("v"),
-            )
-            bucket = (
-                (F.unix_timestamp(F.col("ts")) / 3600).cast("long") * 3600
-            ).alias("bucket_epoch")
-            return (
-                d.select(bucket, pair.alias("__p"), F.col("value").alias("__v"))
-                .groupBy("bucket_epoch")
-                .agg(
-                    F.count(F.lit(1)).alias("n_points"),
-                    F.min("__p").alias("open_p"),
-                    F.max("__v").alias("high"),
-                    F.min("__v").alias("low"),
-                    F.max("__p").alias("close_p"),
-                )
-            )
-
-        q = streaming.mv_stream_maintenance(
-            stream,
-            partials,
-            ["bucket_epoch"],
-            f"{tmp}/state",
-            f"{tmp}/ckpt",
-            agg_spec={
-                "open_p": "min",
-                "high": "max",
-                "low": "min",
-                "close_p": "max",
-            },
-        )
-        q.awaitTermination()
-        mv = streaming.load_state(spark, f"{tmp}/state").select(
-            "bucket_epoch",
-            "n_points",
-            F.col("open_p").getField("v").alias("open"),
-            "high",
-            "low",
-            F.col("close_p").getField("v").alias("close"),
-        )
-        n_match = mv.join(
-            ohlc, ["bucket_epoch", "n_points", "open", "high", "low", "close"]
-        ).count()
-        print(f"streamed MV rows matching batch OHLC exactly: {n_match}/{ohlc.count()}")
+        n_match, n_total = streaming_ohlc_matches_batch(spark, sf_dir, tmp)
+        print(f"streamed MV rows matching batch OHLC exactly: {n_match}/{n_total}")
 
 
 if __name__ == "__main__":

@@ -39,3 +39,26 @@ def test_synthetic_pipeline(spark):
 
     picks = synthetic_pipeline.pick_review_exemplars(spark, rows=2000, k=5)
     assert len(picks) == 5 and len(set(picks)) == 5  # k distinct exemplars
+
+
+def test_timeseries_dashboard(spark, sf_dir, tmp_path):
+    import timeseries_dashboard as tsd
+
+    frames = tsd.batch_rollups(spark, sf_dir)
+    ohlc = frames["ohlc"].collect()
+    assert ohlc and all(
+        r["low"] <= r["open"] <= r["high"]
+        and r["low"] <= r["close"] <= r["high"]
+        for r in ohlc
+    )
+    lttb = frames["lttb"].groupBy("user_id").count().collect()
+    assert lttb and all(r["count"] <= 12 for r in lttb)
+    twa = frames["twa"].collect()
+    assert twa and all(r["span_secs"] > 0 for r in twa)
+    counter = frames["counter"].collect()
+    assert counter and all(r["total_increase"] >= 0 for r in counter)
+
+    n_match, n_total = tsd.streaming_ohlc_matches_batch(
+        spark, sf_dir, str(tmp_path / "sohlc")
+    )
+    assert n_total > 0 and n_match == n_total
