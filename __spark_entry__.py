@@ -9912,6 +9912,78 @@ def streaming_ohlc_value(spark, sf_dir):
     )
 
 
+def profile_drift_docs(spark, sf_dir):
+    """Column-level profile drift between two corpus snapshots (r9, new
+    op): the data-observability gate before a new ingest replaces the
+    old — row/null/distinct counts and min/max per column side by side,
+    plus the derived signals (null-rate delta, distinct-count delta,
+    range-changed flag). Complements `snapshot_diff_docs` (which ROWS
+    changed) with "did the SHAPE of the data move": an upstream
+    encoding bug surfaces here as a null-rate jump or a collapsed
+    distinct count even when row counts look fine. Same deterministic
+    snapshot recipe as the diff (old drops doc_id%11==0; new drops
+    %13==0 and rewrites %17==0). Cost: two single-pass profiles + a
+    5-row join. ORACLE-CHECKED bitwise."""
+    from henbun_spark import sources as src
+
+    docs = _load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0)
+    new = docs.where(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return src.profile_drift(
+        old, new, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def _profile_drift_sql() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def side_stats(tbl: str, c: str, suffix: str) -> str:
+        return (
+            f"(SELECT COUNT(*) FROM {tbl})::BIGINT AS n_rows_{suffix},\n"
+            f"    (SELECT COUNT(*) - COUNT({c}) FROM {tbl})::BIGINT"
+            f" AS n_nulls_{suffix},\n"
+            f"    (SELECT COUNT(DISTINCT {c}) FROM {tbl})::BIGINT"
+            f" AS n_distinct_{suffix},\n"
+            f"    (SELECT CAST(MIN({c}) AS VARCHAR) FROM {tbl})"
+            f" AS min_val_{suffix},\n"
+            f"    (SELECT CAST(MAX({c}) AS VARCHAR) FROM {tbl})"
+            f" AS max_val_{suffix}"
+        )
+
+    per_col = "\n  UNION ALL\n  ".join(
+        f"SELECT '{c}' AS col,\n    "
+        + side_stats("old", c, "old")
+        + ",\n    "
+        + side_stats("nw", c, "new")
+        for c in cols
+    )
+    return f"""
+WITH old AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+nw AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text,
+    lang, source, n_chars
+  FROM documents WHERE doc_id % 13 <> 0),
+stats AS (
+  {per_col})
+SELECT col AS "column",
+  n_rows_old, n_rows_new, n_nulls_old, n_nulls_new,
+  n_distinct_old, n_distinct_new,
+  min_val_old, min_val_new, max_val_old, max_val_new,
+  ROUND(CAST(n_nulls_new AS DOUBLE) / n_rows_new
+        - CAST(n_nulls_old AS DOUBLE) / n_rows_old, 6) AS null_rate_delta,
+  (n_distinct_new - n_distinct_old)::BIGINT AS distinct_delta,
+  ((min_val_old IS DISTINCT FROM min_val_new)
+   OR (max_val_old IS DISTINCT FROM max_val_new)) AS range_changed
+FROM stats
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10005,6 +10077,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (min/max struct merge states), first-ever check; displaces
         # observed_filter_metrics (green in earlier rounds) to r10.
         "streaming_ohlc_value": streaming_ohlc_value,
+        # slot 25: profile_drift_docs (column-level snapshot drift
+        # report), first-ever check; displaces anomaly_mad_events
+        # (green in earlier rounds) to r10.
+        "profile_drift_docs": profile_drift_docs,
         "q3_top_orders": q3_top_orders,
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -10034,8 +10110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_intervals": scd2_user_intervals,
         "array_functions_emb": array_functions_emb,
         "anomaly_zscore_events": anomaly_zscore_events,
-        "anomaly_mad_events": anomaly_mad_events,
         # --- window boundary: entries below are NOT hash-checked in r9
+        "anomaly_mad_events": anomaly_mad_events,
         "observed_filter_metrics": observed_filter_metrics,
         "rank_gauss_value": rank_gauss_value,
         "dedup_components": dedup_components,
@@ -10342,6 +10418,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_hourly_value": _OHLC_SQL,
         "hll_overlap_segments": _hll_overlap_sql(),
         "streaming_ohlc_value": _OHLC_SQL,
+        "profile_drift_docs": _profile_drift_sql(),
         # r9: the LAST four rows-only queries retired — bound-boolean
         # recipe for the GP/VI training flagships, constant VALUES +
         # 6-sigma noise bound for the deterministic-input GP posterior

@@ -187,6 +187,7 @@ HEADLINE = [
     "counter_delta_user",
     "ohlc_hourly_value",
     "hll_overlap_segments",
+    "profile_drift_docs",
     # NOT timed: streaming_ohlc_value (r9) — same 4-commit foreachBatch
     # machinery; its batch twin ohlc_hourly_value IS timed above and
     # carries the scale story (one map-side-combinable aggregation).

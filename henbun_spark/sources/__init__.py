@@ -239,6 +239,69 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
 
 
+def profile_drift(
+    old: DataFrame, new: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Column-level PROFILE DRIFT between two snapshots — the data-
+    observability check that runs before a new ingest replaces the old
+    one: row/null/distinct counts and min/max per column, side by side,
+    with the derived drift signals (null-rate delta, distinct-count
+    delta, range-changed flag). `snapshot_diff` answers "which ROWS
+    changed"; this answers "did the SHAPE of the data move" — a
+    upstream schema or encoding bug shows up here as a null-rate jump
+    or a collapsed distinct count even when row counts look fine.
+
+    Cost: exactly two `profile_table` scans (one per snapshot, each a
+    single partial-aggregatable pass) + a |cols|-row join. The drift
+    math is arithmetic on counts, so the report is engine-exact;
+    min/max comparisons are null-safe (an all-null column drifts only
+    if the other side disagrees).
+    """
+    po = profile_table(old, cols)
+    pn = profile_table(new, cols)
+    o = po.select(
+        "column",
+        *[
+            F.col(c).alias(f"{c}_old")
+            for c in ["n_rows", "n_nulls", "n_distinct", "min_val", "max_val"]
+        ],
+    )
+    n = pn.select(
+        "column",
+        *[
+            F.col(c).alias(f"{c}_new")
+            for c in ["n_rows", "n_nulls", "n_distinct", "min_val", "max_val"]
+        ],
+    )
+    j = o.join(n, "column")
+    null_rate = lambda side: F.col(f"n_nulls_{side}").cast("double") / F.col(  # noqa: E731
+        f"n_rows_{side}"
+    )
+    return j.select(
+        "column",
+        "n_rows_old",
+        "n_rows_new",
+        "n_nulls_old",
+        "n_nulls_new",
+        "n_distinct_old",
+        "n_distinct_new",
+        "min_val_old",
+        "min_val_new",
+        "max_val_old",
+        "max_val_new",
+        F.round(null_rate("new") - null_rate("old"), 6).alias(
+            "null_rate_delta"
+        ),
+        (F.col("n_distinct_new") - F.col("n_distinct_old")).alias(
+            "distinct_delta"
+        ),
+        (
+            ~F.col("min_val_old").eqNullSafe(F.col("min_val_new"))
+            | ~F.col("max_val_old").eqNullSafe(F.col("max_val_new"))
+        ).alias("range_changed"),
+    )
+
+
 def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     """Parquet read across schema versions (`mergeSchema`): files written
     before a column existed surface it as NULL instead of failing the
