@@ -9984,6 +9984,130 @@ FROM stats
 """
 
 
+def event_cooccurrence_pmi(spark, sf_dir):
+    """Event-type co-occurrence with pointwise mutual information (r9,
+    new op): which behaviors go together — for every unordered pair of
+    event types, the number of users exhibiting both and
+    PMI = ln(P(a,b) / (P(a) P(b))) over the user population (positive:
+    the pair co-occurs more than independence predicts). The
+    association-mining primitive behind feature crosses and audience
+    modeling. Scale shape: distinct (user, type) pairs (one groupBy),
+    self-join keyed on user with per-user fan-out bounded by the TYPE
+    cardinality (never by event count — a user with a million events
+    still contributes <= C(|types|, 2) pairs), then a |types|^2-sized
+    aggregate; the n_users scalar broadcasts. ORACLE-CHECKED bitwise
+    (probabilities are exact integer ratios, ln on identical doubles,
+    round 6)."""
+    ev = _load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    marg = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    ma = marg.select(
+        F.col("event_type").alias("type_a"), F.col("n_type").alias("n_a")
+    )
+    mb = marg.select(
+        F.col("event_type").alias("type_b"), F.col("n_type").alias("n_b")
+    )
+    return (
+        pairs.join(ma, "type_a")
+        .join(mb, "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.log(
+                    F.col("n_both").cast("double")
+                    * F.col("n_users")
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+_COOCCURRENCE_PMI_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT COUNT(DISTINCT user_id)::BIGINT AS n_users FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*)::BIGINT AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type),
+marg AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_type FROM ut GROUP BY event_type)
+SELECT type_a, type_b, n_both,
+  ROUND(ln(CAST(n_both AS DOUBLE) * n.n_users
+           / (CAST(ma.n_type AS DOUBLE) * mb.n_type)), 6) AS pmi
+FROM pairs
+JOIN marg ma ON ma.event_type = type_a
+JOIN marg mb ON mb.event_type = type_b
+CROSS JOIN n
+"""
+
+
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over event types (r9, new
+    op): P(next = b | current = a) from each user's time-ordered event
+    stream — the session-analytics primitive behind "what do users do
+    after X" and behavioral anomaly scoring. Scale shape: ONE lead()
+    window partitioned BY USER (ties totalized by event_id — the
+    deterministic next-event election), then a |types|^2-sized
+    count aggregate; probabilities derive from exact integer counts at
+    read time. ORACLE-CHECKED bitwise."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    steps = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    totals = steps.groupBy("cur").agg(F.count(F.lit(1)).alias("n_from"))
+    return (
+        steps.groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+        .join(totals, "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n_trans",
+            F.round(
+                F.col("n_trans").cast("double") / F.col("n_from"), 6
+            ).alias("p_next"),
+        )
+    )
+
+
+_TRANSITION_SQL = """
+WITH steps AS (
+  SELECT event_type AS cur,
+    lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+  FROM events),
+kept AS (SELECT cur, nxt FROM steps WHERE nxt IS NOT NULL),
+trans AS (
+  SELECT cur, nxt, COUNT(*)::BIGINT AS n_trans FROM kept GROUP BY cur, nxt),
+totals AS (SELECT cur, COUNT(*)::BIGINT AS n_from FROM kept GROUP BY cur)
+SELECT trans.cur, nxt, n_trans,
+  ROUND(CAST(n_trans AS DOUBLE) / n_from, 6) AS p_next
+FROM trans JOIN totals ON trans.cur = totals.cur
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10081,6 +10205,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # report), first-ever check; displaces anomaly_mad_events
         # (green in earlier rounds) to r10.
         "profile_drift_docs": profile_drift_docs,
+        # slots 26-27: event co-occurrence PMI + Markov transition
+        # matrix, first-ever checks; displace array_functions_emb /
+        # anomaly_zscore_events (green in earlier rounds) to r10.
+        "event_cooccurrence_pmi": event_cooccurrence_pmi,
+        "event_transition_matrix": event_transition_matrix,
         "q3_top_orders": q3_top_orders,
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -10108,9 +10237,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_constraints_events": validate_constraints_events,
         "merge_upsert_docs": merge_upsert_docs,
         "scd2_user_intervals": scd2_user_intervals,
+        # --- window boundary: entries below are NOT hash-checked in r9
         "array_functions_emb": array_functions_emb,
         "anomaly_zscore_events": anomaly_zscore_events,
-        # --- window boundary: entries below are NOT hash-checked in r9
         "anomaly_mad_events": anomaly_mad_events,
         "observed_filter_metrics": observed_filter_metrics,
         "rank_gauss_value": rank_gauss_value,
@@ -10419,6 +10548,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_overlap_segments": _hll_overlap_sql(),
         "streaming_ohlc_value": _OHLC_SQL,
         "profile_drift_docs": _profile_drift_sql(),
+        "event_cooccurrence_pmi": _COOCCURRENCE_PMI_SQL,
+        "event_transition_matrix": _TRANSITION_SQL,
         # r9: the LAST four rows-only queries retired — bound-boolean
         # recipe for the GP/VI training flagships, constant VALUES +
         # 6-sigma noise bound for the deterministic-input GP posterior

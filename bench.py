@@ -188,6 +188,8 @@ HEADLINE = [
     "ohlc_hourly_value",
     "hll_overlap_segments",
     "profile_drift_docs",
+    "event_cooccurrence_pmi",
+    "event_transition_matrix",
     # NOT timed: streaming_ohlc_value (r9) — same 4-commit foreachBatch
     # machinery; its batch twin ohlc_hourly_value IS timed above and
     # carries the scale story (one map-side-combinable aggregation).
