@@ -9657,6 +9657,7 @@ def _cms_join_size_sql(depth: int = 4, width: int = 256, salt: str = "cms") -> s
         f"SELECT {d} AS d, {bucket(d, 'c_custkey')} AS bucket FROM customer"
         for d in range(depth)
     )
+    dvals = ", ".join(str(d) for d in range(depth))
     return f"""
 WITH ce AS (
   SELECT d, bucket, COUNT(*)::BIGINT AS cnt FROM ({cnt_e}) GROUP BY d, bucket),
@@ -9666,7 +9667,7 @@ ip AS (
   SELECT ce.d, SUM(ce.cnt * cc.cnt) AS ip
   FROM ce JOIN cc ON ce.d = cc.d AND ce.bucket = cc.bucket
   GROUP BY ce.d),
-daxis AS (SELECT DISTINCT d FROM ce),
+daxis AS (SELECT unnest([{dvals}]) AS d),
 ipf AS (
   SELECT daxis.d, COALESCE(ip.ip, 0) AS ip
   FROM daxis LEFT JOIN ip USING (d))
@@ -9856,6 +9857,7 @@ def streaming_ohlc_value(spark, sf_dir):
     MV equals the batch `ohlc_hourly_value` rollup bit-for-bit.
     ORACLE-CHECKED with the SAME SQL as the batch twin."""
     from henbun_spark import streaming
+    from henbun_spark.operators import relational
 
     ev = _load(spark, sf_dir, "events").select("ts", "value")
     base = _scratch_dir("henbun_sohlc_")
@@ -9866,50 +9868,17 @@ def streaming_ohlc_value(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-
-    def partials(d):
-        pair = F.struct(
-            F.unix_micros(F.col("ts")).alias("x"),
-            F.col("value").cast("double").alias("v"),
-        )
-        bucket = (
-            (F.unix_timestamp(F.col("ts")) / 3600).cast("long") * 3600
-        ).alias("bucket_epoch")
-        return (
-            d.select(bucket, pair.alias("__p"), F.col("value").cast("double").alias("__v"))
-            .groupBy("bucket_epoch")
-            .agg(
-                F.count(F.lit(1)).alias("n_points"),
-                F.min("__p").alias("open_p"),
-                F.max("__v").alias("high"),
-                F.min("__v").alias("low"),
-                F.max("__p").alias("close_p"),
-            )
-        )
-
     q = streaming.mv_stream_maintenance(
         stream,
-        partials,
+        lambda d: relational.ohlc_partials(d, "ts", "value", 3600),
         ["bucket_epoch"],
         f"{base}/state",
         f"{base}/ckpt",
-        agg_spec={
-            "open_p": "min",
-            "high": "max",
-            "low": "min",
-            "close_p": "max",
-        },
+        agg_spec=relational.OHLC_MERGE_SPEC,
     )
     q.awaitTermination()
     mv = streaming.load_state(spark, f"{base}/state")
-    return mv.select(
-        "bucket_epoch",
-        "n_points",
-        F.col("open_p").getField("v").alias("open"),
-        "high",
-        "low",
-        F.col("close_p").getField("v").alias("close"),
-    )
+    return relational.ohlc_finalize(mv)
 
 
 def profile_drift_docs(spark, sf_dir):
@@ -9972,6 +9941,7 @@ nw AS (
 stats AS (
   {per_col})
 SELECT col AS "column",
+  'both' AS status,
   n_rows_old, n_rows_new, n_nulls_old, n_nulls_new,
   n_distinct_old, n_distinct_new,
   min_val_old, min_val_new, max_val_old, max_val_new,

@@ -29,7 +29,7 @@ from henbun_spark.operators import relational
 
 
 def batch_rollups(spark, sf_dir):
-    """Run the four batch continuous-aggregate shapes; return the
+    """Run the five batch continuous-aggregate shapes; return the
     result frames keyed by name (all lazily planned)."""
     ev = sources.load_table(spark, sf_dir, "events")
     return {
@@ -41,27 +41,6 @@ def batch_rollups(spark, sf_dir):
         "counter": relational.counter_delta(ev, "ts", "user_id", "value"),
         "gapfill": relational.gapfill_locf(ev, "ts", "user_id", "value", 3600),
     }
-
-
-def _ohlc_partials(d):
-    pair = F.struct(
-        F.unix_micros(F.col("ts")).alias("x"),
-        F.col("value").cast("double").alias("v"),
-    )
-    bucket = (
-        (F.unix_timestamp(F.col("ts")) / 3600).cast("long") * 3600
-    ).alias("bucket_epoch")
-    return (
-        d.select(bucket, pair.alias("__p"), F.col("value").alias("__v"))
-        .groupBy("bucket_epoch")
-        .agg(
-            F.count(F.lit(1)).alias("n_points"),
-            F.min("__p").alias("open_p"),
-            F.max("__v").alias("high"),
-            F.min("__v").alias("low"),
-            F.max("__p").alias("close_p"),
-        )
-    )
 
 
 def streaming_ohlc_matches_batch(spark, sf_dir, tmp_dir):
@@ -79,25 +58,15 @@ def streaming_ohlc_matches_batch(spark, sf_dir, tmp_dir):
     )
     q = streaming.mv_stream_maintenance(
         stream,
-        _ohlc_partials,
+        lambda d: relational.ohlc_partials(d, "ts", "value", 3600),
         ["bucket_epoch"],
         f"{tmp_dir}/state",
         f"{tmp_dir}/ckpt",
-        agg_spec={
-            "open_p": "min",
-            "high": "max",
-            "low": "min",
-            "close_p": "max",
-        },
+        agg_spec=relational.OHLC_MERGE_SPEC,
     )
     q.awaitTermination()
-    mv = streaming.load_state(spark, f"{tmp_dir}/state").select(
-        "bucket_epoch",
-        "n_points",
-        F.col("open_p").getField("v").alias("open"),
-        "high",
-        "low",
-        F.col("close_p").getField("v").alias("close"),
+    mv = relational.ohlc_finalize(
+        streaming.load_state(spark, f"{tmp_dir}/state")
     )
     n_match = mv.join(
         batch, ["bucket_epoch", "n_points", "open", "high", "low", "close"]

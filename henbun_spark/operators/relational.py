@@ -456,14 +456,17 @@ def ewma_last(
     )
 
 
-#: COMPATIBILITY registry for persisted scaffold frames. Since r7 the
-#: prefix/rank primitives are fully in-plan (order-aligned bins — see
-#: `_leading_sort_bins`) and REGISTER NOTHING here: the two-pass
-#: persisted range-partition scaffold this registry existed to pin is
-#: gone. The registry + `release_scaffold_caches()` + `scaffold_scope()`
-#: stay as public no-op-safe API (bench.py / tools call release after
-#: every query), and remain the lifecycle hook if a future primitive
-#: ever needs a pinned cache again.
+#: Registry for persisted scaffold frames. Since r7 the prefix/rank
+#: primitives are fully in-plan (order-aligned bins — see
+#: `_leading_sort_bins`) and register nothing here; since r9 ONE shipped
+#: operator registers again: `text.shingle_tfidf_cosine_topk` pins its
+#: weighted-postings frame (four consumers, no exchange reuse across
+#: them). Harness code (bench.py / tools/check_oracle.py / the pytest
+#: fixture) calls `release_scaffold_caches()` after materializing each
+#: query; direct library callers who invoke a registering operator
+#: outside those harnesses should do the same (or wrap the call in
+#: `scaffold_scope()`) to avoid pinning storage in a long-lived
+#: session.
 _SCAFFOLD_CACHES: list = []
 
 #: Loud cap on driver-side cell ingestion for the percentile family's
@@ -483,10 +486,12 @@ LAST_SCAFFOLD_CELLS = 0
 
 def release_scaffold_caches() -> int:
     """Unpersist every frame registered in `_SCAFFOLD_CACHES` and return
-    how many were dropped. Since r7 the shipped primitives register
-    nothing (all prefix/rank paths are in-plan), so this is normally a
-    no-op kept for API compatibility — harness code (bench.py,
-    tools/check_oracle.py) calls it after materializing each query."""
+    how many were dropped. The prefix/rank paths are in-plan and
+    register nothing; `text.shingle_tfidf_cosine_topk` (r9) registers
+    its weighted-postings persist. Harness code (bench.py,
+    tools/check_oracle.py, the pytest fixture) calls this after
+    materializing each query; call it (or use `scaffold_scope()`) after
+    direct library use of a registering operator."""
     n = 0
     while _SCAFFOLD_CACHES:
         _SCAFFOLD_CACHES.pop().unpersist(blocking=False)
@@ -498,9 +503,9 @@ def release_scaffold_caches() -> int:
 def scaffold_scope():
     """Context-manager lifecycle for `_SCAFFOLD_CACHES`: caches
     registered inside the block are unpersisted on exit (LIFO; outer
-    registrations untouched, so nesting is safe). Normally a no-op
-    since r7 — the shipped primitives are in-plan and register nothing
-    — but it remains the leak-proof hook for any future pinned cache."""
+    registrations untouched, so nesting is safe). The leak-proof wrapper
+    for direct library use of a registering operator (since r9:
+    `text.shingle_tfidf_cosine_topk`)."""
     marker = len(_SCAFFOLD_CACHES)
     try:
         yield
@@ -2564,6 +2569,73 @@ def counter_delta(
     )
 
 
+#: the merge functions for `ohlc_partials` state under
+#: `merge_agg_states` / `mv_stream_maintenance` — min/max of the packed
+#: (epoch_us, value) structs is associative + commutative, so the
+#: open/close election is exact under any micro-batch split
+OHLC_MERGE_SPEC = {
+    "open_p": "min",
+    "high": "max",
+    "low": "min",
+    "close_p": "max",
+}
+
+
+def ohlc_partials(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_secs: int = 3600,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Mergeable OHLC state per bucket: count + min/max over the packed
+    (epoch_us, value) struct + min/max value. This is the SINGLE
+    definition of the candlestick arithmetic — the batch rollup
+    (`ohlc_bucket`) and the streaming MV (`mv_stream_maintenance` with
+    `OHLC_MERGE_SPEC`) both build on it, so their bucket math and
+    (ts, value) tie order cannot drift apart."""
+    cols = [F.col(key_col)] if key_col else []
+    bucket = (
+        (F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
+        * bucket_secs
+    ).alias("bucket_epoch")
+    pair = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("x"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return (
+        df.select(
+            *cols,
+            bucket,
+            pair.alias("__p"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .groupBy(*([key_col] if key_col else []), "bucket_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("__p").alias("open_p"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max("__p").alias("close_p"),
+        )
+    )
+
+
+def ohlc_finalize(state: DataFrame) -> DataFrame:
+    """Project the drained/aggregated OHLC state to the user-facing
+    (… bucket_epoch, n_points, open, high, low, close) shape."""
+    keep = [c for c in state.columns if c not in OHLC_MERGE_SPEC]
+    keep.remove("n_points")
+    return state.select(
+        *keep,
+        "n_points",
+        F.col("open_p").getField("v").alias("open"),
+        "high",
+        "low",
+        F.col("close_p").getField("v").alias("close"),
+    )
+
+
 def ohlc_bucket(
     df: DataFrame,
     ts_col: str,
@@ -2580,26 +2652,9 @@ def ohlc_bucket(
     Plan shape: one aggregation, no window — open/close ride min/max
     over (epoch_us, value) packed into ONE BIGINT-pair struct, which
     partial-aggregates map-side like any min/max (the arg-min trick;
-    state is two structs per bucket however large the input).
-    """
-    cols = [F.col(key_col)] if key_col else []
-    bucket = (
-        (F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
-        * bucket_secs
-    ).alias("bucket_epoch")
-    pair = F.struct(
-        F.unix_micros(F.col(ts_col)).alias("x"),
-        F.col(value_col).cast("double").alias("v"),
+    state is two structs per bucket however large the input). Built on
+    `ohlc_partials` + `ohlc_finalize`, the same arithmetic the
+    streaming MV folds incrementally."""
+    return ohlc_finalize(
+        ohlc_partials(df, ts_col, value_col, bucket_secs, key_col)
     )
-    out = (
-        df.select(*cols, bucket, pair.alias("__p"), F.col(value_col).cast("double").alias("__v"))
-        .groupBy(*([key_col] if key_col else []), "bucket_epoch")
-        .agg(
-            F.count(F.lit(1)).alias("n_points"),
-            F.min("__p").getField("v").alias("open"),
-            F.max("__v").alias("high"),
-            F.min("__v").alias("low"),
-            F.max("__p").getField("v").alias("close"),
-        )
-    )
-    return out

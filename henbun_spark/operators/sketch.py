@@ -893,10 +893,13 @@ def cms_inner_product(
     )
     # a hash row with NO shared buckets has inner product 0 — the
     # tightest bound there is. The inner join drops such rows, so
-    # re-anchor on the full d axis and fill the holes with 0 before
-    # taking the MIN (otherwise disjoint inputs would estimate from the
-    # colliding rows only, or return an empty frame).
-    d_axis = sketch_a.select("d").distinct()
+    # re-anchor on the full 0..depth-1 axis (from the parameter, NOT
+    # from sketch_a's rows — an empty input sketch has no rows at all
+    # and must still estimate 0, not NULL) and fill the holes with 0
+    # before taking the MIN.
+    d_axis = sketch_a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("d")
+    )
     filled = d_axis.join(per_row, "d", "left").select(
         F.coalesce(F.col("ip"), F.lit(0).cast("long")).alias("ip")
     )

@@ -547,6 +547,12 @@ def shingle_tfidf_cosine_topk(
     Weighting matches `tfidf_top_terms`: w = tf * (ln((N+1)/(df+1)) + 1)
     rounded to 6 (sklearn's smooth_idf). Pairs below `min_cos` are
     dropped before ranking. Output: (id, neighbor_id, cos, rank).
+
+    NOTE: the weighted-postings scaffold is persisted and registered in
+    `relational._SCAFFOLD_CACHES`; the bench/oracle/pytest harnesses
+    release it after each query — direct library callers should call
+    `relational.release_scaffold_caches()` after materializing the
+    result (or wrap the call in `relational.scaffold_scope()`).
     """
     base = ensure_parallelism(df.select(id_col, text_col))
     toks = _tokens(text_col)

@@ -255,7 +255,11 @@ def profile_drift(
     single partial-aggregatable pass) + a |cols|-row join. The drift
     math is arithmetic on counts, so the report is engine-exact;
     min/max comparisons are null-safe (an all-null column drifts only
-    if the other side disagrees).
+    if the other side disagrees). The join is FULL OUTER with a
+    ``status`` column ('both' | 'added' | 'removed'): a column that
+    appears or disappears between snapshots — the bluntest schema
+    drift there is — must surface as a row, not silently vanish from
+    an inner join.
     """
     po = profile_table(old, cols)
     pn = profile_table(new, cols)
@@ -273,12 +277,16 @@ def profile_drift(
             for c in ["n_rows", "n_nulls", "n_distinct", "min_val", "max_val"]
         ],
     )
-    j = o.join(n, "column")
+    j = o.join(n, "column", "full_outer")
     null_rate = lambda side: F.col(f"n_nulls_{side}").cast("double") / F.col(  # noqa: E731
         f"n_rows_{side}"
     )
     return j.select(
         "column",
+        F.when(F.col("n_rows_old").isNull(), F.lit("added"))
+        .when(F.col("n_rows_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("both"))
+        .alias("status"),
         "n_rows_old",
         "n_rows_new",
         "n_nulls_old",

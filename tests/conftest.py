@@ -37,8 +37,9 @@ def sf_dir():
 @pytest.fixture(autouse=True)
 def _release_scaffold_caches():
     """Drop anything registered in the scaffold-cache registry after
-    each test — normally a no-op since r7 (the shipped primitives are
-    in-plan and register nothing), but it keeps hand-registered test
+    each test — usually a no-op (the prefix/rank primitives are
+    in-plan; since r9 `text.shingle_tfidf_cosine_topk` registers its
+    postings persist), and it keeps hand-registered test
     caches and any future pinned cache from leaking across the
     session-scoped JVM."""
     yield

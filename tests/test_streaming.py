@@ -1046,24 +1046,7 @@ def test_ohlc_stream_split_independent(spark, tmp_path):
     }
 
     def partials(d):
-        pair = F.struct(
-            F.unix_micros(F.col("ts")).alias("x"),
-            F.col("value").cast("double").alias("v"),
-        )
-        bucket = (
-            (F.unix_timestamp(F.col("ts")) / 3600).cast("long") * 3600
-        ).alias("bucket_epoch")
-        return (
-            d.select(bucket, pair.alias("__p"), F.col("value").cast("double").alias("__v"))
-            .groupBy("bucket_epoch")
-            .agg(
-                F.count(F.lit(1)).alias("n_points"),
-                F.min("__p").alias("open_p"),
-                F.max("__v").alias("high"),
-                F.min("__v").alias("low"),
-                F.max("__p").alias("close_p"),
-            )
-        )
+        return relational.ohlc_partials(d, "ts", "value", 3600)
 
     for nfiles in (1, 5):
         in_dir = str(tmp_path / f"ohlc{nfiles}")
@@ -1079,25 +1062,13 @@ def test_ohlc_stream_split_independent(spark, tmp_path):
             ["bucket_epoch"],
             str(tmp_path / f"ohlc_state{nfiles}"),
             str(tmp_path / f"ohlc_ckpt{nfiles}"),
-            agg_spec={
-                "open_p": "min",
-                "high": "max",
-                "low": "min",
-                "close_p": "max",
-            },
+            agg_spec=relational.OHLC_MERGE_SPEC,
         )
         q.awaitTermination()
         mv = streaming.load_state(spark, str(tmp_path / f"ohlc_state{nfiles}"))
         got = {
             r["bucket_epoch"]: r
-            for r in mv.select(
-                "bucket_epoch",
-                "n_points",
-                F.col("open_p").getField("v").alias("open"),
-                "high",
-                "low",
-                F.col("close_p").getField("v").alias("close"),
-            ).collect()
+            for r in relational.ohlc_finalize(mv).collect()
         }
         assert set(got) == set(batch)
         for k, b in batch.items():

@@ -120,6 +120,9 @@ BNLJ_OK = {
     # 1-row crosses of the three HLL estimates + the exact-intersect
     # scalar
     "hll_overlap_segments",
+    # 1-row broadcast cross of the n_users scalar onto the |types|^2
+    # pair counts
+    "event_cooccurrence_pmi",
 }
 # Spark's EXACT `percentile()` aggregate buffers a value->count map per
 # group in executor memory — unbounded in distinct values, an OOM shape
