@@ -10113,16 +10113,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # emb_label_outliers — count-scaled integer centroid-distance
         # ranking on the real table; bucketed_join_revenue — bucketBy
         # co-located zero-exchange join layout; emb_truncated_recall —
-        # matryoshka truncated-dim retrieval eval), and slots 17-20 the
-        # four late-r9 NEW ops (see the inline comment there). The
-        # 13-20 block means slots 21-31 are the 11 r4-last-green
+        # matryoshka truncated-dim retrieval eval), and slots 17-27 the
+        # eleven late-r9 NEW ops (see the inline comments there). The
+        # 13-27 block means slots 28-38 are the 11 r4-last-green
         # queries the r8 window deferred (q3/q4/q5/q6, rollup,
         # running_total, session_window_agg, sessionize, set_ops,
         # string_date, top_events_per_user — all re-greened here);
-        # slots 32-50 take the r5-last-green tier in registry order —
-        # triangle_count_dupgraph, chunk_dedup_docs, pagerank_dup_graph
-        # and dedup_canonical_best (displaced by the new first-ever
-        # slots, all r5-green already) join the remaining tier
+        # slots 39-50 take the r5-last-green tier in registry order —
+        # the eleven entries displaced by the late-r9 first-ever slots
+        # (canonical_best/pagerank/triangle/chunk_dedup, rank_gauss,
+        # both dedup_components forms, observed_filter, anomaly pair,
+        # array_functions — all green in earlier rounds) roll to r10
+        # with the rest of the tier
         # (incremental_dedup_new,
         # pii_redact, lm_score_docs, lm_bigram_docs,
         # gopher_quality_docs, mix_corpus_sources, pack_sequences_docs,
@@ -10203,11 +10205,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match_titles": fuzzy_match_titles,
         "unpivot_pricing_metrics": unpivot_pricing_metrics,
         "corr_lineitem_metrics": corr_lineitem_metrics,
+        # --- window boundary (slot 50 ends above): entries below are
+        # NOT hash-checked in r9
         "linreg_value_by_hour": linreg_value_by_hour,
         "validate_constraints_events": validate_constraints_events,
         "merge_upsert_docs": merge_upsert_docs,
         "scd2_user_intervals": scd2_user_intervals,
-        # --- window boundary: entries below are NOT hash-checked in r9
         "array_functions_emb": array_functions_emb,
         "anomaly_zscore_events": anomaly_zscore_events,
         "anomaly_mad_events": anomaly_mad_events,
