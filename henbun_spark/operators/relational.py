@@ -2339,10 +2339,14 @@ def time_weighted_avg(
 
     Ordering ties (equal timestamps within a key) are totalized by the
     value to keep lead() deterministic; zero-width trapezoids contribute
-    0 either way. Keys with a single observation have no span and are
-    dropped (the reference hypertable behavior: time_weight needs >= 2
-    points). Output: (key, n_points, span_secs, twa).
+    0 either way. NULL readings are absent observations (the hypertable
+    convention) and are dropped before any window — they neither count
+    nor poison their neighbors' trapezoids. Keys with a single
+    observation have no span and are dropped (the reference hypertable
+    behavior: time_weight needs >= 2 points).
+    Output: (key, n_points, span_secs, twa).
     """
+    df = df.where(F.col(value_col).isNotNull())
     x = F.unix_micros(F.col(ts_col))
     w = Window.partitionBy(key_col).orderBy(
         F.col("__x").asc(), F.col("__v").asc()
@@ -2416,10 +2420,12 @@ def lttb_downsample(
     Keys with fewer than `buckets` points pass through unchanged
     (downsampling is a no-op there, classic LTTB's n <= threshold case).
     First and last points are always kept (buckets 0 and `buckets`-1).
+    NULL readings are absent observations and are dropped up front.
     Output: (key, bucket, ts_epoch_us BIGINT, value).
     """
     if buckets < 3:
         raise ValueError("lttb_downsample needs at least 3 buckets")
+    df = df.where(F.col(value_col).isNotNull())
     x = F.unix_micros(F.col(ts_col))
     wrank = Window.partitionBy(key_col).orderBy(
         F.col("xx").asc(), F.col("yy").asc()
@@ -2524,11 +2530,14 @@ def counter_delta(
     shuffle) + one keyed partial-agg. Per-step increments are quantized
     (ROUND(.., 6)) and summed as decimal(38,12) — shuffle-order
     independent, engine-exact. Ties on equal timestamps totalize by the
-    value. Keys with a single observation report zero increase over a
-    zero-length span and are kept (they still carry n_points).
+    value. NULL readings are absent observations and are dropped before
+    the window (a NULL must not break the delta chain between its
+    neighbors). Keys with a single observation report zero increase
+    over a zero-length span and are kept (they still carry n_points).
 
     Output: (key, n_points, n_resets, total_increase).
     """
+    df = df.where(F.col(value_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(
         F.col("__x").asc(), F.col("__v").asc()
     )
@@ -2593,7 +2602,10 @@ def ohlc_partials(
     definition of the candlestick arithmetic — the batch rollup
     (`ohlc_bucket`) and the streaming MV (`mv_stream_maintenance` with
     `OHLC_MERGE_SPEC`) both build on it, so their bucket math and
-    (ts, value) tie order cannot drift apart."""
+    (ts, value) tie order cannot drift apart. NULL readings are absent
+    observations and are dropped up front (a NULL inside the packed
+    struct would otherwise take part in the open/close election)."""
+    df = df.where(F.col(value_col).isNotNull())
     cols = [F.col(key_col)] if key_col else []
     bucket = (
         (F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
