@@ -10078,6 +10078,74 @@ FROM trans JOIN totals ON trans.cur = totals.cur
 """
 
 
+def emb_centroid_drift(spark, sf_dir):
+    """Per-label embedding centroid drift between two snapshots (r9, new
+    op): the embedding-pipeline counterpart of `profile_drift_docs` —
+    after re-encoding a corpus, "did each class's centroid move, and
+    how far" catches a swapped encoder checkpoint or skewed re-crawl
+    that per-column stats cannot see (`clustering.centroid_drift`).
+    Deterministic snapshots: old drops vec_id%11==0; new drops %13==0
+    and shifts the FIRST coordinate of vec_id%17==0 vectors by +0.25
+    (an exact dyadic step, so the planted drift is reproducible).
+    Exactness: BIGINT grid units + count-scaled decimal distance — no
+    float mean ever exists; the embeddings never shuffle as vectors
+    (per-side (label, dim) unit-sum state only). ORACLE-CHECKED
+    bitwise."""
+    from henbun_spark.operators import clustering
+
+    emb = _load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    old = emb.where(F.col("vec_id") % 11 != 0)
+    new = emb.where(F.col("vec_id") % 13 != 0).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 17 == 0,
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x + F.lit(0.25)).otherwise(x),
+            ),
+        ).otherwise(F.col("embedding")),
+    )
+    return clustering.centroid_drift(old, new, "embedding", "label", grid=1024)
+
+
+_CENTROID_DRIFT_SQL = """
+WITH base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+old_u AS (
+  SELECT vec_id, label, i - 1 AS dim,
+    CAST(floor(e[i] * 1024.0) AS BIGINT) AS unit
+  FROM (SELECT vec_id, label, e, unnest(generate_series(1, len(e))) AS i
+        FROM base WHERE vec_id % 11 <> 0)),
+new_u AS (
+  SELECT vec_id, label, i - 1 AS dim,
+    CAST(floor(CASE WHEN vec_id % 17 = 0 AND i = 1
+                    THEN e[i] + 0.25 ELSE e[i] END * 1024.0) AS BIGINT)
+      AS unit
+  FROM (SELECT vec_id, label, e, unnest(generate_series(1, len(e))) AS i
+        FROM base WHERE vec_id % 13 <> 0)),
+so AS (SELECT label, dim, SUM(unit) AS su_old FROM old_u GROUP BY label, dim),
+sn AS (SELECT label, dim, SUM(unit) AS su_new FROM new_u GROUP BY label, dim),
+no_ AS (SELECT label, COUNT(DISTINCT vec_id)::BIGINT AS n_old
+        FROM old_u GROUP BY label),
+nn_ AS (SELECT label, COUNT(DISTINCT vec_id)::BIGINT AS n_new
+        FROM new_u GROUP BY label),
+d2 AS (
+  SELECT so.label,
+    SUM((sn.su_new * no_.n_old - so.su_old * nn_.n_new)
+        * (sn.su_new * no_.n_old - so.su_old * nn_.n_new)) AS dist2
+  FROM so JOIN sn ON so.label = sn.label AND so.dim = sn.dim
+  JOIN no_ ON no_.label = so.label
+  JOIN nn_ ON nn_.label = so.label
+  GROUP BY so.label)
+SELECT d2.label, n_old, n_new,
+  ROUND(sqrt(CAST(dist2 AS DOUBLE))
+        / (CAST(n_old AS DOUBLE) * n_new * 1024.0), 6) AS drift
+FROM d2 JOIN no_ ON no_.label = d2.label JOIN nn_ ON nn_.label = d2.label
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10182,6 +10250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # anomaly_zscore_events (green in earlier rounds) to r10.
         "event_cooccurrence_pmi": event_cooccurrence_pmi,
         "event_transition_matrix": event_transition_matrix,
+        # slot 28: emb_centroid_drift (per-label centroid movement
+        # between snapshots), first-ever check; displaces
+        # corr_lineitem_metrics (green in earlier rounds) to r10.
+        "emb_centroid_drift": emb_centroid_drift,
         "q3_top_orders": q3_top_orders,
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -10204,9 +10276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_ids_documents": row_ids_documents,
         "fuzzy_match_titles": fuzzy_match_titles,
         "unpivot_pricing_metrics": unpivot_pricing_metrics,
-        "corr_lineitem_metrics": corr_lineitem_metrics,
         # --- window boundary (slot 50 ends above): entries below are
         # NOT hash-checked in r9
+        "corr_lineitem_metrics": corr_lineitem_metrics,
         "linreg_value_by_hour": linreg_value_by_hour,
         "validate_constraints_events": validate_constraints_events,
         "merge_upsert_docs": merge_upsert_docs,
@@ -10523,6 +10595,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_drift_docs": _profile_drift_sql(),
         "event_cooccurrence_pmi": _COOCCURRENCE_PMI_SQL,
         "event_transition_matrix": _TRANSITION_SQL,
+        "emb_centroid_drift": _CENTROID_DRIFT_SQL,
         # r9: the LAST four rows-only queries retired — bound-boolean
         # recipe for the GP/VI training flagships, constant VALUES +
         # 6-sigma noise bound for the deterministic-input GP posterior

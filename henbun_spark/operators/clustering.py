@@ -257,3 +257,71 @@ def assign_nearest_units(
         )
     )
     return df.withColumn(out, checked)
+
+
+def centroid_drift(
+    old: DataFrame,
+    new: DataFrame,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    grid: int = 1024,
+) -> DataFrame:
+    """Per-label embedding CENTROID DRIFT between two snapshots — the
+    embedding-pipeline counterpart of the tabular profile-drift report:
+    after re-ingesting or re-encoding a corpus, "did each class's
+    centroid move, and how far" catches a silently swapped encoder
+    checkpoint or a skewed re-crawl that per-column stats cannot see.
+
+    Exactness: coordinates quantize to BIGINT grid units
+    (`quantize_units`, exact IEEE ops), and the mean difference is
+    count-scaled so no float mean ever exists —
+    ||su_new * n_old - su_old * n_new||^2 accumulates in decimal(38,0)
+    (products of unit sums and counts overflow BIGINT at corpus scale;
+    the decimal bound holds while n^2 * grid * max|x| * sqrt(dim)
+    < 10^19 per coordinate). The reported drift divides back by
+    n_old * n_new * grid, so it is in ORIGINAL embedding distance
+    units: drift = ||mu_new - mu_old||_2 over the quantized grid.
+
+    Plan shape: per side, one posexplode + one (label, dim) sum agg
+    (map-side combinable, state = |labels| x dim); the two state tables
+    join keyed on (label, dim) and reduce to |labels| rows. The
+    embeddings themselves never join or shuffle as vectors.
+
+    Output: (label, n_old, n_new, drift) — inner-joined on label
+    (a label present on only one side is a membership change, visible
+    in `profile_drift`/count reports, not a drift distance).
+    """
+
+    def side(df, suffix):
+        u = quantize_units(df, emb_col, out="u", grid=grid)
+        sums = (
+            u.select(label_col, F.posexplode("u").alias("dim", "unit"))
+            .groupBy(label_col, "dim")
+            .agg(F.sum("unit").alias(f"su_{suffix}"))
+        )
+        counts = df.groupBy(label_col).agg(
+            F.count(F.lit(1)).alias(f"n_{suffix}")
+        )
+        return sums.join(counts, label_col)
+
+    j = side(old, "old").join(side(new, "new"), [label_col, "dim"])
+    term = (
+        F.col("su_new") * F.col("n_old") - F.col("su_old") * F.col("n_new")
+    ).cast("decimal(38,0)")
+    dist2 = j.groupBy(label_col, "n_old", "n_new").agg(
+        F.sum(term * term).alias("dist2")
+    )
+    return dist2.select(
+        label_col,
+        "n_old",
+        "n_new",
+        F.round(
+            F.sqrt(F.col("dist2").cast("double"))
+            / (
+                F.col("n_old").cast("double")
+                * F.col("n_new")
+                * F.lit(float(grid))
+            ),
+            6,
+        ).alias("drift"),
+    )
