@@ -9532,7 +9532,7 @@ WITH pts AS (
     row_number() OVER (PARTITION BY user_id
                        ORDER BY epoch_us(ts), value) AS rnk,
     COUNT(*) OVER (PARTITION BY user_id) AS nn
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 small AS (
   SELECT user_id, CAST(rnk - 1 AS INT) AS bucket, xx AS ts_epoch_us,
          yy AS value
@@ -9596,7 +9596,7 @@ WITH stepped AS (
                              ORDER BY epoch_us(ts), value) AS x1,
     lead(value) OVER (PARTITION BY user_id
                       ORDER BY epoch_us(ts), value) AS v1
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 agg AS (
   SELECT user_id, COUNT(*)::BIGINT AS n_points,
     CAST(MAX(x) - MIN(x) AS DOUBLE) / 1e6 AS span_secs,
@@ -9697,7 +9697,7 @@ WITH stepped AS (
   SELECT user_id, value AS v,
     lag(value) OVER (PARTITION BY user_id
                      ORDER BY epoch_us(ts), value) AS v0
-  FROM events)
+  FROM events WHERE value IS NOT NULL)
 SELECT user_id, COUNT(*)::BIGINT AS n_points,
   COALESCE(SUM(CASE WHEN v0 IS NOT NULL AND v < v0 THEN 1 ELSE 0 END),
            0)::BIGINT AS n_resets,
@@ -9730,7 +9730,7 @@ _OHLC_SQL = """
 WITH b AS (
   SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
          epoch_us(ts) AS x, value AS v
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 ranked AS (
   SELECT bucket_epoch, v,
     row_number() OVER (PARTITION BY bucket_epoch ORDER BY x ASC, v ASC)
@@ -10181,13 +10181,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # emb_label_outliers — count-scaled integer centroid-distance
         # ranking on the real table; bucketed_join_revenue — bucketBy
         # co-located zero-exchange join layout; emb_truncated_recall —
-        # matryoshka truncated-dim retrieval eval), and slots 17-27 the
-        # eleven late-r9 NEW ops (see the inline comments there). The
-        # 13-27 block means slots 28-38 are the 11 r4-last-green
+        # matryoshka truncated-dim retrieval eval), and slots 17-28 the
+        # twelve late-r9 NEW ops (see the inline comments there). The
+        # 13-28 block means slots 29-39 are the 11 r4-last-green
         # queries the r8 window deferred (q3/q4/q5/q6, rollup,
         # running_total, session_window_agg, sessionize, set_ops,
         # string_date, top_events_per_user — all re-greened here);
-        # slots 39-50 take the r5-last-green tier in registry order —
+        # slots 40-50 take the r5-last-green tier in registry order —
         # the eleven entries displaced by the late-r9 first-ever slots
         # (canonical_best/pagerank/triangle/chunk_dedup, rank_gauss,
         # both dedup_components forms, observed_filter, anomaly pair,

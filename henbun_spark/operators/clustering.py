@@ -42,6 +42,7 @@ __all__ = [
     "kmeans_assign",
     "quantize_units",
     "assign_nearest_units",
+    "centroid_drift",
 ]
 
 
@@ -275,17 +276,22 @@ def centroid_drift(
     Exactness: coordinates quantize to BIGINT grid units
     (`quantize_units`, exact IEEE ops), and the mean difference is
     count-scaled so no float mean ever exists —
-    ||su_new * n_old - su_old * n_new||^2 accumulates in decimal(38,0)
-    (products of unit sums and counts overflow BIGINT at corpus scale;
-    the decimal bound holds while n^2 * grid * max|x| * sqrt(dim)
-    < 10^19 per coordinate). The reported drift divides back by
-    n_old * n_new * grid, so it is in ORIGINAL embedding distance
-    units: drift = ||mu_new - mu_old||_2 over the quantized grid.
+    ||su_new * n_old - su_old * n_new||^2, with the unit sums and
+    counts cast to decimal(38,0) BEFORE the products (a su*n product
+    overflows BIGINT around n ~ 1.5e8 at unit scale; in decimal the
+    bound holds while n^2 * grid * max|x| < 10^19 per coordinate).
+    The reported drift divides back by n_old * n_new * grid, so it is
+    in ORIGINAL embedding distance units:
+    drift = ||mu_new - mu_old||_2 over the quantized grid.
 
-    Plan shape: per side, one posexplode + one (label, dim) sum agg
-    (map-side combinable, state = |labels| x dim); the two state tables
-    join keyed on (label, dim) and reduce to |labels| rows. The
-    embeddings themselves never join or shuffle as vectors.
+    Plan shape: per side, ONE scan — posexplode + a (label, dim) agg
+    carrying both the unit sum and the member count (map-side
+    combinable, state = |labels| x dim); the two state tables join
+    keyed on (label, dim) and reduce to |labels| rows. The embeddings
+    themselves never join or shuffle as vectors. NULL/empty embeddings
+    are absent observations (dropped up front, counted nowhere).
+    Assumes fixed-dimension vectors (per-dim member counts double as
+    the label's member count).
 
     Output: (label, n_old, n_new, drift) — inner-joined on label
     (a label present on only one side is a membership change, visible
@@ -293,21 +299,23 @@ def centroid_drift(
     """
 
     def side(df, suffix):
+        df = df.where(
+            F.col(emb_col).isNotNull() & (F.size(F.col(emb_col)) > 0)
+        )
         u = quantize_units(df, emb_col, out="u", grid=grid)
-        sums = (
+        return (
             u.select(label_col, F.posexplode("u").alias("dim", "unit"))
             .groupBy(label_col, "dim")
-            .agg(F.sum("unit").alias(f"su_{suffix}"))
+            .agg(
+                F.sum("unit").cast("decimal(38,0)").alias(f"su_{suffix}"),
+                F.count(F.lit(1)).alias(f"n_{suffix}"),
+            )
         )
-        counts = df.groupBy(label_col).agg(
-            F.count(F.lit(1)).alias(f"n_{suffix}")
-        )
-        return sums.join(counts, label_col)
 
     j = side(old, "old").join(side(new, "new"), [label_col, "dim"])
-    term = (
-        F.col("su_new") * F.col("n_old") - F.col("su_old") * F.col("n_new")
-    ).cast("decimal(38,0)")
+    term = F.col("su_new") * F.col("n_old").cast("decimal(38,0)") - F.col(
+        "su_old"
+    ) * F.col("n_new").cast("decimal(38,0)")
     dist2 = j.groupBy(label_col, "n_old", "n_new").agg(
         F.sum(term * term).alias("dist2")
     )
