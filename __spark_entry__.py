@@ -10146,6 +10146,77 @@ FROM d2 JOIN no_ ON no_.label = d2.label JOIN nn_ ON nn_.label = d2.label
 """
 
 
+def session_top_paths(spark, sf_dir):
+    """Top user journeys (r9, new op): the 10 most common session-opening
+    event-type PATHS — each 30-min-gap session's first (up to) 3 events
+    in time order joined as "a>b>c", counted across all sessions. The
+    product-analytics "what do sessions start with" report, built
+    entirely on shipped primitives: `relational.sessionize` (one keyed
+    window pass), a per-session rank window, and an order-pinned path
+    assembly (array_sort over (step, type) structs — collect_list alone
+    is partition-order dependent). The final top-10 is TakeOrdered with
+    a (count DESC, path ASC) total order over a candidate set bounded
+    by |types|^3 + |types|^2 + |types| distinct paths — never a global
+    sort of data. ORACLE-CHECKED bitwise."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    s = relational.sessionize(ev, gap_minutes=30, tiebreak="event_id")
+    w = Window.partitionBy("user_id", "session_seq").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    first3 = s.withColumn("step", F.row_number().over(w)).where(
+        F.col("step") <= 3
+    )
+    paths = first3.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("step", "event_type"))),
+                lambda x: x.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+_SESSION_PATHS_SQL = """
+WITH s AS (
+  SELECT user_id, event_id, ts, event_type,
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS session_seq
+  FROM (
+    SELECT user_id, event_id, ts, event_type,
+      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL
+             OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)) > 1800
+           THEN 1 ELSE 0 END AS new_sess
+    FROM events)),
+first3 AS (
+  SELECT user_id, session_seq, step, event_type FROM (
+    SELECT user_id, session_seq, event_type,
+      row_number() OVER (PARTITION BY user_id, session_seq
+                         ORDER BY ts, event_id) AS step
+    FROM s)
+  WHERE step <= 3),
+paths AS (
+  SELECT user_id, session_seq,
+    string_agg(event_type, '>' ORDER BY step) AS path
+  FROM first3 GROUP BY user_id, session_seq)
+SELECT path, COUNT(*)::BIGINT AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10181,13 +10252,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # emb_label_outliers — count-scaled integer centroid-distance
         # ranking on the real table; bucketed_join_revenue — bucketBy
         # co-located zero-exchange join layout; emb_truncated_recall —
-        # matryoshka truncated-dim retrieval eval), and slots 17-28 the
-        # twelve late-r9 NEW ops (see the inline comments there). The
-        # 13-28 block means slots 29-39 are the 11 r4-last-green
+        # matryoshka truncated-dim retrieval eval), and slots 17-29 the
+        # thirteen late-r9 NEW ops (see the inline comments there). The
+        # 13-29 block means slots 30-40 are the 11 r4-last-green
         # queries the r8 window deferred (q3/q4/q5/q6, rollup,
         # running_total, session_window_agg, sessionize, set_ops,
         # string_date, top_events_per_user — all re-greened here);
-        # slots 40-50 take the r5-last-green tier in registry order —
+        # slots 41-50 take the r5-last-green tier in registry order —
         # the eleven entries displaced by the late-r9 first-ever slots
         # (canonical_best/pagerank/triangle/chunk_dedup, rank_gauss,
         # both dedup_components forms, observed_filter, anomaly pair,
@@ -10254,6 +10325,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # between snapshots), first-ever check; displaces
         # corr_lineitem_metrics (green in earlier rounds) to r10.
         "emb_centroid_drift": emb_centroid_drift,
+        # slot 29: session_top_paths (top session-opening journeys),
+        # first-ever check; displaces unpivot_pricing_metrics (green
+        # in earlier rounds) to r10.
+        "session_top_paths": session_top_paths,
         "q3_top_orders": q3_top_orders,
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_nation_revenue": q5_nation_revenue,
@@ -10275,9 +10350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_by_type": hll_users_by_type,
         "row_ids_documents": row_ids_documents,
         "fuzzy_match_titles": fuzzy_match_titles,
-        "unpivot_pricing_metrics": unpivot_pricing_metrics,
         # --- window boundary (slot 50 ends above): entries below are
         # NOT hash-checked in r9
+        "unpivot_pricing_metrics": unpivot_pricing_metrics,
         "corr_lineitem_metrics": corr_lineitem_metrics,
         "linreg_value_by_hour": linreg_value_by_hour,
         "validate_constraints_events": validate_constraints_events,
@@ -10596,6 +10671,7 @@ def oracle_sql() -> dict[str, str]:
         "event_cooccurrence_pmi": _COOCCURRENCE_PMI_SQL,
         "event_transition_matrix": _TRANSITION_SQL,
         "emb_centroid_drift": _CENTROID_DRIFT_SQL,
+        "session_top_paths": _SESSION_PATHS_SQL,
         # r9: the LAST four rows-only queries retired — bound-boolean
         # recipe for the GP/VI training flagships, constant VALUES +
         # 6-sigma noise bound for the deterministic-input GP posterior

@@ -191,6 +191,7 @@ HEADLINE = [
     "event_cooccurrence_pmi",
     "event_transition_matrix",
     "emb_centroid_drift",
+    "session_top_paths",
     # NOT timed: streaming_ohlc_value (r9) — same 4-commit foreachBatch
     # machinery; its batch twin ohlc_hourly_value IS timed above and
     # carries the scale story (one map-side-combinable aggregation).
