@@ -245,7 +245,8 @@ def gapfill_locf(
         df.groupBy(
             F.col(key_col),
             (
-                (F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
+                F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs)
+                .cast("long")
                 * bucket_secs
             ).alias("bucket_epoch"),
         )
@@ -1994,7 +1995,8 @@ def gapfill_interpolate(
         df.groupBy(
             F.col(key_col),
             (
-                (F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
+                F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs)
+                .cast("long")
                 * bucket_secs
             ).alias("bucket_epoch"),
         )
@@ -2607,8 +2609,10 @@ def ohlc_partials(
     struct would otherwise take part in the open/close election)."""
     df = df.where(F.col(value_col).isNotNull())
     cols = [F.col(key_col)] if key_col else []
+    # floor division, not truncate-toward-zero: a pre-1970 reading at
+    # -1s belongs to bucket -bucket_secs, matching SQL floor semantics.
     bucket = (
-        (F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
         * bucket_secs
     ).alias("bucket_epoch")
     pair = F.struct(

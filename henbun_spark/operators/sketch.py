@@ -886,10 +886,17 @@ def cms_inner_product(
     """
     a = sketch_a.select("d", "bucket", F.col("cnt").alias("cnt_a"))
     b = sketch_b.select("d", "bucket", F.col("cnt").alias("cnt_b"))
+    # The per-bucket product of two ~1e12-row-side sketches exceeds
+    # 2^63 (Spark wraps silently in non-ANSI mode) — accumulate in
+    # decimal(38,0) and only narrow the final MIN back to long.
     per_row = (
         a.join(b, ["d", "bucket"])
         .groupBy("d")
-        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+        .agg(
+            F.sum(
+                F.col("cnt_a").cast("decimal(38,0)") * F.col("cnt_b")
+            ).alias("ip")
+        )
     )
     # a hash row with NO shared buckets has inner product 0 — the
     # tightest bound there is. The inner join drops such rows, so
@@ -901,9 +908,15 @@ def cms_inner_product(
         F.col("id").cast("int").alias("d")
     )
     filled = d_axis.join(per_row, "d", "left").select(
-        F.coalesce(F.col("ip"), F.lit(0).cast("long")).alias("ip")
+        F.coalesce(F.col("ip"), F.lit(0).cast("decimal(38,0)")).alias("ip")
     )
-    return filled.agg(F.min("ip").alias("est"))
+    # Saturate at Long.MaxValue before narrowing: a bound past 2^63-1
+    # means "bigger than any representable join" — a planner wants the
+    # sentinel max, not NULL (and never a silently wrapped negative).
+    long_max = F.lit(int(2**63 - 1)).cast("decimal(38,0)")
+    return filled.agg(
+        F.least(F.min("ip"), long_max).cast("long").alias("est")
+    )
 
 
 def hll_overlap(

@@ -13,6 +13,10 @@ from pyspark.sql import functions as F
 
 from henbun_spark.operators._parallel import ensure_parallelism
 
+#: the single scaffold slot for `shingle_tfidf_cosine_topk` — bounds the
+#: session-lifetime cache pin for callers who never release scaffolds.
+_TFIDF_SCAFFOLD = None
+
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 
 # marker-token vocabularies for the n-gram/lexicon language-ID heuristic
@@ -552,7 +556,9 @@ def shingle_tfidf_cosine_topk(
     `relational._SCAFFOLD_CACHES`; the bench/oracle/pytest harnesses
     release it after each query — direct library callers should call
     `relational.release_scaffold_caches()` after materializing the
-    result (or wrap the call in `relational.scaffold_scope()`).
+    result (or wrap the call in `relational.scaffold_scope()`). Callers
+    who do neither are still bounded: each call releases the previous
+    call's scaffold, so at most ONE postings cache is pinned at a time.
     """
     base = ensure_parallelism(df.select(id_col, text_col))
     toks = _tokens(text_col)
@@ -612,13 +618,27 @@ def shingle_tfidf_cosine_topk(
     # in the shared scaffold-cache registry so bench/oracle harnesses
     # release it after each query; MEMORY_AND_DISK so a 100 TB posting
     # table spills instead of evicting (the materialize-once trade every
-    # multi-pass indexer makes).
+    # multi-pass indexer makes). Direct library callers who never call
+    # release_scaffold_caches() are still bounded: each call releases
+    # the PREVIOUS call's scaffold, so at most one postings cache is
+    # ever pinned by this function (a held, not-yet-materialized result
+    # from an earlier call simply recomputes without the cache).
     from pyspark.storagelevel import StorageLevel
 
-    from henbun_spark.operators.relational import _SCAFFOLD_CACHES
+    from henbun_spark.operators import relational as _rel
 
+    global _TFIDF_SCAFFOLD
+    prev = _TFIDF_SCAFFOLD
+    if prev is not None:
+        try:
+            _rel._SCAFFOLD_CACHES.remove(prev)
+        except ValueError:
+            pass  # a harness already released it
+        else:
+            prev.unpersist(blocking=False)
     weighted = weighted.persist(StorageLevel.MEMORY_AND_DISK)
-    _SCAFFOLD_CACHES.append(weighted)
+    _rel._SCAFFOLD_CACHES.append(weighted)
+    _TFIDF_SCAFFOLD = weighted
     norms = weighted.groupBy("id").agg(
         F.sqrt(
             F.sum(
