@@ -218,6 +218,37 @@ def force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+# --- throttle sentinel -----------------------------------------------------
+# This host has two regimes (docs/BENCH_NOTES.md): quiet, and "loud"
+# bursts where even a fixed 2M-row scalar job takes multi-second wall
+# time. Best-of-2 per query does not help when BOTH attempts land
+# inside one burst (BENCH_r09: untouched 3-row queries published at
+# 10-14s). The sentinel times a fixed trivial probe after each query;
+# when the probe exceeds THROTTLE_FACTOR x its calibrated floor, the
+# preceding measurement is suspect -> wait for the probe to recover
+# (bounded) and re-run that query once more, keeping the min.
+
+PROBE_CAL_RUNS = 5
+THROTTLE_FACTOR = 5.0
+PROBE_ABS_FLOOR = 0.08  # never flag below this, however fast the floor
+MAX_RERUNS = 25  # suite-wide budget for sentinel-triggered re-runs
+RECOVERY_TRIES = 6  # probe re-checks (2s apart) before re-running anyway
+
+
+def probe_once(spark):
+    # small fixed scalar job: one scheduler round-trip + one codegen
+    # stage. Size chosen so the quiet-regime cost is ~50-100ms (probe
+    # overhead across the suite stays a few seconds) while a throttling
+    # burst still inflates it well past THROTTLE_FACTOR x floor.
+    t0 = time.time()
+    spark.range(0, 1 << 18, 1, 4).selectExpr("sum(id) AS s").collect()
+    return time.time() - t0
+
+
+def probe_threshold(floor: float) -> float:
+    return max(THROTTLE_FACTOR * floor, PROBE_ABS_FLOOR)
+
+
 def format_output(times: dict, sf: float, max_line: int = 1900):
     """(full dict, compact stdout line). The driver captures only the
     LAST ~2000 chars of stdout and parses them as JSON; round 4's full
@@ -266,6 +297,17 @@ def main():
             force(qs[warm](spark, sf_dir))
         except Exception:  # pragma: no cover
             pass
+    # calibrate the throttle-sentinel probe floor on the warmed JVM
+    floor = min(probe_once(spark) for _ in range(PROBE_CAL_RUNS))
+    threshold = probe_threshold(floor)
+    throttle_events = []
+    reruns_left = MAX_RERUNS
+
+    def timed_run(fn):
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        return time.time() - t0
+
     # best-of-2 per query: this VM sees multi-second external throttling
     # bursts (a 3-row scalar query has measured 2s..20s across runs);
     # the min of two spaced attempts is the standard hedge and tracks
@@ -274,19 +316,51 @@ def main():
     for name in HEADLINE:
         fn = qs[name]
         best = None
+        failed = False
         for _attempt in range(2):
-            t0 = time.time()
             try:
-                force(fn(spark, sf_dir))
-                dt = time.time() - t0
+                dt = timed_run(fn)
                 best = dt if best is None else min(best, dt)
             except Exception as exc:  # pragma: no cover
                 print(f"# bench {name} failed: {exc}", file=sys.stderr)
+                failed = True
                 break
+        # sentinel: if the trivial probe is slow RIGHT AFTER this query,
+        # both attempts likely sat in a throttling burst -> wait for the
+        # probe to recover, then give the query one clean re-run.
+        if not failed and best is not None and reruns_left > 0:
+            p = probe_once(spark)
+            if p > threshold:
+                for _ in range(RECOVERY_TRIES):
+                    time.sleep(2.0)
+                    p = probe_once(spark)
+                    if p <= threshold:
+                        break
+                reruns_left -= 1
+                try:
+                    dt = timed_run(fn)
+                except Exception:  # pragma: no cover
+                    dt = None
+                ev = {
+                    "query": name,
+                    "probe": round(p, 3),
+                    "best_before": round(best, 3),
+                    "rerun": None if dt is None else round(dt, 3),
+                }
+                throttle_events.append(ev)
+                print(f"# throttle sentinel: {json.dumps(ev)}", file=sys.stderr)
+                if dt is not None:
+                    best = min(best, dt)
         times[name] = -1.0 if best is None else round(best, 3)
         # safe here: the query's derived frames were just materialized
         relational.release_scaffold_caches()
     full, line = format_output(times, sf)
+    full["throttle"] = {
+        "probe_floor": round(floor, 4),
+        "threshold": round(threshold, 4),
+        "events": throttle_events,
+        "reruns_used": MAX_RERUNS - reruns_left,
+    }
     # complete dump -> stderr + BENCH_FULL.json (tools/bench_diff.py);
     # stdout -> exactly one compact parseable line for the driver
     print(json.dumps(full), file=sys.stderr)

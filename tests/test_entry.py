@@ -166,6 +166,19 @@ def test_bench_stdout_line_fits_driver_capture():
     assert full["queries"] == times
 
 
+def test_bench_throttle_threshold_discriminates_bursts():
+    """The sentinel threshold must sit far below the multi-second burst
+    signature (BENCH_r09 published 10-14s for 3-row queries) but above
+    quiet-regime probe jitter, for any plausible calibrated floor."""
+    import bench
+
+    for floor in (0.01, 0.05, 0.12, 0.3):
+        th = bench.probe_threshold(floor)
+        assert th >= bench.PROBE_ABS_FLOOR  # jitter guard
+        assert th <= 2.0  # a throttling burst (>=2s probes) always trips
+        assert th >= floor  # a quiet probe at the floor never trips
+
+
 def test_driver_sampled_window_rotation_invariant():
     """The driver checks the FIRST 50 registry entries each round. The
     r6 lesson (CORRECTNESS_r06.json): the driver answers a rows-only
