@@ -283,7 +283,10 @@ def format_output(times: dict, sf: float, max_line: int = 1900):
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    import re as _re
+
+    m = _re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.1
     spark = sources.get_spark("henbun-bench")
     # warm up the JVM + parquet footers once
     sources.load_table(spark, sf_dir, "lineitem").count()
@@ -366,8 +369,11 @@ def main():
     print(json.dumps(full), file=sys.stderr)
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(repo, "BENCH_FULL.json"), "w") as f:
-            json.dump(full, f)
+        # only the official sf0.1 run owns BENCH_FULL.json (bench_diff's
+        # default input); probe SFs land in bench_history only
+        if sf == 0.1:
+            with open(os.path.join(repo, "BENCH_FULL.json"), "w") as f:
+                json.dump(full, f)
         # per-run history keyed by HEAD sha: committed alongside code, so
         # round-over-round per-query diffs never depend on the driver's
         # truncated stdout capture again (the round-4 lost-signal failure)
@@ -379,7 +385,10 @@ def main():
         ).stdout.strip() or "nogit"
         hist = os.path.join(repo, "bench_history")
         os.makedirs(hist, exist_ok=True)
-        with open(os.path.join(hist, f"BENCH_{sha}.json"), "w") as f:
+        # non-default SFs get their own archive name so an sf1 probe run
+        # never overwrites the official sf0.1 archive for the same sha
+        suffix = "" if sf == 0.1 else f"_sf{sf:g}"
+        with open(os.path.join(hist, f"BENCH_{sha}{suffix}.json"), "w") as f:
             json.dump(full, f)
     except OSError as exc:  # pragma: no cover
         print(f"# bench: could not write BENCH_FULL.json: {exc}", file=sys.stderr)
