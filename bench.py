@@ -315,12 +315,13 @@ def main():
     # bursts (a 3-row scalar query has measured 2s..20s across runs);
     # the min of two spaced attempts is the standard hedge and tracks
     # the plan's real cost instead of host noise.
+    attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
     times = {}
     for name in HEADLINE:
         fn = qs[name]
         best = None
         failed = False
-        for _attempt in range(2):
+        for _attempt in range(attempts):
             try:
                 dt = timed_run(fn)
                 best = dt if best is None else min(best, dt)
