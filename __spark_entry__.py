@@ -2084,6 +2084,59 @@ FROM documents d LEFT JOIN stitched s USING (doc_id)
 """
 
 
+def dedup_substring_winnowed(spark, sf_dir):
+    """NEW r10 operator: winnowed ExactSubstr duplicate-span detection
+    (`dedup.duplicate_substring_spans_winnowed`, Schleimer-Wilkerson-
+    Aiken fingerprint selection) — per-doc digest + band-min selection
+    entirely map-side; only the selected ~2/(band+1) of positions is
+    exploded into the digest groupBy, cutting the exact pass's
+    O(total chars) shuffle ~4.5x at band=8 while deterministically
+    detecting every duplicate span >= min_len + band - 1 chars."""
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.duplicate_substring_spans_winnowed(
+        docs, "text", "doc_id", min_len=24, band=8
+    )
+
+
+_SUBSTR_WINNOW_SQL = """
+WITH pos AS (
+  SELECT doc_id, text, length(text) - 23 AS m,
+         unnest(generate_series(1, length(text) - 23)) AS i
+  FROM documents WHERE length(text) >= 24),
+keys AS (
+  SELECT doc_id, m, i,
+         md5(substr(text, i, 24)) || lpad(CAST(i AS VARCHAR), 12, '0') AS key
+  FROM pos),
+selraw AS (
+  SELECT doc_id, m, i,
+    min(key) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel_key
+  FROM keys),
+sel AS (
+  SELECT DISTINCT doc_id, substr(sel_key, 1, 32) AS digest,
+         CAST(substr(sel_key, 33, 12) AS BIGINT) AS i
+  FROM selraw WHERE i <= greatest(m - 7, 1)),
+dups AS (SELECT digest FROM sel GROUP BY digest HAVING COUNT(*) > 1),
+hits AS (SELECT doc_id, i FROM sel JOIN dups USING (digest)),
+marked AS (
+  SELECT doc_id, i,
+    CASE WHEN coalesce(i > max(i + 23) OVER (PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1, TRUE)
+    THEN 1 ELSE 0 END AS nw
+  FROM hits),
+isl AS (
+  SELECT doc_id, i,
+    SUM(nw) OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM marked)
+SELECT doc_id, MIN(i)::BIGINT AS span_start,
+  (MAX(i) + 23)::BIGINT AS span_end, COUNT(*)::BIGINT AS n_shingles,
+  (MAX(i) + 23 - MIN(i) + 1)::BIGINT AS span_len
+FROM isl GROUP BY doc_id, g
+"""
+
+
 def _simhash_bits_sql(bits: int) -> str:
     bit_exprs = []
     for j in range(bits):
@@ -10282,6 +10335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_ids_string_bins": row_ids_string_bins,
         "dedup_substring_spans": dedup_substring_spans,
         "dedup_substring_removal": dedup_substring_removal,
+        "dedup_substring_winnowed": dedup_substring_winnowed,
         "streaming_substr_index": streaming_substr_index,
         "streaming_kmeans_update": streaming_kmeans_update,
         "emb_label_outliers": emb_label_outliers,
@@ -10651,6 +10705,7 @@ def oracle_sql() -> dict[str, str]:
         # duplicate-span detection + excision (Lee et al. 2021)
         "dedup_substring_spans": _SUBSTR_SPANS_SQL,
         "dedup_substring_removal": _SUBSTR_REMOVAL_SQL,
+        "dedup_substring_winnowed": _SUBSTR_WINNOW_SQL,
         # r9 NEW streaming path: incremental ExactSubstr window index
         "streaming_substr_index": _STREAM_SUBSTR_INDEX_SQL,
         # r9 NEW ops (mid-round): integer-exact streaming mini-batch

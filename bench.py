@@ -177,6 +177,7 @@ HEADLINE = [
     "split_leakage_report",
     "dedup_substring_spans",
     "dedup_substring_removal",
+    "dedup_substring_winnowed",
     "emb_label_outliers",
     "bucketed_join_revenue",
     "emb_truncated_recall",

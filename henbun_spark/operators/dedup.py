@@ -800,7 +800,16 @@ def duplicate_substring_spans(
         .select("digest")
     )
     hits = pos.join(dup, "digest").select(id_col, "i")
-    end = F.col("i") + F.lit(min_len - 1)
+    return _merge_window_hits(hits, id_col, min_len)
+
+
+def _merge_window_hits(hits: DataFrame, id_col: str, win_len: int) -> DataFrame:
+    """Merge per-doc duplicated-window hit positions — each covering
+    chars [i, i + win_len - 1] — into maximal intervals. Two keyed
+    windows PARTITIONED BY doc (per-task state bounded by one doc's hit
+    count): a running max-end marks interval starts, a running sum
+    numbers the islands."""
+    end = F.col("i") + F.lit(win_len - 1)
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("i")
@@ -823,7 +832,7 @@ def duplicate_substring_spans(
         .groupBy(id_col, "__isl")
         .agg(
             F.min("i").cast("long").alias("span_start"),
-            (F.max("i") + F.lit(min_len - 1)).cast("long").alias("span_end"),
+            (F.max("i") + F.lit(win_len - 1)).cast("long").alias("span_end"),
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
         )
         .withColumn(
@@ -831,6 +840,90 @@ def duplicate_substring_spans(
         )
         .drop("__isl")
     )
+
+
+def duplicate_substring_spans_winnowed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 24,
+    band: int = 8,
+) -> DataFrame:
+    """Winnowed ExactSubstr duplicate-span detection — the scale path
+    that cuts `duplicate_substring_spans`'s O(total chars) explode by
+    fingerprint selection (Schleimer-Wilkerson-Aiken winnowing, the
+    MOSS scheme): from every window of `band` consecutive `min_len`-char
+    digests, select the minimal (digest, position) pair; only SELECTED
+    positions are ever exploded/shuffled. Selection is content-
+    determined (the leftmost minimal digest within a window is a
+    function of window content alone), so two copies of the same text
+    select the same relative positions.
+
+    GUARANTEE (deterministic, not probabilistic): every duplicated
+    substring of length >= min_len + band - 1 contains at least one
+    full digest band in both copies, whose selected fingerprint matches
+    — so it is always detected. Shorter duplicates may be missed; every
+    reported window is a genuine corpus-duplicated `min_len`-gram (no
+    false positives beyond md5 collision odds). Reported spans are the
+    merged intervals of selected hit windows — they mark (and may
+    under-cover) the exact-mode spans; use the exact pass when spans
+    feed excision, the winnowed pass when they feed detection/scoring
+    at corpus scale.
+
+    Scale shape: the per-doc digest/selection work is pure map-side
+    array Column math (no explode, no shuffle) costing O(chars * band)
+    string compares; only the selected ~2/(band+1) fraction of
+    positions is exploded into the digest groupBy — band=8 shrinks the
+    shuffled row count ~4.5x against the exact pass at the same
+    detection floor. Downstream is identical to the exact mode: one
+    map-side-combinable digest groupBy, an AQE-skew-splittable equi-
+    join back, two per-doc interval windows. No pairwise join anywhere.
+
+    Output: (id, span_start, span_end, span_len, n_shingles) — 1-based
+    inclusive char offsets; n_shingles counts SELECTED hit windows.
+    """
+    if band < 1:
+        raise ValueError(f"band must be >= 1, got {band}")
+    txt = F.col(text_col)
+    m = F.length(txt) - F.lit(min_len - 1)  # number of digest windows
+    # fixed-width (digest, position) key: md5 is 32 hex chars, the
+    # zero-padded position makes lexicographic min == (digest, i) min
+    # and keeps ties (identical digests from repetitive text) content-
+    # determined at the leftmost occurrence
+    keys = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat(
+            F.md5(txt.substr(i, F.lit(min_len))),
+            F.lpad(i.cast("string"), 12, "0"),
+        ),
+    )
+    # one selection per full band window; a doc with fewer than `band`
+    # windows still yields one (slice returns the shorter remainder)
+    n_windows = F.greatest(m - F.lit(band - 1), F.lit(1))
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(keys, j, band)),
+        )
+    )
+    sel = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .where(F.length(txt) >= min_len)
+        .select(F.col(id_col), F.explode(selected).alias("key"))
+        .select(
+            F.col(id_col),
+            F.substring("key", 1, 32).alias("digest"),
+            F.substring("key", 33, 12).cast("long").alias("i"),
+        )
+    )
+    dup = (
+        sel.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > 1)
+        .select("digest")
+    )
+    hits = sel.join(dup, "digest").select(id_col, "i")
+    return _merge_window_hits(hits, id_col, min_len)
 
 
 def remove_duplicate_spans(
