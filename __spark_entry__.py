@@ -9486,6 +9486,58 @@ GROUP BY o_orderpriority
 """
 
 
+def bucketed_lookup_revenue(spark, sf_dir):
+    """Bucket-PRUNED point lookup (r10, new op): lay out lineitem
+    `bucketBy(8, l_orderkey)` once, then probe two literal order keys
+    (`bucketing.bucketed_lookup`): the equality filter on the bucket
+    key prunes the scan to the matching bucket FILES
+    (`SelectedBucketsCount <= 2 out of 8`, pytest-asserted on the
+    physical plan) and the groupBy on the bucket key both retains the
+    bucketed scan against `DisableUnnecessaryBucketedScan` and needs
+    ZERO Exchange — at 100 TB this is partition pruning for
+    high-cardinality keys, reading 1/n of the fact files per probe.
+
+    ORACLE-CHECKED bitwise against the plain filtered aggregate on the
+    original parquet: pruning is pure FILE SELECTION — skipping
+    buckets must not add or drop a row vs scanning everything."""
+    from henbun_spark.operators import bucketing
+
+    base = _scratch_dir("henbun_bktlk_")
+    tag = base.rsplit("henbun_bktlk_", 1)[1]
+    lt = f"hb_bktlk_lineitem_{tag}"
+    bucketing.write_bucketed(
+        _load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        lt,
+        "l_orderkey",
+        8,
+        f"{base}/lineitem",
+    )
+    return bucketing.bucketed_lookup(
+        spark,
+        lt,
+        "l_orderkey",
+        [42, 1042],
+        {
+            "n_items": F.count(F.lit(1)).cast("long"),
+            "sum_revenue": F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+                ).cast("decimal(38,6)")
+            ).cast("double"),
+        },
+    )
+
+
+_BUCKETED_LOOKUP_SQL = f"""
+SELECT l_orderkey, COUNT(*)::BIGINT AS n_items,
+  {_sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_revenue')}
+FROM lineitem WHERE l_orderkey IN (42, 1042)
+GROUP BY l_orderkey
+"""
+
+
 def related_docs_tfidf(spark, sf_dir):
     """Sparse lexical retrieval (r9, new op): top-3 related documents per
     document by TF-IDF-weighted cosine over word 4-gram shingles
@@ -10340,6 +10392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kmeans_update": streaming_kmeans_update,
         "emb_label_outliers": emb_label_outliers,
         "bucketed_join_revenue": bucketed_join_revenue,
+        "bucketed_lookup_revenue": bucketed_lookup_revenue,
         "emb_truncated_recall": emb_truncated_recall,
         # slots 17-20: late-r9 NEW ops on their first-ever checks —
         # related_docs_tfidf (shingle TF-IDF cosine top-k retrieval),
@@ -10713,6 +10766,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_kmeans_update": _STREAM_KMEANS_SQL,
         "emb_label_outliers": _EMB_LABEL_OUTLIERS_SQL,
         "bucketed_join_revenue": _BUCKETED_JOIN_SQL,
+        "bucketed_lookup_revenue": _BUCKETED_LOOKUP_SQL,
         "emb_truncated_recall": _EMB_TRUNCATED_SQL,
         "related_docs_tfidf": _RELATED_DOCS_SQL,
         "lttb_downsample_events": _LTTB_SQL,

@@ -33,13 +33,35 @@ Mechanics worth knowing (encoded below, asserted by pytest):
   (`spark.sql.legacy.bucketedTableScan.outputOrdering` governs reusing
   the file order) — the expensive thing being eliminated is the
   EXCHANGE, and that elimination is what the audit asserts.
+* BUCKET PRUNING: an equality (or IN) filter on the bucket key lets the
+  scan skip every non-matching bucket FILE (`SelectedBucketsCount: k
+  out of n` in the plan) — a point lookup on a 100 TB bucketed fact
+  table reads 1/n of the files before any row filter runs.  Caveat:
+  Spark's `DisableUnnecessaryBucketedScan` rule (the
+  `autoBucketedScan` conf, on by default) turns the bucketed scan OFF
+  when nothing above it uses the bucket distribution, and pruning is
+  not counted as a use — so a BARE filter reads all buckets.  Group or
+  join on the bucket key above the lookup (the natural shape anyway,
+  and what `bucketed_lookup` emits) and the bucketed scan — and its
+  pruning — is retained.
+* AQE SKEW TRADE: AQE's skew-join splitting (`OptimizeSkewedJoin`)
+  operates on SHUFFLE blocks, so a bucketed SMJ — whose whole point is
+  having no Exchange — cannot be skew-split at runtime: a pathological
+  hot key is pinned to one bucket/task.  Bucketing trades runtime skew
+  handling for zero recurring shuffle; it is the right trade for
+  recurring fact-fact joins because bucket routing is a pure hash
+  (immune to the range-sampling skew AQE exists to fix) and a hot KEY
+  is a data problem salting solves at write time (`salted_join` covers
+  the query-time variant).  Pick bucket counts so the hottest expected
+  key's bucket still fits a task, or salt the layout.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-__all__ = ["write_bucketed", "bucketed_join"]
+__all__ = ["write_bucketed", "bucketed_join", "bucketed_lookup"]
 
 
 def write_bucketed(
@@ -84,4 +106,34 @@ def bucketed_join(
     right = spark.table(right_table)
     return left.join(
         right, left[left_key] == right[right_key], how
+    )
+
+
+def bucketed_lookup(
+    spark: SparkSession,
+    table: str,
+    key_col: str,
+    keys: list,
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Point lookup on a bucketed table that actually PRUNES buckets:
+    filter ``key_col IN keys`` (literals — pruning needs compile-time
+    values), then aggregate per key.  The groupBy on the bucket key is
+    what keeps Spark's `DisableUnnecessaryBucketedScan` rule from
+    switching the bucketed scan off (see module doc) — the scan then
+    reports ``SelectedBucketsCount: k out of n`` and reads ONLY the
+    matching bucket files, and the aggregation itself needs no
+    Exchange because the scan already delivers hash-distributed rows.
+
+    At 100 TB this is the metadata-only analogue of partition pruning
+    for HIGH-cardinality keys (where a directory per key is
+    impossible): 1/n of the files touched per probed key, zero shuffle.
+
+    ``aggs`` maps output column name -> aggregate Column.
+    """
+    if not keys:
+        raise ValueError("keys must be a non-empty list of literals")
+    df = spark.table(table).where(F.col(key_col).isin(list(keys)))
+    return df.groupBy(key_col).agg(
+        *[c.alias(n) for n, c in aggs.items()]
     )
