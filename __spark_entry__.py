@@ -9631,6 +9631,140 @@ def lttb_downsample_events(spark, sf_dir):
     return relational.lttb_downsample(ev, "ts", "user_id", "value", buckets=12)
 
 
+def lttb_m4_hourly(spark, sf_dir):
+    """Time-bucketed LTTB over M4 candidates per event type (r10, new
+    op): one visually-representative point per (event_type, hour) —
+    first/last hours keep their endpoint, every middle hour keeps the
+    M4 candidate (first/last by time, min/max by value — Jugel et al.
+    2014) maximizing the LTTB triangle against the neighbor hours'
+    exact average anchors (`relational.lttb_m4_downsample`).
+
+    This is the batch twin of `streaming_lttb_value`: every state
+    column is an exact decimal sum or a struct extremum, so the
+    continuous aggregate folds exactly-once under any micro-batch
+    split. Plan: one map-side-combinable partial agg over the data,
+    then windows over the MV-sized state only. ORACLE-CHECKED bitwise
+    (the selection itself, not just the plumbing)."""
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events")
+    return relational.lttb_m4_downsample(
+        ev, "ts", "event_type", "value", bucket_secs=3600
+    )
+
+
+def streaming_lttb_value(spark, sf_dir):
+    """STREAMING LTTB continuous-aggregate maintenance (r10, the 24th
+    streaming path — the downsampled dashboard series kept fresh at
+    ingest): events stream in as 4-file micro-batches; each batch
+    aggregates its own per-(event_type, hour) M4/anchor partials
+    (`relational.lttb_m4_partials`) and folds them into versioned
+    exactly-once state via `mv_stream_maintenance(agg_spec=
+    M4_LTTB_MERGE_SPEC)` — counts and decimal sums merge by SUM, the
+    four M4 candidate points by struct min/max, all associative AND
+    commutative, so the drained state equals the batch partials
+    bit-for-bit under ANY split and `lttb_m4_finalize` re-derives the
+    anchors and selected points at drain. ORACLE-CHECKED with the SAME
+    SQL as the batch twin `lttb_m4_hourly`."""
+    from henbun_spark import streaming
+    from henbun_spark.operators import relational
+
+    ev = _load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    base = _scratch_dir("henbun_slttb_")
+    in_dir = f"{base}/in"
+    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.mv_stream_maintenance(
+        stream,
+        lambda d: relational.lttb_m4_partials(
+            d, "ts", "value", 3600, key_col="event_type"
+        ),
+        ["event_type", "bucket_epoch"],
+        f"{base}/state",
+        f"{base}/ckpt",
+        agg_spec=relational.M4_LTTB_MERGE_SPEC,
+    )
+    q.awaitTermination()
+    mv = streaming.load_state(spark, f"{base}/state")
+    return relational.lttb_m4_finalize(mv, "event_type")
+
+
+_LTTB_M4_SQL = """
+WITH b AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
+         epoch_us(ts) AS x, value AS v
+  FROM events WHERE value IS NOT NULL),
+agg AS (
+  SELECT event_type, bucket_epoch, COUNT(*) AS n,
+    SUM(CAST(x AS HUGEINT)) AS sx,
+    SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6))) AS sy
+  FROM b GROUP BY 1, 2),
+rk AS (
+  SELECT event_type, bucket_epoch, x, v,
+    row_number() OVER (PARTITION BY event_type, bucket_epoch
+                       ORDER BY x ASC, v ASC) AS rf,
+    row_number() OVER (PARTITION BY event_type, bucket_epoch
+                       ORDER BY x DESC, v DESC) AS rl,
+    row_number() OVER (PARTITION BY event_type, bucket_epoch
+                       ORDER BY v ASC, x ASC) AS rmin,
+    row_number() OVER (PARTITION BY event_type, bucket_epoch
+                       ORDER BY v DESC, x DESC) AS rmax
+  FROM b),
+cand AS (
+  SELECT DISTINCT event_type, bucket_epoch, x, v
+  FROM rk WHERE rf = 1 OR rl = 1 OR rmin = 1 OR rmax = 1),
+anch AS (
+  SELECT event_type, bucket_epoch,
+    lag(CAST(sx AS DOUBLE) / n)
+      OVER (PARTITION BY event_type ORDER BY bucket_epoch) AS lx,
+    lag(CAST(sy AS DOUBLE) / n)
+      OVER (PARTITION BY event_type ORDER BY bucket_epoch) AS ly,
+    lead(CAST(sx AS DOUBLE) / n)
+      OVER (PARTITION BY event_type ORDER BY bucket_epoch) AS rx,
+    lead(CAST(sy AS DOUBLE) / n)
+      OVER (PARTITION BY event_type ORDER BY bucket_epoch) AS ry,
+    min(bucket_epoch) OVER (PARTITION BY event_type) AS bmin,
+    max(bucket_epoch) OVER (PARTITION BY event_type) AS bmax
+  FROM agg),
+firsts AS (
+  SELECT r.event_type, r.bucket_epoch,
+         r.x::BIGINT AS ts_epoch_us, r.v AS value
+  FROM rk r JOIN anch a
+    ON r.event_type = a.event_type AND r.bucket_epoch = a.bucket_epoch
+  WHERE r.bucket_epoch = a.bmin AND r.rf = 1),
+lasts AS (
+  SELECT r.event_type, r.bucket_epoch,
+         r.x::BIGINT AS ts_epoch_us, r.v AS value
+  FROM rk r JOIN anch a
+    ON r.event_type = a.event_type AND r.bucket_epoch = a.bucket_epoch
+  WHERE r.bucket_epoch = a.bmax AND r.rl = 1
+    AND (a.bmax <> a.bmin OR (r.x, r.v) <> (
+      SELECT (r2.x, r2.v) FROM rk r2
+      WHERE r2.event_type = r.event_type
+        AND r2.bucket_epoch = r.bucket_epoch AND r2.rf = 1))),
+scored AS (
+  SELECT c.event_type, c.bucket_epoch, c.x, c.v,
+    abs((a.lx - a.rx) * (c.v - a.ly)
+        - (a.lx - CAST(c.x AS DOUBLE)) * (a.ry - a.ly)) AS a2
+  FROM cand c JOIN anch a
+    ON c.event_type = a.event_type AND c.bucket_epoch = a.bucket_epoch
+  WHERE c.bucket_epoch > a.bmin AND c.bucket_epoch < a.bmax),
+picked AS (
+  SELECT event_type, bucket_epoch, x::BIGINT AS ts_epoch_us, v AS value
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type, bucket_epoch
+          ORDER BY a2 DESC, x ASC, v ASC) AS pk FROM scored)
+  WHERE pk = 1)
+SELECT * FROM firsts
+UNION ALL SELECT * FROM lasts
+UNION ALL SELECT * FROM picked
+"""
+
+
 _LTTB_SQL = """
 WITH pts AS (
   SELECT user_id, epoch_us(ts) AS xx, value AS yy,
@@ -10404,6 +10538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chunk_dedup_docs (all r5-green already) to the r10 tier.
         "related_docs_tfidf": related_docs_tfidf,
         "lttb_downsample_events": lttb_downsample_events,
+        "lttb_m4_hourly": lttb_m4_hourly,
+        "streaming_lttb_value": streaming_lttb_value,
         "twa_value_user": twa_value_user,
         "join_size_estimate_cms": join_size_estimate_cms,
         # slots 21-23: three more late-r9 NEW ops — counter_delta_user
@@ -10770,6 +10906,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_truncated_recall": _EMB_TRUNCATED_SQL,
         "related_docs_tfidf": _RELATED_DOCS_SQL,
         "lttb_downsample_events": _LTTB_SQL,
+        "lttb_m4_hourly": _LTTB_M4_SQL,
+        "streaming_lttb_value": _LTTB_M4_SQL,
         "twa_value_user": _TWA_SQL,
         "join_size_estimate_cms": _cms_join_size_sql(),
         "counter_delta_user": _COUNTER_DELTA_SQL,

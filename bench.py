@@ -183,6 +183,7 @@ HEADLINE = [
     "emb_truncated_recall",
     "related_docs_tfidf",
     "lttb_downsample_events",
+    "lttb_m4_hourly",
     "twa_value_user",
     "join_size_estimate_cms",
     "counter_delta_user",
@@ -196,6 +197,10 @@ HEADLINE = [
     # NOT timed: streaming_ohlc_value (r9) — same 4-commit foreachBatch
     # machinery; its batch twin ohlc_hourly_value IS timed above and
     # carries the scale story (one map-side-combinable aggregation).
+    # NOT timed: streaming_lttb_value (r10) — same 4-commit foreachBatch
+    # machinery; its batch twin lttb_m4_hourly IS timed above and
+    # carries the scale story (one mergeable partial agg + MV-sized
+    # finalize windows).
     # NOT timed: streaming_kmeans_update (r9) — 4-commit foreachBatch
     # machinery like the other streaming maintenance paths; its
     # assignment/sufficient-stats math is timed via emb_label_outliers

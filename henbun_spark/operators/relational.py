@@ -2514,6 +2514,201 @@ def lttb_downsample(
     return picked.unionByName(small)
 
 
+#: merge functions for `lttb_m4_partials` state under
+#: `merge_agg_states` / `mv_stream_maintenance` — counts and exact
+#: decimal sums merge by SUM, the four M4 candidate points by struct
+#: min/max; every column is associative AND commutative, so the drained
+#: streaming state equals the batch partials under ANY micro-batch split.
+M4_LTTB_MERGE_SPEC = {
+    "n_points": "sum",
+    "sx": "sum",
+    "sy": "sum",
+    "first_p": "min",
+    "last_p": "max",
+    "min_p": "min",
+    "max_p": "max",
+}
+
+
+def lttb_m4_partials(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_secs: int = 3600,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Mergeable per-time-bucket state for M4-candidate LTTB
+    downsampling (`lttb_m4_finalize`): exact anchor sums (decimal — the
+    epoch_us sum overflows BIGINT around 8k points/bucket) plus the
+    four M4 candidate points (first/last by time, min/max by value;
+    Jugel et al. 2014, "M4: A Visualization-Oriented Time Series Data
+    Aggregation" — the candidate set that renders pixel-exact line
+    charts) packed as min/max-foldable structs, the same arg-min trick
+    as `ohlc_partials`.
+
+    Unlike the rank-bucketed `lttb_downsample` (whose bucket of a point
+    depends on the FINAL per-key count, so nothing about it can fold
+    incrementally), time buckets are known at ingest and every state
+    column here is an exact sum or extremum — this is the continuous-
+    aggregate form of the downsampler, maintainable exactly-once under
+    `mv_stream_maintenance(agg_spec=M4_LTTB_MERGE_SPEC)`.
+
+    NULL readings are absent observations, dropped up front."""
+    df = df.where(F.col(value_col).isNotNull())
+    cols = [F.col(key_col)] if key_col else []
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
+        * bucket_secs
+    ).alias("bucket_epoch")
+    x = F.unix_micros(F.col(ts_col))
+    v = F.col(value_col).cast("double")
+    by_time = F.struct(x.alias("x"), v.alias("v"))
+    by_value = F.struct(v.alias("v"), x.alias("x"))
+    return (
+        df.select(
+            *cols,
+            bucket,
+            by_time.alias("__t"),
+            by_value.alias("__v"),
+            x.alias("__x"),
+            v.alias("__y"),
+        )
+        .groupBy(*([key_col] if key_col else []), "bucket_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("__x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(
+                F.round(F.col("__y"), 6).cast("decimal(38,6)")
+            ).alias("sy"),
+            F.min("__t").alias("first_p"),
+            F.max("__t").alias("last_p"),
+            F.min("__v").alias("min_p"),
+            F.max("__v").alias("max_p"),
+        )
+    )
+
+
+def lttb_m4_finalize(state: DataFrame, key_col: str) -> DataFrame:
+    """Project drained/aggregated `lttb_m4_partials` state to one
+    selected point per (key, time bucket): the first key-bucket keeps
+    its first point and the last keeps its last point (classic LTTB
+    endpoint pinning); every middle bucket keeps the M4 candidate
+    maximizing the LTTB triangle area against the neighbor buckets'
+    exact average-point anchors (the parallel averaged-anchor variant,
+    like `lttb_downsample`), ties broken (ts, value) ascending.
+
+    The triangle area |A + B*x + C*v| is linear in the point, so its
+    maximum over a bucket lies at an extreme point — the M4 set (time
+    and value extremes) holds the maximizers for every axis-dominant
+    anchor geometry and is the standard bounded preselection; the
+    selection is fully deterministic and engine-portable (the DuckDB
+    oracle runs the identical rule).
+
+    Plan: per-key windows over the STATE table (|keys| x |buckets|
+    rows — MV-sized, never the raw data), a <= 4-row explode per
+    bucket, one per-(key,bucket) argmax window.
+
+    Output: (key, bucket_epoch, ts_epoch_us BIGINT, value)."""
+    n = F.col("n_points")
+    wb = Window.partitionBy(key_col).orderBy("bucket_epoch")
+    wfull = wb.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = (
+        state.withColumn("__ax", F.col("sx").cast("double") / n)
+        .withColumn("__ay", F.col("sy").cast("double") / n)
+        .withColumn("__lx", F.lag("__ax").over(wb))
+        .withColumn("__ly", F.lag("__ay").over(wb))
+        .withColumn("__rx", F.lead("__ax").over(wb))
+        .withColumn("__ry", F.lead("__ay").over(wb))
+        .withColumn("__bmin", F.min("bucket_epoch").over(wfull))
+        .withColumn("__bmax", F.max("bucket_epoch").over(wfull))
+    )
+    firsts = s.where(F.col("bucket_epoch") == F.col("__bmin")).select(
+        key_col,
+        "bucket_epoch",
+        F.col("first_p.x").alias("ts_epoch_us"),
+        F.col("first_p.v").alias("value"),
+    )
+    lasts = s.where(
+        (F.col("bucket_epoch") == F.col("__bmax"))
+        & (
+            (F.col("__bmax") != F.col("__bmin"))
+            | (
+                (F.col("last_p.x") != F.col("first_p.x"))
+                | (F.col("last_p.v") != F.col("first_p.v"))
+            )
+        )
+    ).select(
+        key_col,
+        "bucket_epoch",
+        F.col("last_p.x").alias("ts_epoch_us"),
+        F.col("last_p.v").alias("value"),
+    )
+    mid = s.where(
+        (F.col("bucket_epoch") > F.col("__bmin"))
+        & (F.col("bucket_epoch") < F.col("__bmax"))
+    )
+
+    def pt(c):
+        return F.struct(
+            F.col(f"{c}.x").alias("x"), F.col(f"{c}.v").alias("v")
+        )
+
+    cand = mid.select(
+        key_col,
+        "bucket_epoch",
+        "__lx",
+        "__ly",
+        "__rx",
+        "__ry",
+        F.explode(
+            F.array_distinct(
+                F.array(pt("first_p"), pt("last_p"), pt("min_p"), pt("max_p"))
+            )
+        ).alias("c"),
+    )
+    area2 = F.abs(
+        (F.col("__lx") - F.col("__rx")) * (F.col("c.v") - F.col("__ly"))
+        - (F.col("__lx") - F.col("c.x").cast("double"))
+        * (F.col("__ry") - F.col("__ly"))
+    )
+    warg = Window.partitionBy(key_col, "bucket_epoch").orderBy(
+        F.col("__a2").desc(), F.col("c.x").asc(), F.col("c.v").asc()
+    )
+    picked = (
+        cand.withColumn("__a2", area2)
+        .withColumn("__pk", F.row_number().over(warg))
+        .where(F.col("__pk") == 1)
+        .select(
+            key_col,
+            "bucket_epoch",
+            F.col("c.x").alias("ts_epoch_us"),
+            F.col("c.v").alias("value"),
+        )
+    )
+    return firsts.unionByName(lasts).unionByName(picked)
+
+
+def lttb_m4_downsample(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    bucket_secs: int = 3600,
+) -> DataFrame:
+    """Time-bucketed LTTB downsampling over M4 candidates — the batch
+    twin of the streaming continuous-aggregate maintenance path (fold
+    `lttb_m4_partials` with `M4_LTTB_MERGE_SPEC`, then
+    `lttb_m4_finalize` at drain): one point per (key, time bucket)
+    preserving visual shape, from partials every column of which is
+    exactly mergeable."""
+    return lttb_m4_finalize(
+        lttb_m4_partials(df, ts_col, value_col, bucket_secs, key_col),
+        key_col,
+    )
+
+
 def counter_delta(
     df: DataFrame,
     ts_col: str,

@@ -1099,3 +1099,105 @@ def test_ohlc_stream_split_independent(spark, tmp_path):
     ]
     assert tie["open"] == min(in_bucket)[1] == -5.0
     assert tie["close"] == max(in_bucket)[1]
+
+
+def test_lttb_m4_stream_split_independent(spark, tmp_path):
+    """Streamed M4-LTTB partials (counts, decimal anchor sums, four
+    struct-extremum candidate points) drain to the SAME selected points
+    as the one-shot batch `lttb_m4_downsample` under different
+    micro-batch splits — every state column is an exact sum or an
+    associative+commutative extremum, and the anchors/argmax are
+    re-derived only at finalize."""
+    import datetime
+
+    from henbun_spark import streaming
+    from henbun_spark.operators import relational
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (
+            base + datetime.timedelta(seconds=(i * 977) % 14400),
+            "k%d" % (i % 2),
+            float((i * 31) % 23) - 7.0,
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "key", "value"])
+    batch = {
+        (r["key"], r["bucket_epoch"], r["ts_epoch_us"], r["value"])
+        for r in relational.lttb_m4_downsample(
+            df, "ts", "key", "value", 3600
+        ).collect()
+    }
+    assert batch  # sanity: selection produced rows
+
+    def partials(d):
+        return relational.lttb_m4_partials(d, "ts", "value", 3600, "key")
+
+    for nfiles in (1, 5):
+        in_dir = str(tmp_path / f"lttb{nfiles}")
+        df.repartition(nfiles).write.mode("overwrite").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = streaming.mv_stream_maintenance(
+            stream,
+            partials,
+            ["key", "bucket_epoch"],
+            str(tmp_path / f"lttb_state{nfiles}"),
+            str(tmp_path / f"lttb_ckpt{nfiles}"),
+            agg_spec=relational.M4_LTTB_MERGE_SPEC,
+        )
+        q.awaitTermination()
+        mv = streaming.load_state(spark, str(tmp_path / f"lttb_state{nfiles}"))
+        got = {
+            (r["key"], r["bucket_epoch"], r["ts_epoch_us"], r["value"])
+            for r in relational.lttb_m4_finalize(mv, "key").collect()
+        }
+        assert got == batch, nfiles
+
+
+def test_lttb_m4_selection_semantics(spark):
+    """Hand-checkable M4-LTTB: endpoints pinned, middle bucket keeps
+    the candidate maximizing the triangle against neighbor-average
+    anchors; a single-bucket key keeps first AND last point."""
+    import datetime
+
+    from henbun_spark.operators import relational
+
+    utc = datetime.timezone.utc
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=utc)
+
+    def at(h, mins=0):
+        return t0 + datetime.timedelta(hours=h, minutes=mins)
+
+    rows = [
+        # key a: three hourly buckets; middle bucket has a value spike
+        ("a", at(0), 0.0),
+        ("a", at(0, 30), 1.0),
+        ("a", at(1), 0.0),
+        ("a", at(1, 20), 50.0),  # the spike an AVG would smear
+        ("a", at(1, 40), 0.0),
+        ("a", at(2), 0.0),
+        ("a", at(2, 30), 2.0),
+        # key b: single bucket, two points -> first and last both kept
+        ("b", at(5), 3.0),
+        ("b", at(5, 10), 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["key", "ts", "value"])
+    out = relational.lttb_m4_downsample(df, "ts", "key", "value", 3600)
+    rows_out = [
+        (r["key"], r["bucket_epoch"], r["ts_epoch_us"], r["value"])
+        for r in out.collect()
+    ]
+    a = {(b): (x, v) for k, b, x, v in rows_out if k == "a"}
+    h = lambda k: int(at(k).timestamp()) // 3600 * 3600  # noqa: E731
+    us = lambda k, m=0: int(at(k, m).timestamp()) * 1_000_000  # noqa: E731
+    assert a[h(0)] == (us(0), 0.0)  # first point pinned
+    assert a[h(2)] == (us(2, 30), 2.0)  # last point pinned
+    assert a[h(1)] == (us(1, 20), 50.0)  # spike survives
+    bvals = sorted((x, v) for k, _b, x, v in rows_out if k == "b")
+    # single-bucket key keeps both endpoints
+    assert bvals == [(us(5), 3.0), (us(5, 10), 4.0)]
