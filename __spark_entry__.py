@@ -10563,50 +10563,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # --- driver-coverage rotation (round 9) ---
-        # The driver hash-checks the FIRST 50 entries each round. All 50
-        # are oracle-backed (tests/test_entry.py enforces it): slot 1 is
-        # streaming_static_enrich — driver-hash-red r6-r8 while locally
-        # bitwise-exact; r9 changes the RESULT REPRESENTATION to pure
-        # BIGINTs (integer cents) so no decimal reaches the driver hash,
-        # and the red query keeps its slot for the re-check; slots 2-5
-        # are FIRST-EVER hash checks: the r9 rows-only->oracle
-        # conversions that leave the registry with ZERO rows-only
-        # queries (vi_linear_regression / vi_minibatch_sgd /
-        # vi_staged_training via the bound-boolean recipe,
-        # gp_regression_events / gp_experts_events / the amortized
-        # encoder via exact payloads + noise-damped improvement and
-        # NaN-guard booleans, gp_sparse_posterior via a constant
-        # VALUES oracle + 6-sigma noise bound), the new
-        # row_ids_string_bins pinning the object-dtype searchsorted bin
-        # branch, and the three NEW ExactSubstr operators
-        # dedup_substring_spans / dedup_substring_removal /
-        # streaming_substr_index; slots 13-16 are the four mid-r9 NEW
-        # ops on their first-ever checks (streaming_kmeans_update —
-        # mini-batch-k-means sufficient-stats fold, integer-exact;
-        # emb_label_outliers — count-scaled integer centroid-distance
-        # ranking on the real table; bucketed_join_revenue — bucketBy
-        # co-located zero-exchange join layout; emb_truncated_recall —
-        # matryoshka truncated-dim retrieval eval), and slots 17-29 the
-        # thirteen late-r9 NEW ops (see the inline comments there). The
-        # 13-29 block means slots 30-40 are the 11 r4-last-green
-        # queries the r8 window deferred (q3/q4/q5/q6, rollup,
-        # running_total, session_window_agg, sessionize, set_ops,
-        # string_date, top_events_per_user — all re-greened here);
-        # slots 41-50 take the r5-last-green tier in registry order —
-        # the eleven entries displaced by the late-r9 first-ever slots
-        # (canonical_best/pagerank/triangle/chunk_dedup, rank_gauss,
-        # both dedup_components forms, observed_filter, anomaly pair,
-        # array_functions — all green in earlier rounds) roll to r10
-        # with the rest of the tier
-        # (incremental_dedup_new,
-        # pii_redact, lm_score_docs, lm_bigram_docs,
-        # gopher_quality_docs, mix_corpus_sources, pack_sequences_docs,
-        # training_shards_docs, contamination_check, token_histogram,
-        # hard_negatives_emb, emb_quantize, emb_lsh_recall,
-        # minhash_recall_docs, bloom_semi_lineitem, chunk_docs_overlap,
-        # quantile_sketch_value, transform_exp) roll to r10.
+    base = {
+        # Registration order below is historical; the driver-visible
+        # FIRST-50 window is set explicitly by the `window` list after
+        # this dict (r10 rotation — see the comment there).
         "streaming_static_enrich": streaming_static_enrich,
         "vi_linear_regression": vi_linear_regression,
         "vi_minibatch_sgd": vi_minibatch_sgd,
@@ -10625,49 +10585,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_revenue": bucketed_join_revenue,
         "bucketed_lookup_revenue": bucketed_lookup_revenue,
         "emb_truncated_recall": emb_truncated_recall,
-        # slots 17-20: late-r9 NEW ops on their first-ever checks —
-        # related_docs_tfidf (shingle TF-IDF cosine top-k retrieval),
-        # lttb_downsample_events (parallel averaged-anchor LTTB),
-        # twa_value_user (trapezoidal time-weighted average),
-        # join_size_estimate_cms (CM-sketch inner-product join
-        # cardinality); they displace dedup_canonical_best /
-        # pagerank_dup_graph / triangle_count_dupgraph /
-        # chunk_dedup_docs (all r5-green already) to the r10 tier.
         "related_docs_tfidf": related_docs_tfidf,
         "lttb_downsample_events": lttb_downsample_events,
         "lttb_m4_hourly": lttb_m4_hourly,
         "streaming_lttb_value": streaming_lttb_value,
         "twa_value_user": twa_value_user,
         "join_size_estimate_cms": join_size_estimate_cms,
-        # slots 21-23: three more late-r9 NEW ops — counter_delta_user
-        # (resets-aware counter increase), ohlc_hourly_value (arg-min
-        # candlesticks), hll_overlap_segments (HLL inclusion-exclusion
-        # audience overlap); they displace rank_gauss_value /
-        # dedup_components / dedup_components_star (all green in
-        # earlier rounds) to the r10 tier.
         "counter_delta_user": counter_delta_user,
         "ohlc_hourly_value": ohlc_hourly_value,
         "hll_overlap_segments": hll_overlap_segments,
-        # slot 24: the 23rd streaming path — OHLC MV maintenance
-        # (min/max struct merge states), first-ever check; displaces
-        # observed_filter_metrics (green in earlier rounds) to r10.
         "streaming_ohlc_value": streaming_ohlc_value,
-        # slot 25: profile_drift_docs (column-level snapshot drift
-        # report), first-ever check; displaces anomaly_mad_events
-        # (green in earlier rounds) to r10.
         "profile_drift_docs": profile_drift_docs,
-        # slots 26-27: event co-occurrence PMI + Markov transition
-        # matrix, first-ever checks; displace array_functions_emb /
-        # anomaly_zscore_events (green in earlier rounds) to r10.
         "event_cooccurrence_pmi": event_cooccurrence_pmi,
         "event_transition_matrix": event_transition_matrix,
-        # slot 28: emb_centroid_drift (per-label centroid movement
-        # between snapshots), first-ever check; displaces
-        # corr_lineitem_metrics (green in earlier rounds) to r10.
         "emb_centroid_drift": emb_centroid_drift,
-        # slot 29: session_top_paths (top session-opening journeys),
-        # first-ever check; displaces unpivot_pricing_metrics (green
-        # in earlier rounds) to r10.
         "session_top_paths": session_top_paths,
         "q3_top_orders": q3_top_orders,
         "q4_late_shipment_priority": q4_late_shipment_priority,
@@ -10690,8 +10621,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_by_type": hll_users_by_type,
         "row_ids_documents": row_ids_documents,
         "fuzzy_match_titles": fuzzy_match_titles,
-        # --- window boundary (slot 50 ends above): entries below are
-        # NOT hash-checked in r9
         "unpivot_pricing_metrics": unpivot_pricing_metrics,
         "corr_lineitem_metrics": corr_lineitem_metrics,
         "linreg_value_by_hour": linreg_value_by_hour,
@@ -10863,6 +10792,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_value": quantile_sketch_value,
         "transform_exp": transform_exp,
     }
+    # --- driver-coverage rotation (round 10) ---
+    # The driver hash-checks the FIRST 50 entries each round; all 50
+    # are oracle-backed (tests/test_entry.py enforces it). Slots 1-4:
+    # the four NEW r10 ops on their first-ever checks (winnowed
+    # ExactSubstr spans, bucket-pruned point lookup, M4-LTTB hourly
+    # batch twin, and the 24th streaming path streaming_lttb_value).
+    # Slots 5-39: the full r5-last-green cohort — the 35 queries whose
+    # latest green driver row is CORRECTNESS_r05, the registry's
+    # longest-unchecked tier. Slots 40-50: the r6-era streaming
+    # maintenance rows the r9 verdict named as the next-stalest cohort
+    # (sketch/MV/join/sessionize paths, all last green in r06).
+    window = [
+        "dedup_substring_winnowed",
+        "bucketed_lookup_revenue",
+        "lttb_m4_hourly",
+        "streaming_lttb_value",
+        "unpivot_pricing_metrics",
+        "corr_lineitem_metrics",
+        "linreg_value_by_hour",
+        "validate_constraints_events",
+        "merge_upsert_docs",
+        "scd2_user_intervals",
+        "array_functions_emb",
+        "anomaly_zscore_events",
+        "anomaly_mad_events",
+        "observed_filter_metrics",
+        "rank_gauss_value",
+        "dedup_components",
+        "dedup_components_star",
+        "dedup_canonical_best",
+        "pagerank_dup_graph",
+        "triangle_count_dupgraph",
+        "chunk_dedup_docs",
+        "incremental_dedup_new",
+        "pii_redact",
+        "lm_score_docs",
+        "lm_bigram_docs",
+        "gopher_quality_docs",
+        "mix_corpus_sources",
+        "pack_sequences_docs",
+        "training_shards_docs",
+        "contamination_check",
+        "token_histogram",
+        "hard_negatives_emb",
+        "emb_quantize",
+        "emb_lsh_recall",
+        "minhash_recall_docs",
+        "bloom_semi_lineitem",
+        "chunk_docs_overlap",
+        "quantile_sketch_value",
+        "transform_exp",
+        "streaming_mv_daily",
+        "streaming_heavy_hitters",
+        "streaming_hll_users",
+        "streaming_dedup_keys",
+        "streaming_hopping_counts",
+        "streaming_asof_purchase",
+        "streaming_interval_join",
+        "streaming_interval_left_join",
+        "streaming_sessionize",
+        "streaming_enrich_static",
+        "streaming_corpus_ingest",
+    ]
+    out = {n: base[n] for n in window}
+    out.update({n: f for n, f in base.items() if n not in out})
+    return out
+
 
 def oracle_sql() -> dict[str, str]:
     return {

@@ -63,15 +63,27 @@ def test_queries_dict_has_no_duplicate_keys():
     src = open(entry_mod.__file__).read()
     for node in ast.walk(ast.parse(src)):
         if isinstance(node, ast.FunctionDef) and node.name == "queries":
-            rets = [
-                n for n in ast.walk(node)
-                if isinstance(n, ast.Return)
-                and isinstance(n.value, ast.Dict)
+            dicts = [
+                n.value
+                for n in ast.walk(node)
+                if isinstance(n, ast.Assign) and isinstance(n.value, ast.Dict)
             ]
-            assert len(rets) == 1, "queries() should return one dict literal"
-            keys = [k.value for k in rets[0].value.keys]
+            assert len(dicts) == 1, "queries() should build one dict literal"
+            keys = [k.value for k in dicts[0].keys]
             dupes = sorted({k for k in keys if keys.count(k) > 1})
             assert not dupes, f"duplicate queries() keys: {dupes}"
+            # the explicit window list must be 50 unique, known names
+            lists = [
+                n.value
+                for n in ast.walk(node)
+                if isinstance(n, ast.Assign)
+                and isinstance(n.value, ast.List)
+            ]
+            assert len(lists) == 1, "queries() should set one window list"
+            win = [e.value for e in lists[0].elts]
+            assert len(win) == 50 and len(set(win)) == 50
+            missing = [n for n in win if n not in keys]
+            assert not missing, f"window names not in registry: {missing}"
             return
     raise AssertionError("queries() literal not found")
 
