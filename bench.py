@@ -322,8 +322,11 @@ def main():
     # the min of two spaced attempts is the standard hedge and tracks
     # the plan's real cost instead of host noise.
     attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
+    verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1"
     times = {}
     for name in HEADLINE:
+        if verbose:
+            print(f"# bench start {name}", file=sys.stderr, flush=True)
         fn = qs[name]
         best = None
         failed = False
@@ -362,6 +365,9 @@ def main():
                 if dt is not None:
                     best = min(best, dt)
         times[name] = -1.0 if best is None else round(best, 3)
+        if verbose:
+            print(f"# bench done  {name}: {times[name]}", file=sys.stderr,
+                  flush=True)
         # safe here: the query's derived frames were just materialized
         relational.release_scaffold_caches()
     full, line = format_output(times, sf)
