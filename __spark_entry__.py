@@ -170,9 +170,9 @@ def q3_top_orders(spark, sf_dir):
     li = _load(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     out = (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            cust.where(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("o_orderkey")
@@ -210,9 +210,9 @@ def q5_nation_revenue(spark, sf_dir):
     nation = _load(spark, sf_dir, "nation")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     out = (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -299,7 +299,7 @@ def q12_priority_by_status(spark, sf_dir):
     orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_linestatus")
         .agg(
             F.sum(high).alias("high_line_count"),
@@ -332,7 +332,7 @@ def q14_promo_revenue(spark, sf_dir):
     joined = li.where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
-    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    ).join(part, F.col("l_partkey") == F.col("p_partkey"))
     agg = joined.agg(
         _dsum(promo, "promo_revenue"), _dsum(rev, "total_revenue")
     )
@@ -5574,10 +5574,10 @@ def q7_volume_shipping(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
@@ -5642,15 +5642,15 @@ def q8_market_share(spark, sf_dir):
     tgt = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
     return (
         li.join(
-            F.broadcast(part.select("p_partkey")),
+            part.select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
             orders.select("o_orderkey", "o_custkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(amer_cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(amer_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(_dsum(tgt, "nation_volume"), _dsum(vol, "total_volume"))
@@ -5708,7 +5708,7 @@ def q10_returned_items(spark, sf_dir):
             orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_dsum(rev, "revenue"))
@@ -5799,7 +5799,7 @@ def q15_top_supplier(spark, sf_dir):
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
         rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -5832,7 +5832,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
     li = _load(spark, sf_dir, "lineitem")
     part = _load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
     filtered = li.join(
-        F.broadcast(part.select("p_partkey")),
+        part.select("p_partkey"),
         F.col("l_partkey") == F.col("p_partkey"),
     )
     per_part = filtered.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
@@ -5840,7 +5840,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
     )
     return (
         filtered.join(
-            F.broadcast(per_part), F.col("l_partkey") == F.col("ap_partkey")
+            per_part, F.col("l_partkey") == F.col("ap_partkey")
         )
         .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -5887,7 +5887,7 @@ def q18_large_orders(spark, sf_dir):
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -5920,7 +5920,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
     """
     li = _load(spark, sf_dir, "lineitem")
     part = _load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     c1 = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)
@@ -5996,7 +5996,7 @@ def q21_waiting_suppliers(spark, sf_dir):
     return (
         j.where(late)
         .join(stats, "l_orderkey")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
@@ -6752,7 +6752,7 @@ def cohort_retention(spark, sf_dir):
     )
     first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        days.join(F.broadcast(first), "user_id")
+        days.join(first, "user_id")
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
