@@ -918,7 +918,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     from henbun_spark.operators import dedup
 
     docs = _load(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=8, bands=4)
+    # max_bucket: the designed skew guard (see minhash_lsh_pairs) — a
+    # band-minimum shared by k docs yields k^2 candidate pairs. At the
+    # driver SFs no bucket exceeds 500, so the cap is measurement-free
+    # (identical candidates/recall); at the sf1 probe 96 degenerate
+    # buckets (>500 members) carried 263M of the 273M intermediate
+    # pairs and wedged the 24g heap — capped: 16.5s, 38x faster.
+    return dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=8, bands=4, max_bucket=500
+    )
 
 
 _MINHASH_SQL = """
@@ -932,10 +940,13 @@ WITH sh AS (
     min(substr(md5((band // 4)::VARCHAR || '|' || s), (band % 4) * 8 + 1, 8)) AS mh
   FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)
   GROUP BY doc_id, band
+), kept AS (
+  SELECT band, mh FROM sig GROUP BY band, mh HAVING COUNT(*) <= 500
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   COUNT(DISTINCT a.band) AS n_bands
-FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh
+FROM sig a JOIN kept k ON a.band = k.band AND a.mh = k.mh
+JOIN sig b ON a.band = b.band AND a.mh = b.mh
   AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING COUNT(DISTINCT a.band) >= 1
@@ -1362,17 +1373,24 @@ def minhash_recall_docs(spark, sf_dir):
     # each pair set feeds two plan branches (its own count + the
     # intersection); checkpoint so the shingle/signature pipelines run
     # once, not per branch
+    from pyspark.storagelevel import StorageLevel
+
     truth = (
         dedup.ngram_jaccard_pairs(
             docs, "text", "doc_id", n=5, threshold=0.35, max_df=100
         )
         .select("id_a", "id_b")
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
+    # same max_bucket cap as the production dedup_minhash_lsh pass (the
+    # sf1 probe wedged the 24g heap on the UNCAPPED candidate set);
+    # DISK_ONLY checkpoints keep the materialized pair sets off-heap
     cands = (
-        dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=8, bands=4)
+        dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", n=8, bands=4, max_bucket=500
+        )
         .select("id_a", "id_b")
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     common = truth.intersect(cands)
     return (
@@ -1401,9 +1419,13 @@ msh AS (
   FROM msh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)
   GROUP BY doc_id, band
 ),
+mkept AS (
+  SELECT band, mh FROM msig GROUP BY band, mh HAVING COUNT(*) <= 500
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM msig a JOIN msig b ON a.band = b.band AND a.mh = b.mh
+  FROM msig a JOIN mkept k ON a.band = k.band AND a.mh = k.mh
+  JOIN msig b ON a.band = b.band AND a.mh = b.mh
     AND a.doc_id < b.doc_id
 ),
 truth AS (SELECT id_a, id_b FROM jac),

@@ -323,8 +323,18 @@ def main():
     # the plan's real cost instead of host noise.
     attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
     verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1"
+    # probe-run helpers: SPARK_GRAFT_BENCH_START resumes the list from a
+    # named query; SPARK_GRAFT_BENCH_ONLY runs a comma-separated subset.
+    headline = list(HEADLINE)
+    start_at = os.environ.get("SPARK_GRAFT_BENCH_START")
+    if start_at:
+        headline = headline[headline.index(start_at):]
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        pick = [n.strip() for n in only.split(",") if n.strip()]
+        headline = [n for n in headline if n in pick]
     times = {}
-    for name in HEADLINE:
+    for name in headline:
         if verbose:
             print(f"# bench start {name}", file=sys.stderr, flush=True)
         fn = qs[name]
