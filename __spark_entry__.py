@@ -3247,18 +3247,20 @@ def split_leakage_report(spark, sf_dir):
     EVAL-side doc) crossing-pair count and distinct leaked eval docs —
     the table that decides whether to re-split or drop. Scale shape ==
     the LSH pass + two broadcast-joinable flag lookups; the split
-    predicate is a pure Column, so nothing new shuffles. At 100 TB run
-    `exact_dedup` first and pass `max_bucket` (mass-duplicated
-    boilerplate puts k copies in one bucket per band = k^2 pairs — see
-    `minhash_lsh_pairs`); the contract query keeps the exact/oracle
-    mode on the pre-deduped testdata."""
+    predicate is a pure Column, so nothing new shuffles. Runs with the
+    same `max_bucket=500` skew cap as `dedup_minhash_lsh` (r10 —
+    measurement-free at the driver SFs where no bucket exceeds 500,
+    38x at the sf1 probe; the oracle applies the identical filter via
+    the shared minhash CTE)."""
     from henbun_spark.operators import dedup, sampling
 
     docs = _load(spark, sf_dir, "documents")
     flags = sampling.hash_split(docs, "doc_id", test_pct=10).select(
         "doc_id", "source", "is_test"
     )
-    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=8, bands=4)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=8, bands=4, max_bucket=500
+    )
     crossed = (
         pairs.join(
             flags.select(
