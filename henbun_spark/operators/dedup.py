@@ -898,17 +898,22 @@ def duplicate_substring_spans_winnowed(
         ),
     )
     # one selection per full band window; a doc with fewer than `band`
-    # windows still yields one (slice returns the shorter remainder)
+    # windows still yields one (slice returns the shorter remainder).
+    # `keys` MUST be materialized as a projected column before the
+    # band-min transform references it: inlined, Catalyst re-evaluates
+    # the whole m-element md5 array once PER WINDOW — O(m^2) digests
+    # per doc (measured 768s vs 21s at the sf1 probe).
     n_windows = F.greatest(m - F.lit(band - 1), F.lit(1))
     selected = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), n_windows),
-            lambda j: F.array_min(F.slice(keys, j, band)),
+            lambda j: F.array_min(F.slice(F.col("__keys"), j, band)),
         )
     )
     sel = (
         ensure_parallelism(df.select(id_col, text_col))
         .where(F.length(txt) >= min_len)
+        .withColumn("__keys", keys)
         .select(F.col(id_col), F.explode(selected).alias("key"))
         .select(
             F.col(id_col),
