@@ -7034,23 +7034,35 @@ def fuzzy_match_titles(spark, sf_dir):
     titled = docs.select(
         "doc_id", F.substring("text", 1, 16).alias("title")
     )
+    # max_block: first-token blocks have FIXED cardinality (vocabulary-
+    # bounded), so sum(block^2) grows quadratically with the corpus —
+    # the sf1 probe measured 121x time for 10x rows. Deterministic
+    # block splitting caps the work at ~n * max_block; at the driver
+    # SFs every block is under the cap, so results are unchanged.
     return text_ops.fuzzy_pairs(
         titled,
         "title",
         "doc_id",
         block_expr=F.split(F.col("title"), " ")[0],
         max_distance=4,
+        max_block=512,
     )
 
 
 _FUZZY_SQL = """
 WITH t AS (
   SELECT doc_id, substr(text, 1, 16) AS title,
-         str_split(substr(text, 1, 16), ' ')[1] AS blk
-  FROM documents)
+         str_split(substr(text, 1, 16), ' ')[1] AS blk0
+  FROM documents),
+c AS (SELECT blk0, CAST(CEIL(COUNT(*) / 512.0) AS BIGINT) AS ns
+      FROM t GROUP BY blk0),
+tb AS (
+  SELECT doc_id, title,
+    blk0 || '#' || CAST(((instr('0123456789abcdef', substr(md5(title), 1, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(md5(title), 2, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(md5(title), 3, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(md5(title), 4, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(md5(title), 5, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5(title), 6, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5(title), 7, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(title), 8, 1)) - 1) * 1) % ns AS VARCHAR) AS blk
+  FROM t JOIN c USING (blk0))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   levenshtein(a.title, b.title)::INT AS distance
-FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+FROM tb a JOIN tb b ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE levenshtein(a.title, b.title) <= 4
 """
 

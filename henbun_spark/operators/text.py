@@ -486,6 +486,7 @@ def fuzzy_pairs(
     id_col: str,
     block_expr,
     max_distance: int = 4,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Blocked fuzzy self-join: candidate pairs whose `text_col` values
     are within `max_distance` Levenshtein edits, generated ONLY inside
@@ -497,12 +498,42 @@ def fuzzy_pairs(
     JVM-side (`F.levenshtein`, codegen) on the candidates only. Recall
     is bounded by the blocking key (pairs differing in the key are never
     compared) — standard multi-pass blocking stacks more keys via union.
+
+    `max_block` is the degenerate-block guard for 100 TB runs: a FIXED-
+    cardinality blocking key makes sum(block^2) quadratic in corpus
+    size (the sf1 probe measured 121x time for 10x rows on first-token
+    blocks over a 30-word vocabulary). When a block exceeds the cap it
+    is deterministically SPLIT into ceil(size/max_block) sub-blocks by
+    an md5 of the string itself (block splitting, the standard
+    entity-resolution mitigation next to block purging) — candidate
+    volume is then bounded by ~n * max_block (linear), identical-string
+    pairs always co-block, and near-pairs split apart are the recall
+    price the cap buys bounded work with. None = exact mode; at sizes
+    below the cap the split is the identity, so results are unchanged
+    wherever the cap doesn't bite.
     """
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("t"),
         block_expr.alias("blk"),
     )
+    if max_block is not None:
+        counts = keyed.groupBy("blk").agg(F.count(F.lit(1)).alias("__n"))
+        nsplit = F.ceil(F.col("__n") / F.lit(max_block)).cast("long")
+        sub = F.pmod(
+            F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long"),
+            nsplit,
+        )
+        keyed = (
+            keyed.join(counts, "blk")
+            .select(
+                "id",
+                "t",
+                F.concat_ws("#", F.col("blk"), sub.cast("string")).alias(
+                    "blk"
+                ),
+            )
+        )
     a = keyed.select(F.col("blk"), F.col("id").alias("id_a"), F.col("t").alias("t_a"))
     b = keyed.select(F.col("blk"), F.col("id").alias("id_b"), F.col("t").alias("t_b"))
     return (
