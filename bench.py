@@ -307,9 +307,11 @@ def main():
             force(qs[warm](spark, sf_dir))
         except Exception:  # pragma: no cover
             pass
-    # calibrate the throttle-sentinel probe floor on the warmed JVM
+    # calibrate the throttle-sentinel probe floor on the warmed JVM.
+    # The floor keeps tightening as a ROLLING MIN over every probe the
+    # run executes: a calibration that lands inside a loud burst would
+    # otherwise inflate the threshold for the whole run.
     floor = min(probe_once(spark) for _ in range(PROBE_CAL_RUNS))
-    threshold = probe_threshold(floor)
     throttle_events = []
     reruns_left = MAX_RERUNS
 
@@ -354,11 +356,13 @@ def main():
         # probe to recover, then give the query one clean re-run.
         if not failed and best is not None and reruns_left > 0:
             p = probe_once(spark)
-            if p > threshold:
+            floor = min(floor, p)  # rolling min — see calibration note
+            if p > probe_threshold(floor):
                 for _ in range(RECOVERY_TRIES):
                     time.sleep(2.0)
                     p = probe_once(spark)
-                    if p <= threshold:
+                    floor = min(floor, p)
+                    if p <= probe_threshold(floor):
                         break
                 reruns_left -= 1
                 try:
@@ -384,7 +388,7 @@ def main():
     full, line = format_output(times, sf)
     full["throttle"] = {
         "probe_floor": round(floor, 4),
-        "threshold": round(threshold, 4),
+        "threshold": round(probe_threshold(floor), 4),
         "events": throttle_events,
         "reruns_used": MAX_RERUNS - reruns_left,
     }
