@@ -2146,8 +2146,8 @@ def dedup_substring_winnowed(spark, sf_dir):
     )
 
 
-_SUBSTR_WINNOW_SQL = """
-WITH pos AS (
+_WINNOW_SEL_CTE = """
+pos AS (
   SELECT doc_id, text, length(text) - 23 AS m,
          unnest(generate_series(1, length(text) - 23)) AS i
   FROM documents WHERE length(text) >= 24),
@@ -2163,7 +2163,11 @@ selraw AS (
 sel AS (
   SELECT DISTINCT doc_id, substr(sel_key, 1, 32) AS digest,
          CAST(substr(sel_key, 33, 12) AS BIGINT) AS i
-  FROM selraw WHERE i <= greatest(m - 7, 1)),
+  FROM selraw WHERE i <= greatest(m - 7, 1))
+"""
+
+_SUBSTR_WINNOW_SQL = f"""
+WITH {_WINNOW_SEL_CTE.strip()},
 dups AS (SELECT digest FROM sel GROUP BY digest HAVING COUNT(*) > 1),
 hits AS (SELECT doc_id, i FROM sel JOIN dups USING (digest)),
 marked AS (
@@ -2180,6 +2184,67 @@ SELECT doc_id, MIN(i)::BIGINT AS span_start,
   (MAX(i) + 23)::BIGINT AS span_end, COUNT(*)::BIGINT AS n_shingles,
   (MAX(i) + 23 - MIN(i) + 1)::BIGINT AS span_len
 FROM isl GROUP BY doc_id, g
+"""
+
+
+def streaming_winnow_index(spark, sf_dir):
+    """NEW r10 streaming path (#25): the INCREMENTAL twin of the
+    winnowed ExactSubstr pass — a persistent SELECTED-fingerprint
+    index. Documents stream in as 4-file micro-batches; each batch
+    computes its own docs' winnowed fingerprints
+    (`dedup.winnowed_fingerprints` — content-LOCAL per doc, so the
+    same doc selects the same fingerprints whichever batch it arrives
+    in) and folds (digest -> min canonical_id, occurrence count)
+    partials into versioned exactly-once state via
+    `mv_stream_maintenance(agg_spec={canonical_id: min})`. Carries
+    ~2/(band+1) of the exact index's rows (the winnowing density) with
+    the same deterministic detection floor (spans >= min_len + band -
+    1); the drained duplicated-fingerprint index == the batch winnowed
+    selection's digest groupBy bit-for-bit. ORACLE-CHECKED against the
+    same selection CTE the batch `dedup_substring_winnowed` oracle
+    uses."""
+    from henbun_spark import streaming
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _scratch_dir("henbun_swx_")
+    in_dir = f"{base}/in"
+    docs.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def partials(d):
+        return (
+            dedup.winnowed_fingerprints(d, "text", "doc_id", 24, 8)
+            .groupBy("digest")
+            .agg(
+                F.min("doc_id").alias("canonical_id"),
+                F.count(F.lit(1)).alias("n_occ"),
+            )
+        )
+
+    q = streaming.mv_stream_maintenance(
+        stream,
+        partials,
+        ["digest"],
+        f"{base}/state",
+        f"{base}/ckpt",
+        agg_spec={"canonical_id": "min"},
+    )
+    q.awaitTermination()
+    idx = streaming.load_state(spark, f"{base}/state")
+    return idx.where(F.col("n_occ") > 1).select(
+        "digest", "canonical_id", F.col("n_occ").cast("long").alias("n_occ")
+    )
+
+
+_STREAM_WINNOW_INDEX_SQL = f"""
+WITH {_WINNOW_SEL_CTE.strip()}
+SELECT digest, MIN(doc_id) AS canonical_id, COUNT(*)::BIGINT AS n_occ
+FROM sel GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
@@ -10615,6 +10680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": dedup_substring_spans,
         "dedup_substring_removal": dedup_substring_removal,
         "dedup_substring_winnowed": dedup_substring_winnowed,
+        "streaming_winnow_index": streaming_winnow_index,
         "streaming_substr_index": streaming_substr_index,
         "streaming_kmeans_update": streaming_kmeans_update,
         "emb_label_outliers": emb_label_outliers,
@@ -10834,7 +10900,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the four NEW r10 ops on their first-ever checks (winnowed
     # ExactSubstr spans, bucket-pruned point lookup, M4-LTTB hourly
     # batch twin, and the 24th streaming path streaming_lttb_value).
-    # Slots 5-39: the full r5-last-green cohort — the 35 queries whose
+    # Slot 5: streaming_winnow_index, the late-r10 25th streaming path
+    # on its first-ever check (displacing transform_exp, 1 green, the
+    # cheapest loss in the r5 tier). Slots 6-39: the r5-last-green
+    # cohort — the queries whose
     # latest green driver row is CORRECTNESS_r05, the registry's
     # longest-unchecked tier. Slots 40-50: the r6-era streaming
     # maintenance rows the r9 verdict named as the next-stalest cohort
@@ -10844,6 +10913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_lookup_revenue",
         "lttb_m4_hourly",
         "streaming_lttb_value",
+        "streaming_winnow_index",
         "unpivot_pricing_metrics",
         "corr_lineitem_metrics",
         "linreg_value_by_hour",
@@ -10878,7 +10948,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_lineitem",
         "chunk_docs_overlap",
         "quantile_sketch_value",
-        "transform_exp",
         "streaming_mv_daily",
         "streaming_heavy_hitters",
         "streaming_hll_users",
@@ -11024,6 +11093,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_spans": _SUBSTR_SPANS_SQL,
         "dedup_substring_removal": _SUBSTR_REMOVAL_SQL,
         "dedup_substring_winnowed": _SUBSTR_WINNOW_SQL,
+        "streaming_winnow_index": _STREAM_WINNOW_INDEX_SQL,
         # r9 NEW streaming path: incremental ExactSubstr window index
         "streaming_substr_index": _STREAM_SUBSTR_INDEX_SQL,
         # r9 NEW ops (mid-round): integer-exact streaming mini-batch

@@ -882,6 +882,32 @@ def duplicate_substring_spans_winnowed(
     Output: (id, span_start, span_end, span_len, n_shingles) — 1-based
     inclusive char offsets; n_shingles counts SELECTED hit windows.
     """
+    sel = winnowed_fingerprints(df, text_col, id_col, min_len, band)
+    dup = (
+        sel.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > 1)
+        .select("digest")
+    )
+    hits = sel.join(dup, "digest").select(id_col, "i")
+    return _merge_window_hits(hits, id_col, min_len)
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 24,
+    band: int = 8,
+) -> DataFrame:
+    """The SWA-winnowing fingerprint selection shared by the batch span
+    detector and the streaming index: per doc, (digest, position) of
+    each band window's minimal `min_len`-char digest — entirely
+    map-side array Column math, ~2/(band+1) of the positions. The
+    selection is content-local per document, so it is micro-batch
+    independent: the same doc selects the same fingerprints whichever
+    batch it arrives in (what makes the streaming fold exactly-once
+    mergeable). Output: (id, digest, i)."""
     if band < 1:
         raise ValueError(f"band must be >= 1, got {band}")
     txt = F.col(text_col)
@@ -910,7 +936,7 @@ def duplicate_substring_spans_winnowed(
             lambda j: F.array_min(F.slice(F.col("__keys"), j, band)),
         )
     )
-    sel = (
+    return (
         ensure_parallelism(df.select(id_col, text_col))
         .where(F.length(txt) >= min_len)
         .withColumn("__keys", keys)
@@ -921,14 +947,6 @@ def duplicate_substring_spans_winnowed(
             F.substring("key", 33, 12).cast("long").alias("i"),
         )
     )
-    dup = (
-        sel.groupBy("digest")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .where(F.col("__df") > 1)
-        .select("digest")
-    )
-    hits = sel.join(dup, "digest").select(id_col, "i")
-    return _merge_window_hits(hits, id_col, min_len)
 
 
 def remove_duplicate_spans(

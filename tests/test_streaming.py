@@ -1159,6 +1159,73 @@ def test_lttb_m4_stream_split_independent(spark, tmp_path):
         assert got == batch, nfiles
 
 
+def test_winnow_index_stream_split_independent(spark, tmp_path):
+    """The winnowed-fingerprint selection is content-LOCAL per doc, so
+    streamed (digest -> min canonical, count) partials fold to the same
+    drained index under any micro-batch split, and equal the one-shot
+    batch selection's groupBy."""
+    from pyspark.sql import functions as F
+
+    from henbun_spark import streaming
+    from henbun_spark.operators import dedup
+
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789abcd"
+    rows = [
+        (1, "xx" + shared + "tail-one-unique-suffix-aa"),
+        (2, "yy-different-head-" + shared + "zz"),
+        (3, "totally unrelated text with no duplicate windows...."),
+        (4, "another unrelated filler document for the stream....."),
+        (5, "fifth document, also unique content, nothing shared.."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    batch = {
+        (r["digest"], r["canonical_id"], r["n_occ"])
+        for r in dedup.winnowed_fingerprints(df, "text", "doc_id", 24, 8)
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_occ") > 1)
+        .collect()
+    }
+    assert batch  # the planted 40-char duplicate must select shared keys
+
+    def partials(d):
+        return (
+            dedup.winnowed_fingerprints(d, "text", "doc_id", 24, 8)
+            .groupBy("digest")
+            .agg(
+                F.min("doc_id").alias("canonical_id"),
+                F.count(F.lit(1)).alias("n_occ"),
+            )
+        )
+
+    for nfiles in (1, 5):
+        in_dir = str(tmp_path / f"wx{nfiles}")
+        df.repartition(nfiles).write.mode("overwrite").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = streaming.mv_stream_maintenance(
+            stream,
+            partials,
+            ["digest"],
+            str(tmp_path / f"wx_state{nfiles}"),
+            str(tmp_path / f"wx_ckpt{nfiles}"),
+            agg_spec={"canonical_id": "min"},
+        )
+        q.awaitTermination()
+        idx = streaming.load_state(spark, str(tmp_path / f"wx_state{nfiles}"))
+        got = {
+            (r["digest"], r["canonical_id"], r["n_occ"])
+            for r in idx.where(F.col("n_occ") > 1).collect()
+        }
+        assert got == batch, nfiles
+
+
 def test_lttb_m4_selection_semantics(spark):
     """Hand-checkable M4-LTTB: endpoints pinned, middle bucket keeps
     the candidate maximizing the triangle against neighbor-average
