@@ -240,6 +240,14 @@ THROTTLE_FACTOR = 5.0
 PROBE_ABS_FLOOR = 0.08  # never flag below this, however fast the floor
 MAX_RERUNS = 25  # suite-wide budget for sentinel-triggered re-runs
 RECOVERY_TRIES = 6  # probe re-checks (2s apart) before re-running anyway
+# Regime gauge (round 11): the burst sentinel above catches 5x SPIKES,
+# but round 10 hit a second regime — UNIFORM 1.2-1.6x drag across every
+# query, each probe individually under threshold. The gauge classifies
+# the RUN: median of all per-query probe samples vs the run's own floor
+# (rolling min = its quietest moment). Median > REGIME_FACTOR x floor
+# means most of the run sat above its own best ⇒ archive marked "loud"
+# and its numbers should only enter cross-run-minima comparisons.
+REGIME_FACTOR = 1.3
 
 
 def probe_once(spark):
@@ -313,6 +321,7 @@ def main():
     # otherwise inflate the threshold for the whole run.
     floor = min(probe_once(spark) for _ in range(PROBE_CAL_RUNS))
     throttle_events = []
+    probe_samples = []  # every per-query probe, for the regime gauge
     reruns_left = MAX_RERUNS
 
     def timed_run(fn):
@@ -331,6 +340,13 @@ def main():
     headline = list(HEADLINE)
     start_at = os.environ.get("SPARK_GRAFT_BENCH_START")
     if start_at:
+        if start_at not in headline:
+            print(
+                f"bench: SPARK_GRAFT_BENCH_START={start_at!r} is not a "
+                f"HEADLINE query. Valid entries:\n  " + "\n  ".join(headline),
+                file=sys.stderr,
+            )
+            sys.exit(2)
         headline = headline[headline.index(start_at):]
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
@@ -356,6 +372,7 @@ def main():
         # probe to recover, then give the query one clean re-run.
         if not failed and best is not None and reruns_left > 0:
             p = probe_once(spark)
+            probe_samples.append(p)
             floor = min(floor, p)  # rolling min — see calibration note
             if p > probe_threshold(floor):
                 for _ in range(RECOVERY_TRIES):
@@ -386,11 +403,24 @@ def main():
         # safe here: the query's derived frames were just materialized
         relational.release_scaffold_caches()
     full, line = format_output(times, sf)
+    probe_median = (
+        sorted(probe_samples)[len(probe_samples) // 2] if probe_samples else None
+    )
+    gauge = (
+        None
+        if probe_median is None
+        else probe_median / max(floor, 1e-9)
+    )
     full["throttle"] = {
         "probe_floor": round(floor, 4),
         "threshold": round(probe_threshold(floor), 4),
         "events": throttle_events,
         "reruns_used": MAX_RERUNS - reruns_left,
+        # regime gauge: suite-median probe vs the run's own quietest
+        # probe. "loud" ⇒ uniform host drag; compare via cross-run minima.
+        "probe_median": None if probe_median is None else round(probe_median, 4),
+        "regime_gauge": None if gauge is None else round(gauge, 3),
+        "regime": None if gauge is None else ("loud" if gauge > REGIME_FACTOR else "quiet"),
     }
     # complete dump -> stderr + BENCH_FULL.json (tools/bench_diff.py);
     # stdout -> exactly one compact parseable line for the driver
