@@ -1894,7 +1894,7 @@ def _zorder_sql() -> str:
     return f"""
 WITH base AS (
   SELECT user_id,
-         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 1024 AS hr
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) % 1024 AS hr
   FROM events),
 z AS (SELECT user_id, hr, {layout.zorder_sql(["user_id", "hr"], 16)} AS zv
       FROM base)
@@ -2305,6 +2305,45 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def simhash_neighbor_stats(spark, sf_dir):
+    """Scale-mode twin of simhash_near_pairs: per-doc near-neighbor count +
+    deterministic top-3 nearest (hamming, id tie-break) — O(n*k) output at
+    any SF, where the full pair set is output-bound quadratic on
+    self-similar corpora (165.9M rows at sf1). Same pigeonhole banding;
+    hamming filtered before any post-join shuffle."""
+    from henbun_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.simhash_neighbor_topk(
+        docs, "text", "doc_id", bits=32, max_hamming=3, k=3
+    )
+
+
+_SIMHASH_NEIGHBOR_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), fp AS (
+  SELECT doc_id, ({_simhash_bits_sql(32)})::BIGINT AS simhash
+  FROM toks GROUP BY doc_id
+), near AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS nbr_id,
+    bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+  FROM fp a JOIN fp b ON a.doc_id <> b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), ranked AS (
+  SELECT doc_id, nbr_id, hamming,
+    COUNT(*) OVER (PARTITION BY doc_id) AS n_near,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY hamming, nbr_id) AS nn_rank
+  FROM near)
+SELECT doc_id, n_near::BIGINT AS n_near, nn_rank::INT AS nn_rank,
+  nbr_id, hamming
+FROM ranked WHERE nn_rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents table)
 # ---------------------------------------------------------------------------
@@ -2657,9 +2696,9 @@ sess AS (
   GROUP BY user_id, sess_id),
 hours AS (
   SELECT unnest(generate_series(
-    CAST(floor(epoch(t0)) AS BIGINT) // 3600,
+    CAST(floor(epoch(t0) / 3600) AS BIGINT),
     greatest(CAST(ceil(epoch(t1) / 3600.0) AS BIGINT) - 1,
-             CAST(floor(epoch(t0)) AS BIGINT) // 3600)
+             CAST(floor(epoch(t0) / 3600) AS BIGINT))
   )) AS hour_idx
   FROM sess)
 SELECT (hour_idx * 3600000)::BIGINT AS hour_start_ms,
@@ -3171,7 +3210,7 @@ def gapfill_hourly_locf(spark, sf_dir):
 _GAPFILL_SQL = """
 WITH b AS (
   SELECT user_id,
-         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_epoch,
          COUNT(*)::BIGINT AS n_obs,
          CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS vsum
   FROM events GROUP BY 1, 2),
@@ -7541,8 +7580,8 @@ def _hll_windowed_sql() -> str:
     base = _hll_sql(group_col="win_start").replace("FROM events", "FROM winsrc")
     win = """winsrc AS (
   SELECT user_id, unnest([
-    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600,
-    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 - 3600]) AS win_start
+    CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600,
+    CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 - 3600]) AS win_start
   FROM events),"""
     return base.replace("WITH hashed AS (", "WITH " + win + "\nhashed AS (")
 
@@ -8024,7 +8063,7 @@ def gapfill_hourly_interp(spark, sf_dir):
 _GAPFILL_INTERP_SQL = """
 WITH b AS (
   SELECT user_id,
-         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_epoch,
          COUNT(*)::BIGINT AS n_obs,
          CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS vsum
   FROM events GROUP BY 1, 2),
@@ -9894,7 +9933,7 @@ def streaming_lttb_value(spark, sf_dir):
 _LTTB_M4_SQL = """
 WITH b AS (
   SELECT event_type,
-         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_epoch,
          epoch_us(ts) AS x, value AS v
   FROM events WHERE value IS NOT NULL),
 agg AS (
@@ -10165,7 +10204,7 @@ def ohlc_hourly_value(spark, sf_dir):
 
 _OHLC_SQL = """
 WITH b AS (
-  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_epoch,
          epoch_us(ts) AS x, value AS v
   FROM events WHERE value IS NOT NULL),
 ranked AS (
@@ -10778,6 +10817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_quantity": range_join_quantity,
         "sim_cosine_topk": sim_cosine_topk,
         "simhash_near_pairs": simhash_near_pairs,
+        "simhash_neighbor_stats": simhash_neighbor_stats,
         "text_langid": text_langid,
         "text_quality": text_quality,
         "text_repetition": text_repetition,
@@ -10894,71 +10934,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_value": quantile_sketch_value,
         "transform_exp": transform_exp,
     }
-    # --- driver-coverage rotation (round 10) ---
+    # --- driver-coverage rotation (round 11) ---
     # The driver hash-checks the FIRST 50 entries each round; all 50
-    # are oracle-backed (tests/test_entry.py enforces it). Slots 1-4:
-    # the four NEW r10 ops on their first-ever checks (winnowed
-    # ExactSubstr spans, bucket-pruned point lookup, M4-LTTB hourly
-    # batch twin, and the 24th streaming path streaming_lttb_value).
-    # Slot 5: streaming_winnow_index, the late-r10 25th streaming path
-    # on its first-ever check (displacing transform_exp, 1 green, the
-    # cheapest loss in the r5 tier). Slots 6-39: the r5-last-green
-    # cohort — the queries whose
-    # latest green driver row is CORRECTNESS_r05, the registry's
-    # longest-unchecked tier. Slots 40-50: the r6-era streaming
-    # maintenance rows the r9 verdict named as the next-stalest cohort
-    # (sketch/MV/join/sessionize paths, all last green in r06).
+    # are oracle-backed (tests/test_entry.py enforces it). Slot 1: the
+    # NEW r11 op on its first-ever check (simhash_neighbor_stats, the
+    # scale-mode O(n*k) simhash contract). Slot 2: transform_exp — the
+    # single remaining <=r5-last-green straggler (displaced in r10 as
+    # the cheapest loss; it is also the bench throttle probe, so it has
+    # run green thousands of times since, but the driver row should say
+    # so too). Slots 3-28: the full r6-last-green cohort (26 queries,
+    # the registry's longest-unchecked tier after this round closes
+    # it). Slots 29-50: the first 22 of the r7-last-green cohort
+    # (alphabetical — deterministic backfill; the remaining 27 r7 rows
+    # are the r12 window's natural head). After this round no registry
+    # query is staler than r7.
     window = [
-        "dedup_substring_winnowed",
-        "bucketed_lookup_revenue",
-        "lttb_m4_hourly",
-        "streaming_lttb_value",
-        "streaming_winnow_index",
-        "unpivot_pricing_metrics",
-        "corr_lineitem_metrics",
-        "linreg_value_by_hour",
-        "validate_constraints_events",
-        "merge_upsert_docs",
-        "scd2_user_intervals",
-        "array_functions_emb",
-        "anomaly_zscore_events",
-        "anomaly_mad_events",
-        "observed_filter_metrics",
-        "rank_gauss_value",
-        "dedup_components",
-        "dedup_components_star",
-        "dedup_canonical_best",
-        "pagerank_dup_graph",
-        "triangle_count_dupgraph",
-        "chunk_dedup_docs",
-        "incremental_dedup_new",
-        "pii_redact",
-        "lm_score_docs",
-        "lm_bigram_docs",
-        "gopher_quality_docs",
-        "mix_corpus_sources",
-        "pack_sequences_docs",
-        "training_shards_docs",
-        "contamination_check",
-        "token_histogram",
-        "hard_negatives_emb",
-        "emb_quantize",
-        "emb_lsh_recall",
-        "minhash_recall_docs",
-        "bloom_semi_lineitem",
-        "chunk_docs_overlap",
-        "quantile_sketch_value",
-        "streaming_mv_daily",
-        "streaming_heavy_hitters",
-        "streaming_hll_users",
-        "streaming_dedup_keys",
-        "streaming_hopping_counts",
-        "streaming_asof_purchase",
-        "streaming_interval_join",
-        "streaming_interval_left_join",
-        "streaming_sessionize",
-        "streaming_enrich_static",
-        "streaming_corpus_ingest",
+        "simhash_neighbor_stats",
+        "transform_exp",
+        "asof_nearest_purchase",
+        "assemble_training_corpus",
+        "boilerplate_chunks_docs",
+        "cross_source_dups",
+        "curriculum_order_docs",
+        "date_trunc_family",
+        "dedup_containment",
+        "dedup_normalized",
+        "dedup_yield_curve",
+        "dsir_select_docs",
+        "gapfill_hourly_interp",
+        "heavy_hitters_by_type",
+        "heavy_hitters_users",
+        "length_quantiles_by_source",
+        "mix_temperature_sources",
+        "mv_incremental_daily",
+        "null_semantics_suite",
+        "priors_logp",
+        "quality_topq_per_source",
+        "robust_scale_value",
+        "rolling_median_user",
+        "sliding_distinct_users",
+        "source_kl_matrix",
+        "sql_udf_surface",
+        "streaming_neardup_index",
+        "vocab_coverage_curve",
+        "ann_topk_ivf",
+        "ann_topk_lsh",
+        "ann_topk_pq",
+        "approx_distinct_events",
+        "asof_tolerance_purchase",
+        "audio_dedup_fp",
+        "budget_select_docs",
+        "cap_docs_per_source",
+        "corpus_layout_order",
+        "equidepth_histogram",
+        "ewma_user_value",
+        "feature_hashing_events",
+        "funnel_signup_purchase",
+        "gapfill_hourly_locf",
+        "hopping_window_counts",
+        "image_dedup_ahash",
+        "image_dedup_phash",
+        "join_types_suite",
+        "multimodal_features",
+        "pack_materialize_docs",
+        "partition_pruned_scan",
+        "profile_documents",
     ]
     out = {n: base[n] for n in window}
     out.update({n: f for n, f in base.items() if n not in out})
@@ -11142,6 +11182,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _JACCARD_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
+        "simhash_neighbor_stats": _SIMHASH_NEIGHBOR_SQL,
         "dedup_components": _COMPONENTS_SQL,
         "dedup_components_star": _COMPONENTS_SQL,
         "dedup_canonical_best": _CANONICAL_BEST_SQL,

@@ -666,7 +666,14 @@ def shingle_tfidf_cosine_topk(
         except ValueError:
             pass  # a harness already released it
         else:
-            prev.unpersist(blocking=False)
+            # best-effort: the scaffold may belong to a SparkSession that
+            # has since been stopped (fresh session in the same process,
+            # e.g. across test fixtures) — unpersist then raises a
+            # Py4J/IllegalState error that must not fail the NEW call
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:
+                pass
     weighted = weighted.persist(StorageLevel.MEMORY_AND_DISK)
     _rel._SCAFFOLD_CACHES.append(weighted)
     _TFIDF_SCAFFOLD = weighted
