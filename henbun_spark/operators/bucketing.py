@@ -44,6 +44,21 @@ Mechanics worth knowing (encoded below, asserted by pytest):
   join on the bucket key above the lookup (the natural shape anyway,
   and what `bucketed_lookup` emits) and the bucketed scan — and its
   pruning — is retained.
+* BUCKET-COUNT EVOLUTION: the day 8 buckets must become 64, re-layout
+  is exactly one ``write_bucketed`` rewrite — one full shuffle+write of
+  that table (the same price as its original layout), after which every
+  join is Exchange-free again.  Until both sides agree, a join across
+  DIFFERENT bucket counts keeps the HIGHER-count side's layout and
+  shuffles the lower-count side to match (exactly one Exchange,
+  hashpartitioning at the larger count; the lower-count side's
+  now-useless bucketed scan is switched off entirely — ``Bucketed:
+  false (disabled by query planner)`` — pytest-pinned); with
+  ``spark.sql.bucketing.coalesceBucketsInJoin.enabled`` and the counts
+  within ``maxBucketRatio`` (default 4x), Spark instead COALESCES the
+  higher-count scan (ratio files per task) and the join stays
+  Exchange-free — the zero-shuffle bridge while a re-layout is pending,
+  at the cost of larger tasks.  Pick power-of-two counts so every
+  evolution step stays within the coalesce ratio.
 * AQE SKEW TRADE: AQE's skew-join splitting (`OptimizeSkewedJoin`)
   operates on SHUFFLE blocks, so a bucketed SMJ — whose whole point is
   having no Exchange — cannot be skew-split at runtime: a pathological
