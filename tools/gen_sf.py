@@ -292,28 +292,51 @@ def gen_orders_lineitem(out_dir, factor):
 def main():
     factor = 10
     out_dir = None
+    tables = None  # None = all
     for a in sys.argv[1:]:
         if a.startswith("--factor="):
             factor = int(a.split("=", 1)[1])
         elif a.startswith("--out="):
             out_dir = a.split("=", 1)[1]
+        elif a.startswith("--tables="):
+            # subset generation (e.g. --tables=documents,embeddings) for
+            # sfN probes of queries that only read the corpus tables —
+            # sf10 lineitem is 60M rows nothing in the probe would scan
+            tables = {t.strip() for t in a.split("=", 1)[1].split(",") if t.strip()}
     if out_dir is None:
         out_dir = f"/tmp/henbun_scale/sf{0.1 * factor:g}_fresh"
     os.makedirs(out_dir, exist_ok=True)
     print(f"generating fresh sf{0.1 * factor:g} at {out_dir}")
+    gens = {
+        "documents": gen_documents,
+        "embeddings": gen_embeddings,
+        "events": gen_events,
+        "customer": gen_customer,
+        "supplier": gen_supplier,
+        "part": gen_part,
+        "orders": gen_orders_lineitem,  # writes orders + lineitem
+    }
+    if tables is not None:
+        unknown = tables - set(gens) - {"lineitem", "nation", "region"}
+        if unknown:
+            raise SystemExit(f"unknown --tables entries: {sorted(unknown)}")
     for dim in ("nation", "region"):
-        shutil.copy(
-            os.path.join(SRC, f"{dim}.parquet"),
-            os.path.join(out_dir, f"{dim}.parquet"),
-        )
-    gen_documents(out_dir, factor)
-    gen_embeddings(out_dir, factor)
-    gen_events(out_dir, factor)
-    gen_customer(out_dir, factor)
-    gen_supplier(out_dir, factor)
-    gen_part(out_dir, factor)
-    gen_orders_lineitem(out_dir, factor)
-    manifest = {"factor": factor, "source_profile": SRC, "seeded": True}
+        if tables is None or dim in tables:
+            shutil.copy(
+                os.path.join(SRC, f"{dim}.parquet"),
+                os.path.join(out_dir, f"{dim}.parquet"),
+            )
+    for name, fn in gens.items():
+        if tables is None or name in tables or (
+            name == "orders" and "lineitem" in tables
+        ):
+            fn(out_dir, factor)
+    manifest = {
+        "factor": factor,
+        "source_profile": SRC,
+        "seeded": True,
+        "tables": sorted(tables) if tables is not None else "all",
+    }
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f)
     print("done")
