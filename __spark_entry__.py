@@ -2319,6 +2319,60 @@ def simhash_neighbor_stats(spark, sf_dir):
     )
 
 
+def streaming_simhash_degree(spark, sf_dir):
+    """NEW r11 streaming path (#26): near-dup DEGREE maintenance at
+    ingest. Documents stream in as 4-file micro-batches; each batch's
+    SimHash fingerprints band-join the persistent index (pigeonhole
+    blocks, batch-vs-index + within-batch only — the index never
+    self-joins), every discovered pair increments BOTH endpoints'
+    n_near exactly once (in-batch DISTINCT collapses multi-block
+    matches; a pair is found precisely when its later doc arrives), and
+    the per-doc (fingerprint, n_near) state commits atomically per
+    batch. The drained degrees equal the batch near-pair degree
+    aggregation bit-for-bit under any batch split — degree is
+    arrival-order-free. ORACLE-CHECKED against the brute-force pair-set
+    degree SQL."""
+    from henbun_spark import streaming
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _scratch_dir("henbun_shd_")
+    in_dir = f"{base}/in"
+    docs.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.simhash_degree_stream_maintenance(
+        stream,
+        f"{base}/state",
+        f"{base}/ckpt",
+        bits=32,
+        max_hamming=3,
+    )
+    q.awaitTermination()
+    idx = streaming.load_state(spark, f"{base}/state")
+    return idx.where(F.col("n_near") > 0).select(
+        "doc_id", F.col("n_near").cast("long").alias("n_near")
+    )
+
+
+_STREAM_SIMHASH_DEGREE_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), fp AS (
+  SELECT doc_id, ({_simhash_bits_sql(32)})::BIGINT AS simhash
+  FROM toks GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_id, COUNT(*)::BIGINT AS n_near
+FROM fp a JOIN fp b ON a.doc_id <> b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+GROUP BY a.doc_id
+"""
+
+
 _SIMHASH_NEIGHBOR_SQL = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, tok
@@ -10818,6 +10872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "simhash_near_pairs": simhash_near_pairs,
         "simhash_neighbor_stats": simhash_neighbor_stats,
+        "streaming_simhash_degree": streaming_simhash_degree,
         "text_langid": text_langid,
         "text_quality": text_quality,
         "text_repetition": text_repetition,
@@ -10936,20 +10991,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # --- driver-coverage rotation (round 11) ---
     # The driver hash-checks the FIRST 50 entries each round; all 50
-    # are oracle-backed (tests/test_entry.py enforces it). Slot 1: the
-    # NEW r11 op on its first-ever check (simhash_neighbor_stats, the
-    # scale-mode O(n*k) simhash contract). Slot 2: transform_exp — the
+    # are oracle-backed (tests/test_entry.py enforces it). Slots 1-2:
+    # the NEW r11 ops on their first-ever checks (simhash_neighbor_stats,
+    # the scale-mode O(n*k) simhash contract, and streaming_simhash_degree,
+    # the 26th streaming path). Slot 3: transform_exp — the
     # single remaining <=r5-last-green straggler (displaced in r10 as
     # the cheapest loss; it is also the bench throttle probe, so it has
     # run green thousands of times since, but the driver row should say
-    # so too). Slots 3-28: the full r6-last-green cohort (26 queries,
+    # so too). Slots 4-29: the full r6-last-green cohort (26 queries,
     # the registry's longest-unchecked tier after this round closes
-    # it). Slots 29-50: the first 22 of the r7-last-green cohort
-    # (alphabetical — deterministic backfill; the remaining 27 r7 rows
+    # it). Remaining slots: the first 21 of the r7-last-green cohort
+    # (alphabetical — deterministic backfill; the remaining 28 r7 rows
     # are the r12 window's natural head). After this round no registry
     # query is staler than r7.
     window = [
         "simhash_neighbor_stats",
+        "streaming_simhash_degree",
         "transform_exp",
         "asof_nearest_purchase",
         "assemble_training_corpus",
@@ -10998,7 +11055,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features",
         "pack_materialize_docs",
         "partition_pruned_scan",
-        "profile_documents",
     ]
     out = {n: base[n] for n in window}
     out.update({n: f for n, f in base.items() if n not in out})
@@ -11183,6 +11239,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_SQL,
         "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
         "simhash_neighbor_stats": _SIMHASH_NEIGHBOR_SQL,
+        "streaming_simhash_degree": _STREAM_SIMHASH_DEGREE_SQL,
         "dedup_components": _COMPONENTS_SQL,
         "dedup_components_star": _COMPONENTS_SQL,
         "dedup_canonical_best": _CANONICAL_BEST_SQL,

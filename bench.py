@@ -196,6 +196,10 @@ HEADLINE = [
     "event_transition_matrix",
     "emb_centroid_drift",
     "session_top_paths",
+    # NOT timed: streaming_simhash_degree (r11) — same 4-commit
+    # foreachBatch machinery as the other index-maintenance paths; its
+    # batch twin simhash_neighbor_stats IS timed above and carries the
+    # scale story (banded candidate join + degree aggregation).
     # NOT timed: streaming_ohlc_value (r9) — same 4-commit foreachBatch
     # machinery; its batch twin ohlc_hourly_value IS timed above and
     # carries the scale story (one map-side-combinable aggregation).

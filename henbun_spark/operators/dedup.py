@@ -428,37 +428,52 @@ def simhash_near_pairs(
     ONE self-join keyed on both — one shuffle of (k+1)*n rows instead of
     k+1 separate self-joins. The key space is only (k+1) * 2^block_bits
     buckets with large membership, so the self-join (parallel across join
-    output) beats `intra_bucket_pairs` here — see its docstring."""
+    output) beats `intra_bucket_pairs` here — see its docstring.
+
+    A pair agreeing on several blocks matches the join once per block;
+    instead of a `distinct()` (a full shuffle of the candidate volume —
+    at sf1 that is 660M rows for 166M true pairs, most of them
+    hamming-0 ⇒ (k+1)-fold duplicated), each pair is emitted from its
+    FIRST agreeing block only: `for all j < bi: block_j(a) != block_j(b)`
+    is pure Column math on the two fingerprints carried by the join row,
+    so the dedup happens MAP-SIDE on the join output and the result
+    needs zero further shuffle."""
     fps = simhash(df, text_col, id_col, bits)
     nblocks = max_hamming + 1
     block_bits = bits // nblocks
-    blocks = [
-        F.shiftright(F.col("simhash"), i * block_bits)
-        .bitwiseAND(F.lit((1 << block_bits) - 1))
-        .alias(f"blk{i}")
-        for i in range(nblocks)
-    ]
+
+    def block_of(col, i):
+        return F.shiftright(col, i * block_bits).bitwiseAND(
+            F.lit((1 << block_bits) - 1)
+        )
+
+    blocks = [block_of(F.col("simhash"), i).alias(f"blk{i}") for i in range(nblocks)]
     pairs = ", ".join(f"{i}, blk{i}" for i in range(nblocks))
     stacked = fps.select(id_col, "simhash", *blocks).selectExpr(
         id_col, "simhash", f"stack({nblocks}, {pairs}) as (bi, blk)"
     )
     a = stacked.alias("a")
     b = stacked.alias("b")
-    cands = (
+    first_match = None
+    for j in range(nblocks):
+        cond = (F.col("bi") <= F.lit(j)) | (
+            block_of(F.col("a.simhash"), j) != block_of(F.col("b.simhash"), j)
+        )
+        first_match = cond if first_match is None else (first_match & cond)
+    return (
         a.join(b, on=["bi", "blk"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where(first_match)
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("fp_a"),
-            F.col("b.simhash").alias("fp_b"),
+            "hamming",
         )
-    )
-    return (
-        cands.distinct()
-        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 
@@ -483,11 +498,14 @@ def simhash_neighbor_topk(
     changes:
 
     * hamming is computed and filtered on the banded join output BEFORE
-      any further shuffle, so only true near pairs (x block multiplicity
-      <= max_hamming+1) flow downstream;
-    * (doc, nbr) multiplicity collapses in one map-side-combinable
-      groupBy; n_near and the rank come from one window keyed on the doc
-      id (per-doc neighbor lists are dup-cluster-sized, not corpus-sized);
+      any further shuffle, so only true near pairs flow downstream;
+    * a pair agreeing on several blocks is emitted from its FIRST
+      agreeing block only (`for all j < bi: block_j(a) != block_j(b)` —
+      pure Column math on the fingerprints the join row already
+      carries), so (doc, nbr) rows are unique MAP-SIDE and no dedup
+      groupBy/distinct shuffle exists at all;
+    * n_near and the rank come from one window keyed on the doc id
+      (per-doc neighbor lists are dup-cluster-sized, not corpus-sized);
     * ties break deterministically on (hamming asc, neighbor id asc).
 
     Output: (id_col, n_near, nn_rank, nbr_id, hamming) with nn_rank <= k.
@@ -495,21 +513,29 @@ def simhash_neighbor_topk(
     fps = simhash(df, text_col, id_col, bits)
     nblocks = max_hamming + 1
     block_bits = bits // nblocks
-    blocks = [
-        F.shiftright(F.col("simhash"), i * block_bits)
-        .bitwiseAND(F.lit((1 << block_bits) - 1))
-        .alias(f"blk{i}")
-        for i in range(nblocks)
-    ]
+
+    def block_of(col, i):
+        return F.shiftright(col, i * block_bits).bitwiseAND(
+            F.lit((1 << block_bits) - 1)
+        )
+
+    blocks = [block_of(F.col("simhash"), i).alias(f"blk{i}") for i in range(nblocks)]
     pairs = ", ".join(f"{i}, blk{i}" for i in range(nblocks))
     stacked = fps.select(id_col, "simhash", *blocks).selectExpr(
         id_col, "simhash", f"stack({nblocks}, {pairs}) as (bi, blk)"
     )
     a = stacked.alias("a")
     b = stacked.alias("b")
+    first_match = None
+    for j in range(nblocks):
+        cond = (F.col("bi") <= F.lit(j)) | (
+            block_of(F.col("a.simhash"), j) != block_of(F.col("b.simhash"), j)
+        )
+        first_match = cond if first_match is None else (first_match & cond)
     near = (
         a.join(b, on=["bi", "blk"])
         .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .where(first_match)
         .select(
             F.col(f"a.{id_col}").alias(id_col),
             F.col(f"b.{id_col}").alias("nbr_id"),
@@ -519,11 +545,10 @@ def simhash_neighbor_topk(
         )
         .where(F.col("hamming") <= max_hamming)
     )
-    per_nbr = near.groupBy(id_col, "nbr_id").agg(F.min("hamming").alias("hamming"))
     by_doc = Window.partitionBy(id_col)
     ordered = by_doc.orderBy(F.col("hamming").asc(), F.col("nbr_id").asc())
     return (
-        per_nbr.withColumn("n_near", F.count(F.lit(1)).over(by_doc))
+        near.withColumn("n_near", F.count(F.lit(1)).over(by_doc))
         .withColumn("nn_rank", F.row_number().over(ordered))
         .where(F.col("nn_rank") <= k)
         .select(

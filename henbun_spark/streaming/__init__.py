@@ -749,6 +749,149 @@ def mv_stream_maintenance(
     )
 
 
+def simhash_degree_stream_maintenance(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+):
+    """Streaming near-dup DEGREE maintenance at ingest (path #26): every
+    arriving document is banded against everything ingested so far, and
+    the persistent state keeps one row per doc — (id, simhash
+    fingerprint, n_near) — where n_near is its exact near-neighbor count
+    (hamming <= max_hamming) within the corpus-so-far.
+
+    This is what a 100-TB ingest pipeline actually runs: near-dup mass
+    is known the moment a doc lands (admission control / dedup routing),
+    without ever re-scanning the corpus. Per-batch cost is
+    O(|batch| x bucket-mates): the batch's fingerprints band-join the
+    INDEX's fingerprints (same pigeonhole blocks as the batch
+    `simhash_neighbor_topk`), never index-vs-index.
+
+    Exactly-once accounting under ANY batch split: a pair (a, b) is
+    counted precisely when the LATER of the two arrives (or once
+    in-batch when they arrive together), multi-block matches of the
+    same pair collapse MAP-SIDE (first-agreeing-block emission — pure
+    Column math on the fingerprints, no distinct shuffle), and the
+    increment is applied symmetrically to both endpoints — so the
+    drained (doc, n_near > 0) relation equals
+    the batch degree aggregation bit-for-bit, independent of arrival
+    order (degree is order-free). State commits are the same versioned
+    atomic pointer flips as the other index paths (single state
+    relation -> single commit point; replays skipped by batch id).
+
+    Blocks are re-derived from the stored fingerprint per batch (4
+    narrow projections of the index) instead of persisting the
+    unpivoted block table — (k+1)x smaller state, same join.
+
+    Returns the StreamingQuery; read the state with `load_state`.
+    """
+    from henbun_spark.operators import dedup
+
+    nblocks = max_hamming + 1
+    block_bits = bits // nblocks
+
+    def blocks_of(fps: DataFrame) -> DataFrame:
+        cols = [
+            F.shiftright(F.col("fp"), i * block_bits)
+            .bitwiseAND(F.lit((1 << block_bits) - 1))
+            .alias(f"blk{i}")
+            for i in range(nblocks)
+        ]
+        pairs = ", ".join(f"{i}, blk{i}" for i in range(nblocks))
+        return fps.select(id_col, "fp", *cols).selectExpr(
+            id_col, "fp", f"stack({nblocks}, {pairs}) as (bi, blk)"
+        )
+
+    def hamming(a, b):
+        return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+
+    def block_of(col, i):
+        return F.shiftright(col, i * block_bits).bitwiseAND(
+            F.lit((1 << block_bits) - 1)
+        )
+
+    def first_match():
+        # emit a pair from its FIRST agreeing block only — per-pair
+        # uniqueness without any distinct shuffle (same trick as the
+        # batch simhash_near_pairs / simhash_neighbor_topk)
+        cond = None
+        for j in range(nblocks):
+            c = (F.col("bi") <= F.lit(j)) | (
+                block_of(F.col("a.fp"), j) != block_of(F.col("b.fp"), j)
+            )
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    def fold_batch(bdf: DataFrame, batch_id: int):
+        spark = bdf.sparkSession
+        state, committed = _read_state(spark, state_dir)
+        if _should_skip_batch(batch_id, committed, state_dir):
+            return
+        fps_new = dedup.simhash(
+            bdf.select(id_col, text_col), text_col, id_col, bits
+        ).withColumnRenamed("simhash", "fp")
+        bn = blocks_of(fps_new)
+        # within-batch pairs once (a < b) ...
+        cands = (
+            bn.alias("a")
+            .join(bn.alias("b"), on=["bi", "blk"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .where(first_match())
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                hamming("a.fp", "b.fp").alias("h"),
+            )
+        )
+        if state is not None:
+            # ... plus batch-vs-index pairs (the index never self-joins)
+            bo = blocks_of(state.select(F.col(id_col), F.col("fp")))
+            cands = cands.unionByName(
+                bn.alias("a")
+                .join(bo.alias("b"), on=["bi", "blk"])
+                .where(first_match())
+                .select(
+                    F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    hamming("a.fp", "b.fp").alias("h"),
+                )
+            )
+        pairs = cands.where(F.col("h") <= max_hamming).select("id_a", "id_b")
+        deltas = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("delta"))
+        )
+        grown = fps_new.withColumn("n_near", F.lit(0).cast("long"))
+        if state is not None:
+            grown = state.unionByName(grown)
+        merged = (
+            grown.join(deltas, on=id_col, how="left")
+            .select(
+                id_col,
+                "fp",
+                (
+                    F.col("n_near") + F.coalesce(F.col("delta"), F.lit(0))
+                )
+                .cast("long")
+                .alias("n_near"),
+            )
+        )
+        _commit_state(merged, state_dir, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def mv_stream_maintenance_partitioned(
     stream: DataFrame,
     partials_fn,

@@ -1226,6 +1226,70 @@ def test_winnow_index_stream_split_independent(spark, tmp_path):
         assert got == batch, nfiles
 
 
+def test_simhash_degree_stream_split_independent(spark, tmp_path):
+    """Streaming near-dup degree maintenance: a pair is counted exactly
+    once (when its later doc arrives, or in-batch together), increments
+    apply to both endpoints, multi-block matches collapse — so the
+    drained degrees equal the brute-force batch pair-set degrees under
+    ANY micro-batch split."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from henbun_spark import streaming
+    from henbun_spark.operators import dedup
+
+    dup_a = "spark window merge table column vector stream value"
+    dup_b = "customer sort order slow line part fast row agg key"
+    rows = [
+        (1, dup_a),
+        (2, dup_a),
+        (3, dup_a),
+        (4, dup_b),
+        (5, dup_b),
+        (6, "the quick brown fox jumps over a lazy dog today"),
+        (7, "completely different filler text about query planning"),
+        (8, "yet another unrelated document with its own tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash(df, "text", "doc_id", bits=16).collect()
+    }
+    deg: dict = {}
+    for a, b in itertools.combinations(sorted(fps), 2):
+        if bin(fps[a] ^ fps[b]).count("1") <= 3:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+    # the planted exact-dup groups guarantee hamming-0 pairs
+    assert deg[1] >= 2 and deg[4] >= 1
+
+    for nfiles in (1, 5):
+        in_dir = str(tmp_path / f"shd{nfiles}")
+        df.repartition(nfiles).write.mode("overwrite").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = streaming.simhash_degree_stream_maintenance(
+            stream,
+            str(tmp_path / f"shd_state{nfiles}"),
+            str(tmp_path / f"shd_ckpt{nfiles}"),
+            bits=16,
+            max_hamming=3,
+        )
+        q.awaitTermination()
+        idx = streaming.load_state(spark, str(tmp_path / f"shd_state{nfiles}"))
+        got = {
+            r["doc_id"]: r["n_near"]
+            for r in idx.where(F.col("n_near") > 0).collect()
+        }
+        assert got == deg, nfiles
+        # every ingested doc holds a state row, zero-degree included
+        assert idx.count() == len(rows)
+
+
 def test_lttb_m4_selection_semantics(spark):
     """Hand-checkable M4-LTTB: endpoints pinned, middle bucket keeps
     the candidate maximizing the triangle against neighbor-average
