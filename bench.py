@@ -308,8 +308,14 @@ def main():
     m = _re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
     sf = float(m.group(1)) if m else 0.1
     spark = sources.get_spark("henbun-bench")
-    # warm up the JVM + parquet footers once
-    sources.load_table(spark, sf_dir, "lineitem").count()
+    # warm up the JVM + parquet footers once (subset probe dirs — e.g.
+    # gen_sf.py --tables=documents,embeddings — may lack lineitem)
+    for warm_table in ("lineitem", "documents"):
+        try:
+            sources.load_table(spark, sf_dir, warm_table).count()
+            break
+        except Exception:  # pragma: no cover
+            continue
 
     qs = entry_mod.queries()
     # untimed warmup: one whole-stage-codegen query and one Arrow-UDF
