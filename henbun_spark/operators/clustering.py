@@ -34,6 +34,7 @@ from __future__ import annotations
 from typing import Iterable, Iterator
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -159,16 +160,53 @@ def kmeans_fit(
     return centroids, history
 
 
+#: k x dim ceiling for the pure-Column assignment path. Above it the
+#: inlined per-centroid fold expressions stop being a codegen win and
+#: become an INTERPRETED higher-order-function tree evaluated k times
+#: per row — measured ~1 ms/row at k=666, dim=64 (the sf10 probe wedged
+#: a full hour in one assignment projection) vs milliseconds for the
+#: whole batch as one numpy matmul. Driver-SF queries all sit below the
+#: ceiling (k=8-ish), so oracle-checked plans keep the Column path.
+ASSIGN_COLUMN_PATH_MAX = 4096
+
+
 def kmeans_assign(
     df: DataFrame,
     emb_col: str,
     centroids: np.ndarray,
     out: str = "cluster",
 ) -> DataFrame:
-    """Nearest-centroid (squared-euclidean) assignment as pure Column math
-    — centroid coefficients are plan-time literals, evaluated inside
+    """Nearest-centroid (squared-euclidean) assignment.
+
+    Small k x dim (<= ASSIGN_COLUMN_PATH_MAX): pure Column math —
+    centroid coefficients are plan-time literals, evaluated inside
     whole-stage codegen; ties break to the lowest cluster index (the
-    array_sort on (dist, idx) structs is lexicographic)."""
+    array_sort on (dist, idx) structs is lexicographic).
+
+    Large k x dim: one Arrow-batched pandas UDF computing the full
+    distance matrix as a numpy matmul (rows x dim @ dim x k) —
+    exactly the fit pass's math, and the only sane shape once the
+    centroid table outgrows an inlined expression (SemDeDup-scale
+    k ~ n/300). `np.argmin` keeps the same lowest-index tie-break.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    if cents.shape[0] * cents.shape[1] > ASSIGN_COLUMN_PATH_MAX:
+        from pyspark.sql.functions import pandas_udf
+
+        c2 = (cents * cents).sum(axis=1)
+        ct = cents.T.copy()
+
+        @pandas_udf("int")
+        def _nearest(batch: pd.Series) -> pd.Series:
+            if not len(batch):
+                return pd.Series([], dtype="int32")
+            x = np.stack(batch.to_numpy()).astype(np.float64)
+            d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ ct) + c2
+            return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+        return df.withColumn(
+            out, _nearest(F.col(emb_col).cast("array<double>"))
+        )
     vec = F.col(emb_col).cast("array<double>")
     norm2 = F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v)
     scored = []
