@@ -1366,7 +1366,21 @@ def minhash_recall_docs(spark, sf_dir):
     dedup twin of `emb_lsh_recall`: both pair sets, the intersection,
     and the recall arithmetic are oracle-mirrored so the measurement
     itself is hash-checked. Keeps the LSH trade-off measured on the text
-    path, not assumed."""
+    path, not assumed.
+
+    Scale semantics of the ABSOLUTE max_df=100 (kept deliberately —
+    r11): the exact inverted-index truth set is the verification twin,
+    not the scale path. An absolute df cap keeps its join volume LINEAR
+    in the corpus (sum over shingles of min(df, cap)^2 with a constant
+    cap); a corpus-relative cap (2% of n) would make it QUADRATIC — one
+    shingle at a 10k cap is 10^8 join pairs. The price is that on a
+    pathologically self-similar corpus (the 30-word-vocab synthetic at
+    sf10+) every shingle's df exceeds the cap and the truth set is
+    honestly EMPTY — recall is then NULL (guarded below), never a
+    crash. Real corpora keep near-dup pairs discoverable through their
+    rare shingles at any size; at 100 TB the pair GENERATORS are the
+    banded minhash/simhash passes, and this query is the bounded-SF
+    instrument that validates them."""
     from henbun_spark.operators import dedup
 
     docs = _load(spark, sf_dir, "documents")
@@ -1401,7 +1415,12 @@ def minhash_recall_docs(spark, sf_dir):
             "n_truth",
             "n_cand",
             "n_common",
-            F.round(F.col("n_common") / F.col("n_truth"), 6).alias("recall"),
+            # guarded: an empty truth set must report NULL recall, not
+            # crash under ANSI division (the pre-r11 sf10 failure mode)
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(F.col("n_common") / F.col("n_truth"), 6),
+            ).alias("recall"),
         )
     )
 
@@ -1434,8 +1453,9 @@ SELECT
   (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth,
   (SELECT COUNT(*) FROM cand)::BIGINT AS n_cand,
   (SELECT COUNT(*) FROM hit)::BIGINT AS n_common,
-  ROUND((SELECT COUNT(*) FROM hit) / (SELECT COUNT(*) FROM truth)::DOUBLE, 6)
-    AS recall
+  CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
+    ROUND((SELECT COUNT(*) FROM hit) / (SELECT COUNT(*) FROM truth)::DOUBLE, 6)
+  END AS recall
 """
 
 
