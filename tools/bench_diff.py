@@ -47,6 +47,15 @@ def main() -> int:
     shared = sorted(set(oq) & set(nq))
     print(f"total: {old.get('value')}s -> {new.get('value')}s "
           f"({len(oq)} -> {len(nq)} queries, {len(shared)} shared)")
+
+    def regime(d):
+        t = d.get("throttle") or {}
+        g = t.get("regime_gauge")
+        return f"{t.get('regime', '?')} (gauge {g})" if g else "unknown"
+
+    # a loud-regime run's raw numbers overstate regressions — compare
+    # cross-run minima instead (docs/BENCH_NOTES.md)
+    print(f"regimes: {regime(old)} -> {regime(new)}")
     flagged = 0
     for name in shared:
         a, b = oq[name], nq[name]
