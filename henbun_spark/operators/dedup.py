@@ -614,21 +614,34 @@ def embedding_near_dup_lsh(
     for bi in range(bands):
         with_buckets = lsh_bucket(with_buckets, "vec", planes[bi], out=f"b{bi}")
     pairs_expr = ", ".join(f"{bi}, b{bi}" for bi in range(bands))
+    band_cols = [f"b{bi}" for bi in range(bands)]
     stacked = with_buckets.selectExpr(
-        id_col, f"stack({bands}, {pairs_expr}) as (band, bucket)"
+        id_col, *band_cols, f"stack({bands}, {pairs_expr}) as (band, bucket)"
     )
     a = stacked.alias("a")
     b = stacked.alias("b")
+    # a pair sharing several bands matches the join once per band; emit
+    # it from its FIRST agreeing band only (`for all j < band: a.bj !=
+    # b.bj` — Column math on the per-band bucket ids both join rows
+    # carry), so per-pair uniqueness is MAP-SIDE and the old distinct()
+    # shuffle of the full candidate multiset is gone (same trick as
+    # simhash_near_pairs).
+    first_band = None
+    for j in range(bands):
+        cond = (F.col("band") <= F.lit(j)) | (
+            F.col(f"a.b{j}") != F.col(f"b.b{j}")
+        )
+        first_band = cond if first_band is None else (first_band & cond)
     # bands x 2^n_planes is a small key space with large buckets -> the
     # self-join parallelizes pair generation; see intra_bucket_pairs.
     cands = (
         a.join(b, on=["band", "bucket"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where(first_band)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
     )
     # L2-normalize ONCE per row so the pair stage is a single dot fold
     # instead of cosine's three (dot + both self-norms): candidate pairs
