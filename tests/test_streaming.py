@@ -1290,6 +1290,52 @@ def test_simhash_degree_stream_split_independent(spark, tmp_path):
         assert idx.count() == len(rows)
 
 
+def test_simhash_degree_replay_guard(spark, tmp_path):
+    """The degree state folds RELATIVE increments (+delta per discovered
+    pair), so the batch-id skip guard is the only protection against a
+    replayed batch double-counting every pair it found. Crash-replay of
+    the committed batch must be skipped; a reset checkpoint (ids restart
+    at 0) must fail loudly with the state intact."""
+    import pytest as _pytest
+
+    from henbun_spark import streaming
+
+    rows = [(i, "spark window merge table column" if i < 4 else f"unique text {i} tokens") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    in_dir, state = str(tmp_path / "in"), str(tmp_path / "state")
+    df.repartition(3).write.parquet(in_dir)
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = streaming.simhash_degree_stream_maintenance(
+            stream, state, str(tmp_path / ckpt), bits=16, max_hamming=3
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    first = {
+        r["doc_id"]: r["n_near"]
+        for r in streaming.load_state(spark, state).collect()
+    }
+    # the 4 identical docs form a hamming-0 clique: degree >= 3 each
+    assert all(first[i] >= 3 for i in range(4)), first
+    _, committed = streaming._read_state(spark, state)
+    assert streaming._should_skip_batch(committed, committed, state) is True
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="checkpoint was.*reset"):
+        drain("ckpt2")
+    second = {
+        r["doc_id"]: r["n_near"]
+        for r in streaming.load_state(spark, state).collect()
+    }
+    assert first == second  # no double-counted pairs, state untouched
+
+
 def test_lttb_m4_selection_semantics(spark):
     """Hand-checkable M4-LTTB: endpoints pinned, middle bucket keeps
     the candidate maximizing the triangle against neighbor-average
