@@ -378,13 +378,17 @@ def main():
                 print(f"# bench {name} failed: {exc}", file=sys.stderr)
                 failed = True
                 break
+        # gauge sample after EVERY query — the regime gauge's median must
+        # see the whole suite, including (especially) the stretch after
+        # the rerun budget runs out in a throttle-heavy run.
+        if not failed and best is not None:
+            p = probe_once(spark)
+            probe_samples.append(p)
+            floor = min(floor, p)  # rolling min — see calibration note
         # sentinel: if the trivial probe is slow RIGHT AFTER this query,
         # both attempts likely sat in a throttling burst -> wait for the
         # probe to recover, then give the query one clean re-run.
         if not failed and best is not None and reruns_left > 0:
-            p = probe_once(spark)
-            probe_samples.append(p)
-            floor = min(floor, p)  # rolling min — see calibration note
             if p > probe_threshold(floor):
                 for _ in range(RECOVERY_TRIES):
                     time.sleep(2.0)

@@ -34,7 +34,6 @@ from __future__ import annotations
 from typing import Iterable, Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -184,16 +183,28 @@ def kmeans_assign(
     array_sort on (dist, idx) structs is lexicographic).
 
     Large k x dim: one Arrow-batched pandas UDF computing the full
-    distance matrix as a numpy matmul (rows x dim @ dim x k) —
-    exactly the fit pass's math, and the only sane shape once the
-    centroid table outgrows an inlined expression (SemDeDup-scale
-    k ~ n/300). `np.argmin` keeps the same lowest-index tie-break.
+    distance matrix with vectorized numpy — rows stay batched, but the
+    dot/norm accumulate dimension-by-dimension in the SAME sequential
+    left-fold order as the Column path (a BLAS matmul or numpy pairwise
+    sum would differ in the last ulp and could flip argmin on near-tied
+    centroids; the per-dim loop costs ~2x matmul, still orders of
+    magnitude under the interpreted-Column wedge this path replaces, and
+    makes the two paths' agreement exact rather than tie-ambiguous).
+    `np.argmin` keeps the same lowest-index tie-break as the array_sort.
     """
     cents = np.asarray(centroids, dtype=np.float64)
     if cents.shape[0] * cents.shape[1] > ASSIGN_COLUMN_PATH_MAX:
+        # lazy module-global import: pandas only becomes a dependency of
+        # this module when the large-k path actually runs, and the
+        # module-global binding lets pandas_udf resolve the stringified
+        # (future-annotations) `pd.Series` type hints.
+        global pd
+        import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        c2 = (cents * cents).sum(axis=1)
+        # per-centroid c2 via np.sum on each row slice — the identical
+        # call the Column path makes (`float((c * c).sum())`)
+        c2 = np.array([float((c * c).sum()) for c in cents])
         ct = cents.T.copy()
 
         @pandas_udf("int")
@@ -201,7 +212,14 @@ def kmeans_assign(
             if not len(batch):
                 return pd.Series([], dtype="int32")
             x = np.stack(batch.to_numpy()).astype(np.float64)
-            d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ ct) + c2
+            n, dim = x.shape
+            dot = np.zeros((n, ct.shape[1]))
+            n2 = np.zeros(n)
+            for j in range(dim):  # ((0 + v0) + v1) + ... — fold order
+                xj = x[:, j]
+                dot += xj[:, None] * ct[j]
+                n2 += xj * xj
+            d2 = n2[:, None] - 2.0 * dot + c2
             return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
 
         return df.withColumn(

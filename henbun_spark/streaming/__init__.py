@@ -787,6 +787,12 @@ def simhash_degree_stream_maintenance(
     narrow projections of the index) instead of persisting the
     unpivoted block table — (k+1)x smaller state, same join.
 
+    Doc ids are assumed UNIQUE across the stream's lifetime (the
+    ingest contract of every index path here). The batch-vs-index join
+    guards ``a.id != b.id`` so a violating re-ingest cannot self-pair
+    and inflate its own degree, but state growth does no id dedup — a
+    re-ingested id still lands a second state row; dedup upstream.
+
     Returns the StreamingQuery; read the state with `load_state`.
     """
     from henbun_spark.operators import dedup
@@ -853,6 +859,9 @@ def simhash_degree_stream_maintenance(
             cands = cands.unionByName(
                 bn.alias("a")
                 .join(bo.alias("b"), on=["bi", "blk"])
+                # a re-ingested id must not pair with its own index row
+                # (hamming 0 would inflate its n_near by nblocks-dedup'd 1)
+                .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
                 .where(first_match())
                 .select(
                     F.col(f"a.{id_col}").alias("id_a"),

@@ -9,7 +9,18 @@ near-dup output grows quadratically in the factor), this generator
 samples NEW rows i.i.d. from the distributions profiled on the driver's
 sf0.1 data, and plants duplicates at the driver's measured RATES:
 
-* documents: ~55-word bags over the driver's 30-word vocabulary;
+* documents: ~55-word bags over a HEAPS'-LAW vocabulary — V(factor) =
+  round(30 * factor^beta), beta 0.5 by default (`--vocab-beta=0`
+  recovers the old fixed-30-word corpus). At factor=1 the vocabulary
+  is exactly the driver's 30 words and the output is byte-identical
+  to the pre-Heaps generator. Rationale (r11 verdict #1): with a
+  FIXED vocabulary the shingle space saturates as n grows — 773k->826k
+  distinct shingles for 10x docs at sf10 — so collision volume
+  (sum df^2, simhash accidental-near mass) grows super-linearly and
+  the sf1/sf10 ladders measured corpus saturation, not plan scaling.
+  Real corpora grow vocabulary ~n^0.5 (Heaps' law), keeping per-pair
+  collision probability roughly flat; on this corpus a super-linear
+  ladder point is attributable to the PLAN again.
   5% near-duplicates (a copy of an earlier doc + " dup" suffix — the
   driver's own planting scheme, visible in the data) and ~0.32% exact
   duplicates, both scattered over shuffled doc_ids. Near-dup OUTPUT
@@ -28,6 +39,7 @@ Determinism: numpy PCG64 seeded per-table; same output every run.
 
 Usage:
   python tools/gen_sf.py [--factor=10] [--out=/tmp/henbun_scale/sf1_fresh]
+                         [--tables=documents,embeddings] [--vocab-beta=0.5]
 
 PERFORMANCE ONLY — correctness stays on the driver testdata + DuckDB.
 """
@@ -85,17 +97,31 @@ def _ts_col(us_array):
     return pa.array(us_array, type=pa.timestamp("us"))
 
 
+#: Heaps'-law exponent for the documents vocabulary; set by main()
+#: from --vocab-beta (0 = legacy fixed-30-word corpus).
+VOCAB_BETA = 0.5
+
+
+def heaps_vocab(factor: int, beta: float) -> list[str]:
+    """V(factor) = round(30 * factor^beta) words: the driver's 30 words
+    first (factor=1 is byte-identical to the legacy generator), then
+    deterministic synthetic tokens."""
+    v = max(len(VOCAB), int(round(len(VOCAB) * float(factor) ** beta)))
+    return VOCAB + [f"tok{i:04d}" for i in range(v - len(VOCAB))]
+
+
 def gen_documents(out_dir, factor):
     rng = np.random.default_rng(4201)
+    vocab = heaps_vocab(factor, VOCAB_BETA)
     n = 5_000 * factor
     n_near = int(round(0.05 * n))
     n_exact = int(round(0.0032 * n))
     n_base = n - n_near - n_exact
     lens = rng.integers(10, 101, size=n_base)
-    words = rng.integers(0, len(VOCAB), size=int(lens.sum()))
+    words = rng.integers(0, len(vocab), size=int(lens.sum()))
     texts, pos = [], 0
     for ln in lens:
-        texts.append(" ".join(VOCAB[w] for w in words[pos : pos + ln]))
+        texts.append(" ".join(vocab[w] for w in words[pos : pos + ln]))
         pos += ln
     # near-dups: a copy of a random base doc + " dup"
     for src in rng.integers(0, n_base, size=n_near):
@@ -303,6 +329,9 @@ def main():
             # sfN probes of queries that only read the corpus tables —
             # sf10 lineitem is 60M rows nothing in the probe would scan
             tables = {t.strip() for t in a.split("=", 1)[1].split(",") if t.strip()}
+        elif a.startswith("--vocab-beta="):
+            global VOCAB_BETA
+            VOCAB_BETA = float(a.split("=", 1)[1])
     if out_dir is None:
         out_dir = f"/tmp/henbun_scale/sf{0.1 * factor:g}_fresh"
     os.makedirs(out_dir, exist_ok=True)
@@ -336,6 +365,8 @@ def main():
         "source_profile": SRC,
         "seeded": True,
         "tables": sorted(tables) if tables is not None else "all",
+        "vocab_beta": VOCAB_BETA,
+        "vocab_size": len(heaps_vocab(factor, VOCAB_BETA)),
     }
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f)
