@@ -1890,9 +1890,15 @@ def zorder_events(spark, sf_dir):
     from henbun_spark.operators import layout
 
     ev = _load(spark, sf_dir, "events")
+    # floor, not cast("long"): cast truncates toward zero and would
+    # bucket pre-1970 hours one high (tests/test_negative_epoch_oracle);
+    # cast("double") keeps sub-second precision like DuckDB's epoch()
     base = ev.select(
         "user_id",
-        ((F.unix_timestamp("ts") / 3600).cast("long") % 1024).alias("hr"),
+        (
+            F.floor(F.col("ts").cast("double") / F.lit(3600.0)).cast("long")
+            % 1024
+        ).alias("hr"),
     )
     z = layout.zorder_value(["user_id", "hr"], bits=16)
     return (
@@ -2737,7 +2743,11 @@ def session_concurrency_hourly(spark, sf_dir):
     sess = ev.groupBy(
         F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    h0 = (F.unix_timestamp("w.start") / 3600).cast("long")
+    # floor via the double-cast epoch (cast("long") would truncate
+    # toward zero — wrong bucket for pre-1970 sessions, and
+    # unix_timestamp's whole-second truncation has the same hazard on
+    # negative sub-second starts)
+    h0 = F.floor(F.col("w.start").cast("double") / F.lit(3600.0)).cast("long")
     # end is exclusive: a session ending exactly on the hour boundary
     # does not overlap the next hour. cast("double") keeps sub-second
     # precision (unix_timestamp truncates to whole seconds and would
@@ -7635,8 +7645,10 @@ def sliding_distinct_users(spark, sf_dir):
     from henbun_spark.operators import sketch
 
     ev = _load(spark, sf_dir, "events")
+    # floor, not cast("long") truncation — see test_negative_epoch_oracle
     wstart = (
-        (F.unix_timestamp(F.col("ts")) / 3600).cast("long") * 3600
+        F.floor(F.col("ts").cast("double") / F.lit(3600.0)).cast("long")
+        * 3600
     )
     ev2 = ev.select(
         "user_id",

@@ -252,7 +252,40 @@ RECOVERY_TRIES = 6  # probe re-checks (2s apart) before re-running anyway
 # (rolling min = its quietest moment). Median > REGIME_FACTOR x floor
 # means most of the run sat above its own best ⇒ archive marked "loud"
 # and its numbers should only enter cross-run-minima comparisons.
+#
+# r12 CALIBRATION (replaces the provisional guess with data — the four
+# gauged sf0.1 archives vs the 31-archive pooled per-query minima):
+#
+#   archive         gauge   drag-vs-pooled-minima
+#   BENCH_15b34fd   1.232   1.114   (the first quiet archive)
+#   BENCH_169b24e   1.393   1.399
+#   BENCH_2a964d3   1.490   1.391
+#   BENCH_07f0c17   1.505   1.575
+#
+# Least squares: drag = 1.40*gauge - 0.60 (max residual 0.12). The
+# pooled-minima drag OVERSTATES absolute drag — min-of-31-noisy-runs
+# sits below any single quiet run's typical — so the fit is only used
+# RELATIVELY: est_drag(g_a)/est_drag(g_b) estimates the uniform host
+# factor between two runs (the definition bias cancels in the ratio).
+# Values are normalized so the quietest observed gauge (1.232) reads
+# 1.0. At gauge 1.30 the model reads ~+8% relative drag, so the 1.3
+# threshold survives calibration as "flag runs carrying >~8% estimated
+# uniform drag"; re-fit when a quieter archive than 1.232 appears.
 REGIME_FACTOR = 1.3
+GAUGE_FIT_SLOPE = 1.40
+GAUGE_FIT_INTERCEPT = -0.60
+IDLE_GAUGE = 1.232
+
+
+def est_drag(gauge: float | None) -> float | None:
+    """Estimated RELATIVE host drag of a run vs a gauge-1.232 quiet run
+    (>= 1.0; None when the run predates the gauge). Use as a ratio
+    between two runs — see the calibration note above."""
+    if gauge is None:
+        return None
+    raw = GAUGE_FIT_SLOPE * gauge + GAUGE_FIT_INTERCEPT
+    idle = GAUGE_FIT_SLOPE * IDLE_GAUGE + GAUGE_FIT_INTERCEPT
+    return max(1.0, raw / idle)
 
 
 def probe_once(spark):
@@ -443,6 +476,9 @@ def main():
         "probe_p75": None if probe_p75 is None else round(probe_p75, 4),
         "regime_gauge": None if gauge is None else round(gauge, 3),
         "regime": None if gauge is None else ("loud" if gauge > REGIME_FACTOR else "quiet"),
+        # estimated uniform drag vs a gauge-1.232 quiet run (the r12
+        # calibration fit) — divide totals by this to drag-adjust
+        "est_drag": None if gauge is None else round(est_drag(gauge), 3),
     }
     # complete dump -> stderr + BENCH_FULL.json (tools/bench_diff.py);
     # stdout -> exactly one compact parseable line for the driver

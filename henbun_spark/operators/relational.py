@@ -245,7 +245,7 @@ def gapfill_locf(
         df.groupBy(
             F.col(key_col),
             (
-                F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs)
+                F.floor(F.col(ts_col).cast("double") / F.lit(float(bucket_secs)))
                 .cast("long")
                 * bucket_secs
             ).alias("bucket_epoch"),
@@ -1995,7 +1995,7 @@ def gapfill_interpolate(
         df.groupBy(
             F.col(key_col),
             (
-                F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs)
+                F.floor(F.col(ts_col).cast("double") / F.lit(float(bucket_secs)))
                 .cast("long")
                 * bucket_secs
             ).alias("bucket_epoch"),
@@ -2557,7 +2557,7 @@ def lttb_m4_partials(
     df = df.where(F.col(value_col).isNotNull())
     cols = [F.col(key_col)] if key_col else []
     bucket = (
-        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
+        F.floor(F.col(ts_col).cast("double") / F.lit(float(bucket_secs))).cast("long")
         * bucket_secs
     ).alias("bucket_epoch")
     x = F.unix_micros(F.col(ts_col))
@@ -2807,7 +2807,7 @@ def ohlc_partials(
     # floor division, not truncate-toward-zero: a pre-1970 reading at
     # -1s belongs to bucket -bucket_secs, matching SQL floor semantics.
     bucket = (
-        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
+        F.floor(F.col(ts_col).cast("double") / F.lit(float(bucket_secs))).cast("long")
         * bucket_secs
     ).alias("bucket_epoch")
     pair = F.struct(

@@ -12,6 +12,22 @@ from __future__ import annotations
 import json
 import sys
 
+# gauge->drag calibration fit — MIRRORS bench.py (the source of truth;
+# bench.py imports the whole engine so we inline the three constants
+# here to keep this tool import-light; tests/test_bench_gauge.py pins
+# the two copies equal).
+GAUGE_FIT_SLOPE = 1.40
+GAUGE_FIT_INTERCEPT = -0.60
+IDLE_GAUGE = 1.232
+
+
+def est_drag(gauge):
+    if gauge is None:
+        return None
+    raw = GAUGE_FIT_SLOPE * gauge + GAUGE_FIT_INTERCEPT
+    idle = GAUGE_FIT_SLOPE * IDLE_GAUGE + GAUGE_FIT_INTERCEPT
+    return max(1.0, raw / idle)
+
 
 def load(path: str) -> dict:
     with open(path) as f:
@@ -48,14 +64,30 @@ def main() -> int:
     print(f"total: {old.get('value')}s -> {new.get('value')}s "
           f"({len(oq)} -> {len(nq)} queries, {len(shared)} shared)")
 
+    def gauge(d):
+        return (d.get("throttle") or {}).get("regime_gauge")
+
     def regime(d):
         t = d.get("throttle") or {}
         g = t.get("regime_gauge")
         return f"{t.get('regime', '?')} (gauge {g})" if g else "unknown"
 
-    # a loud-regime run's raw numbers overstate regressions — compare
-    # cross-run minima instead (docs/BENCH_NOTES.md)
+    # a loud-regime run's raw numbers overstate regressions — when both
+    # runs carry a regime gauge, normalize the comparison by the
+    # calibrated gauge->drag estimate (bench.est_drag) so a plan delta
+    # is separated from uniform host drag; cross-run minima remain the
+    # ground truth for absolute numbers (docs/BENCH_NOTES.md).
     print(f"regimes: {regime(old)} -> {regime(new)}")
+    da, db = est_drag(gauge(old)), est_drag(gauge(new))
+    adj = (db / da) if (da and db) else 1.0
+    if adj != 1.0:
+        sa = sum(v for v in oq.values() if v > 0)
+        sb = sum(v for v in nq.values() if v > 0)
+        print(
+            f"drag-adjusted: est {da:.3f}x -> {db:.3f}x; NEW totals "
+            f"divided by {adj:.3f} for comparison "
+            f"(adjusted sum {sb / db:.1f}s vs old {sa / da:.1f}s)"
+        )
     flagged = 0
     for name in shared:
         a, b = oq[name], nq[name]
@@ -66,10 +98,14 @@ def main() -> int:
                 print(f"  BROKE   {name}: {a}s -> failed")
                 flagged += 1
             continue
-        if b > max(a * ratio, floor):
-            print(f"  SLOWER  {name}: {a}s -> {b}s ({b / a:.1f}x)")
+        b_adj = b / adj
+        if b_adj > max(a * ratio, floor):
+            print(
+                f"  SLOWER  {name}: {a}s -> {b}s "
+                f"({b / a:.1f}x raw, {b_adj / a:.1f}x drag-adjusted)"
+            )
             flagged += 1
-        elif a > max(b * ratio, floor):
+        elif a > max(b_adj * ratio, floor):
             print(f"  faster  {name}: {a}s -> {b}s")
     added = sorted(set(nq) - set(oq))
     if added:
