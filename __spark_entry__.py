@@ -11021,72 +11021,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_value": quantile_sketch_value,
         "transform_exp": transform_exp,
     }
-    # --- driver-coverage rotation (round 11) ---
+    # --- driver-coverage rotation (round 12) ---
     # The driver hash-checks the FIRST 50 entries each round; all 50
-    # are oracle-backed (tests/test_entry.py enforces it). Slots 1-2:
-    # the NEW r11 ops on their first-ever checks (simhash_neighbor_stats,
-    # the scale-mode O(n*k) simhash contract, and streaming_simhash_degree,
-    # the 26th streaming path). Slot 3: transform_exp — the
-    # single remaining <=r5-last-green straggler (displaced in r10 as
-    # the cheapest loss; it is also the bench throttle probe, so it has
-    # run green thousands of times since, but the driver row should say
-    # so too). Slots 4-29: the full r6-last-green cohort (26 queries,
-    # the registry's longest-unchecked tier after this round closes
-    # it). Remaining slots: the first 21 of the r7-last-green cohort
-    # (alphabetical — deterministic backfill; the remaining 28 r7 rows
-    # are the r12 window's natural head). After this round no registry
-    # query is staler than r7.
+    # are oracle-backed (tests/test_entry.py enforces it). Slots 1-28:
+    # the full r7-last-green cohort (alphabetical), the registry's
+    # longest-unchecked tier — it includes the TPC-H shape sweep
+    # q7-q21, window_functions_suite, zorder_events and the t-digest
+    # family the r11 verdict's #3 names, plus session_concurrency_hourly
+    # and zorder_events right after their r12 negative-epoch floor
+    # fixes. Slots 29-50: the first 22 of the r8 cohort (alphabetical —
+    # deterministic backfill; the remaining 27 r8 rows are the r13
+    # window's natural head). After this round no registry query is
+    # staler than r8.
     window = [
-        "simhash_neighbor_stats",
-        "streaming_simhash_degree",
-        "transform_exp",
-        "asof_nearest_purchase",
-        "assemble_training_corpus",
-        "boilerplate_chunks_docs",
-        "cross_source_dups",
-        "curriculum_order_docs",
-        "date_trunc_family",
-        "dedup_containment",
-        "dedup_normalized",
-        "dedup_yield_curve",
-        "dsir_select_docs",
-        "gapfill_hourly_interp",
-        "heavy_hitters_by_type",
-        "heavy_hitters_users",
-        "length_quantiles_by_source",
-        "mix_temperature_sources",
-        "mv_incremental_daily",
-        "null_semantics_suite",
-        "priors_logp",
-        "quality_topq_per_source",
-        "robust_scale_value",
-        "rolling_median_user",
-        "sliding_distinct_users",
-        "source_kl_matrix",
-        "sql_udf_surface",
-        "streaming_neardup_index",
-        "vocab_coverage_curve",
-        "ann_topk_ivf",
-        "ann_topk_lsh",
-        "ann_topk_pq",
-        "approx_distinct_events",
-        "asof_tolerance_purchase",
-        "audio_dedup_fp",
-        "budget_select_docs",
-        "cap_docs_per_source",
-        "corpus_layout_order",
-        "equidepth_histogram",
-        "ewma_user_value",
-        "feature_hashing_events",
-        "funnel_signup_purchase",
-        "gapfill_hourly_locf",
-        "hopping_window_counts",
-        "image_dedup_ahash",
-        "image_dedup_phash",
-        "join_types_suite",
-        "multimodal_features",
-        "pack_materialize_docs",
-        "partition_pruned_scan",
+        "profile_documents",
+        "q10_returned_items",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q18_large_orders",
+        "q19_disjunctive_revenue",
+        "q21_waiting_suppliers",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "salted_join_segments",
+        "sample_per_group",
+        "session_concurrency_hourly",
+        "skew_report_events",
+        "snapshot_diff_docs",
+        "split_leakage_report",
+        "streaming_mv_partitioned_daily",
+        "streaming_tdigest_value",
+        "streaming_windowed_counts",
+        "tdigest_by_type",
+        "tdigest_quantiles_value",
+        "upsample_epochs_sources",
+        "video_dedup_frames",
+        "weighted_percentile_price",
+        "weighted_sample_docs",
+        "window_functions_suite",
+        "winsorize_value_by_type",
+        "zorder_events",
+        "asof_last_purchase",
+        "asof_next_purchase",
+        "bpe_train_encode",
+        "corpus_layout_desc",
+        "cube_revenue",
+        "dedup_exact_groups",
+        "dedup_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "density_bernoulli",
+        "density_beta",
+        "density_bimixture",
+        "density_exponential",
+        "density_gamma",
+        "density_gaussian",
+        "density_laplace",
+        "density_lognormal",
+        "density_poisson",
+        "density_student_t",
+        "distinct_agg_suppliers",
+        "diverse_select_emb",
+        "emb_near_dup",
     ]
     out = {n: base[n] for n in window}
     out.update({n: f for n, f in base.items() if n not in out})

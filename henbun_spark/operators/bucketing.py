@@ -76,7 +76,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_bucketed", "bucketed_join", "bucketed_lookup"]
+__all__ = ["write_bucketed", "bucketed_join", "bucketed_lookup", "rebucket"]
 
 
 def write_bucketed(
@@ -103,6 +103,78 @@ def write_bucketed(
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(table_name)
+
+
+def _bucket_layout(spark: SparkSession, table_name: str) -> dict:
+    """Current bucket spec + location of a catalog table, from
+    DESCRIBE TABLE EXTENDED (the only stable public surface for it)."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+    info = {r["col_name"]: r["data_type"] for r in rows}
+    if "Num Buckets" not in info:
+        raise ValueError(f"table {table_name} is not bucketed")
+
+    def cols(v):  # "[`user_id`]" -> ["user_id"]
+        return [c.strip(" `") for c in v.strip("[]").split(",") if c.strip(" `")]
+
+    return {
+        "n_buckets": int(info["Num Buckets"]),
+        "bucket_cols": cols(info.get("Bucket Columns", "[]")),
+        "sort_cols": cols(info.get("Sort Columns", "[]")),
+        "location": info.get("Location"),
+    }
+
+
+def rebucket(
+    spark: SparkSession,
+    table_name: str,
+    n_buckets: int,
+    path: str | None = None,
+) -> str:
+    """BUCKET-COUNT EVOLUTION on a live table: re-layout ``table_name``
+    (e.g. 8 -> 64 buckets) as exactly one ``write_bucketed`` rewrite —
+    the one remaining 100-TB layout operation after write/join/lookup/
+    mixed-count (r11 verdict #7). Keeps the table's bucket column and
+    per-bucket sort, writes the new layout to ``path`` (default: the
+    old location + ``__b{n}``), then swaps the catalog entry: stage as
+    ``{table}__rebucket``, drop the old EXTERNAL entry (its files stay
+    on disk for the caller to GC once readers drain — the swap itself
+    never deletes data), rename the staged table into place. After both
+    sides of a recurring join are rebucketed to the new count, the join
+    is Exchange-free again at the new parallelism; until then the
+    mixed-count semantics in the module doc apply (higher count wins /
+    coalesce bridge). Results are layout-invariant: the table's ROWS
+    are untouched (pytest-pinned). Returns the new location.
+
+    Cost model at 100 TB: one full shuffle + write of this table — the
+    same price as its original layout, amortized over every future
+    Exchange-free join at the new count. Pick power-of-two counts so
+    each evolution step stays inside the coalesce bridge's 4x ratio.
+    """
+    layout = _bucket_layout(spark, table_name)
+    if len(layout["bucket_cols"]) != 1:
+        raise ValueError(
+            f"table {table_name} buckets on {layout['bucket_cols']}; "
+            "rebucket supports the single-column layout write_bucketed "
+            "produces"
+        )
+    bucket_col = layout["bucket_cols"][0]
+    if path is None:
+        if not layout["location"]:
+            raise ValueError(f"table {table_name} has no location")
+        path = layout["location"].removeprefix("file:") + f"__b{n_buckets}"
+    staged = f"{table_name}__rebucket"
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    write_bucketed(
+        spark.table(table_name),
+        staged,
+        bucket_col,
+        n_buckets,
+        path,
+        sort=bool(layout["sort_cols"]),
+    )
+    spark.sql(f"DROP TABLE {table_name}")  # external: files remain
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {table_name}")
+    return path
 
 
 def bucketed_join(
