@@ -2351,8 +2351,9 @@ def streaming_simhash_degree(spark, sf_dir):
     SimHash fingerprints band-join the persistent index (pigeonhole
     blocks, batch-vs-index + within-batch only — the index never
     self-joins), every discovered pair increments BOTH endpoints'
-    n_near exactly once (in-batch DISTINCT collapses multi-block
-    matches; a pair is found precisely when its later doc arrives), and
+    n_near exactly once (first-agreeing-block emission collapses
+    multi-block matches map-side, no distinct shuffle; a pair is found
+    precisely when its later doc arrives), and
     the per-doc (fingerprint, n_near) state commits atomically per
     batch. The drained degrees equal the batch near-pair degree
     aggregation bit-for-bit under any batch split — degree is
@@ -2396,6 +2397,53 @@ SELECT a.doc_id AS doc_id, COUNT(*)::BIGINT AS n_near
 FROM fp a JOIN fp b ON a.doc_id <> b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 GROUP BY a.doc_id
+"""
+
+
+def streaming_bottomk_sample(spark, sf_dir):
+    """NEW r12 streaming path (#27): BOTTOM-K (priority) sample
+    maintenance at ingest. Documents stream in as 4-file micro-batches;
+    the persistent state is the 100 rows with the smallest
+    ``substr(md5('bk|' || doc_id), 1, 16)`` priority among everything
+    ingested so far — the KMV/bottom-k primitive a 100-TB pipeline uses
+    to keep a representative sample of an unbounded crawl with zero RNG
+    state (membership is recomputable from the pure hash; the k-th
+    smallest priority doubles as a distinct-count estimator, and two
+    streams' states merge by union + re-top-k). Each batch is one
+    TakeOrdered(k) over (previous k) ∪ batch — bounded state, bounded
+    work, split-invariant because rank truncation is a MIN-like fold.
+    ORACLE-CHECKED bit-for-bit against the batch ORDER BY priority
+    LIMIT k SQL."""
+    from henbun_spark import streaming
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    base = _scratch_dir("henbun_sbk_")
+    in_dir = f"{base}/in"
+    docs.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.bottomk_stream_maintenance(
+        stream,
+        "doc_id",
+        f"{base}/state",
+        f"{base}/ckpt",
+        k=100,
+        payload_cols=("source",),
+    )
+    q.awaitTermination()
+    s = streaming.load_state(spark, f"{base}/state")
+    return s.select("doc_id", "source", "pr")
+
+
+_STREAM_BOTTOMK_SQL = """
+SELECT doc_id, source,
+  substr(md5('bk|' || CAST(doc_id AS VARCHAR)), 1, 16) AS pr
+FROM documents
+ORDER BY pr, doc_id
+LIMIT 100
 """
 
 
@@ -10905,6 +10953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": simhash_near_pairs,
         "simhash_neighbor_stats": simhash_neighbor_stats,
         "streaming_simhash_degree": streaming_simhash_degree,
+        "streaming_bottomk_sample": streaming_bottomk_sample,
         "text_langid": text_langid,
         "text_quality": text_quality,
         "text_repetition": text_repetition,
@@ -11032,8 +11081,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fixes. Slots 29-50: the first 22 of the r8 cohort (alphabetical —
     # deterministic backfill; the remaining 27 r8 rows are the r13
     # window's natural head). After this round no registry query is
-    # staler than r8.
+    # staler than r8. Slot 1: the NEW r12 op (streaming_bottomk_sample,
+    # streaming path #27) on its first-ever check, displacing the last
+    # r8 backfill entry.
     window = [
+        "streaming_bottomk_sample",
         "profile_documents",
         "q10_returned_items",
         "q13_customer_distribution",
@@ -11083,7 +11135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_student_t",
         "distinct_agg_suppliers",
         "diverse_select_emb",
-        "emb_near_dup",
     ]
     out = {n: base[n] for n in window}
     out.update({n: f for n, f in base.items() if n not in out})
@@ -11269,6 +11320,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
         "simhash_neighbor_stats": _SIMHASH_NEIGHBOR_SQL,
         "streaming_simhash_degree": _STREAM_SIMHASH_DEGREE_SQL,
+        "streaming_bottomk_sample": _STREAM_BOTTOMK_SQL,
         "dedup_components": _COMPONENTS_SQL,
         "dedup_components_star": _COMPONENTS_SQL,
         "dedup_canonical_best": _CANONICAL_BEST_SQL,

@@ -196,6 +196,10 @@ HEADLINE = [
     "event_transition_matrix",
     "emb_centroid_drift",
     "session_top_paths",
+    # NOT timed: streaming_bottomk_sample (r12) — same 4-commit
+    # foreachBatch machinery; the fold is one TakeOrdered(k) per batch
+    # over k+|batch| rows, strictly dominated by the ingest write the
+    # other streaming paths already price.
     # NOT timed: streaming_simhash_degree (r11) — same 4-commit
     # foreachBatch machinery as the other index-maintenance paths; its
     # batch twin simhash_neighbor_stats IS timed above and carries the
@@ -451,6 +455,10 @@ def main():
         # safe here: the query's derived frames were just materialized
         relational.release_scaffold_caches()
     full, line = format_output(times, sf)
+    # self-identify probe runs: pooled-minima analyses over sf0.1
+    # archives must be able to exclude non-driver corpora (e.g. the
+    # Heaps-vocabulary /tmp probe dirs) by content, not filename
+    full["sf_dir"] = sf_dir
     ps = sorted(probe_samples)
     probe_median = ps[len(ps) // 2] if ps else None
     # quartiles too: single-run gauge calibration data. The r11 idle-VM

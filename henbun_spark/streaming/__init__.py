@@ -749,6 +749,64 @@ def mv_stream_maintenance(
     )
 
 
+def bottomk_stream_maintenance(
+    stream: DataFrame,
+    key_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = 100,
+    payload_cols: tuple = (),
+    salt: str = "bk",
+):
+    """Streaming BOTTOM-K (priority) sample maintenance (path #27): the
+    persistent state is the k rows with the SMALLEST md5 priority
+    ``substr(md5(salt|key), 1, 16)`` among everything ingested so far —
+    a uniform-without-replacement sample of the stream that any worker
+    can recompute membership for (pure hash, no RNG state), the
+    standard "hold a representative sample of an unbounded ingest"
+    primitive (bottom-k / KMV sketch; its k-th smallest priority also
+    estimates distinct count, and two states merge by union + re-top-k
+    for cross-stream overlap).
+
+    Per batch: one TakeOrdered(k) over (previous k rows) ∪ (batch) —
+    bounded work and bounded state, no full sort, no shuffle beyond the
+    k-row reduction. The fold is a rank-truncating MIN-like merge:
+    associative, commutative, and insensitive to micro-batch splits, so
+    the drained state equals the batch ``ORDER BY priority LIMIT k``
+    bit-for-bit (oracle-checked). Keys are assumed unique across the
+    stream's lifetime (the standard ingest contract here); a replayed
+    batch is skipped by batch id and commits are atomic pointer flips.
+    Ties on priority break by key. Read back with `load_state`.
+    """
+
+    def fold_batch(bdf: DataFrame, batch_id: int):
+        spark = bdf.sparkSession
+        prev, committed = _read_state(spark, state_dir)
+        if _should_skip_batch(batch_id, committed, state_dir):
+            return
+        pr = F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))
+            ),
+            1,
+            16,
+        )
+        cand = bdf.select(
+            F.col(key_col), *[F.col(c) for c in payload_cols]
+        ).withColumn("pr", pr)
+        if prev is not None:
+            cand = prev.unionByName(cand)
+        top = cand.orderBy("pr", key_col).limit(k)
+        _commit_state(top, state_dir, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def simhash_degree_stream_maintenance(
     stream: DataFrame,
     state_dir: str,

@@ -1159,6 +1159,55 @@ def test_lttb_m4_stream_split_independent(spark, tmp_path):
         assert got == batch, nfiles
 
 
+def test_bottomk_stream_split_invariant_and_equals_batch(spark, tmp_path):
+    """Bottom-k priority sampling is a rank-truncating MIN-like fold:
+    the drained k rows must equal the batch ORDER BY priority LIMIT k
+    under ANY micro-batch split (1-file batches vs one big batch), and
+    every kept row's priority must be <= every dropped row's."""
+    from pyspark.sql import functions as F
+
+    from henbun_spark import streaming
+
+    rows = [(i, f"src{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    pr = F.substring(
+        F.md5(F.concat_ws("|", F.lit("bk"), F.col("doc_id").cast("string"))),
+        1,
+        16,
+    )
+    batch = sorted(
+        tuple(r)
+        for r in df.withColumn("pr", pr)
+        .orderBy("pr", "doc_id")
+        .limit(12)
+        .collect()
+    )
+
+    def drain(tag, files_per_trigger):
+        in_dir = str(tmp_path / f"in_{tag}")
+        state = str(tmp_path / f"state_{tag}")
+        df.repartition(5).write.parquet(in_dir)
+        stream = spark.readStream.schema(df.schema)
+        if files_per_trigger:
+            stream = stream.option("maxFilesPerTrigger", files_per_trigger)
+        q = streaming.bottomk_stream_maintenance(
+            stream.parquet(in_dir),
+            "doc_id",
+            state,
+            str(tmp_path / f"ckpt_{tag}"),
+            k=12,
+            payload_cols=("source",),
+        )
+        q.awaitTermination()
+        return sorted(
+            tuple(r) for r in streaming.load_state(spark, state).collect()
+        )
+
+    split = drain("split", 1)
+    whole = drain("whole", None)
+    assert split == whole == batch
+
+
 def test_winnow_index_stream_split_independent(spark, tmp_path):
     """The winnowed-fingerprint selection is content-LOCAL per doc, so
     streamed (digest -> min canonical, count) partials fold to the same

@@ -16,7 +16,8 @@ Paths covered by name: HLL registers, Misra-Gries, t-digest, PCA
 suff-stats, MV (which also backs the dedup / winnow / substring / LSH
 near-dup index registry paths — same `mv_stream_maintenance` machinery,
 different partials_fn), partition-scoped MV (per-partition stamps +
-write-ahead journal), and the simhash near-dup degree index.
+write-ahead journal), the bottom-k priority sample, and the simhash
+near-dup degree index.
 """
 
 from __future__ import annotations
@@ -83,6 +84,13 @@ CASES = {
             st, _mvp_partials, ["day", "k"], "day", state, ckpt
         ),
         partitioned=True,
+    ),
+    "bottomk": dict(
+        rows=[(i, f"src{i % 5}") for i in range(60)],
+        schema="doc_id: long, source: string",
+        start=lambda st, state, ckpt: streaming.bottomk_stream_maintenance(
+            st, "doc_id", state, ckpt, k=10, payload_cols=("source",)
+        ),
     ),
     "simhash_degree": dict(
         rows=[
