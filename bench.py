@@ -492,10 +492,17 @@ def main():
     # stdout -> exactly one compact parseable line for the driver
     print(json.dumps(full), file=sys.stderr)
     repo = os.path.dirname(os.path.abspath(__file__))
+    # a SUBSET or non-driver-dir run is a probe, never the official
+    # archive: an isolated re-measure at the same HEAD sha must not
+    # clobber BENCH_<sha>.json / BENCH_FULL.json (it did once in r12 —
+    # recovered from the stderr dump; this guard makes it structural)
+    is_subset = bool(start_at or only)
+    is_driver_dir = sf_dir.startswith("/root/testdata/")
+    official = sf == 0.1 and not is_subset and is_driver_dir
     try:
         # only the official sf0.1 run owns BENCH_FULL.json (bench_diff's
         # default input); probe SFs land in bench_history only
-        if sf == 0.1:
+        if official:
             with open(os.path.join(repo, "BENCH_FULL.json"), "w") as f:
                 json.dump(full, f)
         # per-run history keyed by HEAD sha: committed alongside code, so
@@ -509,9 +516,14 @@ def main():
         ).stdout.strip() or "nogit"
         hist = os.path.join(repo, "bench_history")
         os.makedirs(hist, exist_ok=True)
-        # non-default SFs get their own archive name so an sf1 probe run
-        # never overwrites the official sf0.1 archive for the same sha
+        # non-default SFs, subset runs and non-driver corpora get their
+        # own archive name so a probe run never overwrites the official
+        # sf0.1 archive for the same sha
         suffix = "" if sf == 0.1 else f"_sf{sf:g}"
+        if not is_driver_dir:
+            suffix += "_probe"
+        if is_subset:
+            suffix += "_partial"
         with open(os.path.join(hist, f"BENCH_{sha}{suffix}.json"), "w") as f:
             json.dump(full, f)
     except OSError as exc:  # pragma: no cover
