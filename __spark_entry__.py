@@ -2400,6 +2400,68 @@ GROUP BY a.doc_id
 """
 
 
+def streaming_bloom_filter(spark, sf_dir):
+    """NEW r12 streaming path (#28): BLOOM-FILTER maintenance at
+    ingest. High-value orders (o_totalprice > 400000) stream in as
+    4-file micro-batches; the persistent state is the <= 2048-row
+    (word_idx, bits) bitmap over their order keys — the build side of
+    `bloom_semi_lineitem`'s runtime pre-filter, kept always-current so
+    probe-side pre-filtering never rescans the build table. Bitwise OR
+    is associative, commutative and idempotent, so the drained bitmap
+    equals the one-shot batch `sketch.bloom_build` bit-for-bit under
+    any micro-batch split. ORACLE-CHECKED against the same md5-nibble
+    bitmap SQL the batch bloom uses, plus per-word popcounts."""
+    from henbun_spark import streaming
+
+    orders = _load(spark, sf_dir, "orders")
+    sel = orders.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("k")
+    )
+    base = _scratch_dir("henbun_sbf_")
+    in_dir = f"{base}/in"
+    sel.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(sel.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = streaming.bloom_stream_maintenance(
+        stream, "k", f"{base}/state", f"{base}/ckpt", m_bits=1 << 16, k=4
+    )
+    q.awaitTermination()
+    s = streaming.load_state(spark, f"{base}/state")
+    return s.select(
+        F.col("word_idx").cast("int").alias("word_idx"),
+        F.col("bits").cast("long").alias("bits"),
+        F.bit_count("bits").cast("int").alias("n_set"),
+    )
+
+
+def _stream_bloom_sql(m_bits: int = 1 << 16, k: int = 4, salt: str = "bloom") -> str:
+    def pos(expr, i):
+        h = f"md5('{salt}' || '|' || '{i}' || '|' || coalesce(CAST({expr} AS VARCHAR), chr(0)))"
+        val6 = " + ".join(
+            f"((instr('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) * {16 ** (5 - j)})"
+            for j in range(6)
+        )
+        return f"CAST(({val6}) % {m_bits} AS INT)"
+
+    build = " UNION ALL ".join(
+        f"SELECT {pos('k', i)} AS pos FROM sel" for i in range(k)
+    )
+    return f"""
+WITH sel AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 400000),
+bitmap AS (
+  SELECT pos // 32 AS word_idx,
+         CAST(bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS BIGINT) AS bits
+  FROM ({build}) GROUP BY 1)
+SELECT CAST(word_idx AS INT) AS word_idx, bits,
+  CAST(bit_count(bits) AS INT) AS n_set
+FROM bitmap
+"""
+
+
 def streaming_bottomk_sample(spark, sf_dir):
     """NEW r12 streaming path (#27): BOTTOM-K (priority) sample
     maintenance at ingest. Documents stream in as 4-file micro-batches;
@@ -10954,6 +11016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neighbor_stats": simhash_neighbor_stats,
         "streaming_simhash_degree": streaming_simhash_degree,
         "streaming_bottomk_sample": streaming_bottomk_sample,
+        "streaming_bloom_filter": streaming_bloom_filter,
         "text_langid": text_langid,
         "text_quality": text_quality,
         "text_repetition": text_repetition,
@@ -11081,11 +11144,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fixes. Slots 29-50: the first 22 of the r8 cohort (alphabetical —
     # deterministic backfill; the remaining 27 r8 rows are the r13
     # window's natural head). After this round no registry query is
-    # staler than r8. Slot 1: the NEW r12 op (streaming_bottomk_sample,
-    # streaming path #27) on its first-ever check, displacing the last
-    # r8 backfill entry.
+    # staler than r8. Slots 1-2: the NEW r12 ops (streaming_bottomk_sample
+    # and streaming_bloom_filter, streaming paths #27-28) on their
+    # first-ever checks, displacing the last two r8 backfill entries.
     window = [
         "streaming_bottomk_sample",
+        "streaming_bloom_filter",
         "profile_documents",
         "q10_returned_items",
         "q13_customer_distribution",
@@ -11134,7 +11198,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_poisson",
         "density_student_t",
         "distinct_agg_suppliers",
-        "diverse_select_emb",
     ]
     out = {n: base[n] for n in window}
     out.update({n: f for n, f in base.items() if n not in out})
@@ -11321,6 +11384,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neighbor_stats": _SIMHASH_NEIGHBOR_SQL,
         "streaming_simhash_degree": _STREAM_SIMHASH_DEGREE_SQL,
         "streaming_bottomk_sample": _STREAM_BOTTOMK_SQL,
+        "streaming_bloom_filter": _stream_bloom_sql(),
         "dedup_components": _COMPONENTS_SQL,
         "dedup_components_star": _COMPONENTS_SQL,
         "dedup_canonical_best": _CANONICAL_BEST_SQL,

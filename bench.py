@@ -200,6 +200,10 @@ HEADLINE = [
     # foreachBatch machinery; the fold is one TakeOrdered(k) per batch
     # over k+|batch| rows, strictly dominated by the ingest write the
     # other streaming paths already price.
+    # NOT timed: streaming_bloom_filter (r12) — same 4-commit
+    # foreachBatch machinery; per batch one bloom_build + a <=2048-row
+    # bit_or merge, dominated by the ingest write. Its batch twin
+    # bloom_semi_lineitem IS timed above.
     # NOT timed: streaming_simhash_degree (r11) — same 4-commit
     # foreachBatch machinery as the other index-maintenance paths; its
     # batch twin simhash_neighbor_stats IS timed above and carries the

@@ -749,6 +749,56 @@ def mv_stream_maintenance(
     )
 
 
+def bloom_stream_maintenance(
+    stream: DataFrame,
+    key_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    salt: str = "bloom",
+):
+    """Streaming BLOOM-FILTER maintenance (path #28): the persistent
+    state is the <= m_bits/32-row (word_idx, bits) bitmap over every
+    key ingested so far — the runtime-filter build side of a recurring
+    large join, maintained at ingest so any later probe (bloom
+    pre-filter before a shuffle join, `sketch.bloom_filter_probe`) uses
+    an always-current filter without rescanning the build table.
+
+    Per batch: one `sketch.bloom_build` over the micro-batch (explode(k)
+    + map-side-combinable bit_or) OR-merged into the state with a
+    second bit_or groupBy over <= m_bits/32 + batch-words rows. Bitwise
+    OR is associative, commutative AND idempotent, so the drained state
+    equals the one-shot batch build bit-for-bit under ANY micro-batch
+    split — and even a replayed batch could not corrupt it (the batch-id
+    guard still applies, uniformly with the other paths). Bounded state,
+    bounded per-batch work, md5-portable bits (oracle-reproducible).
+    Read back with `load_state`.
+    """
+    from henbun_spark.operators import sketch
+
+    def fold_batch(bdf: DataFrame, batch_id: int):
+        spark = bdf.sparkSession
+        prev, committed = _read_state(spark, state_dir)
+        if _should_skip_batch(batch_id, committed, state_dir):
+            return
+        regs = sketch.bloom_build(bdf, key_col, m_bits=m_bits, k=k, salt=salt)
+        if prev is not None:
+            regs = (
+                prev.unionByName(regs)
+                .groupBy("word_idx")
+                .agg(F.bit_or("bits").alias("bits"))
+            )
+        _commit_state(regs, state_dir, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def bottomk_stream_maintenance(
     stream: DataFrame,
     key_col: str,

@@ -1159,6 +1159,42 @@ def test_lttb_m4_stream_split_independent(spark, tmp_path):
         assert got == batch, nfiles
 
 
+def test_bloom_stream_equals_batch_build(spark, tmp_path):
+    """Bitwise-OR folding is associative, commutative and idempotent:
+    the drained streaming bloom bitmap must equal the one-shot batch
+    `sketch.bloom_build` bit-for-bit, and a key ingested mid-stream
+    must probe positively through the drained state."""
+    from henbun_spark import streaming
+    from henbun_spark.operators import sketch
+
+    df = spark.createDataFrame([(i * 13,) for i in range(80)], "k: long")
+    in_dir, state = str(tmp_path / "in"), str(tmp_path / "state")
+    df.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    streaming.bloom_stream_maintenance(
+        stream, "k", state, str(tmp_path / "ckpt"), m_bits=1 << 12, k=4
+    ).awaitTermination()
+    drained = sorted(
+        tuple(r) for r in streaming.load_state(spark, state).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in sketch.bloom_build(df, "k", m_bits=1 << 12, k=4).collect()
+    )
+    assert drained == batch
+    # no false negatives: every ingested key passes the drained filter
+    probe = spark.createDataFrame([(13,), (26,), (999983,)], "k: long")
+    passed = sketch.bloom_filter_probe(
+        probe, streaming.load_state(spark, state), "k", m_bits=1 << 12, k=4
+    )
+    kept = {r["k"] for r in passed.collect()}
+    assert {13, 26} <= kept
+
+
 def test_bottomk_stream_split_invariant_and_equals_batch(spark, tmp_path):
     """Bottom-k priority sampling is a rank-truncating MIN-like fold:
     the drained k rows must equal the batch ORDER BY priority LIMIT k

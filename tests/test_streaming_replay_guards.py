@@ -85,6 +85,13 @@ CASES = {
         ),
         partitioned=True,
     ),
+    "bloom": dict(
+        rows=[(i * 37,) for i in range(60)],
+        schema="k: long",
+        start=lambda st, state, ckpt: streaming.bloom_stream_maintenance(
+            st, "k", state, ckpt, m_bits=1 << 10, k=3
+        ),
+    ),
     "bottomk": dict(
         rows=[(i, f"src{i % 5}") for i in range(60)],
         schema="doc_id: long, source: string",
