@@ -62,3 +62,18 @@ def test_timeseries_dashboard(spark, sf_dir, tmp_path):
         spark, sf_dir, str(tmp_path / "sohlc")
     )
     assert n_total > 0 and n_match == n_total
+
+
+def test_streaming_ingest(spark, tmp_path):
+    import streaming_ingest
+
+    n_dups, n_sample, n_words, base = streaming_ingest.ingest_and_maintain(
+        spark, rows=2000, base=str(tmp_path)
+    )
+    assert n_dups > 0  # the generator plants ~3% duplicates
+    assert n_sample == 25
+    assert 0 < n_words <= (1 << 14) // 32
+    # ingested ids must pass the admission probe (no false negatives);
+    # a far-out id is overwhelmingly likely to be admitted as new
+    maybe = streaming_ingest.admission_check(spark, base, [0, 1, 10**9])
+    assert {0, 1} <= maybe
