@@ -1720,6 +1720,59 @@ def emb_lsh_recall(spark, sf_dir):
     )
 
 
+def emb_density_outliers(spark, sf_dir):
+    """Label-free density-based embedding outliers (NEW op, r12): score
+    every vector by the exact integer sum of its LSH bucket sizes
+    across 3 independent sign-random-projection banks
+    (`similarity.lsh_density_scores`) and return the 10 sparsest points
+    (density asc, vec_id tie-break). A point in sparse buckets under
+    EVERY projection has no dense semantic neighborhood — the
+    k-distance/LOF signal with zero pair joins: two scans + one
+    <= bands*2^planes-row broadcast. Complements `emb_label_outliers`
+    (centroid distance, needs labels). Shares the recall query's plane
+    bank (same seed/dims), so the oracle replays identical literals;
+    all arithmetic on the score is integer-exact."""
+    from henbun_spark.operators import similarity
+
+    emb = _load(spark, sf_dir, "embeddings")
+    scored = similarity.lsh_density_scores(
+        emb,
+        "embedding",
+        "vec_id",
+        n_planes=_EMB_LSH_NPLANES,
+        bands=_EMB_LSH_BANDS,
+        seed=_EMB_LSH_SEED,
+    )
+    return scored.orderBy("density", "vec_id").limit(10)
+
+
+def _emb_density_sql() -> str:
+    planes = np.random.default_rng(_EMB_LSH_SEED).standard_normal(
+        (_EMB_LSH_BANDS, _EMB_LSH_NPLANES, _EMB_LSH_DIM)
+    )
+    buckets = ",\n  ".join(
+        f"{_emb_lsh_bucket_sql(planes[bi])} AS b{bi}"
+        for bi in range(_EMB_LSH_BANDS)
+    )
+    stacked = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {bi} AS band, b{bi} AS bucket FROM bk"
+        for bi in range(_EMB_LSH_BANDS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (SELECT vec_id,
+  {buckets}
+  FROM e),
+st AS ({stacked}),
+sizes AS (SELECT band, bucket, COUNT(*)::BIGINT AS sz FROM st GROUP BY 1, 2)
+SELECT st.vec_id, SUM(sz)::BIGINT AS density
+FROM st JOIN sizes USING (band, bucket)
+GROUP BY st.vec_id
+ORDER BY density, st.vec_id
+LIMIT 10
+"""
+
+
 def _emb_recall_sql() -> str:
     return f"""
 WITH brute AS (
@@ -11017,6 +11070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_simhash_degree": streaming_simhash_degree,
         "streaming_bottomk_sample": streaming_bottomk_sample,
         "streaming_bloom_filter": streaming_bloom_filter,
+        "emb_density_outliers": emb_density_outliers,
         "text_langid": text_langid,
         "text_quality": text_quality,
         "text_repetition": text_repetition,
@@ -11144,12 +11198,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fixes. Slots 29-50: the first 22 of the r8 cohort (alphabetical —
     # deterministic backfill; the remaining 27 r8 rows are the r13
     # window's natural head). After this round no registry query is
-    # staler than r8. Slots 1-2: the NEW r12 ops (streaming_bottomk_sample
-    # and streaming_bloom_filter, streaming paths #27-28) on their
-    # first-ever checks, displacing the last two r8 backfill entries.
+    # staler than r8. Slots 1-3: the NEW r12 ops (streaming_bottomk_sample
+    # and streaming_bloom_filter, streaming paths #27-28, and
+    # emb_density_outliers) on their first-ever checks, displacing the
+    # last three r8 backfill entries.
     window = [
         "streaming_bottomk_sample",
         "streaming_bloom_filter",
+        "emb_density_outliers",
         "profile_documents",
         "q10_returned_items",
         "q13_customer_distribution",
@@ -11197,7 +11253,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_lognormal",
         "density_poisson",
         "density_student_t",
-        "distinct_agg_suppliers",
     ]
     out = {n: base[n] for n in window}
     out.update({n: f for n, f in base.items() if n not in out})
@@ -11385,6 +11440,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_simhash_degree": _STREAM_SIMHASH_DEGREE_SQL,
         "streaming_bottomk_sample": _STREAM_BOTTOMK_SQL,
         "streaming_bloom_filter": _stream_bloom_sql(),
+        "emb_density_outliers": _emb_density_sql(),
         "dedup_components": _COMPONENTS_SQL,
         "dedup_components_star": _COMPONENTS_SQL,
         "dedup_canonical_best": _CANONICAL_BEST_SQL,

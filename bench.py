@@ -180,6 +180,7 @@ HEADLINE = [
     "dedup_substring_removal",
     "dedup_substring_winnowed",
     "emb_label_outliers",
+    "emb_density_outliers",
     "bucketed_join_revenue",
     "bucketed_lookup_revenue",
     "emb_truncated_recall",

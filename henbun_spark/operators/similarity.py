@@ -121,6 +121,64 @@ def lsh_bucket(df: DataFrame, emb_col: str, planes: np.ndarray, out: str = "buck
     return df.withColumn(out, bucket)
 
 
+def lsh_density_scores(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 5,
+    bands: int = 3,
+    seed: int = 7,
+    out: str = "density",
+) -> DataFrame:
+    """LSH-bucket DENSITY score per vector — the density-based outlier
+    signal (semantic-space junk, mislabeled embeddings, encoder
+    failures) at 100-TB cost: for each of ``bands`` independent
+    sign-random-projection banks, count how many corpus vectors share
+    the point's bucket; score = the exact integer SUM of its own
+    bucket's size across banks. A point that lands in sparse buckets
+    under EVERY projection has no dense neighborhood under any of them
+    — the k-distance/LOF intuition without any kNN pair join: two
+    scans + a <= bands * 2^n_planes-row broadcast, map-side-combinable
+    counts, integer arithmetic (hash-checkable). Complements
+    `selection.emb_label_outliers` (centroid DISTANCE, needs labels);
+    this one is label-free and catches multi-cluster sparsity that a
+    single-centroid distance misses.
+
+    Plane convention matches the repo's LSH oracles: coefficients from
+    ``default_rng(seed).standard_normal((bands, n_planes, dim))``
+    folded into the plan as literals, sequential-fold dot products.
+    """
+    dim = len(df.select(emb_col).first()[0])
+    planes = np.random.default_rng(seed).standard_normal(
+        (bands, n_planes, dim)
+    )
+    with_buckets = df.select(F.col(id_col), F.col(emb_col))
+    for bi in range(bands):
+        with_buckets = lsh_bucket(
+            with_buckets, emb_col, planes[bi], out=f"__b{bi}"
+        )
+    st = with_buckets.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.col(f"__b{bi}").alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+    sizes = st.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        st.join(F.broadcast(sizes), on=["band", "bucket"])
+        .groupBy(id_col)
+        .agg(F.sum("sz").cast("long").alias(out))
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
