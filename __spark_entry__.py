@@ -44,6 +44,27 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return sources.load_table(spark, sf_dir, name)
 
 
+def _wide(df: DataFrame) -> DataFrame:
+    """Scan-parallelism floor for COMPUTE-heavy aggregations (r12, guide
+    §2.5 input skew / §6 input splits): the driver test parquet is one
+    row group per table, so every scan is ONE task and per-row math
+    above it (decimal-exact sums, libm densities) runs on one core of
+    the whole box — measured 5.2s -> 1.3s on `corr_lineitem_metrics`
+    (600k rows x 12 decimal sums) at sf0.1/local[32]. Rides
+    `ensure_parallelism`: round-robin widens the narrow pre-aggregate
+    rows to cluster default parallelism ONLY when the scan yields fewer
+    partitions — at 100 TB (thousands of splits) it is a plan no-op
+    with zero added shuffle, so this is not a local[32]-only tune.
+
+    ONLY for queries whose downstream aggregates are order-independent
+    (decimal/integer sums, count, min/max): row placement then cannot
+    move a bit, which is the same invariant `ensure_parallelism`'s
+    existing fan-out users rely on."""
+    from henbun_spark.operators._parallel import ensure_parallelism
+
+    return ensure_parallelism(df)
+
+
 _SCRATCH_ROOT: str | None = None
 
 
@@ -118,7 +139,9 @@ def q1_pricing_summary(spark, sf_dir):
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     out = (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        # filter BELOW the parallelism floor so pushdown still reaches
+        # the scan; the widen is a no-op at scale (see _wide)
+        _wide(li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum(F.col("l_quantity"), "sum_qty"),
@@ -393,7 +416,8 @@ GROUP BY c_nationkey
 
 def rollup_revenue(spark, sf_dir):
     """ROLLUP over (returnflag, linestatus): subtotal hierarchy in one pass — Spark expands to a union of partial aggregates, all map-side combinable."""
-    li = _load(spark, sf_dir, "lineitem")
+    li = _wide(_load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.rollup("l_returnflag", "l_linestatus")
@@ -414,7 +438,8 @@ def cube_revenue(spark, sf_dir):
     """CUBE over (returnflag, linestatus): 4 grouping combinations in one
     pass — Spark expands to a union of partial aggregates, all map-side
     combinable."""
-    li = _load(spark, sf_dir, "lineitem")
+    li = _wide(_load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.cube("l_returnflag", "l_linestatus")
@@ -3901,7 +3926,7 @@ def density_gaussian(spark, sf_dir):
     """Gaussian log-density (densities.py D1) over lineitem as whole-stage-codegen Column math, grouped decimal-exact sums."""
     from henbun_spark import densities
 
-    li = _load(spark, sf_dir, "lineitem")
+    li = _wide(_load(spark, sf_dir, "lineitem"))
     logp = densities.gaussian(F.col("l_quantity"), 25.0, 100.0)
     return li.groupBy("l_returnflag").agg(_dsum(logp, "sum_logp"))
 
@@ -3917,7 +3942,7 @@ def density_poisson(spark, sf_dir):
     """Exercises the lgamma pandas-UDF path (Spark SQL has no lgamma)."""
     from henbun_spark import densities
 
-    li = _load(spark, sf_dir, "lineitem")
+    li = _wide(_load(spark, sf_dir, "lineitem"))
     logp = densities.poisson(F.lit(25.0), F.col("l_quantity"))
     return li.groupBy("l_returnflag").agg(_dsum(logp, "sum_logp"))
 
@@ -3933,7 +3958,7 @@ def density_student_t(spark, sf_dir):
     """Student-t log-density (D7) — exercises the codegen Lanczos lgamma twice per row."""
     from henbun_spark import densities
 
-    li = _load(spark, sf_dir, "lineitem")
+    li = _wide(_load(spark, sf_dir, "lineitem"))
     logp = densities.student_t(F.col("l_quantity"), 25.0, 10.0, 4.0)
     return li.groupBy("l_returnflag").agg(_dsum(logp, "sum_logp"))
 
@@ -3953,7 +3978,7 @@ def density_lognormal(spark, sf_dir):
     """Log-normal log-density (D2) as Column math."""
     from henbun_spark import densities
 
-    li = _load(spark, sf_dir, "lineitem")
+    li = _wide(_load(spark, sf_dir, "lineitem"))
     logp = densities.lognormal(F.col("l_quantity"), 3.0, 0.5)
     return li.groupBy("l_returnflag").agg(_dsum(logp, "sum_logp"))
 
@@ -3969,7 +3994,7 @@ def density_bernoulli(spark, sf_dir):
     """Bernoulli log-likelihood (D3) via a CASE branch on the outcome."""
     from henbun_spark import densities
 
-    li = _load(spark, sf_dir, "lineitem")
+    li = _wide(_load(spark, sf_dir, "lineitem"))
     p = F.col("l_discount") + F.lit(0.2)
     y = (F.col("l_quantity") > 25.0).cast("double")
     return li.groupBy("l_returnflag").agg(_dsum(densities.bernoulli(p, y), "sum_logp"))
@@ -3986,7 +4011,7 @@ def density_exponential(spark, sf_dir):
     """Exponential log-density (D5) as Column math."""
     from henbun_spark import densities
 
-    li = _load(spark, sf_dir, "lineitem")
+    li = _wide(_load(spark, sf_dir, "lineitem"))
     logp = densities.exponential(F.lit(5.0), F.col("l_quantity"))
     return li.groupBy("l_returnflag").agg(_dsum(logp, "sum_logp"))
 
@@ -4002,7 +4027,7 @@ def density_gamma(spark, sf_dir):
     """Gamma log-density (D6) — codegen lgamma path."""
     from henbun_spark import densities
 
-    li = _load(spark, sf_dir, "lineitem")
+    li = _wide(_load(spark, sf_dir, "lineitem"))
     logp = densities.gamma(3.0, 2.0, F.col("l_quantity"))
     return li.groupBy("l_returnflag").agg(_dsum(logp, "sum_logp"))
 
@@ -4018,7 +4043,7 @@ def density_beta(spark, sf_dir):
     """Beta log-density (D8) with the reference's [1e-6, 1-1e-6] clip."""
     from henbun_spark import densities
 
-    li = _load(spark, sf_dir, "lineitem")
+    li = _wide(_load(spark, sf_dir, "lineitem"))
     logp = densities.beta(2.0, 3.0, F.col("l_discount"))
     return li.groupBy("l_returnflag").agg(_dsum(logp, "sum_logp"))
 
@@ -4036,7 +4061,7 @@ def density_laplace(spark, sf_dir):
     """Laplace log-density (D9) as Column math."""
     from henbun_spark import densities
 
-    li = _load(spark, sf_dir, "lineitem")
+    li = _wide(_load(spark, sf_dir, "lineitem"))
     logp = densities.laplace(25.0, 10.0, F.col("l_quantity"))
     return li.groupBy("l_returnflag").agg(_dsum(logp, "sum_logp"))
 
@@ -4052,7 +4077,7 @@ def density_bimixture(spark, sf_dir):
     """Stable log-sum-exp two-component mixture (densities.py D11)."""
     from henbun_spark import densities
 
-    li = _load(spark, sf_dir, "lineitem")
+    li = _wide(_load(spark, sf_dir, "lineitem"))
     x = F.col("l_quantity")
     logp0 = densities.gaussian(x, 20.0, 25.0)
     logp1 = densities.gaussian(x, 35.0, 100.0)
@@ -4075,7 +4100,7 @@ def transform_exp(spark, sf_dir):
     """Exp bijector (transforms.py T2): forward + log_jacobian surface."""
     from henbun_spark import transforms
 
-    li = _load(spark, sf_dir, "lineitem")
+    li = _wide(_load(spark, sf_dir, "lineitem"))
     t = transforms.Exp()
     x = F.col("l_discount") * 10.0
     return li.groupBy("l_returnflag").agg(
@@ -4098,7 +4123,7 @@ def priors_logp(spark, sf_dir):
     by Spark's partial+final sum (the distributed reduce_sum)."""
     from henbun_spark import priors
 
-    li = _load(spark, sf_dir, "lineitem")
+    li = _wide(_load(spark, sf_dir, "lineitem"))
     x = F.col("l_discount") * 10.0 - 0.5
     return li.groupBy("l_returnflag").agg(
         _dsum(priors.Normal().logp(x), "sum_normal"),
@@ -4123,7 +4148,7 @@ def transform_softplus(spark, sf_dir):
     applied as whole-stage-codegen Column math."""
     from henbun_spark import transforms
 
-    li = _load(spark, sf_dir, "lineitem")
+    li = _wide(_load(spark, sf_dir, "lineitem"))
     sp = transforms.Log1pe().forward(F.col("l_discount") * 10.0)
     lg = transforms.Logistic(0.0, 2.0).forward(F.col("l_quantity") - 25.0)
     return li.groupBy("l_returnflag").agg(
@@ -4151,7 +4176,7 @@ def sql_udf_surface(spark, sf_dir):
     from henbun_spark.sql_functions import register_sql_functions
 
     register_sql_functions(spark)
-    _load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _wide(_load(spark, sf_dir, "lineitem")).createOrReplaceTempView("lineitem")
     return spark.sql("""
 SELECT l_returnflag,
   CAST(SUM(CAST(ROUND(hb_gaussian(l_quantity, 25.0D, 100.0D), 6) AS DECIMAL(38,6))) AS DOUBLE) AS sum_gauss,
@@ -7235,7 +7260,11 @@ def corr_lineitem_metrics(spark, sf_dir):
     accumulation is shuffle-order-dependent) — the same one-scan
     sufficient-statistics pattern as the PCA operator, SQL-expressible
     because the moments are plain sums."""
-    li = _load(spark, sf_dir, "lineitem")
+    li = _wide(
+        _load(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        )
+    )
     pairs = [
         ("l_quantity", "l_extendedprice"),
         ("l_quantity", "l_discount"),
@@ -7306,7 +7335,7 @@ def linreg_value_by_hour(spark, sf_dir):
     event_type: value regressed on hour-of-day, slope and intercept in
     closed form from decimal-exact moments — one scan, one keyed
     partial-agg, fully deterministic."""
-    ev = _load(spark, sf_dir, "events")
+    ev = _wide(_load(spark, sf_dir, "events").select("event_type", "ts", "value"))
     x = F.hour("ts").cast("double")
     y = F.col("value")
     g = ev.groupBy("event_type").agg(
@@ -7349,7 +7378,8 @@ def unpivot_pricing_metrics(spark, sf_dir):
     long — one (metric, value) row per measure via the native
     `DataFrame.unpivot` (codegen Expand node, no shuffle beyond the
     aggregation that built the wide table)."""
-    li = _load(spark, sf_dir, "lineitem")
+    li = _wide(_load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"))
     wide = li.groupBy("l_returnflag", "l_linestatus").agg(
         _dsum(F.col("l_quantity"), "sum_qty"),
         _dsum(F.col("l_extendedprice"), "sum_base_price"),
