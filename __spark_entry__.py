@@ -4228,6 +4228,17 @@ def _ols_from_moments(row):
     return (sy - b * sx) / n, b
 
 
+def _moments_row_frame(spark, moments):
+    """Collect the one-row moments aggregate ONCE and rebuild it as a
+    local frame (r12): the VI regression queries need the row driver-side
+    for the OLS proximity bounds AND as the query payload — returning the
+    lazy aggregate re-executed the full scan when the sink forced it.
+    The values are the same collected doubles; only the second scan is
+    gone."""
+    row = moments.collect()[0]
+    return row, moments.sparkSession.createDataFrame([row], moments.schema)
+
+
 def _reg_moments(ev):
     """One-scan decimal-exact regression moments over (x, y) — the same
     `_dsum` recipe the oracle-green `linreg_value_by_hour` uses."""
@@ -4311,8 +4322,8 @@ def vi_linear_regression(spark, sf_dir):
     trainer.fit(maxiter=30)
     a_int, b = [float(v) for v in trainer.model.ab.value]
     a = a_int * 100.0
-    moments = _reg_moments(ev)
-    a_ols, b_ols = _ols_from_moments(moments.collect()[0])
+    mrow, moments = _moments_row_frame(spark, _reg_moments(ev))
+    a_ols, b_ols = _ols_from_moments(mrow)
     fit_a_ok = abs(a - a_ols) <= 0.2 * abs(a_ols)
     fit_b_ok = abs(b - b_ols) <= 0.5
     improved = trainer.history[-1] > trainer.history[0]
@@ -4365,8 +4376,8 @@ def vi_minibatch_sgd(spark, sf_dir):
     trainer.fit(maxiter=40, minibatch_fraction=0.2)
     a_int, b = [float(v) for v in trainer.model.ab.value]
     a = a_int * 100.0
-    moments = _reg_moments(ev)
-    a_ols, b_ols = _ols_from_moments(moments.collect()[0])
+    mrow, moments = _moments_row_frame(spark, _reg_moments(ev))
+    a_ols, b_ols = _ols_from_moments(mrow)
     fit_a_ok = abs(a - a_ols) <= 0.2 * abs(a_ols)
     fit_b_ok = abs(b - b_ols) <= 0.5
     _rec_bound("vi_minibatch_sgd", "fit_a_ok",

@@ -63,7 +63,7 @@ def _init_centroids(
 
 
 def _iteration(
-    df: DataFrame, emb_col: str, centroids: np.ndarray
+    df: DataFrame, emb_col: str, centroids: np.ndarray, depth: int = 2
 ) -> tuple[np.ndarray, np.ndarray, float]:
     """One Lloyd's step: returns (per-cluster sums, counts, total SSE)."""
     import pandas as pd
@@ -111,7 +111,7 @@ def _iteration(
     def comb(a, b):
         return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
 
-    sums, cnts, sse = part_df.rdd.treeAggregate(zero, seq, comb, depth=2)
+    sums, cnts, sse = part_df.rdd.treeAggregate(zero, seq, comb, depth=depth)
     return sums.reshape(k, dim), cnts, sse
 
 
@@ -146,8 +146,16 @@ def kmeans_fit(
     if slices is not None:
         data = data.coalesce(slices)
     history: list[float] = []
+    # adaptive combine depth (r12, same rule as spark_exec._tree_depth):
+    # below the cutover the depth-2 intermediate stage is pure per-
+    # iteration scheduling overhead; at cluster scale (partitions >>
+    # cutover) depth 2 keeps the driver at one k x dim matrix per
+    # iteration, unchanged
+    from henbun_spark.spark_exec import _tree_depth
+
+    depth = _tree_depth(data.rdd.getNumPartitions())
     for _ in range(max_iter):
-        sums, cnts, sse = _iteration(data, emb_col, centroids)
+        sums, cnts, sse = _iteration(data, emb_col, centroids, depth=depth)
         nonempty = cnts > 0
         centroids = np.where(
             nonempty[:, None], sums / np.maximum(cnts, 1)[:, None], centroids

@@ -183,7 +183,11 @@ def minhash_lsh_pairs(
     )
     return (
         matched.groupBy("id_a", "id_b")
-        .agg(F.countDistinct("band").alias("n_bands"))
+        # count(*) == countDistinct(band) here BY CONSTRUCTION: a doc has
+        # exactly one mh per band, so a pair is emitted at most once per
+        # band — plain count drops the per-group distinct buffer (r12;
+        # matters when candidate volume is billions of pairs)
+        .agg(F.count(F.lit(1)).alias("n_bands"))
         .where(F.col("n_bands") >= min_bands)
     )
 
@@ -224,27 +228,97 @@ def _ngram_overlap_counts(df, text_col, id_col, n, max_df):
     (Jaccard, containment): inverted index keyed on shingle -> per-pair
     shared-shingle counts, joined with both docs' (kept-)shingle set
     sizes. Returns (id_a, id_b, common, sz_a, sz_b); `max_df` is the
-    hot-shingle skew cap (see ngram_jaccard_pairs)."""
+    hot-shingle skew cap (see ngram_jaccard_pairs).
+
+    r12 restructure of the capped path (guide §2.4 "remove shuffles
+    outright"): the old shape evaluated the shingle explode THREE times
+    (sizes' collect_list pass, the cap's count pass, the index's
+    collect_list pass — ReusedExchange never fires because the
+    aggregates differ) and the sizes pass collect_list'ed UNCAPPED
+    buckets, violating the bounded-buffer rule everywhere else. Now:
+    one count pass caps the shingles (partial-aggregatable, bounded
+    buffers), one semi-join + collect_list builds the grouped postings
+    (<= max_df ids per row, and it rides the semi-join's partitioning —
+    no extra exchange), and the persisted grouped table feeds BOTH the
+    per-doc sizes and the pair explode. Two explode evaluations instead
+    of three, one collect_list shuffle instead of two, and no unbounded
+    aggregation buffer anywhere. The persist is registered in the
+    shared scaffold registry (released per query by the harnesses;
+    non-harness callers stay bounded at one pinned cache, the
+    `shingle_tfidf_cosine_topk` contract)."""
     sh = char_shingles(df, text_col, id_col, n)
     if max_df is None:
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
         pairs = intra_bucket_pairs(sh, ["shingle"], id_col)
     else:
-        kept = (
+        ok = (
             sh.groupBy("shingle")
-            .agg(F.collect_list(F.col(id_col)).alias("ids"))
-            .where(F.size("ids") <= max_df)
+            .count()
+            .where(F.col("count") <= max_df)
+            .drop("count")
         )
+        grouped = (
+            sh.join(ok, on=["shingle"], how="left_semi")
+            .groupBy("shingle")
+            .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        )
+        grouped = _register_scaffold(grouped)
         sizes = (
-            kept.select(F.explode("ids").alias(id_col))
+            grouped.select(F.explode("ids").alias(id_col))
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("sz"))
         )
-        pairs = intra_bucket_pairs(sh, ["shingle"], id_col, max_bucket=max_df)
+        nids = F.size(F.col("ids"))
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + F.lit(2), nids),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        pairs = grouped.select(F.explode(pair_structs).alias("pr")).select(
+            F.col("pr.a").alias("id_a"), F.col("pr.b").alias("id_b")
+        )
     common = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("common"))
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return common.join(sz_a, "id_a").join(sz_b, "id_b")
+
+
+#: most recent grouped-postings scaffold (bounds non-harness callers to
+#: one pinned cache — see _register_scaffold)
+_NGRAM_SCAFFOLD = None
+
+
+def _register_scaffold(frame):
+    """Persist `frame` (MEMORY_AND_DISK) and register it in
+    `relational._SCAFFOLD_CACHES` for per-query release by the
+    bench/oracle/pytest harnesses, releasing this module's PREVIOUS
+    scaffold first so direct library callers who never release stay
+    bounded at one pinned cache — the `shingle_tfidf_cosine_topk`
+    lifecycle contract, shared here by the n-gram overlap core."""
+    from pyspark.storagelevel import StorageLevel
+
+    from henbun_spark.operators import relational as _rel
+
+    global _NGRAM_SCAFFOLD
+    prev = _NGRAM_SCAFFOLD
+    if prev is not None:
+        try:
+            _rel._SCAFFOLD_CACHES.remove(prev)
+        except ValueError:
+            pass  # a harness already released it
+        else:
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:
+                pass  # session of the old scaffold may be stopped
+    frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+    _rel._SCAFFOLD_CACHES.append(frame)
+    _NGRAM_SCAFFOLD = frame
+    return frame
 
 
 def ngram_containment_pairs(
@@ -733,7 +807,16 @@ def semantic_dedup(
     norm = F.sqrt(
         F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
-    assigned = clustering.kmeans_assign(df, emb_col, centroids).select(
+    # r12: widen the assign/pair branch — a small-file corpus scans into
+    # 1-3 partitions, so the in-cluster pair refine (sum(cluster^2)
+    # pairs x a dim-length fold each) ran nearly serial; measured
+    # 4.7 -> 2.0s at sf0.1 with bit-identical pairs (row placement is
+    # invisible: assignment is per-row, pairs are keyed on cluster).
+    # The FIT input stays untouched so treeAggregate's combine order —
+    # and the centroids — cannot move a bit.
+    assigned = clustering.kmeans_assign(
+        ensure_parallelism(df), emb_col, centroids
+    ).select(
         F.col(id_col).alias("id"),
         F.transform(vec, lambda x: x / norm).alias("v"),
         "cluster",

@@ -110,6 +110,21 @@ def _trainable(model: Model, collection):
     ]
 
 
+#: partition count above which treeAggregate uses depth 2. Below it the
+#: intermediate combine stage is pure scheduling overhead — with P
+#: partitions depth 2 inserts a ~sqrt(P)-partition shuffle stage per
+#: step, which at the driver SFs (P = 1-32, one small parquet per
+#: table) doubled every training step's stage count for nothing
+#: (measured r12: vi_linear_regression ~30% step-time cut at depth 1).
+#: At the 1000-executor design point P is thousands and depth 2 keeps
+#: driver traffic at one |params| vector — unchanged there.
+TREE_DEPTH_CUTOVER = 64
+
+
+def _tree_depth(nparts: int) -> int:
+    return 2 if nparts >= TREE_DEPTH_CUTOVER else 1
+
+
 def _flatten(arrs) -> np.ndarray:
     return (
         np.concatenate([np.ravel(a) for a in arrs])
@@ -174,6 +189,10 @@ class SparkTrainer:
         self.var_shapes = [v._array.shape for v in self.vars]
         self.var_sizes = [v._array.size for v in self.vars]
         self.spark = df.sparkSession
+        # drives the adaptive treeAggregate depth (see _tree_depth);
+        # minibatch samples inherit the parent's partitioning, so one
+        # probe at construction covers every step
+        self._nparts = self.df.rdd.getNumPartitions()
         sc = self.spark.sparkContext
         # structure is broadcast ONCE; per-step only the parameter state
         # dict travels (compile-once memoization, SURVEY §4 O11)
@@ -255,7 +274,9 @@ class SparkTrainer:
             gacc += a[2]
             return (a[0] + b[0], a[1] + b[1], gacc)
 
-        loss, n, grad = partials.rdd.treeAggregate(zero, seq, comb, depth=2)
+        loss, n, grad = partials.rdd.treeAggregate(
+            zero, seq, comb, depth=_tree_depth(self._nparts)
+        )
         return float(loss), int(n), grad
 
     def _unflatten(self, flat: np.ndarray):
