@@ -68,6 +68,52 @@ def _merge_pair(sym: Column, a: str, b: str) -> Column:
     )
 
 
+#: vocab-row ceiling for driver-local merge training. The merge loop
+#: operates on the DISTINCT-WORD table only (Heaps' law keeps it far
+#: smaller than the corpus); below the cap the whole table is a few MB
+#: and 16+ per-round Spark jobs (pair-count shuffle + argmax + periodic
+#: checkpoint, each a fixed-latency round trip) cost far more than one
+#: collect + a local loop with IDENTICAL semantics (integer counts,
+#: same (count desc, pair asc) argmax, same left-to-right merge; Python
+#: str `<` and Spark's UTF8 binary collation agree — UTF-8 byte order
+#: preserves code-point order). Same bounded-driver-with-distributed-
+#: fallback design as graph.py's union-find cap. At 100 TB vocabularies
+#: exceed the cap and the distributed loop below is unchanged.
+TRAIN_LOCAL_MAX_VOCAB = 65536
+
+
+def _train_local(rows, n_merges: int) -> list[tuple[str, str]]:
+    """Driver-local replica of the distributed merge loop (see
+    TRAIN_LOCAL_MAX_VOCAB): same pair counting, argmax tie-break and
+    non-overlapping left-to-right merge, on collected (word, cnt)."""
+    syms = [(int(cnt), list(w) + [END]) for w, cnt in rows]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for cnt, sym in syms:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((a, b))
+        merged = a + b
+        for idx, (cnt, sym) in enumerate(syms):
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            syms[idx] = (cnt, out)
+    return merges
+
+
 def bpe_train(
     df: DataFrame, text_col: str, n_merges: int = 20
 ) -> list[tuple[str, str]]:
@@ -82,6 +128,11 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # r12: small vocabularies train on the driver (one collect instead
+    # of 16+ fixed-latency jobs); take(cap+1) keeps the probe bounded
+    head = words.take(TRAIN_LOCAL_MAX_VOCAB + 1)
+    if len(head) <= TRAIN_LOCAL_MAX_VOCAB:
+        return _train_local([(r["w"], r["cnt"]) for r in head], n_merges)
     chars = F.transform(
         F.sequence(F.lit(1), F.length("w")),
         lambda i: F.col("w").substr(i, F.lit(1)),
@@ -158,6 +209,11 @@ def bpe_encode(
             )
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, text_col).mapInPandas(
+    from henbun_spark.operators._parallel import ensure_parallelism
+
+    # r12: the rank-greedy encode is Python-per-word — widen the narrow
+    # scan (one row group locally => one task, i.e. a serial encode of
+    # the whole corpus) to cluster parallelism; no-op at scale
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         run, f"{id_col} {id_type}, tokens array<string>, n_tokens long"
     )
