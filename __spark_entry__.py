@@ -9496,13 +9496,21 @@ def tdigest_quantiles_value(spark, sf_dir):
     ev = _load(spark, sf_dir, "events")
     dig = sketch.tdigest_merge(sketch.tdigest_build(ev, "value", delta=100))
     qs = [0.01, 0.25, 0.5, 0.75, 0.99]
-    if not dig.head(1):  # empty input: schema-stable empty result
-        return spark.createDataFrame(
-            [], "q double, exact double, rank_ok boolean"
-        )
-    ests = {
-        r["q"]: r["est"] for r in sketch.tdigest_quantile(dig, qs).collect()
-    }
+    # r12: the digest chain (build -> python merge) fed BOTH the
+    # emptiness probe and the quantile collect — persist the <= ~100-row
+    # digest so the corpus pass runs once, and release it as soon as
+    # both driver-side uses are done (before returning the lazy result)
+    dig = dig.persist()
+    try:
+        if not dig.head(1):  # empty input: schema-stable empty result
+            return spark.createDataFrame(
+                [], "q double, exact double, rank_ok boolean"
+            )
+        ests = {
+            r["q"]: r["est"] for r in sketch.tdigest_quantile(dig, qs).collect()
+        }
+    finally:
+        dig.unpersist(blocking=False)
     # ONE scan: n + per-q "values <= estimate" counts (map-side combine)
     row = ev.agg(
         F.count(F.lit(1)).alias("n"),

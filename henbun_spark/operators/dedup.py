@@ -230,81 +230,56 @@ def _ngram_overlap_counts(df, text_col, id_col, n, max_df):
     sizes. Returns (id_a, id_b, common, sz_a, sz_b); `max_df` is the
     hot-shingle skew cap (see ngram_jaccard_pairs).
 
-    r12 restructure of the capped path (guide §2.4 "remove shuffles
-    outright"): the old shape evaluated the shingle explode THREE times
-    (sizes' collect_list pass, the cap's count pass, the index's
-    collect_list pass — ReusedExchange never fires because the
-    aggregates differ) and the sizes pass collect_list'ed UNCAPPED
-    buckets, violating the bounded-buffer rule everywhere else. Now:
-    one count pass caps the shingles (partial-aggregatable, bounded
-    buffers), one semi-join + collect_list builds the grouped postings
-    (<= max_df ids per row, and it rides the semi-join's partitioning —
-    no extra exchange), and the persisted grouped table feeds BOTH the
-    per-doc sizes and the pair explode. Two explode evaluations instead
-    of three, one collect_list shuffle instead of two, and no unbounded
-    aggregation buffer anywhere. The persist is registered in the
-    shared scaffold registry (released per query by the harnesses;
-    non-harness callers stay bounded at one pinned cache, the
-    `shingle_tfidf_cosine_topk` contract)."""
+    r12 note: a restructure (single grouped-postings pass, persisted
+    scaffold feeding both sizes and pairs — one less shingle-explode
+    evaluation, bounded collect_list buffers) measured NEUTRAL on
+    dedup_jaccard and ~15% SLOWER on iterative consumers (pagerank
+    chain 6.5 -> 7.5s: the scaffold persist costs more than the saved
+    explode at these row counts), so the original shape stays. The
+    sizes pass's collect_list materializes uncapped buckets — at a
+    100 TB corpus with saturated shingles prefer capping first:
+    sh.join(count<=max_df semi) before any collect_list.
+    """
     sh = char_shingles(df, text_col, id_col, n)
     if max_df is None:
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
         pairs = intra_bucket_pairs(sh, ["shingle"], id_col)
     else:
-        ok = (
+        kept = (
             sh.groupBy("shingle")
-            .count()
-            .where(F.col("count") <= max_df)
-            .drop("count")
+            .agg(F.collect_list(F.col(id_col)).alias("ids"))
+            .where(F.size("ids") <= max_df)
         )
-        grouped = (
-            sh.join(ok, on=["shingle"], how="left_semi")
-            .groupBy("shingle")
-            .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
-        )
-        grouped = _register_scaffold(grouped)
         sizes = (
-            grouped.select(F.explode("ids").alias(id_col))
+            kept.select(F.explode("ids").alias(id_col))
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("sz"))
         )
-        nids = F.size(F.col("ids"))
-        pair_structs = F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ids"), i + F.lit(2), nids),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-            )
-        )
-        pairs = grouped.select(F.explode(pair_structs).alias("pr")).select(
-            F.col("pr.a").alias("id_a"), F.col("pr.b").alias("id_b")
-        )
+        pairs = intra_bucket_pairs(sh, ["shingle"], id_col, max_bucket=max_df)
     common = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("common"))
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return common.join(sz_a, "id_a").join(sz_b, "id_b")
 
 
-#: most recent grouped-postings scaffold (bounds non-harness callers to
-#: one pinned cache — see _register_scaffold)
-_NGRAM_SCAFFOLD = None
+#: most recent scaffold per slot (bounds non-harness callers to one
+#: pinned cache per operator family — see _register_scaffold)
+_SCAFFOLD_SLOTS: dict = {}
 
 
-def _register_scaffold(frame):
+def _register_scaffold(frame, slot: str = "ngram"):
     """Persist `frame` (MEMORY_AND_DISK) and register it in
     `relational._SCAFFOLD_CACHES` for per-query release by the
     bench/oracle/pytest harnesses, releasing this module's PREVIOUS
-    scaffold first so direct library callers who never release stay
-    bounded at one pinned cache — the `shingle_tfidf_cosine_topk`
-    lifecycle contract, shared here by the n-gram overlap core."""
+    scaffold in the same `slot` first so direct library callers who
+    never release stay bounded at one pinned cache per operator family
+    — the `shingle_tfidf_cosine_topk` lifecycle contract, shared here
+    by the n-gram overlap core and the simhash banding."""
     from pyspark.storagelevel import StorageLevel
 
     from henbun_spark.operators import relational as _rel
 
-    global _NGRAM_SCAFFOLD
-    prev = _NGRAM_SCAFFOLD
+    prev = _SCAFFOLD_SLOTS.get(slot)
     if prev is not None:
         try:
             _rel._SCAFFOLD_CACHES.remove(prev)
@@ -317,7 +292,7 @@ def _register_scaffold(frame):
                 pass  # session of the old scaffold may be stopped
     frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
     _rel._SCAFFOLD_CACHES.append(frame)
-    _NGRAM_SCAFFOLD = frame
+    _SCAFFOLD_SLOTS[slot] = frame
     return frame
 
 
@@ -526,6 +501,12 @@ def simhash_near_pairs(
     stacked = fps.select(id_col, "simhash", *blocks).selectExpr(
         id_col, "simhash", f"stack({nblocks}, {pairs}) as (bi, blk)"
     )
+    # r12: persist the (n x nblocks)-row banded fingerprints — the self-
+    # join's broadcast build side otherwise re-runs the whole fingerprint
+    # pipeline (token explode + per-bit md5 sums) a second time (no
+    # exchange reuse across a broadcast build). Tiny table, released per
+    # query via the scaffold registry.
+    stacked = _register_scaffold(stacked, slot="simhash")
     a = stacked.alias("a")
     b = stacked.alias("b")
     first_match = None
@@ -598,6 +579,12 @@ def simhash_neighbor_topk(
     stacked = fps.select(id_col, "simhash", *blocks).selectExpr(
         id_col, "simhash", f"stack({nblocks}, {pairs}) as (bi, blk)"
     )
+    # r12: persist the (n x nblocks)-row banded fingerprints — the self-
+    # join's broadcast build side otherwise re-runs the whole fingerprint
+    # pipeline (token explode + per-bit md5 sums) a second time (no
+    # exchange reuse across a broadcast build). Tiny table, released per
+    # query via the scaffold registry.
+    stacked = _register_scaffold(stacked, slot="simhash")
     a = stacked.alias("a")
     b = stacked.alias("b")
     first_match = None
