@@ -90,6 +90,51 @@ def _driver_union_find(spark, sym: DataFrame):
     return spark.createDataFrame(rows, schema)
 
 
+def _driver_pagerank(spark, sym: DataFrame, iters: int, damping: float):
+    """Driver-local replica of `pagerank`'s distributed loop for graphs
+    under the union-find cap — BIT-IDENTICAL by construction:
+
+    * contribution = Spark's ``round(rank / d, 9)`` on a double. Both
+      Java's ``Double.toString`` and Python's ``repr`` print the
+      shortest round-tripping decimal (the same value), so
+      ``Decimal(repr(x)).quantize(1e-9, ROUND_HALF_UP)`` equals
+      BigDecimal.valueOf(x).setScale(9, HALF_UP); and a 9-scale decimal
+      below ~1e7 round-trips double->decimal exactly (adjacent 9-scale
+      values differ by 1e-9 >> one double ulp), so the rounded double
+      cast back to decimal(38,9) is the same 9-scale value.
+    * per-node sums add those decimals EXACTLY (order-free), matching
+      the decimal sum; ``float(Decimal)`` and BigDecimal.doubleValue are
+      both correctly rounded.
+    * the update replays the plan-time-literal expression order:
+      ``(1.0 - damping) + damping * float(sum)``.
+    """
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    adj: dict = defaultdict(list)
+    for row in sym.collect():
+        adj[row[0]].append(row[1])
+    ranks = {u: 1.0 for u in adj}
+    q9 = Decimal("1.000000000")
+    base = 1.0 - damping
+    for _ in range(iters):
+        sums: dict = defaultdict(lambda: Decimal(0))
+        for u, vs in adj.items():
+            c = Decimal(repr(ranks[u] / len(vs))).quantize(
+                q9, rounding=ROUND_HALF_UP
+            )
+            for v in vs:
+                sums[v] += c
+        ranks = {v: base + damping * float(s) for v, s in sums.items()}
+    import pyspark.sql.types as T
+
+    ntype = sym.schema[0].dataType
+    schema = T.StructType(
+        [T.StructField("node", ntype), T.StructField("rank", T.DoubleType())]
+    )
+    return spark.createDataFrame(list(ranks.items()), schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -303,6 +348,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 10,
     damping: float = 0.85,
+    _driver_cap: int | None = None,
 ) -> DataFrame:
     """PageRank on an undirected edge list (each edge walks both ways),
     fixed `iters` power iterations:
@@ -334,6 +380,15 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r12: graphs under the union-find cap iterate on the DRIVER — the
+    # decimal-exact recurrence makes the distributed result a pure
+    # function of the edge list, replicated bit-for-bit below (pytest-
+    # pinned), so one collect replaces iters x (2 joins + groupBy +
+    # periodic checkpoint) of fixed-latency jobs. Same bounded-driver
+    # design (and cap) as connected_components' union-find path.
+    cap = DRIVER_UNION_FIND_MAX_EDGES if _driver_cap is None else _driver_cap
+    if cap and sym.count() <= cap:
+        return _driver_pagerank(edges.sparkSession, sym, iters, damping)
     deg = (
         sym.groupBy("u")
         .agg(F.count(F.lit(1)).alias("d"))
