@@ -975,6 +975,11 @@ def duplicate_substring_spans(
             ).alias("digest"),
         )
     )
+    # r12: `pos` (an md5 per character position — the pass's dominant
+    # cost) feeds BOTH the duplicated-digest groupBy and the hit join,
+    # with no exchange reuse between them; persist it once (scaffold
+    # slot, released per query). Measured 5.3 -> 3.3s at sf0.1.
+    pos = _register_scaffold(pos, slot="substr")
     dup = (
         pos.groupBy("digest")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -1065,6 +1070,9 @@ def duplicate_substring_spans_winnowed(
     inclusive char offsets; n_shingles counts SELECTED hit windows.
     """
     sel = winnowed_fingerprints(df, text_col, id_col, min_len, band)
+    # r12: same two-consumer shape as the exact pass — persist the
+    # selected fingerprints once (scaffold slot, released per query)
+    sel = _register_scaffold(sel, slot="substr")
     dup = (
         sel.groupBy("digest")
         .agg(F.count(F.lit(1)).alias("__df"))
