@@ -266,13 +266,18 @@ def test_hist_percentile_matches_numpy_linear(vals, ps):
     expanded = np.array(
         [v for v, n in hist for _ in range(n)], dtype=float
     )
+    # op-order noise is ~ulps of the interpolation TERMS (|v_lo|, |v_hi|),
+    # not of the result: between near-cancelling neighbors (v_lo < 0 < v_hi
+    # with a tiny fraction) the result can be orders of magnitude below
+    # either term, so a result-relative bound underflows while the
+    # difference is numerically meaningless. A wrong-rank selection — what
+    # this test guards — errs by the value spacing, far above this bound.
+    # Floor at 1e-300 for near-denormal inputs.
+    scale = float(np.max(np.abs(expanded)))
+    tol = max(4 * scale * 2.3e-16, 1e-300)
     for p in ps:
         got = relational._hist_percentile(hist, p)
         exp = float(np.quantile(expanded, p, method="linear"))
-        # absolute floor: near-denormal values make the relative bound
-        # underflow below one ulp while the difference itself is
-        # numerically meaningless at any realistic scale
-        tol = max(4 * abs(exp) * 2.3e-16, 1e-300)
         assert got == exp or abs(got - exp) <= tol, (p, got, exp)
 
 
