@@ -125,6 +125,24 @@ def _tree_depth(nparts: int) -> int:
     return 2 if nparts >= TREE_DEPTH_CUTOVER else 1
 
 
+#: row count at or below which ``fit()`` replays the per-batch gradient
+#: evaluation DRIVER-LOCALLY (r12, guide §1.2 "the distributed
+#: algorithm" / §5 driver): a full-batch training loop is maxiter
+#: sequential Spark jobs whose per-job scheduling + Python-boundary
+#: round-trip (~0.1-0.3s each) dwarfs the per-step numpy work on the
+#: driver test frames. Under the cap, ONE bounded job fetches the exact
+#: (partition, Arrow-batch) pandas frames the distributed mapInPandas
+#: would see, and every step replays `_evaluate_batch` on them with the
+#: same fresh-model-per-partition protocol, the same (step, pid, bi)
+#: seeds, and the same partial-fold order — so the Adam trajectory is
+#: REPLICATED BIT-FOR-BIT (pytest-pinned), exactly like the PageRank
+#: driver-local path under the union-find cap. Above the cap (or past
+#: TREE_DEPTH_CUTOVER partitions) nothing changes: the distributed loop
+#: is the 100 TB design. Override with SPARK_GRAFT_TRAINER_LOCAL_CAP
+#: (0 disables).
+LOCAL_ROWS_CAP = 1 << 17
+
+
 def _flatten(arrs) -> np.ndarray:
     return (
         np.concatenate([np.ravel(a) for a in arrs])
@@ -200,6 +218,9 @@ class SparkTrainer:
         self._model_bytes_bc = sc.broadcast(cloudpickle.dumps(model))
         self.step_count = 0
         self.history: list[float] = []
+        # driver-local replay state, set/cleared by fit() (see
+        # LOCAL_ROWS_CAP): [(pid, bi, pandas frame), ...] or None
+        self._local_batches = None
 
     # -- internals --------------------------------------------------------
     def _state(self) -> dict:
@@ -263,6 +284,26 @@ class SparkTrainer:
         n_params = int(np.sum(self.var_sizes)) if self.var_sizes else 0
         zero = (0.0, 0, np.zeros(n_params, dtype=np.float64))
 
+        if _tree_depth(self._nparts) == 1:
+            # depth-1 regime (driver SFs: a handful of partitions, one
+            # small partial row per Arrow batch): collect the partials
+            # directly and fold on the driver in partition/batch order.
+            # `partials.rdd.treeAggregate` at depth 1 shipped every
+            # partial row back through a SECOND Python-worker evaluation
+            # layer (the RDD seq/comb funcs) plus a javaToPython plan
+            # conversion per step — pure per-step overhead when the
+            # driver receives the same few rows either way (guide §4:
+            # eliminate boundary crossings). Float sums regroup at the
+            # batch level (~1 ulp), same class of reorder the tree
+            # combine already allowed.
+            loss, n, grad = zero
+            for row in partials.collect():
+                g = np.asarray(row["grad"], dtype=np.float64)
+                grad[: g.size] += g
+                loss += row["loss"]
+                n += int(row["n"])
+            return float(loss), int(n), grad
+
         def seq(acc, row):
             g = np.asarray(row["grad"], dtype=np.float64)
             gacc = acc[2]
@@ -277,6 +318,82 @@ class SparkTrainer:
         loss, n, grad = partials.rdd.treeAggregate(
             zero, seq, comb, depth=_tree_depth(self._nparts)
         )
+        return float(loss), int(n), grad
+
+    def _fetch_local_batches(self):
+        """ONE bounded job: materialize the exact (partitionId, batch
+        index, pandas frame) triples the distributed ``mapInPandas``
+        would iterate — same session Arrow batching, same partition
+        layout, frames shipped back pickled so dtypes round-trip
+        bit-exactly. Returns None (and fetches nothing but a count)
+        when the frame is over LOCAL_ROWS_CAP / too many partitions —
+        the distributed path is the design at scale; this is a bounded
+        driver fast path like the PageRank union-find cap."""
+        import os
+
+        cap = int(os.environ.get("SPARK_GRAFT_TRAINER_LOCAL_CAP", LOCAL_ROWS_CAP))
+        if cap <= 0 or self._nparts >= TREE_DEPTH_CUTOVER:
+            return None
+        if self.df.count() > cap:
+            return None
+
+        def grab(iterator):
+            import pickle
+
+            import pandas as pd
+
+            pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+            for bi, pdf in enumerate(iterator):
+                if len(pdf) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {"pid": [pid], "bi": [bi], "data": [pickle.dumps(pdf)]}
+                )
+
+        import pickle
+
+        rows = self.df.mapInPandas(
+            grab, schema="pid int, bi int, data binary"
+        ).collect()
+        return sorted(
+            ((r["pid"], r["bi"], pickle.loads(bytes(r["data"]))) for r in rows),
+            key=lambda t: (t[0], t[1]),
+        )
+
+    def _job_local(self, state, step, want_grad: bool):
+        """Driver-local replica of `_job` over the fetched batches:
+        fresh model per partition (as each task unpickles its own), the
+        same state injection, the same (step, pid, bi) seeds into
+        `_evaluate_batch`, partials folded in (pid, bi) order — the
+        identical order the depth-1 collect fold uses — so every float
+        matches the distributed job bit-for-bit (pytest-pinned)."""
+        import pickle
+
+        float_type = np.dtype(settings.dtypes.float_type).type
+        state_items = {k: np.array(v) for k, v in state.items()}
+        n_params = int(np.sum(self.var_sizes)) if self.var_sizes else 0
+        loss, n = 0.0, 0
+        grad = np.zeros(n_params, dtype=np.float64) if want_grad else None
+        model, cur_pid = None, None
+        for pid, bi, pdf in self._local_batches:
+            if pid != cur_pid:
+                model = pickle.loads(self._model_bytes_bc.value)
+                by_name = {v.long_name: v for v in model.get_variables()}
+                for name, arr in state_items.items():
+                    v = by_name[name]
+                    v._array = np.array(arr, dtype=float_type)
+                    v._pending = None
+                    v.finalize()
+                cur_pid = pid
+            seed = hash((int(step), int(pid), int(bi))) % (2**63)
+            bloss, bgrad = _evaluate_batch(
+                model, pdf, seed, want_grad, self.var_names
+            )
+            if want_grad:
+                g = bgrad if bgrad is not None else np.zeros(0)
+                grad[: g.size] += g
+            loss += bloss
+            n += len(pdf)
         return float(loss), int(n), grad
 
     def _unflatten(self, flat: np.ndarray):
@@ -322,10 +439,18 @@ class SparkTrainer:
     def step(self, minibatch_fraction=None) -> float:
         """One distributed gradient step; returns the objective value."""
         self.step_count += 1
-        df, scale = self._minibatch(minibatch_fraction, self.step_count)
-        loss, n, total = self._job(
-            df, self._state(), self.step_count, want_grad=True
-        )
+        if self._local_batches is not None and (
+            minibatch_fraction is None or minibatch_fraction >= 1.0
+        ):
+            loss, n, total = self._job_local(
+                self._state(), self.step_count, want_grad=True
+            )
+            scale = 1.0
+        else:
+            df, scale = self._minibatch(minibatch_fraction, self.step_count)
+            loss, n, total = self._job(
+                df, self._state(), self.step_count, want_grad=True
+            )
         if n == 0:
             raise ValueError("empty minibatch: raise minibatch_fraction")
         loss *= scale
@@ -342,10 +467,23 @@ class SparkTrainer:
         return loss
 
     def fit(self, maxiter=100, minibatch_fraction=None, callback=None):
-        for it in range(maxiter):
-            loss = self.step(minibatch_fraction)
-            if callback is not None:
-                callback(it, loss)
+        # full-batch multi-step fits localize under the cap: the fetch
+        # costs ~2 jobs and saves one per step. Minibatch fits stay
+        # distributed — `df.sample`'s per-partition JVM RNG has no
+        # bit-exact driver replica.
+        localize = (
+            minibatch_fraction is None or minibatch_fraction >= 1.0
+        ) and maxiter >= 4
+        if localize and self._local_batches is None:
+            self._local_batches = self._fetch_local_batches()
+        try:
+            for it in range(maxiter):
+                loss = self.step(minibatch_fraction)
+                if callback is not None:
+                    callback(it, loss)
+        finally:
+            if localize:
+                self._local_batches = None
         return self
 
 

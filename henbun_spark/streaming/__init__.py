@@ -322,8 +322,11 @@ class StreamingTrainer:
         saved_df = self.trainer.df
         self.trainer.df = batch_df
         try:
-            for _ in range(self.steps_per_batch):
-                self.trainer.step()
+            # fit() == the former step() loop, plus the driver-local
+            # replay under LOCAL_ROWS_CAP: a micro-batch is re-fetched
+            # once instead of re-scanned on every one of the
+            # steps_per_batch gradient jobs (bit-identical trajectory)
+            self.trainer.fit(maxiter=self.steps_per_batch)
         finally:
             self.trainer.df = saved_df
 

@@ -131,6 +131,44 @@ def test_amortized_local_variational_trains(spark):
     assert tr.evaluate() > first
 
 
+@pytest.mark.parametrize("model_cls,lr", [(LinReg, 0.05), (AmortizedVI, 0.02)])
+def test_local_replay_bitwise_equals_distributed(spark, monkeypatch, model_cls, lr):
+    """fit()'s driver-local replay under LOCAL_ROWS_CAP must REPLICATE
+    the distributed loop bit-for-bit: same Arrow batch frames, same
+    fresh-model-per-partition state injection, same (step, pid, bi)
+    seeds (AmortizedVI pins the MC-sampling path), same partial-fold
+    order. Exact float equality on every history entry and every
+    trained parameter — not allclose."""
+    df, _, _ = make_df(spark)
+    m1 = model_cls()
+    tr1 = SparkTrainer(m1, df, optimizer=Adam(learning_rate=lr))
+    init = tr1._state()
+
+    monkeypatch.setenv("SPARK_GRAFT_TRAINER_LOCAL_CAP", "0")  # distributed
+    tr1.fit(maxiter=6)
+
+    m2 = model_cls()
+    tr2 = SparkTrainer(m2, df, optimizer=Adam(learning_rate=lr))
+    for v in tr2.vars:
+        v._array = np.array(init[v.long_name])
+        v._pending = None
+        v.finalize()
+    monkeypatch.delenv("SPARK_GRAFT_TRAINER_LOCAL_CAP")  # local replay
+    calls = []
+    orig_job = tr2._job
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig_job(*a, **k)
+
+    tr2._job = spy
+    tr2.fit(maxiter=6)
+    assert not calls, "local replay did not engage"
+    assert tr1.history == tr2.history  # bitwise, every step
+    for v1, v2 in zip(tr1.vars, tr2.vars):
+        assert np.array_equal(np.asarray(v1._array), np.asarray(v2._array))
+
+
 class PredModel(hb.Model):
     def setUp(self):
         self.x = ColumnData("x")
