@@ -1466,23 +1466,42 @@ def minhash_recall_docs(spark, sf_dir):
     # once, not per branch
     from pyspark.storagelevel import StorageLevel
 
-    truth = (
-        dedup.ngram_jaccard_pairs(
-            docs, "text", "doc_id", n=5, threshold=0.35, max_df=100
+    def _truth():
+        return (
+            dedup.ngram_jaccard_pairs(
+                docs, "text", "doc_id", n=5, threshold=0.35, max_df=100
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         )
-        .select("id_a", "id_b")
-        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
-    )
+
     # same max_bucket cap as the production dedup_minhash_lsh pass (the
     # sf1 probe wedged the 24g heap on the UNCAPPED candidate set);
     # DISK_ONLY checkpoints keep the materialized pair sets off-heap
-    cands = (
-        dedup.minhash_lsh_pairs(
-            docs, "text", "doc_id", n=8, bands=4, max_bucket=500
+    def _cands():
+        return (
+            dedup.minhash_lsh_pairs(
+                docs, "text", "doc_id", n=8, bands=4, max_bucket=500
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         )
-        .select("id_a", "id_b")
-        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
-    )
+
+    import os
+
+    if os.environ.get("SPARK_GRAFT_PAR_RECALL", "1") != "0":
+        # the two eager materializations are independent until the
+        # intersection — overlap them (guide §2.6): each pipeline's
+        # single-task stages and planning gaps back-fill with the
+        # other's tasks. Two driver threads, same session; results are
+        # checkpointed frames, so downstream plans are unaffected.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_truth, f_cands = pool.submit(_truth), pool.submit(_cands)
+            truth, cands = f_truth.result(), f_cands.result()
+    else:
+        truth, cands = _truth(), _cands()
     # left-semi join, not intersect (r12): both pair sets are DISTINCT
     # by construction (each is a groupBy over (id_a, id_b)), so
     # intersect's distinct-aggregate on both sides was pure overhead —
@@ -1768,26 +1787,45 @@ def emb_lsh_recall(spark, sf_dir):
 
     emb = _load(spark, sf_dir, "embeddings")
     # both pair sets feed two branches (own count + intersection);
-    # checkpoint so the O(n^2) brute pass and the LSH pipeline run once
-    brute = (
-        dedup.embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.2)
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
-    lsh = (
-        dedup.embedding_near_dup_lsh(
-            emb,
-            "embedding",
-            "vec_id",
-            threshold=0.2,
-            n_planes=_EMB_LSH_NPLANES,
-            bands=_EMB_LSH_BANDS,
-            seed=_EMB_LSH_SEED,
-            dim=_EMB_LSH_DIM,
+    # checkpoint so the O(n^2) brute pass and the LSH pipeline run once.
+    # The two materializations are independent until the intersection —
+    # overlap them in two driver threads (guide §2.6), same as
+    # `minhash_recall_docs`.
+    def _brute():
+        return (
+            dedup.embedding_near_dup_pairs(
+                emb, "embedding", "vec_id", threshold=0.2
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint()
         )
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
+
+    def _lsh():
+        return (
+            dedup.embedding_near_dup_lsh(
+                emb,
+                "embedding",
+                "vec_id",
+                threshold=0.2,
+                n_planes=_EMB_LSH_NPLANES,
+                bands=_EMB_LSH_BANDS,
+                seed=_EMB_LSH_SEED,
+                dim=_EMB_LSH_DIM,
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        )
+
+    import os
+
+    if os.environ.get("SPARK_GRAFT_PAR_RECALL", "1") != "0":
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_brute, f_lsh = pool.submit(_brute), pool.submit(_lsh)
+            brute, lsh = f_brute.result(), f_lsh.result()
+    else:
+        brute, lsh = _brute(), _lsh()
     common = brute.intersect(lsh)
     return (
         brute.agg(F.count(F.lit(1)).alias("n_exact"))
