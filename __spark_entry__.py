@@ -5982,15 +5982,31 @@ def ann_topk_ivf(spark, sf_dir):
         emb, wide, k=3, n_cells=8, nprobe=2, train_sample=2000, seed=42
     )
     exact_wide = similarity.cosine_topk(emb, wide, k=3)
-    eset = {(r["query_id"], r["neighbor_id"]) for r in exact_wide.collect()}
-    aset = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # the two measurement collects are independent jobs — overlap them
+    # (guide §2.6); r12
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(exact_wide.collect)
+        f_approx = pool.submit(approx.collect)
+        exact_rows, approx_rows = f_exact.result(), f_approx.result()
+    eset = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    aset = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
     # empty query set -> exact frame is empty, the boolean is unread
     ok = (not eset) or len(eset & aset) / len(eset) >= (1.0 / 3.0)
     if eset:
         _rec_bound("ann_topk_ivf", "recall_ok",
                    len(eset & aset) / len(eset), 1.0 / 3.0, ">=",
                    step=1.0 / len(eset))
-    exact = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=3)
+    # the 5-query contract payload is the query_id < 5 slice of the
+    # already-collected 25-query exact frame (cosine_topk ranks per
+    # query, so a query's top-3 is batch-independent) — rebuild it as a
+    # local frame instead of re-executing a second cosine_topk pipeline
+    # at the sink (r12, guide §5: the values are the same collected
+    # rows; only the second corpus scan is gone)
+    exact = spark.createDataFrame(
+        [r for r in exact_rows if r["query_id"] < 5], exact_wide.schema
+    )
     return exact.withColumn("recall_ok", F.lit(bool(ok)))
 
 
@@ -9782,15 +9798,26 @@ def ann_topk_pq(spark, sf_dir):
         emb, queries, k=3, m_sub=8, n_codes=16, refine=32, seed=42
     )
     exact = similarity.cosine_topk(emb, queries, k=3)
-    eset = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
-    aset = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # overlap the two independent measurement collects (guide §2.6); r12
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(exact.collect)
+        f_approx = pool.submit(approx.collect)
+        exact_rows, approx_rows = f_exact.result(), f_approx.result()
+    eset = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    aset = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
     # empty query set -> exact frame is empty, the boolean is unread
     ok = (not eset) or len(eset & aset) / len(eset) >= 0.4
     if eset:
         _rec_bound("ann_topk_pq", "recall_ok",
                    len(eset & aset) / len(eset), 0.4, ">=",
                    step=1.0 / len(eset))
-    return exact.withColumn("recall_ok", F.lit(bool(ok)))
+    # rebuild the contract payload from the rows just collected instead
+    # of re-executing the exact pipeline at the sink (r12, guide §5)
+    return spark.createDataFrame(exact_rows, exact.schema).withColumn(
+        "recall_ok", F.lit(bool(ok))
+    )
 
 
 def streaming_kmeans_update(spark, sf_dir):
