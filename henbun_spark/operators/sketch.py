@@ -252,10 +252,6 @@ def hll_estimate(
 # ---------------------------------------------------------------------------
 
 _BLOOM_WORD_BITS = 32  # 32-bit words inside BIGINTs: 1 << bit stays positive
-#: widest bitmap that inlines as a literal array in the probe (words, so
-#: m_bits <= 2^18 by default). Above it the probe keeps the joinable-
-#: bitmap path: a multi-MB literal would bloat every task binary.
-_BLOOM_LITERAL_MAX_WORDS = 1 << 13
                        # and shift semantics match across engines
 
 
@@ -325,47 +321,21 @@ def bloom_filter_probe(
     with_pos = probe.select(
         "*", *[_bucket(key, i, m_bits, salt).alias(f"__p{i}") for i in range(k)]
     )
-    n_words = m_bits // _BLOOM_WORD_BITS
-    if n_words <= _BLOOM_LITERAL_MAX_WORDS:
-        # r12 (guide §2.4 remove shuffles / §1.2 per-task work): the
-        # bitmap is PARAMETER-bounded (<= m_bits/32 rows, independent of
-        # data size), so collect it once into a dense literal array and
-        # test all k bits with pure Column math — the k chained
-        # broadcast-hash joins this replaces each added a broadcast
-        # exchange, a build, and a probe per key (measured: the probe
-        # pass over 600k keys dropped ~4.4s -> ~0.6s at sf0.1).
-        # Missing words read as 0, exactly like the join path's
-        # coalesce(bits, 0). Same md5 positions, same bit tests ->
-        # bit-identical pass set.
-        words = {int(r["word_idx"]): int(r["bits"]) for r in bloom.collect()}
-        arr = F.lit([words.get(i, 0) for i in range(n_words)])
-        cond = None
-        for i in range(k):
-            p = F.col(f"__p{i}")
-            word = F.element_at(arr, (p / _BLOOM_WORD_BITS).cast("int") + 1)
-            bit = F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), "
-                f"CAST(__p{i} % {_BLOOM_WORD_BITS} AS INT))"
+    out = with_pos
+    for i in range(k):
+        b = bloom.select(
+            F.col("word_idx").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
+        )
+        out = out.join(
+            F.broadcast(b),
+            (F.col(f"__p{i}") / _BLOOM_WORD_BITS).cast("int") == F.col(f"__w{i}"),
+            "left",
+        ).where(
+            F.expr(
+                f"coalesce(__b{i}, CAST(0 AS BIGINT)) & "
+                f"shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % {_BLOOM_WORD_BITS} AS INT)) != 0"
             )
-            test = word.bitwiseAND(bit) != 0
-            cond = test if cond is None else (cond & test)
-        out = with_pos.where(cond)
-    else:  # huge filters: keep the joinable-bitmap path
-        out = with_pos
-        for i in range(k):
-            b = bloom.select(
-                F.col("word_idx").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
-            )
-            out = out.join(
-                F.broadcast(b),
-                (F.col(f"__p{i}") / _BLOOM_WORD_BITS).cast("int") == F.col(f"__w{i}"),
-                "left",
-            ).where(
-                F.expr(
-                    f"coalesce(__b{i}, CAST(0 AS BIGINT)) & "
-                    f"shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % {_BLOOM_WORD_BITS} AS INT)) != 0"
-                )
-            )
+        )
     drop = [c for c in out.columns if c.startswith("__")]
     return out.drop(*drop)
 
