@@ -11302,72 +11302,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_value": quantile_sketch_value,
         "transform_exp": transform_exp,
     }
-    # --- driver-coverage rotation (round 12) ---
+    # --- driver-coverage rotation (round 13) ---
     # The driver hash-checks the FIRST 50 entries each round; all 50
-    # are oracle-backed (tests/test_entry.py enforces it). Slots 1-28:
-    # the full r7-last-green cohort (alphabetical), the registry's
-    # longest-unchecked tier — it includes the TPC-H shape sweep
-    # q7-q21, window_functions_suite, zorder_events and the t-digest
-    # family the r11 verdict's #3 names, plus session_concurrency_hourly
-    # and zorder_events right after their r12 negative-epoch floor
-    # fixes. Slots 29-50: the first 22 of the r8 cohort (alphabetical —
-    # deterministic backfill; the remaining 27 r8 rows are the r13
-    # window's natural head). After this round no registry query is
-    # staler than r8. Slots 1-3: the NEW r12 ops (streaming_bottomk_sample
-    # and streaming_bloom_filter, streaming paths #27-28, and
-    # emb_density_outliers) on their first-ever checks, displacing the
-    # last three r8 backfill entries.
+    # are oracle-backed (tests/test_entry.py enforces it). The r12
+    # verdict's #2: an optimization round must pin the TOUCHED set into
+    # the window before rotating by staleness. Slots 1-18: every query
+    # whose code changed in the r12 optimization session (corr/rollup/q1
+    # widening, PageRank local cap, minhash semi-join + overlap, semantic
+    # dedup widening, VI moments collect, simhash persist, substring
+    # persist, sql_udf, ann_topk payload rebuild, transform/priors VI
+    # surfaces). Slots 19-22: the r13 optimization targets (streaming
+    # as-of rewrite, bloom gated literal probe, vi_minibatch replay,
+    # kmeans local replay). Slots 23-47: the remaining r8-stale cohort
+    # (alphabetical; the 5 r8 names already pinned above are not
+    # repeated). Slots 48-50: head of the r9 cohort (alphabetical) —
+    # after this round no registry query is staler than r9.
     window = [
-        "streaming_bottomk_sample",
-        "streaming_bloom_filter",
-        "emb_density_outliers",
-        "profile_documents",
-        "q10_returned_items",
-        "q13_customer_distribution",
-        "q15_top_supplier",
-        "q17_small_quantity_revenue",
-        "q18_large_orders",
-        "q19_disjunctive_revenue",
-        "q21_waiting_suppliers",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "salted_join_segments",
-        "sample_per_group",
-        "session_concurrency_hourly",
-        "skew_report_events",
-        "snapshot_diff_docs",
-        "split_leakage_report",
-        "streaming_mv_partitioned_daily",
-        "streaming_tdigest_value",
-        "streaming_windowed_counts",
-        "tdigest_by_type",
-        "tdigest_quantiles_value",
-        "upsample_epochs_sources",
-        "video_dedup_frames",
-        "weighted_percentile_price",
-        "weighted_sample_docs",
-        "window_functions_suite",
-        "winsorize_value_by_type",
-        "zorder_events",
-        "asof_last_purchase",
-        "asof_next_purchase",
-        "bpe_train_encode",
-        "corpus_layout_desc",
-        "cube_revenue",
-        "dedup_exact_groups",
-        "dedup_jaccard",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "density_bernoulli",
-        "density_beta",
-        "density_bimixture",
-        "density_exponential",
-        "density_gamma",
-        "density_gaussian",
-        "density_laplace",
-        "density_lognormal",
-        "density_poisson",
-        "density_student_t",
+        "corr_lineitem_metrics",
+        "rollup_revenue",
+        "q1_pricing_summary",
+        "pagerank_dup_graph",
+        "minhash_recall_docs",
+        "semantic_dedup_emb",
+        "vi_linear_regression",
+        "simhash_near_pairs",
+        "simhash_neighbor_stats",
+        "dedup_substring_spans",
+        "dedup_substring_winnowed",
+        "sql_udf_surface",
+        "ann_topk_ivf",
+        "ann_topk_pq",
+        "ann_topk_lsh",
+        "transform_exp",
+        "transform_softplus",
+        "priors_logp",
+        "streaming_asof_purchase",
+        "bloom_semi_lineitem",
+        "vi_minibatch_sgd",
+        "kmeans_embeddings",
+        "distinct_agg_suppliers",
+        "diverse_select_emb",
+        "emb_near_dup",
+        "emb_near_dup_lsh",
+        "grouping_sets_revenue",
+        "hourly_event_counts",
+        "logreg_quality_classifier",
+        "pca_embeddings",
+        "percentile_quantity",
+        "pipeline_clean_corpus",
+        "q12_priority_by_status",
+        "q14_promo_revenue",
+        "q22_inactive_customers",
+        "range_join_quantity",
+        "row_ids_wide_bins",
+        "sim_cosine_topk",
+        "streaming_ivf_ingest",
+        "streaming_pca_gram",
+        "streaming_vi_training",
+        "text_langid",
+        "text_quality",
+        "text_repetition",
+        "text_stats",
+        "text_tfidf",
+        "train_test_split_hash",
+        "bucketed_join_revenue",
+        "cms_frequency_users",
+        "cohort_retention",
     ]
     out = {n: base[n] for n in window}
     out.update({n: f for n, f in base.items() if n not in out})

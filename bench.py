@@ -464,6 +464,7 @@ def main():
     # archives must be able to exclude non-driver corpora (e.g. the
     # Heaps-vocabulary /tmp probe dirs) by content, not filename
     full["sf_dir"] = sf_dir
+    full["cpus"] = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     ps = sorted(probe_samples)
     probe_median = ps[len(ps) // 2] if ps else None
     # quartiles too: single-run gauge calibration data. The r11 idle-VM
@@ -529,6 +530,12 @@ def main():
             suffix += "_probe"
         if is_subset:
             suffix += "_partial"
+        # non-default core counts get their own archive name: the r12
+        # driver's 8-core scaling pass clobbered the 32-core official
+        # archive for the final sha (the name keyed on sha+sf only)
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+        if cpus != "32":
+            suffix += f"_c{cpus}"
         with open(os.path.join(hist, f"BENCH_{sha}{suffix}.json"), "w") as f:
             json.dump(full, f)
     except OSError as exc:  # pragma: no cover

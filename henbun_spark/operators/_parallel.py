@@ -32,6 +32,20 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     if df.isStreaming:  # micro-batch sizing is the scheduler's job
         return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _plan_partitions(df) < target:
         return df.repartition(target)
     return df
+
+
+def _plan_partitions(df: DataFrame) -> int:
+    """Partition count of `df`'s physical plan, without building the
+    Python-row conversion pipeline: `df.rdd` plans an extra
+    `javaToPython` projection (deserializers, a second QueryExecution)
+    just to count partitions, which is pure driver overhead in hot
+    query-construction paths. The JVM QueryExecution's `toRdd` is the
+    same RDD the DataFrame executes, planned once and cached on the
+    QueryExecution. Falls back to `df.rdd` off classic PySpark."""
+    try:
+        return int(df._jdf.queryExecution().toRdd().getNumPartitions())
+    except Exception:  # pragma: no cover - e.g. Spark Connect
+        return df.rdd.getNumPartitions()

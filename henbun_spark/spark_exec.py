@@ -334,7 +334,10 @@ class SparkTrainer:
         cap = int(os.environ.get("SPARK_GRAFT_TRAINER_LOCAL_CAP", LOCAL_ROWS_CAP))
         if cap <= 0 or self._nparts >= TREE_DEPTH_CUTOVER:
             return None
-        if self.df.count() > cap:
+        # bounded existence probe: LIMIT cap+1 short-circuits the scan
+        # once cap+1 rows are seen, so the over-cap path at scale (where
+        # the answer is "stay distributed") never pays a full count job
+        if self.df.limit(cap + 1).count() > cap:
             return None
 
         def grab(iterator):
