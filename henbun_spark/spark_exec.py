@@ -143,6 +143,121 @@ def _tree_depth(nparts: int) -> int:
 LOCAL_ROWS_CAP = 1 << 17
 
 
+#: ---- bit-exact driver replica of Dataset.sample (r13) ---------------
+#: `df.sample(fraction, seed)` (without replacement) plans SampleExec,
+#: which per partition runs a BernoulliCellSampler seeded with
+#: XORShiftRandom(hashSeed(seed + partitionIndex)) and keeps a row iff
+#: rng.nextDouble() < fraction (Spark source: SampleExec /
+#: RDD.randomSampleWithRange / XORShiftRandom — all public Apache
+#: code). Every piece is deterministic given (seed, partition index,
+#: row position), so a driver-local replay of a minibatch fit can
+#: reproduce the exact sampled row set from the already-fetched
+#: partition frames — no per-step Spark job. The XORShift state
+#: transition is linear over GF(2), so the sequential per-row state
+#: sequence vectorizes with basis-matrix doubling (s_{n+m} = A^m s_n).
+
+_M64 = (1 << 64) - 1
+
+
+def _murmur3_32(data: bytes, seed: int) -> int:
+    """scala.util.hashing.MurmurHash3.bytesHash (x86_32), exact."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    nblocks = len(data) // 4
+    for i in range(nblocks):
+        k = int.from_bytes(data[4 * i: 4 * i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[nblocks * 4:]
+    k = 0
+    if len(tail) == 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _xs_hash_seed(seed: int) -> int:
+    """XORShiftRandom.hashSeed: murmur the 8 big-endian seed bytes
+    twice (lowBits seeded with MurmurHash3.arraySeed, highBits chained
+    on lowBits) — verified against the running JVM's stream in
+    tests/test_spark_exec.py."""
+    buf = (seed & _M64).to_bytes(8, "big")
+    low = _murmur3_32(buf, 0x3C074A61)  # MurmurHash3.arraySeed
+    high = _murmur3_32(buf, low)
+    return ((high << 32) | low) & _M64
+
+
+def _xs_step(x: np.ndarray) -> np.ndarray:
+    """One XORShiftRandom state transition, elementwise on uint64."""
+    x = x ^ (x << np.uint64(21))
+    x = x ^ (x >> np.uint64(35))
+    x = x ^ (x << np.uint64(4))
+    return x
+
+
+def _gf2_apply(basis: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Apply the GF(2)-linear map given by `basis` (basis[i] = image of
+    bit i, 64 uint64s) to every element of `x`."""
+    r = np.zeros_like(x)
+    one = np.uint64(1)
+    for i in range(64):
+        r ^= basis[i] * ((x >> np.uint64(i)) & one)
+    return r
+
+
+#: images of the 64 unit vectors under one XORShift step (the map A)
+_XS_BASIS = _xs_step(np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
+def _xs_states(seed0: int, n: int) -> np.ndarray:
+    """The first `n` XORShift states after state `seed0` (i.e. the
+    values successive `next()` calls are derived from), via doubling:
+    out[:m] known => out[m:2m] = A^m(out[:m]), squaring A^m each level.
+    O(64 n) vector ops instead of an n-step Python loop."""
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    out[0] = _xs_step(np.uint64(seed0))
+    m = 1
+    basis = _XS_BASIS
+    while m < n:
+        k = min(m, n - m)
+        out[m: m + k] = _gf2_apply(basis, out[:k])
+        m2 = m * 2
+        if m2 < n:
+            basis = _gf2_apply(basis, basis)
+        m = m2
+    return out
+
+
+def _bernoulli_keep_mask(seed: int, pid: int, n_rows: int, fraction: float) -> np.ndarray:
+    """Boolean keep-mask for one partition of `df.sample(fraction,
+    seed)`: java.util.Random.nextDouble consumes next(26) then next(27),
+    BernoulliCellSampler keeps a row iff the double < fraction."""
+    states = _xs_states(_xs_hash_seed(int(seed) + int(pid)), 2 * n_rows)
+    hi = (states[0::2] & np.uint64((1 << 26) - 1)).astype(np.int64)
+    lo = (states[1::2] & np.uint64((1 << 27) - 1)).astype(np.int64)
+    x = ((hi << np.int64(27)) + lo).astype(np.float64) * (2.0 ** -53)
+    return x < fraction
+
+
 def _flatten(arrs) -> np.ndarray:
     return (
         np.concatenate([np.ravel(a) for a in arrs])
@@ -221,6 +336,10 @@ class SparkTrainer:
         # driver-local replay state, set/cleared by fit() (see
         # LOCAL_ROWS_CAP): [(pid, bi, pandas frame), ...] or None
         self._local_batches = None
+        # per-partition concatenated frames + Arrow chunk size, built
+        # lazily by the first minibatch replay step (_sampled_batches)
+        self._local_parts = None
+        self._arrow_max_records = 10000
 
     # -- internals --------------------------------------------------------
     def _state(self) -> dict:
@@ -363,13 +482,15 @@ class SparkTrainer:
             key=lambda t: (t[0], t[1]),
         )
 
-    def _job_local(self, state, step, want_grad: bool):
+    def _job_local(self, state, step, want_grad: bool, batches=None):
         """Driver-local replica of `_job` over the fetched batches:
         fresh model per partition (as each task unpickles its own), the
         same state injection, the same (step, pid, bi) seeds into
         `_evaluate_batch`, partials folded in (pid, bi) order — the
         identical order the depth-1 collect fold uses — so every float
-        matches the distributed job bit-for-bit (pytest-pinned)."""
+        matches the distributed job bit-for-bit (pytest-pinned).
+        `batches` overrides the full fetched list (the minibatch replay
+        passes the step's sampled chunks)."""
         import pickle
 
         float_type = np.dtype(settings.dtypes.float_type).type
@@ -378,7 +499,7 @@ class SparkTrainer:
         loss, n = 0.0, 0
         grad = np.zeros(n_params, dtype=np.float64) if want_grad else None
         model, cur_pid = None, None
-        for pid, bi, pdf in self._local_batches:
+        for pid, bi, pdf in (self._local_batches if batches is None else batches):
             if pid != cur_pid:
                 model = pickle.loads(self._model_bytes_bc.value)
                 by_name = {v.long_name: v for v in model.get_variables()}
@@ -431,6 +552,44 @@ class SparkTrainer:
             return self.df, 1.0
         return self.df.sample(fraction=fraction, seed=step), 1.0 / fraction
 
+    def _sampled_batches(self, fraction, step):
+        """The (pid, bi, frame) chunks the distributed minibatch job
+        would see at this step, rebuilt locally: the bit-exact
+        `df.sample` keep-mask per partition (`_bernoulli_keep_mask`)
+        over the fetched partition rows, re-chunked at the session's
+        Arrow maxRecordsPerBatch exactly as the JVM would batch the
+        SAMPLED rows into the mapInPandas stream."""
+        if self._local_parts is None:
+            import pandas as pd
+
+            parts: dict = {}
+            for pid, _bi, pdf in self._local_batches:
+                parts.setdefault(pid, []).append(pdf)
+            self._local_parts = [
+                (pid, frames[0] if len(frames) == 1
+                 else pd.concat(frames, ignore_index=True))
+                for pid, frames in sorted(parts.items())
+            ]
+            self._arrow_max_records = int(
+                self.spark.conf.get(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+                )
+            )
+        out = []
+        cap = self._arrow_max_records
+        for pid, pdf in self._local_parts:
+            keep = _bernoulli_keep_mask(step, pid, len(pdf), fraction)
+            idx = np.flatnonzero(keep)
+            if idx.size == 0:
+                continue
+            sampled = pdf.iloc[idx].reset_index(drop=True)
+            step_rows = len(sampled) if cap <= 0 else cap
+            for bi in range(0, (len(sampled) + step_rows - 1) // step_rows):
+                out.append(
+                    (pid, bi, sampled.iloc[bi * step_rows: (bi + 1) * step_rows])
+                )
+        return out
+
     # -- public -----------------------------------------------------------
     def evaluate(self, minibatch_fraction=None) -> float:
         """Objective value (local sums + global terms) — `Optimizer.run`."""
@@ -449,6 +608,17 @@ class SparkTrainer:
                 self._state(), self.step_count, want_grad=True
             )
             scale = 1.0
+        elif self._local_batches is not None:
+            # minibatch replay: same sampled rows (bit-exact RNG
+            # replica), same chunking, same seeds and fold order as the
+            # distributed sampled job — pytest-pinned parity
+            loss, n, total = self._job_local(
+                self._state(),
+                self.step_count,
+                want_grad=True,
+                batches=self._sampled_batches(minibatch_fraction, self.step_count),
+            )
+            scale = 1.0 / minibatch_fraction
         else:
             df, scale = self._minibatch(minibatch_fraction, self.step_count)
             loss, n, total = self._job(
@@ -470,13 +640,21 @@ class SparkTrainer:
         return loss
 
     def fit(self, maxiter=100, minibatch_fraction=None, callback=None):
-        # full-batch multi-step fits localize under the cap: the fetch
-        # costs ~2 jobs and saves one per step. Minibatch fits stay
-        # distributed — `df.sample`'s per-partition JVM RNG has no
-        # bit-exact driver replica.
-        localize = (
-            minibatch_fraction is None or minibatch_fraction >= 1.0
-        ) and maxiter >= 4
+        # multi-step fits localize under the cap: the fetch costs ~2
+        # jobs and saves one per step. Minibatch fits replay
+        # `df.sample` with a bit-exact XORShiftRandom replica
+        # (`_bernoulli_keep_mask`, pytest-pinned parity);
+        # SPARK_GRAFT_TRAINER_LOCAL_MINIBATCH=0 pins sampling to the
+        # cluster as a safety valve.
+        import os
+
+        minibatch = (
+            minibatch_fraction is not None and minibatch_fraction < 1.0
+        )
+        localize = maxiter >= 4 and not (
+            minibatch
+            and os.environ.get("SPARK_GRAFT_TRAINER_LOCAL_MINIBATCH", "1") == "0"
+        )
         if localize and self._local_batches is None:
             self._local_batches = self._fetch_local_batches()
         try:
@@ -487,6 +665,7 @@ class SparkTrainer:
         finally:
             if localize:
                 self._local_batches = None
+                self._local_parts = None
         return self
 
 

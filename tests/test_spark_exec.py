@@ -169,6 +169,83 @@ def test_local_replay_bitwise_equals_distributed(spark, monkeypatch, model_cls, 
         assert np.array_equal(np.asarray(v1._array), np.asarray(v2._array))
 
 
+@pytest.mark.parametrize("seed,fraction", [(1, 0.2), (7, 0.2), (40, 0.5), (3, 0.07)])
+def test_sample_mask_matches_jvm(spark, seed, fraction):
+    """`_bernoulli_keep_mask` must reproduce `df.sample(fraction, seed)`
+    EXACTLY (same XORShiftRandom stream per partition): compare the
+    sampled id sequence per partition against the mask applied to the
+    partition's rows in scan order."""
+    from pyspark.sql import functions as F
+
+    from henbun_spark.spark_exec import _bernoulli_keep_mask
+
+    df = spark.range(0, 5003, 1, 7)
+    full = df.select(
+        F.spark_partition_id().alias("pid"), F.col("id")
+    ).collect()
+    by_pid: dict = {}
+    for r in full:
+        by_pid.setdefault(r["pid"], []).append(r["id"])
+    sampled = df.sample(fraction=fraction, seed=seed).select(
+        F.spark_partition_id().alias("pid"), F.col("id")
+    ).collect()
+    got: dict = {}
+    for r in sampled:
+        got.setdefault(r["pid"], []).append(r["id"])
+    for pid, ids in by_pid.items():
+        keep = _bernoulli_keep_mask(seed, pid, len(ids), fraction)
+        want = [i for i, k in zip(ids, keep) if k]
+        assert got.get(pid, []) == want, f"partition {pid} diverged"
+
+
+@pytest.mark.parametrize("fraction,arrow_batch", [(0.25, None), (0.5, 37), (0.06, None)])
+def test_minibatch_replay_bitwise_equals_distributed(
+    spark, monkeypatch, fraction, arrow_batch
+):
+    """The minibatch driver-local replay must REPLICATE the distributed
+    sampled loop bit-for-bit: identical sampled row sets per step
+    (bit-exact RNG replica), identical Arrow chunking of the sampled
+    partitions (the 37-row case forces multi-batch partitions),
+    identical (step, pid, bi) seeds and fold order. fraction=0.06
+    exercises empty sampled partitions. Exact float equality on every
+    history entry and every trained parameter."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    if arrow_batch is not None:
+        spark.conf.set(key, str(arrow_batch))
+    try:
+        df, _, _ = make_df(spark)
+        m1 = LinReg()
+        tr1 = SparkTrainer(m1, df, optimizer=Adam(learning_rate=0.05))
+        init = tr1._state()
+
+        monkeypatch.setenv("SPARK_GRAFT_TRAINER_LOCAL_CAP", "0")  # distributed
+        tr1.fit(maxiter=6, minibatch_fraction=fraction)
+
+        m2 = LinReg()
+        tr2 = SparkTrainer(m2, df, optimizer=Adam(learning_rate=0.05))
+        for v in tr2.vars:
+            v._array = np.array(init[v.long_name])
+            v._pending = None
+            v.finalize()
+        monkeypatch.delenv("SPARK_GRAFT_TRAINER_LOCAL_CAP")  # local replay
+        calls = []
+        orig_job = tr2._job
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig_job(*a, **k)
+
+        tr2._job = spy
+        tr2.fit(maxiter=6, minibatch_fraction=fraction)
+        assert not calls, "minibatch local replay did not engage"
+        assert tr1.history == tr2.history  # bitwise, every step
+        for v1, v2 in zip(tr1.vars, tr2.vars):
+            assert np.array_equal(np.asarray(v1._array), np.asarray(v2._array))
+    finally:
+        spark.conf.set(key, prev)
+
+
 class PredModel(hb.Model):
     def setUp(self):
         self.x = ColumnData("x")
