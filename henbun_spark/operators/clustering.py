@@ -62,6 +62,21 @@ def _init_centroids(
     return np.array([r["_v"] for r in rows], dtype=np.float64)
 
 
+def _acc_batch(x: np.ndarray, cent: np.ndarray, cn: np.ndarray,
+               sums: np.ndarray, cnts: np.ndarray) -> float:
+    """Fold one batch matrix into the per-partition Lloyd partials —
+    shared by the distributed closure and the driver-local replay so
+    both run the IDENTICAL float operations in the identical order."""
+    d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cent.T) + cn[None, :]
+    assign = d2.argmin(axis=1)
+    sse = float(d2[np.arange(len(x)), assign].sum())
+    for c in np.unique(assign):
+        mask = assign == c
+        sums[c] += x[mask].sum(axis=0)
+        cnts[c] += int(mask.sum())
+    return sse
+
+
 def _iteration(
     df: DataFrame, emb_col: str, centroids: np.ndarray, depth: int = 2
 ) -> tuple[np.ndarray, np.ndarray, float]:
@@ -80,13 +95,7 @@ def _iteration(
             if not len(pdf):
                 continue
             x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cent.T) + cn[None, :]
-            assign = d2.argmin(axis=1)
-            sse += float(d2[np.arange(len(x)), assign].sum())
-            for c in np.unique(assign):
-                mask = assign == c
-                sums[c] += x[mask].sum(axis=0)
-                cnts[c] += int(mask.sum())
+            sse += _acc_batch(x, cent, cn, sums, cnts)
         yield pd.DataFrame(
             {
                 "sums": [sums.ravel().tolist()],
@@ -98,6 +107,27 @@ def _iteration(
     part_df = df.select(F.col(emb_col).cast("array<double>").alias("_v")).mapInPandas(
         partials, "sums array<double>, cnts array<long>, sse double"
     )
+
+    if depth == 1:
+        # depth-1 regime (driver SFs: a handful of partitions): collect
+        # the one-row-per-partition partials and fold on the driver in
+        # PARTITION ORDER — the same r12 fix as SparkTrainer._job's
+        # depth-1 path (treeAggregate at depth 1 shipped the rows
+        # through a second Python-worker RDD layer plus a javaToPython
+        # plan conversion, pure per-iteration overhead; its final
+        # `reduce` also merges in task-COMPLETION order, whereas the
+        # collect fold is deterministic). Float sums regroup within the
+        # usual ~1 ulp treeAggregate association wobble the docstring
+        # already grants; the driver-local replay below replicates THIS
+        # order bit-for-bit.
+        sums = np.zeros(k * dim)
+        cnts = np.zeros(k, dtype=np.int64)
+        sse = 0.0
+        for row in part_df.collect():
+            sums += np.asarray(row["sums"])
+            cnts += np.asarray(row["cnts"], dtype=np.int64)
+            sse += row["sse"]
+        return sums.reshape(k, dim), cnts, sse
 
     zero = (np.zeros(k * dim), np.zeros(k, dtype=np.int64), 0.0)
 
@@ -113,6 +143,82 @@ def _iteration(
 
     sums, cnts, sse = part_df.rdd.treeAggregate(zero, seq, comb, depth=depth)
     return sums.reshape(k, dim), cnts, sse
+
+
+#: row cap for the driver-local Lloyd replay (the SparkTrainer
+#: LOCAL_ROWS_CAP pattern): below it, ONE bounded job fetches the exact
+#: per-(partition, Arrow-batch) float64 matrices the distributed
+#: partials closure would build, and every iteration replays the same
+#: batch math and the same partition-order fold on the driver — each
+#: Lloyd step stops costing a Spark job. Above the cap (or past
+#: TREE_DEPTH_CUTOVER partitions) the distributed loop is untouched:
+#: iterations x one scan + tree reduction is the 100 TB design.
+#: Override with SPARK_GRAFT_KMEANS_LOCAL_CAP (0 disables).
+KMEANS_LOCAL_ROWS_CAP = 1 << 17
+
+
+def _fetch_local_matrices(data: DataFrame):
+    """[(pid, bi, n x dim float64 matrix), ...] in (pid, bi) order —
+    the matrices are built INSIDE the task from the same Arrow batches
+    the distributed closure would see, so values round-trip
+    bit-exactly. `data` must already be the `_v`-projected frame."""
+    import pickle
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    def grab(batches):
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        for bi, pdf in enumerate(batches):
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {"pid": [pid], "bi": [bi], "data": [pickle.dumps(x)]}
+            )
+
+    rows = data.mapInPandas(grab, schema="pid int, bi int, data binary").collect()
+    return sorted(
+        ((r["pid"], r["bi"], pickle.loads(bytes(r["data"]))) for r in rows),
+        key=lambda t: (t[0], t[1]),
+    )
+
+
+def _iteration_local(batches, centroids: np.ndarray):
+    """Driver-local replica of `_iteration` over the fetched matrices:
+    per-partition partials accumulated in batch order via the SAME
+    `_acc_batch`, then folded across partitions in partition order —
+    identical to the depth-1 collect fold, so every float matches the
+    distributed iteration bit-for-bit (pytest-pinned)."""
+    k, dim = centroids.shape
+    cn = (centroids * centroids).sum(axis=1)
+    tot_sums = np.zeros(k * dim)
+    tot_cnts = np.zeros(k, dtype=np.int64)
+    tot_sse = 0.0
+    cur_pid = None
+    sums = cnts = None
+    sse = 0.0
+
+    def fold():
+        nonlocal tot_sse
+        # replicate the collect fold's float path exactly: the partial
+        # crossed Arrow as a flat float64 list, added onto the totals
+        tot_sums.__iadd__(sums.ravel())
+        tot_cnts.__iadd__(cnts)
+        tot_sse += sse
+
+    for pid, _bi, x in batches:
+        if pid != cur_pid:
+            if cur_pid is not None:
+                fold()
+            sums = np.zeros((k, dim))
+            cnts = np.zeros(k, dtype=np.int64)
+            sse = 0.0
+            cur_pid = pid
+        sse += _acc_batch(x, centroids, cn, sums, cnts)
+    if cur_pid is not None:
+        fold()
+    return tot_sums.reshape(k, dim), tot_cnts, tot_sse
 
 
 def kmeans_fit(
@@ -141,6 +247,8 @@ def kmeans_fit(
     embedding column once PER ITERATION — the lazy plan re-executes).
     Centroid values may move by the usual ~1 ulp treeAggregate
     association wobble, exactly as any partitioning change would."""
+    import os
+
     centroids = _init_centroids(df, emb_col, id_col, k)
     data = df.select(F.col(emb_col).cast("array<double>").alias(emb_col))
     if slices is not None:
@@ -151,11 +259,25 @@ def kmeans_fit(
     # iteration scheduling overhead; at cluster scale (partitions >>
     # cutover) depth 2 keeps the driver at one k x dim matrix per
     # iteration, unchanged
+    from henbun_spark.operators._parallel import _plan_partitions
     from henbun_spark.spark_exec import _tree_depth
 
-    depth = _tree_depth(data.rdd.getNumPartitions())
+    nparts = _plan_partitions(data)
+    depth = _tree_depth(nparts)
+    # driver-local Lloyd replay under the row cap (see
+    # KMEANS_LOCAL_ROWS_CAP): one bounded fetch replaces one Spark job
+    # PER ITERATION; the LIMIT probe short-circuits at scale
+    cap = int(os.environ.get("SPARK_GRAFT_KMEANS_LOCAL_CAP", KMEANS_LOCAL_ROWS_CAP))
+    local = None
+    if cap > 0 and depth == 1:
+        proj = data.select(F.col(emb_col).cast("array<double>").alias("_v"))
+        if proj.limit(cap + 1).count() <= cap:
+            local = _fetch_local_matrices(proj)
     for _ in range(max_iter):
-        sums, cnts, sse = _iteration(data, emb_col, centroids, depth=depth)
+        if local is not None:
+            sums, cnts, sse = _iteration_local(local, centroids)
+        else:
+            sums, cnts, sse = _iteration(data, emb_col, centroids, depth=depth)
         nonempty = cnts > 0
         centroids = np.where(
             nonempty[:, None], sums / np.maximum(cnts, 1)[:, None], centroids
